@@ -3,6 +3,20 @@
 Each module maps to a SURVEY.md §2 family:
     relational   — §2.2 filters/projections, §2.4 core aggregation,
                    §2.3 inner joins, §2.6 sort/limit/top-k (headline set)
+    joins        — §2.3 outer/semi/anti/cross/theta/range/as-of
+    aggregates   — §2.4 rollup/cube/grouping sets/filtered/collect/stats
+    windows      — §2.5 ranking/analytic/frames
+    setops       — §2.7 union/intersect/except
+    scalars      — §2.8 string/date/json/conditional/math
+    dedup        — §2.4/§2.10 exact dedup + latest-per-key
 """
 
-from . import relational  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    dedup,
+    joins,
+    relational,
+    scalars,
+    setops,
+    windows,
+)

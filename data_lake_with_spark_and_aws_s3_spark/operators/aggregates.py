@@ -1,0 +1,247 @@
+"""Aggregation family (SURVEY.md §2.4): rollup / cube / grouping sets,
+filtered aggregation, collect_set, exact + approx distinct, stats.
+
+Reference parity: the reference aggregates only implicitly via
+dropDuplicates (`etl.py:~37,~86` canonical template — SURVEY.md §0);
+the full family is north-star surface.
+
+Scale posture: every query below is a builtin partial+final
+HashAggregate — map-side combine crushes rows before the shuffle, so
+shuffle volume is O(|groups|), not O(|rows|). Rollup/cube expand each
+input row to (levels) rows BEFORE partial aggregation; at 100 TB
+prefer re-aggregating from the finest level when the hierarchy is
+deep (here it's 2-3 levels — fine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, money_sum
+from ..registry import query
+from ..sources.loader import load_table, register_views
+
+
+@query(
+    "q_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(19,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region -> nation -> grand-total revenue rollup.
+
+    nation/region are broadcast (tiny dims); the rollup itself is one
+    expanded hash aggregate. Rolled-up key levels surface as NULL —
+    coalesced to 'ALL' so the oracle hash sees identical strings.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q_cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations of (status, priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand as
+    rollup/cube, but user-selected level list)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_items,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_filtered_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           count_if(event_type = 'purchase') AS n_purchases,
+           count_if(event_type = 'error') AS n_errors,
+           CAST(ROUND(COALESCE(SUM(CAST(value AS DECIMAL(19,2)))
+                               FILTER (WHERE event_type = 'purchase'), 0), 2)
+                AS DOUBLE) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "filtered"),
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if + FILTER-style sums in one
+    pass over the data (no self-joins)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value"))), F.lit(0)
+        )
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "q_collect_set_types",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "collect"),
+)
+def q_collect_set_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set rendered order-insensitively: sort the set, join to
+    a string (array ordering is otherwise nondeterministic and would
+    break the value hash)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q_stats_summary",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics + moments per group. stddev/corr/median are
+    float-rounded to 6 (engines' streaming-moment formulas differ at
+    ~1e-12 relative; 3 output rows makes boundary flips negligible)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # approximate => rows-only (SURVEY.md §2.4); exact twin: q_distinct_users
+    tags=("agg", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality per event_type — the 100 TB path for
+    distinct counts (constant memory per group vs expand+shuffle for
+    exact). rsd 1% to show the accuracy knob."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "q_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("topk", "sort"),
+)
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge) — no global sort, O(k) memory per task at
+    any scale. Tie-break on key for a deterministic result set."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

@@ -1,0 +1,314 @@
+"""Join family (SURVEY.md §2.3): outer / semi / anti / cross / theta /
+range (interval) / as-of.
+
+Reference parity: the reference's only join is the inner natural-key
+equi-join building songplays (`etl.py:~135` canonical template;
+checkout empty per SURVEY.md §0). Everything else here is north-star
+surface mandated by BASELINE.json.
+
+Scale posture:
+- equi-joins: declared as plain `df.join` — Catalyst/AQE picks
+  broadcast vs shuffled-hash vs sort-merge from runtime stats.
+- theta join: broadcast-nested-loop with the SMALL side broadcast
+  (explicit F.broadcast); at 100 TB you'd pre-sort + range-partition.
+- range join: equi-bucket prejoin + residual filter — turns an O(n·m)
+  NLJ into a co-partitioned hash join whose per-bucket fan-out is
+  bounded by the window width. This is the shape that survives 100 TB.
+- as-of join: union + last(ignorenulls) window — one shuffle on
+  (key), no per-row Python, arbitrary key cardinality. The classic
+  merge_asof-in-pandas alternative would serialize through Arrow and
+  cap at per-group memory; the window form doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, money_sum
+from ..registry import query
+from ..sources.loader import load_table
+
+
+@query(
+    "q_outer_join_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(19,2))), 0), 2)
+                AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "outer"),
+)
+def q_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (COUNT of the
+    nullable side counts matches only)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "semi"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one urgent order (left_semi = EXISTS:
+    no row duplication, right side never materialized in output)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left_anti = NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join", "cross"),
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny sides (guarded: 5 x 3 rows).
+    At scale cross joins only ever appear with a blocking key —
+    see similarity ops (§2.10)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "q_theta_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(c.c_custkey) AS n_poorer_customers
+    FROM supplier s
+    LEFT JOIN customer c ON c.c_acctbal < s.s_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("join", "theta"),
+)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: per supplier, count customers with
+    strictly smaller account balance.
+
+    Plan: BroadcastNestedLoopJoin with supplier (tiny side)
+    broadcast. At 100 TB the scalable form is sort both sides on
+    acctbal and merge-count (a band/rank join); NLJ is only safe
+    because |supplier| is bounded here.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        F.broadcast(s)
+        .join(c, c.c_acctbal < s.s_acctbal, "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("c_custkey").alias("n_poorer_customers"))
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Interval join: right rows with right_ts in (left_ts,
+    left_ts + window_us], equi-keyed on `key`.
+
+    Instead of key-equi-join + unbounded residual (which explodes on
+    hot keys) we bucket time into window-width buckets and join on
+    (key, bucket) with the left side exploded to its two covering
+    buckets. The residual filter then runs on a co-partitioned,
+    bounded candidate set — the per-task working set is O(rows in two
+    buckets per key), independent of total data size. This is the
+    100 TB-safe shape for event-to-event correlation.
+    """
+    lb = left.withColumn("_lus", F.unix_micros(F.col(left_ts)))
+    rb = right.withColumn("_rus", F.unix_micros(F.col(right_ts))).withColumn(
+        "_bucket", F.expr(f"unix_micros({right_ts}) div {window_us}")
+    )
+    probe = lb.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros({left_ts}) div {window_us}"),
+                F.expr(f"unix_micros({left_ts}) div {window_us} + 1"),
+            )
+        ),
+    )
+    joined = probe.join(rb, on=[key, "_bucket"])
+    return joined.filter(
+        (F.col("_rus") > F.col("_lus")) & (F.col("_rus") <= F.col("_lus") + window_us)
+    ).drop("_bucket", "_lus", "_rus")
+
+
+@query(
+    "q_range_join_events",
+    oracle="""
+    SELECT e1.event_type AS type_a, e2.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events e1
+    JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+     AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    GROUP BY e1.event_type, e2.event_type
+    """,
+    tags=("join", "range"),
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs of the same user within a 5-minute follow window,
+    counted per (type_a -> type_b). Uses the bucketed range join
+    (see bucketed_range_join) rather than an unbounded per-key
+    residual join."""
+    e = load_table(spark, sf_dir, "events")
+    e1 = e.select("user_id", F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a"))
+    e2 = e.select("user_id", F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b"))
+    window_us = 5 * 60 * 1_000_000
+    pairs = bucketed_range_join(e1, e2, "user_id", "ts_a", "ts_b", window_us)
+    return pairs.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts on the same key. No native Spark operator
+    (SURVEY.md §2.3) — union both sides tagged, then
+    last(value, ignorenulls=True) over (partition by key
+    order by ts, side) carries the most recent right value forward.
+
+    One shuffle, fully JVM-side, state bounded by the window sort —
+    scales to arbitrary key cardinality and row counts (vs a
+    merge_asof-per-group Pandas UDF, which caps at per-group memory
+    and pays the Arrow hop).
+
+    Right side must be unique per (key, right_ts) for deterministic
+    results — pre-aggregate if needed.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = right.withColumnRenamed(right_ts, "_rts")
+    rt = rt.select(
+        F.col(key),
+        F.col("_rts").alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+    )
+    lcols = [c for c in lt.columns if c not in ("_ts", "_side")]
+    unioned = lt.select(
+        *[F.col(c) for c in lcols],
+        F.col("_ts"),
+        F.col("_side"),
+        *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in value_cols],
+    ).unionByName(
+        rt.select(
+            # the join key flows through from the right row; every other
+            # left column is NULL on right-side rows
+            *[
+                (F.col(c) if c == key else F.lit(None).cast(lt.schema[c].dataType)).alias(c)
+                for c in lcols
+            ],
+            F.col("_ts"),
+            F.col("_side"),
+            *[F.col(c) for c in value_cols],
+        )
+    )
+    # right rows sort before left rows at equal ts => "<=" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("_ts"),
+        F.col("_side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    # the left's own ts column is still present in lcols; _ts was only
+    # the union-wide ordering column
+    return carried.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the value of the user's most recent click
+    at-or-before it (NULL if none). DuckDB checks with its native
+    ASOF JOIN; we use the union+window shape (see asof_join)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value"],
+    ).select("event_id", "user_id", "ts", "value", "click_value")

@@ -1,0 +1,123 @@
+"""Set operations (SURVEY.md §2.7): union all / union distinct /
+intersect / except, plus schema-drift unionByName.
+
+All north-star surface (the reference has no set ops). Set ops are
+shuffle-on-all-columns when distinct semantics are involved; UNION ALL
+is a zero-shuffle concatenation of partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+def _cust_nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+
+
+def _supp_nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+
+
+@query(
+    "q_union_all_counts",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n_parties FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+    tags=("setop", "union-all"),
+)
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics): customers + suppliers per nation.
+    Pure partition concatenation — no shuffle until the aggregate."""
+    u = _cust_nations(spark, sf_dir).unionByName(_supp_nations(spark, sf_dir))
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_parties"))
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics) = unionByName + distinct."""
+    return _cust_nations(spark, sf_dir).unionByName(_supp_nations(spark, sf_dir)).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with BOTH customers and suppliers."""
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    tags=("setop", "except"),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no high-balance supplier
+    (subtract = EXCEPT with set semantics)."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    high = s.select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return _cust_nations(spark, sf_dir).distinct().subtract(high)
+
+
+@query(
+    "q_union_by_name_drift",
+    oracle="""
+    SELECT party, name, acctbal, mktsegment FROM (
+      SELECT 'customer' AS party, c_name AS name, c_acctbal AS acctbal,
+             c_mktsegment AS mktsegment
+      FROM customer
+      UNION ALL
+      SELECT 'supplier' AS party, s_name AS name, s_acctbal AS acctbal,
+             NULL AS mktsegment
+      FROM supplier
+    )
+    """,
+    tags=("setop", "schema-drift"),
+)
+def q_union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): supplier rows lack
+    mktsegment, surfaced as NULL — the schema-evolution-tolerant
+    union for heterogeneous batches."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("party"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("party"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)

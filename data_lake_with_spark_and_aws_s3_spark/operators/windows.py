@@ -1,0 +1,165 @@
+"""Window-function family (SURVEY.md §2.5): ranking, analytic
+(lag/lead/running), row frames, time-range frames.
+
+Reference parity: none in the reference itself; some template
+variants use a window for latest-level-per-user dedup (SURVEY.md
+§2.4 [K]) — that shape is q_latest_per_user in dedup.py.
+
+Scale posture: a window = one shuffle on partition keys + in-partition
+sort. Keys here (user_id, o_custkey) are high-cardinality, so
+partitions stay balanced; a low-cardinality or skewed partition key
+would need pre-aggregation or two-phase forms. All frames are bounded
+(ROWS k / RANGE interval), so state during evaluation is O(frame).
+Determinism: every ORDER BY carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..sources.loader import load_table
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "q_lag_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+    FROM events
+    """,
+    tags=("window", "analytic"),
+)
+def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microseconds since the user's previous event (NULL for the
+    first). Integer arithmetic end-to-end — exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "q_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2)))
+                  OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    tags=("window", "analytic"),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value total. Decimal prefix sums over a
+    deterministic order — exact at every step."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("decimal(38,2)").cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "q_moving_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS last4_spend
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame: each order's spend summed with the
+    customer's previous three orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").cast("double").alias("last4_spend"),
+    )
+
+
+@query(
+    "q_rank_dense_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "ranking"),
+)
+def q_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile in one window (single shuffle+sort,
+    all three evaluated in the same pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_time_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2)))
+                  OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                        RANGE BETWEEN {_US_PER_HOUR} PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS trailing_1h_value
+    FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour per-user sum via a time-RANGE frame over the
+    epoch-microsecond ordering column. RANGE frames include ALL rows
+    with equal ordering value, so no tie-break is needed for
+    determinism (both engines agree on the frame contents)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_US_PER_HOUR, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("decimal(38,2)").cast("double").alias("trailing_1h_value"),
+    )
