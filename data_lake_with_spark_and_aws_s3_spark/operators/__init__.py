@@ -14,9 +14,15 @@ Each module maps to a SURVEY.md §2 family:
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    events,
     joins,
+    multimodal,
+    neardup,
+    pivots,
     relational,
     scalars,
     setops,
+    similarity,
+    text,
     windows,
 )

@@ -1,0 +1,115 @@
+"""Multimodal columns (SURVEY.md §2.10): typed struct columns binding
+text + embedding + metadata, opaque binary payloads with typed
+metadata, and the decode / feature-extract plumbing as Arrow-batched
+mapInPandas.
+
+The image/audio decode libraries are NOT in this container, so the
+decode step is a clearly-marked deterministic fake behind
+`decode_image_stub` (NotImplementedError for real codecs) — but the
+Spark-side plumbing is real and tested: binary schema, struct access,
+mapInPandas batch iteration, output schema declaration, partition
+preservation.
+
+Scale posture: binary payloads ride Parquet as BYTE_ARRAY with
+dictionary off; metadata stays in scalar columns so predicates on it
+prune row groups WITHOUT touching the blobs (column pruning = you
+never read the bytes you don't decode). mapInPandas streams
+Arrow batches — constant memory per task regardless of blob count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+@query(
+    "q_multimodal_struct",
+    oracle="""
+    SELECT d.doc_id,
+           d.text AS media_text,
+           CAST(length(d.text) AS BIGINT) AS text_len,
+           CAST(len(e.embedding) AS BIGINT) AS embedding_dim,
+           d.lang AS meta_lang,
+           d.source AS meta_source
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+    tags=("multimodal", "struct"),
+)
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record type: struct(text, embedding, metadata map)
+    assembled, then accessed with dotted paths / element_at — proves
+    the nested type round-trips through Catalyst (the oracle checks
+    the flattened projection)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    media = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.struct(
+            F.col("text"),
+            F.col("embedding"),
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    return media.select(
+        "doc_id",
+        F.col("media.text").alias("media_text"),
+        F.length("media.text").cast("long").alias("text_len"),
+        F.size("media.embedding").cast("long").alias("embedding_dim"),
+        F.element_at("media.meta", "lang").alias("meta_lang"),
+        F.element_at("media.meta", "source").alias("meta_source"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decode (real codecs unavailable in this container).
+
+    Deterministic fake: 'width'/'height' derived from the payload
+    bytes so tests are stable. A real deployment replaces this body
+    with e.g. PIL.Image.open(io.BytesIO(payload)) — the Spark-side
+    plumbing (schema, batching, partitioning) does not change.
+    """
+    if not isinstance(payload, (bytes, bytearray)):
+        raise NotImplementedError("real image decoding requires a codec library")
+    n = len(payload)
+    return {"width": 16 + n % 64, "height": 16 + (n * 7) % 64, "n_bytes": n}
+
+
+@query("q_multimodal_binary", oracle=None, tags=("multimodal", "binary", "pandas-udf"))
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads + Arrow-batched feature extraction
+    (rows-only: the mapInPandas path is not SQL-expressible).
+
+    documents.text stands in for an image payload (cast to binary);
+    mapInPandas streams Arrow batches through decode_image_stub and
+    emits typed metadata. The frame shape — binary in, scalars out,
+    schema declared up front — is exactly what a real image/audio
+    pipeline uses."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"), "lang"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_image_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "width": feats.map(lambda f: f["width"]),
+                    "height": feats.map(lambda f: f["height"]),
+                    "n_bytes": feats.map(lambda f: f["n_bytes"]),
+                }
+            )
+
+    return d.mapInPandas(
+        extract, schema="doc_id long, lang string, width long, height long, n_bytes long"
+    )

@@ -1,0 +1,235 @@
+"""Near-duplicate detection (SURVEY.md §2.10): n-gram Jaccard (exact,
+oracle-checked), MinHash + LSH (scale path, rows-only), SimHash
+(rows-only), embedding-cosine near-dup (oracle-checked via exact
+decimal dot products).
+
+Scale posture — the whole point of this family:
+- exact Jaccard needs candidate pairs; we BLOCK on `lang` so the
+  quadratic term is per-block. At 100 TB blocking comes from LSH
+  bands (below), never from a global cross join.
+- MinHash: K independent permutations approximated by K seeded
+  hash functions over shingle hashes; LSH bands of rows -> same-band
+  equality join = candidate generation with O(n) shuffle.
+- SimHash: 64-bit sketch; near-dup candidates = equal 16-bit chunk
+  (pigeonhole for hamming distance <= 3) -> equality join on chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_N_MINHASH = 16
+_N_BANDS = 4  # 4 hashes per band
+
+
+def _token_set(col="text"):
+    return F.array_distinct(F.filter(F.split(F.col(col), " "), lambda x: x != ""))
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, list_distinct(list_filter(string_split(text, ' '),
+                                                     x -> x <> '')) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+    FROM tok a JOIN tok b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+    """,
+    tags=("neardup", "jaccard"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over lang-blocked pairs (>= 0.6).
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|): one division of identical
+    integers — bit-exact cross-engine. The lang block bounds the
+    quadratic candidate set; the LSH variant below replaces blocking
+    at real scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _token_set().alias("ts")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+                 F.col("ts").alias("ts_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+                 F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_MINHASH) -> DataFrame:
+    """MinHash signature per doc: h_i(doc) = min over shingle hashes of
+    xxhash64(shingle, seed=i). Pure HOF pipeline — signatures compute
+    per-row in codegen, no shuffle. Returns (doc_id, sig array<long>).
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(t, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+@query("q_minhash_lsh", oracle=None, tags=("neardup", "minhash", "lsh"))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: hash-seed specific,
+    not SQL-expressible in the oracle dialect).
+
+    Pipeline: per-doc 16-hash MinHash signature -> 4 LSH bands of 4
+    hashes -> explode bands -> equi-join on (band_id, band_hash) ->
+    distinct candidate pairs -> exact Jaccard verify on candidates
+    only. The band join is the scale path: O(n·bands) shuffle rows,
+    never O(n²)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    per_band = _N_MINHASH // _N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * per_band + j] for j in range(per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the (small) candidate set
+    tok = load_table(spark, sf_dir, "documents").select("doc_id", _token_set().alias("ts"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        cand.join(tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
+        .join(tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query("q_simhash", oracle=None, tags=("neardup", "simhash"))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash sketch per document (rows-only: engine-hash
+    specific). Bit b of the sketch = sign of sum over tokens of
+    (+1/-1 per token-hash bit b). Computed as 64 conditional
+    aggregates over exploded tokens — one shuffle on doc_id, all
+    codegen. Output includes the 4 16-bit chunks used for hamming<=3
+    candidate banding."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    simhash = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    out = bit_sums.select("doc_id", simhash.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk{c}")
+            for c in range(4)
+        ],
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             list_reduce(list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000, 0) AS BIGINT)
+                      * CAST(ROUND(CAST(x AS DOUBLE) * 100000000, 0) AS BIGINT)),
+                 (s, x) -> s + x) AS norm2
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(list_reduce(list_transform(range(1, 65),
+                     i -> CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 100000000, 0) AS BIGINT)
+                          * CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 100000000, 0) AS BIGINT)),
+                     (s, x) -> s + x) AS DOUBLE)
+               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cos_raw
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cosine
+    FROM pairs WHERE cos_raw >= 0.3
+    """,
+    tags=("neardup", "embedding"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates: cosine >= 0.3 within label blocks (threshold fitted to this synthetic corpus: within-label max is 0.47).
+
+    Exactness across engines: float elements are cast to DECIMAL(15,9)
+    and the dot product / norms accumulate in DECIMAL(38,18) — exact,
+    order-independent — then reduce to scale 12 before the double cast
+    (DuckDB's decimal->double is only correctly rounded under 2^53
+    unscaled). The one double division and sqrt are IEEE-identical.
+    DuckDB's own list_cosine_similarity accumulates in float32
+    (measured ~1e-7 error) — deliberately NOT used.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    from .similarity import cosine_expr, dot_int
+
+    v = e.select(
+        "vec_id", "label", "embedding",
+        dot_int(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"), F.col("norm2").alias("norm2_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"), F.col("norm2").alias("norm2_b"),
+    )
+    dot = dot_int(F.col("emb_a"), F.col("emb_b"))
+    cos = cosine_expr(dot, F.col("norm2_a"), F.col("norm2_b"))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.3)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,216 @@
+"""Similarity search over embeddings (SURVEY.md §2.10): brute-force
+cosine top-k (the exactness baseline), an IVF-style partitioned
+variant (the scale path), and per-label centroid statistics.
+
+Exactness: dot products / norms run on a scaled-integer grid (see the
+comment at qint below) — order-independent, engine-independent;
+DuckDB's float32-accumulating list_cosine_similarity is avoided.
+
+Scale posture:
+- brute force is O(q x n): fine for a query batch against a broadcast
+  corpus chunk, wrong as an all-pairs primitive.
+- IVF: coarse-quantize once (here: per-label centroids as the coarse
+  codebook), probe only the nearest cells -> candidate set shrinks by
+  the cell count; the candidate join is an equi-join on cell id, which
+  shuffles O(n) rows instead of exploding pairs.
+- centroids: posexplode -> (label, dim) hash agg: shuffle bounded by
+  |labels| x dim after partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+# Cross-engine-exact vector math: quantize each float to an integer
+# grid (x -> round(x * 1e8) as int64), then dot products and norms are
+# pure int64 arithmetic — exact, order-independent, and type-stable in
+# both engines (Spark's decimal accumulator would lose a scale digit
+# per addition; DuckDB's float casts and list_cosine_similarity are
+# inexact — measured). The 1e16 scale factors cancel in the cosine
+# ratio. Headroom: |x| <= 0.53 in this corpus -> worst sum 1.8e17,
+# far under 2^63. Ties in round(x*1e8) need 15 trailing zero mantissa
+# bits AND both engines round half away from zero — consistent anyway.
+_Q = 100_000_000
+
+
+def qint(c):
+    return F.round(c.cast("double") * _Q, 0).cast("long")
+
+
+def dot_int(a, b):
+    """Exact scaled-integer dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: qint(x) * qint(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda s, x: s + x)
+
+
+def cosine_expr(dot_col, norm2_a, norm2_b):
+    return dot_col.cast("double") / (
+        F.sqrt(norm2_a.cast("double")) * F.sqrt(norm2_b.cast("double"))
+    )
+
+
+_QI = f"CAST(ROUND(CAST({{x}} AS DOUBLE) * {_Q}, 0) AS BIGINT)"
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    + _QI.format(x="{a}[i]") + " * " + _QI.format(x="{b}[i]")
+    + "), (s, x) -> s + x)"
+)
+_NORM2_SQL = (
+    "list_reduce(list_transform({a}, x -> "
+    + _QI.format(x="x") + " * " + _QI.format(x="x")
+    + "), (s, x) -> s + x)"
+)
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {_NORM2_SQL.format(a="embedding")} AS norm2
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM v WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(CAST({_DOT_SQL.format(a="q.embedding", b="v.embedding")} AS DOUBLE)
+                   / (sqrt(CAST(q.norm2 AS DOUBLE))
+                      * sqrt(CAST(v.norm2 AS DOUBLE))), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "topk"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for a query batch
+    (vec_id < 10) against the full corpus.
+
+    The query side is broadcast (tiny); scoring is a broadcast
+    nested-loop producing |q| x |n| rows that immediately collapse
+    through a per-query top-k window. Ranking uses the ROUNDED cosine
+    + neighbor_id tie-break so both engines rank identical values.
+    At 100 TB the corpus side streams: each scan partition scores
+    against the broadcast queries and keeps a local top-k
+    (TakeOrdered semantics via the window after repartition by query).
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", dot_int(F.col("embedding"), F.col("embedding")).alias("norm2")
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_expr(dot_int(F.col("q_emb"), F.col("embedding")),
+                            F.col("q_norm2"), F.col("norm2")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label, g.i AS dim,
+           CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(15,9))) AS DOUBLE)
+             / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, g.i
+    """,
+    tags=("similarity", "centroid"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension). Decimal
+    sums keep the mean exact across engines. This is the 'training
+    pass' reused by q_ann_ivf as the coarse codebook."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        expl.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(15,9)")).cast("decimal(38,9)").cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+@query("q_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor (rows-only: approximate
+    by construction).
+
+    Cells = per-label centroids (q_embedding_centroids as codebook).
+    For each query: rank cells by centroid cosine, probe the top-2
+    cells, score only vectors in those cells, keep top-5. The cell
+    assignment join is equi on label — O(n) shuffle — and the scored
+    candidate set is nprobe/ncells of the corpus: the standard
+    recall/cost knob. Exact twin for recall measurement: q_cosine_topk.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # codebook: label -> centroid array (collected per label, tiny)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def cos_double(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+        n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+        return dot / (n1 * n2)
+
+    # probe: top-2 cells per query by centroid cosine
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "label", cos_double(F.col("q_emb"), F.col("centroid")).alias("cell_cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label")
+    probed = qc.withColumn("cell_rank", F.row_number().over(wq)).filter(F.col("cell_rank") <= 2)
+    # candidate scoring within probed cells only
+    cand = probed.join(e, "label").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_double(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )

@@ -1,0 +1,326 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.10):
+normalization, tokenization + term stats, TF-IDF, language breakdown,
+heuristic language-ID, quality scoring, token counting, document
+fingerprinting.
+
+All pure builtin expressions (split/explode/regexp/HOFs) — zero Python
+in the hot path, so every operator rides whole-stage codegen and
+scales with the scan. Term-level operators explode to one row per
+token BEFORE a hash aggregate: shuffle volume is bounded by |vocab|
+after partial aggregation, not by token count.
+
+Float policy: ratios are single divisions of exactly-equal integer
+counts (bit-identical across engines); idf/ln outputs are rounded
+post-aggregation (libm 1-ulp drift vs spacing 1e-6 — negligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def tokens(col="text"):
+    """Whitespace tokens with empties removed (multi-space safe)."""
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS BIGINT)
+             AS norm_len
+    FROM documents
+    """,
+    tags=("text", "normalize"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alnum,
+    trim — the first stage of every dedup/quality pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+    SELECT term,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY term
+    """,
+    tags=("text", "tokenize"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: split -> explode -> two-level counts.
+    The shuffle key is the term (|vocab| groups) — partial aggregation
+    makes this O(vocab) network traffic regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok WHERE term <> '' GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, from first principles:
+    tf (per doc-term), df (per term), idf = ln(N/df). Ranking happens
+    on the ROUNDED score (+ term tie-break) so both engines rank the
+    same values. Joins: tf |><| df is a term-keyed shuffle; N is a
+    broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: folded into the expression as a literal
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "q_lang_breakdown",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "breakdown"),
+)
+def q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language x source — the governance view
+    every training-data pipeline starts from."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stop,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_alpha AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens * 0.5
+             + least(CAST(n_tokens AS DOUBLE) / 500, 1.0) * 0.5 AS quality_score
+    FROM feats
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio (fluent text has
+    stopwords), length saturation, mean token length. All ratios are
+    single divisions of identical integers — bit-exact cross-engine
+    without rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    n_alpha = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    sw_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        (n_alpha.cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            sw_ratio * 0.5
+            + F.least(n_tokens.cast("double") / 500, F.lit(1.0)) * 0.5
+        ).alias("quality_score"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _marker_count_spark(lang: str):
+    return F.size(F.filter(tokens(), lambda x: x.isin(*_LANG_MARKERS[lang]))).cast("long")
+
+
+def _marker_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({words}))) AS BIGINT)"
+
+
+@query(
+    "q_language_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_count_sql('en')} AS s_en,
+             {_marker_count_sql('es')} AS s_es,
+             {_marker_count_sql('de')} AS s_de,
+             {_marker_count_sql('fr')} AS s_fr
+      FROM documents
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted
+      FROM scores
+    )
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    """,
+    tags=("text", "language-id"),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (n-gram heuristic class):
+    per-language stopword hit counts, argmax with a fixed precedence
+    order so ties are deterministic. Confusion-matrix style output
+    (true lang x predicted)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = {lang: _marker_count_spark(lang) for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(F.greatest(s["en"], s["es"], s["de"], s["fr"]) == 0, "unknown")
+        .when(s["en"] >= F.greatest(s["es"], s["de"], s["fr"]), "en")
+        .when(s["es"] >= F.greatest(s["de"], s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "token-count"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    regex lexer (letter runs / digit runs / single punctuation) —
+    the budget estimator for LLM context costs."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    return d.select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        (F.col("n_chars").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             range(0, len(string_split(text, ' ')) - 3),
+             i -> md5(array_to_string(string_split(text, ' ')[i+1:i+4], ' '))
+           )) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min digest over token
+    4-gram shingles (a 1-hash MinHash). Shingling is an array HOF —
+    no explode, no shuffle; the whole fingerprint computes per-row
+    inside codegen. Docs with < 4 tokens fingerprint as NULL (both
+    engines: min over an empty list)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # sequence() would descend for size < 4 — filter keeps it empty instead
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0))),
+        lambda i: i <= F.size(toks) - 4,
+    )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+    )

@@ -66,4 +66,7 @@ def run_parity(spark, duck, spec, sf_dir: str) -> None:
     sdf = spec.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     oracle_pdf = duck.execute(spec.oracle).fetchdf()
+    # a 0-row match is vacuous — queries must produce rows at the
+    # correctness scale factor to actually check anything
+    assert len(spark_pdf) > 0, f"{spec.name}: empty result (vacuous parity)"
     assert_frames_match(spark_pdf, oracle_pdf, name=spec.name)
