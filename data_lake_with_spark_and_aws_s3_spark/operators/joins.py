@@ -87,14 +87,18 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
     tags=("join", "anti"),
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders (left_anti = NOT EXISTS)."""
+    """Customers with no urgent order (left_anti = NOT EXISTS).
+    The urgent filter keeps the result non-empty at every test sf —
+    every customer has *some* order in this data."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
