@@ -1,0 +1,7 @@
+from .twins import (  # noqa: F401
+    run_to_memory,
+    stream_events,
+    streaming_dedup,
+    streaming_session_window,
+    streaming_tumbling,
+)

@@ -1,0 +1,112 @@
+"""Structured Streaming twins of the batch event operators
+(SURVEY.md §2.9). Not driver-checked (the driver compares batch
+DataFrames) — these exist for capability parity and are smoke-tested
+in tests/test_streaming.py with an availableNow trigger + memory sink,
+which drives a bounded parquet directory through the real streaming
+engine synchronously.
+
+Production shape: swap `readStream.parquet(dir)` for kafka/kinesis,
+the memory sink for foreachBatch/parquet, and availableNow for a
+processingTime trigger. The transformations are IDENTICAL expressions
+to the batch operators — that's the point of Structured Streaming.
+
+State & scale: watermarks bound state for window aggs and dedup;
+session windows + dropDuplicatesWithinWatermark require the watermark
+or state grows without bound. Shuffle partitions size the state store
+(one store per partition per stateful operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet on-disk schema under nanosAsLong (ts = INT64 nanos)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same
+    nanos->timestamp conversion as the batch loader.
+
+    The file-based streaming source requires a DIRECTORY (it monitors
+    for new files); the testdata table is a single file, so stage a
+    symlink directory. A production stream points at a landing dir or
+    kafka instead."""
+    import os
+    import tempfile
+
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        staged = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(src, os.path.join(staged, "events.parquet"))
+        src = staged
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("path", src)
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Hourly tumbling counts with late-data handling — the streaming
+    twin of q_events_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("hour_ts"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def streaming_session_window(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with watermark — twin of q_session_window."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once-ification of at-least-once delivery — twin of
+    q_stream_dedup. dropDuplicatesWithinWatermark keeps the dedup
+    state bounded by the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded streaming query to completion synchronously:
+    availableNow trigger + memory sink. Returns the query (stopped)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
