@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     pivots,
     relational,
     scalars,
+    scalars2,
     setops,
     similarity,
     text,

@@ -1,0 +1,202 @@
+"""Second scalar/coverage batch (SURVEY.md §2.2 predicate forms,
+§2.8 map/array families, §2.4 first/last-by, §2.11 UDF surface).
+
+The two UDF queries are the deliberate exception to the builtins-only
+rule — they exist to prove the Arrow-vectorized slow path WORKS and is
+oracle-checkable, while their docstrings say why you'd avoid them on a
+hot path (per-batch Python worker hop; ~10-100x slower than codegen
+for expressible logic — SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+@query(
+    "q_filter_predicates",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_acctbal BETWEEN 1000 AND 9000
+      AND c_name LIKE 'Customer#%'
+      AND regexp_matches(c_name, '[02468]$')
+      AND c_acctbal IS NOT NULL
+    """,
+    tags=("filter", "predicates"),
+)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate forms in one conjunction: isin, between, LIKE, rlike,
+    null test. isin/between/like push into the parquet scan; the regex
+    evaluates post-scan (not a pushdown-able form)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_acctbal").between(1000, 9000)
+        & F.col("c_name").like("Customer#%")
+        & F.col("c_name").rlike("[02468]$")
+        & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(props->>'k' AS BIGINT) AS k_value,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+    FROM events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family over JSON props: from_json to MapType, map_keys,
+    element_at — the schema-on-read path for semi-structured columns
+    (vs get_json_object's path extraction in q_json_extract)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+           array_to_string(list_sort(string_split(text, ' ')[1:3]), ' ') AS first3_sorted,
+           string_split(text, ' ')[-1] AS last_token,
+           list_contains(string_split(text, ' '), 'data') AS has_data
+    FROM documents
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, slice, sort_array, element_at(-1),
+    array_contains — all HOF-adjacent builtins over split() arrays."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(arr, 1, 3)).alias("first3"),
+        F.concat_ws(" ", F.sort_array(F.slice(arr, 1, 3))).alias("first3_sorted"),
+        F.element_at(arr, -1).alias("last_token"),
+        F.array_contains(arr, "data").alias("has_data"),
+    )
+
+
+@query(
+    "q_first_last_by",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                               * 1000000 + event_id) AS first_type,
+           arg_max(event_type, (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                               * 1000000 + event_id) AS last_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "first-last"),
+)
+def q_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user via min_by/max_by over a
+    composite (ts, event_id) ordering key packed into one int64.
+    The key rebases epoch-us to the stream's start (2024-01-01) so
+    the * 1e6 pack stays under 2^63 (raw epoch-us would overflow).
+    One hash aggregate — no window shuffle+sort for this shape."""
+    e = load_table(spark, sf_dir, "events")
+    base = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
+    key = (F.unix_micros(F.col("ts")) - base) * 1_000_000 + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           reverse(text) AS reversed_text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("udf", "pandas-udf"),
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (SURVEY.md §2.11) — proved
+    against the oracle's builtin reverse(). Deliberately simple: the
+    point is the Arrow batch path, not the function. For logic a
+    builtin can express, the builtin wins by the cost of the
+    JVM->Python->JVM Arrow hop."""
+
+    @F.pandas_udf("string")
+    def py_reverse(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: x[::-1])
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        py_reverse("text").alias("reversed_text"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "q_apply_in_pandas_slope",
+    oracle="""
+    SELECT user_id,
+           ROUND(regr_slope(value, epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0), 6)
+             AS value_slope_per_day,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("udf", "udaf", "apply-in-pandas"),
+)
+def q_apply_in_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation (UDAF surface, SURVEY.md §2.11):
+    per-user least-squares slope of value over time, computed in a
+    grouped applyInPandas with numpy. Checked against DuckDB's
+    regr_slope (round 6 absorbs the ~1e-12 formula-order drift).
+
+    Scale: one shuffle on user_id; each group fits a pandas frame —
+    the applyInPandas contract. For groups too big for memory, fall
+    back to streaming co-moment aggregation with builtins
+    (covar_pop/var_pop), which this result is numerically equal to."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / 86_400_000_000.0).alias("t_days"),
+        "value",
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t, v = pdf["t_days"].to_numpy(), pdf["value"].to_numpy()
+        n = len(t)
+        denom = (t * t).sum() - t.sum() ** 2 / n
+        s = ((t * v).sum() - t.sum() * v.sum() / n) / denom if denom != 0 else float("nan")
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "value_slope_per_day": [round(s, 6)],
+             "n_events": [n]}
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        slope, schema="user_id long, value_slope_per_day double, n_events long"
+    )

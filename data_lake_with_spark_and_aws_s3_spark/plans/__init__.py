@@ -1,0 +1,8 @@
+from .explain import (  # noqa: F401
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filter,
+    has_take_ordered,
+    read_schema_columns,
+)
