@@ -20,8 +20,10 @@ from . import (  # noqa: F401
     neardup,
     pivots,
     relational,
+    relational2,
     scalars,
     scalars2,
+    sinks,
     setops,
     similarity,
     text,

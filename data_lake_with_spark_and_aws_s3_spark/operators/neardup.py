@@ -34,7 +34,7 @@ def _token_set(col="text"):
     "q_ngram_jaccard_pairs",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, lang, list_distinct(list_filter(string_split(text, ' '),
+      SELECT doc_id, lang, source, list_distinct(list_filter(string_split(text, ' '),
                                                      x -> x <> '')) AS ts
       FROM documents
     )
@@ -42,30 +42,38 @@ def _token_set(col="text"):
            CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
              / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
     FROM tok a JOIN tok b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
     """,
     tags=("neardup", "jaccard"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over lang-blocked pairs (>= 0.6).
+    """Exact token-set Jaccard over (lang, source)-blocked pairs
+    (>= 0.6). Two-key blocking keeps the quadratic term per-block
+    (this corpus is near-dup-heavy: lang-only blocking yields 1.8M
+    qualifying pairs at sf0.1 — a 48s quadratic explosion).
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|): one division of identical
     integers — bit-exact cross-engine. The lang block bounds the
     quadratic candidate set; the LSH variant below replaces blocking
     at real scale."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _token_set().alias("ts")
+        "doc_id", "lang", "source", _token_set().alias("ts")
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-                 F.col("ts").alias("ts_a"))
+                 F.col("source").alias("src_a"), F.col("ts").alias("ts_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-                 F.col("ts").alias("ts_b"))
+                 F.col("source").alias("src_b"), F.col("ts").alias("ts_b"))
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     union = F.size("ts_a") + F.size("ts_b") - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
@@ -211,21 +219,30 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
 
-    from .similarity import cosine_expr, dot_int
+    from .similarity import cosine_expr, dot_int  # noqa: F401
 
+    from .similarity import qint
+
+    # quantize ONCE per vector; pair-wise work is then pure int64
+    # multiply-add (HOF per-pair rounding measured 2x slower)
+    qe = F.transform(F.col("embedding"), qint)
     v = e.select(
-        "vec_id", "label", "embedding",
+        "vec_id", "label", qe.alias("qe"),
         dot_int(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"), F.col("norm2").alias("norm2_a"),
+        F.col("qe").alias("qe_a"), F.col("norm2").alias("norm2_a"),
     )
     b = v.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"), F.col("norm2").alias("norm2_b"),
+        F.col("qe").alias("qe_b"), F.col("norm2").alias("norm2_b"),
     )
-    dot = dot_int(F.col("emb_a"), F.col("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("qe_a", "qe_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
     cos = cosine_expr(dot, F.col("norm2_a"), F.col("norm2_b"))
     return (
         a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))

@@ -1,0 +1,180 @@
+"""Second relational batch: correlated subquery (TPC-H Q17 shape),
+5-way star join (TPC-H Q5 shape), date formatting, approximate
+percentiles, Python UDTF — rounding out SURVEY.md §2.3/§2.4/§2.8/§2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, money_sum
+from ..registry import query
+from ..sources.loader import load_table, register_views
+
+RATE = "decimal(8,6)"
+
+
+@query(
+    "q17_correlated_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small_orders,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(19,2))), 2) AS DOUBLE)
+             AS small_order_revenue
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) / COUNT(*))
+               AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_threshold
+    GROUP BY l.l_partkey
+    """,
+    tags=("join", "subquery", "decorrelated"),
+)
+def q17_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their part's average
+    quantity — the classic correlated scalar subquery, written (as
+    Catalyst itself rewrites it) as an aggregate + self-join. The
+    threshold double is derived from an exact decimal sum, so both
+    engines compare against bit-identical values. Self-join shuffles
+    once on l_partkey; the aggregate side is tiny (|parts|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_orders"),
+            money_sum(dec("l_extendedprice"), "small_order_revenue"),
+        )
+    )
+
+
+@query(
+    "q5_star_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(19,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(8,6)) AS DECIMAL(8,6))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "star", "headline-adjacent"),
+)
+def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a local-supplier
+    condition (supplier in the customer's nation). region/nation/
+    supplier broadcast; customer joins orders joins lineitem shuffle
+    on their keys; the extra s_nationkey = c_nationkey residual rides
+    the supplier join. Region filter prunes before any join."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE)).cast(RATE)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            money_sum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_date_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(o_orderdate, '%a') AS weekday_name,
+           strftime(o_orderdate, '%B') AS month_name,
+           epoch(CAST(o_orderdate AS TIMESTAMP)) AS unix_sec,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_floor
+    FROM orders
+    """,
+    tags=("scalar", "date-format"),
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format / unix_timestamp / to_date (the reference derives
+    its weekday with date_format(...,'E'), template ~101). Format
+    tokens normalized: Spark 'E'->EEE abbrev == strftime %a,
+    'MMMM' == %B (English month names, both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+        F.date_format(d, "E").alias("weekday_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.unix_timestamp(d).alias("unix_sec"),
+        F.to_date(d).cast("timestamp").alias("date_floor"),
+    )
+
+
+@query("q_approx_percentiles", oracle=None, tags=("agg", "approx"))
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (rows-only: approximate by construction,
+    SURVEY.md §2.4). The 100 TB path for quantiles — single pass,
+    bounded sketch memory; accuracy knob = max relative error via
+    `accuracy`. Exact twin for small groups: q_stats_summary.median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.percentile_approx("l_quantity", 0.5).alias("median_qty_approx"),
+    )
+
+
+@query("q_python_udtf", oracle=None, tags=("udf", "udtf"))
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY.md §2.11, rows-only): one input row ->
+    many output rows from Python. Tokenizes a 20-doc sample into
+    (doc_id, pos, token) rows. For anything explode() can express,
+    explode wins (JVM-side); a real UDTF earns its cost only for
+    logic that's genuinely Python (parsers, model calls)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id, text):
+            for i, tok in enumerate(text.split()):
+                yield doc_id, i, tok
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token FROM _udtf_docs, "
+        "LATERAL tokenize_udtf(doc_id, text) t"
+    )

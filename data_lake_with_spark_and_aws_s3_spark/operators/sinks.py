@@ -1,0 +1,87 @@
+"""Sink operators surfaced as queries (SURVEY.md §2.1): partitioned
+parquet and CSV write + re-read round-trips. Writes aren't
+oracle-hashable directly, so each query RETURNS THE RE-READ DataFrame
+— the oracle then checks the round-tripped content, which is the
+stronger property anyway (what you wrote is what readers get).
+
+Writes go to a per-process temp dir (never the read-only testdata).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.formats import write_csv, write_partitioned_parquet
+from ..sources.loader import load_table
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"sink_{name}_"), name)
+
+
+@query(
+    "q_parquet_sink_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, year(o_orderdate) AS yr, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+    tags=("sink", "parquet"),
+)
+def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition parquet sink proven by content: aggregate ->
+    write partitioned by (yr) -> re-read -> re-aggregate. If
+    partitioning dropped/duplicated/mistyped rows, the oracle hash
+    catches it. Partition column type survives as int (written as
+    directory values, read back via partition discovery)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        "o_orderstatus", F.year("o_orderdate").alias("yr")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    path = _tmp("orders_agg")
+    write_partitioned_parquet(agg, path, ["yr"])
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderstatus", F.col("yr").cast("long").alias("yr"), "n_orders"
+    ).groupBy("o_orderstatus", "yr").agg(F.sum("n_orders").alias("n_orders"))
+
+
+@query(
+    "q_csv_sink_roundtrip",
+    oracle="""
+    SELECT n_name, n_regionkey FROM nation
+    """,
+    tags=("sink", "csv"),
+)
+def q_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-given re-read round-trip (header on). CSV is
+    the landing/export format — typed content must survive the
+    string round-trip exactly."""
+    n = load_table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    path = _tmp("nation_csv")
+    write_csv(n, path)
+    back = spark.read.option("header", True).schema("n_name string, n_regionkey int").csv(path)
+    return back
+
+
+@query(
+    "q_json_sink_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+    tags=("sink", "json", "scan"),
+)
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON sink + schema-on-read scan (the reference's ingest
+    format, template etl.py:~33). Inference is exercised deliberately
+    here — 5 rows — to cover the schema-inferred read path."""
+    r = load_table(spark, sf_dir, "region")
+    path = _tmp("region_json")
+    r.write.mode("overwrite").json(path)
+    back = spark.read.json(path)  # inferred schema
+    return back.select(F.col("r_regionkey").cast("int"), "r_name")
