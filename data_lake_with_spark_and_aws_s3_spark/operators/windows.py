@@ -30,16 +30,18 @@ _US_PER_HOUR = 3_600_000_000
     oracle="""
     SELECT event_id, user_id,
            epoch_us(CAST(ts AS TIMESTAMP))
-             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
-               OVER (PARTITION BY user_id
-                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+           lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+             - epoch_us(CAST(ts AS TIMESTAMP)) AS next_gap_us
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     """,
     tags=("window", "analytic"),
 )
 def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Microseconds since the user's previous event (NULL for the
-    first). Integer arithmetic end-to-end — exact on both engines."""
+    """Microseconds since the previous / until the next event of the
+    same user (lag + lead, NULL at partition edges). Integer
+    arithmetic end-to-end — exact on both engines."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -47,6 +49,7 @@ def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
     )
 
 
