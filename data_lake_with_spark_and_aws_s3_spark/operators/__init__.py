@@ -13,6 +13,7 @@ Each module maps to a SURVEY.md §2 family:
 
 from . import (  # noqa: F401
     aggregates,
+    cdc,
     dedup,
     events,
     joins,

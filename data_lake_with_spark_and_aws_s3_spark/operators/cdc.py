@@ -1,0 +1,175 @@
+"""CDC / slowly-changing-dimension patterns (no Delta/Iceberg jars in
+this image, so MERGE is emulated with the classic anti-join + union —
+the shape the lakehouse formats compile MERGE into anyway).
+
+- SCD2 history build from an event log: collapse consecutive equal
+  states per key into validity intervals (gaps-and-islands).
+- Upsert (MERGE): delta rows replace matches, non-matches pass
+  through: result = delta UNION ALL (target ANTI JOIN delta).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    ), ranges AS (
+      SELECT user_id, event_type, island,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           CAST(island AS BIGINT) AS version
+    FROM ranges
+    """,
+    tags=("cdc", "scd2"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension built from a change log: per user, each
+    run of consecutive identical event_types becomes one versioned
+    row with [valid_from, valid_to) (open-ended for the current
+    state). Pure windows + one aggregate — the streaming-safe way to
+    build history tables without MERGE."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(chg).over(wsum).alias("island"),
+    )
+    ranges = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return ranges.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+        F.col("island").cast("long").alias("version"),
+    )
+
+
+def merge_upsert(target: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """MERGE emulation: delta wins on key match, target rows without a
+    delta match pass through. Equivalent to Delta's
+    `MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`
+    for whole-row updates. One shuffle on the key (the anti join);
+    at scale, key-partitioned layouts turn this into a partition-
+    overwrite pattern."""
+    untouched = target.join(delta.select(key), key, "left_anti")
+    return untouched.unionByName(delta)
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, c_name, 'PLATINUM' AS c_mktsegment,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(19,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+                  AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM delta
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+    """,
+    tags=("cdc", "merge", "upsert"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert via merge_upsert(): high-balance customers get upgraded
+    rows (new segment, +10% balance rounded to cents); everyone else
+    passes through unchanged. The +10% runs in decimal — see the
+    inline comment for why double rounding isn't cross-engine-safe."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    delta = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .withColumn("c_mktsegment", F.lit("PLATINUM"))
+        .withColumn(
+            "c_acctbal",
+            # decimal arithmetic: round(double*1.1, 2) lands on exact
+            # .xx5 boundaries where the engines' double-round impls
+            # disagree (observed at 10017.755) — decimals tie-break
+            # identically (away from zero) in both
+            F.round(
+                F.col("c_acctbal").cast("decimal(19,2)") * F.lit("1.1").cast("decimal(2,1)"),
+                2,
+            ).cast("double"),
+        )
+    )
+    return merge_upsert(c, delta, "c_custkey")
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS yr,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(19,2))
+                          * CAST(1 - CAST(l.l_discount AS DECIMAL(8,6)) AS DECIMAL(8,6)))
+                      FILTER (WHERE n.n_name = 'CHINA'), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(19,2))
+                          * CAST(1 - CAST(l.l_discount AS DECIMAL(8,6)) AS DECIMAL(8,6))), 2) AS DOUBLE)
+             AS china_share,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY year(o.o_orderdate)
+    """,
+    tags=("join", "agg", "ratio"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue per
+    year — a conditional-aggregate / total-aggregate ratio. Both
+    numerator and denominator are exact decimals reduced to doubles,
+    so the single division is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from ..functions.numeric import dec
+
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,6)")).cast(
+        "decimal(8,6)"
+    )
+    num = (
+        F.sum(F.when(F.col("n_name") == "CHINA", rev)).cast("decimal(38,2)").cast("double")
+    )
+    den = F.sum(rev).cast("decimal(38,2)").cast("double")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg((num / den).alias("china_share"), F.count(F.lit(1)).alias("n_items"))
+    )

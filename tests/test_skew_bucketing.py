@@ -1,0 +1,54 @@
+"""Physical-distribution operators: salted join equivalence, bucketed
+join shuffle elimination, ANN recall vs the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+from data_lake_with_spark_and_aws_s3_spark.operators.skew import salted_join, write_bucketed
+from data_lake_with_spark_and_aws_s3_spark.plans import count_exchanges, formatted_plan
+from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_salted_join_equivalence(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey").groupBy("l_orderkey").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, spark, "li_b", "l_orderkey", 8, str(tmp_path / "li_b"))
+    write_bucketed(o, spark, "o_b", "o_orderkey", 8, str(tmp_path / "o_b"))
+    lib, ob = spark.table("li_b"), spark.table("o_b")
+    joined = lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+    # co-bucketed sort-merge join: no Exchange on either side
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    if "BroadcastHashJoin" not in plan:  # broadcast would trivially avoid shuffles
+        assert count_exchanges(joined) == 0, plan
+    # and it still returns the right rows
+    assert joined.count() == load_table(spark, SF, "lineitem").count()
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_ann_ivf_recall(spark):
+    """IVF recall vs the exact twin. These embeddings are isotropic
+    (no cluster structure), so the theoretical ceiling is ~the probed
+    fraction (nprobe=4 of 10 cells) — the bound asserts the pipeline
+    beats a broken assignment, not magic."""
+    exact = REGISTRY["q_cosine_topk"].fn(spark, SF).collect()
+    approx = REGISTRY["q_ann_ivf"].fn(spark, SF).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"IVF recall@5 too low even for isotropic data: {recall}"
