@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     scalars,
     scalars2,
     sinks,
+    tpch_more,
     setops,
     similarity,
     text,
