@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     cdc,
     dedup,
     events,
+    graph,
     joins,
     multimodal,
     neardup,

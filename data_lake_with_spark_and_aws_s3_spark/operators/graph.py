@@ -1,0 +1,148 @@
+"""Iterative graph operator: distributed connected components, used
+for TRUE near-duplicate clustering (pairs -> transitive groups).
+
+Spark has no native connected-components; this is min-label
+propagation as iterative DataFrame joins — the simplest member of the
+small-star/large-star family (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SOCC'14):
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint. Each iteration is one join + one aggregate
+(both key-shuffles); iteration count is bounded by the component
+diameter (near-dup clusters: tiny). localCheckpoint() every iteration
+cuts the lineage so plans don't grow O(iterations).
+
+The oracle checks the SAME semantics with DuckDB's recursive CTE
+(transitive closure + min-over-reachable) — feasible at test scale,
+which is exactly what the driver needs; at 100 TB only the iterative
+form survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_JACCARD_EDGES_SQL = """
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ts
+      FROM documents
+    ), e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.8
+    )
+"""
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id reachable.
+
+    edges: columns (src, dst), undirected semantics (symmetrized
+    here). vertices: column (id) — isolated vertices keep their own
+    id. Converges in <= diameter iterations; raises if max_iter is
+    hit with changes still flowing (diameter larger than expected).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = vertices.select(F.col("id").alias("v"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        # candidate label via neighbors
+        nbr = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy(F.col("src").alias("v2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.v == nbr.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_JACCARD_EDGES_SQL
+    + """
+    , sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst, src FROM e
+      UNION
+      SELECT doc_id, doc_id FROM documents
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
+      ) SELECT * FROM r
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("graph", "dedup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: Jaccard >= 0.8 pairs (blocked like
+    q_ngram_jaccard_pairs) grown to transitive components, every doc
+    labeled with its cluster's min doc_id. This is the operator an
+    actual dedup pass needs — pairs alone under-merge (A~B, B~C but
+    A!~C must still collapse to one cluster).
+
+    Spark side: iterative min-label propagation (see
+    connected_components). Oracle: DuckDB recursive-CTE transitive
+    closure — same fixpoint, declarative form."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a = t.select(
+        F.col("doc_id").alias("src"), F.col("lang").alias("la"),
+        F.col("source").alias("sa"), F.col("ts").alias("tsa"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lb"),
+        F.col("source").alias("sb"), F.col("ts").alias("tsb"),
+    )
+    inter = F.size(F.array_intersect("tsa", "tsb"))
+    union = F.size("tsa") + F.size("tsb") - inter
+    edges = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("src") < F.col("dst")),
+        )
+        .filter(inter.cast("double") / union >= 0.8)
+        .select("src", "dst")
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    cc = connected_components(edges, vertices)
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
