@@ -1,0 +1,40 @@
+"""applyInPandasWithState: the custom-stateful streaming operator
+must, after consuming a bounded source, hold exactly the batch
+aggregate per key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+from data_lake_with_spark_and_aws_s3_spark.streaming import stream_events
+from data_lake_with_spark_and_aws_s3_spark.streaming.stateful import (
+    streaming_user_profiles,
+)
+from data_lake_with_spark_and_aws_s3_spark.streaming.twins import run_to_memory
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_profiles_match_batch(spark):
+    profiles = streaming_user_profiles(stream_events(spark, SF))
+    run_to_memory(profiles, "t_profiles", output_mode="update")
+    # update mode re-emits per batch; the FINAL state is the emission
+    # with the highest count (collect order isn't guaranteed)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_profiles").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], round(r["total"], 2))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, total) in batch.items():
+        gn, gt = got[uid]
+        assert gn == n, uid
+        assert abs(gt - total) < 0.02, (uid, gt, total)  # float sum order differs
