@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     scalars,
     scalars2,
     sinks,
+    sorts,
     tpch_more,
     setops,
     similarity,

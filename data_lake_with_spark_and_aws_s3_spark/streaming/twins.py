@@ -110,3 +110,40 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_event_time_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Stream-stream event-time join (SURVEY.md §2.9): purchases
+    joined to the same user's clicks within the preceding window.
+    Both sides carry watermarks so the join state is bounded: Spark
+    keeps only rows inside watermark + window horizon per key.
+
+    Batch twin: q_range_join_events (bucketed range join) — same
+    time-window semantics, executed over the bounded source by
+    tests/test_streaming.py for equivalence on counts.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")),
+        "inner",
+    ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")

@@ -51,3 +51,14 @@ def test_semi_join_prunes_right_columns(spark):
     assert orders_scan and all(
         s <= {"o_custkey", "o_orderpriority"} for s in orders_scan
     ), f"semi join should read only join+filter columns from orders: {orders_scan}"
+
+
+def test_global_sort_range_partitions(spark):
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_global_sort"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Sort" in plan
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan, (
+        "global sort must range-partition, not single-task sort"
+    )

@@ -44,3 +44,31 @@ def test_streaming_dedup(spark):
     n = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
     n_batch = REGISTRY["q_stream_dedup"].fn(spark, SF).agg({"n_events": "sum"}).collect()[0][0]
     assert n == n_batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+    from data_lake_with_spark_and_aws_s3_spark.streaming.twins import (
+        streaming_event_time_join,
+    )
+
+    joined = streaming_event_time_join(stream_events(spark, SF))
+    run_to_memory(joined, "t_ss_join", output_mode="append")
+    n_stream = spark.sql("SELECT count(*) AS n FROM t_ss_join").collect()[0]["n"]
+    # batch equivalent over the same bounded source
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("c_ts")
+    )
+    n_batch = p.join(
+        c,
+        (F.col("u") == F.col("u2"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES")),
+    ).count()
+    assert n_stream == n_batch and n_batch > 0
