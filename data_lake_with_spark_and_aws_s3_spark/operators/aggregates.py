@@ -132,8 +132,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           count_if(event_type = 'purchase') AS n_purchases,
-           count_if(event_type = 'error') AS n_errors,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
            CAST(ROUND(COALESCE(SUM(CAST(value AS DECIMAL(19,2)))
                                FILTER (WHERE event_type = 'purchase'), 0), 2)
                 AS DOUBLE) AS purchase_value

@@ -14,8 +14,11 @@ from ..registry import query
 from ..sources.loader import load_table
 
 _TYPES = ["click", "view", "purchase", "signup", "error"]
+# CAST to BIGINT: DuckDB count_if returns HUGEINT, which fetchdf()
+# materializes as float64 and the value-hash would then mismatch
+# Spark's int64 even when every value is identical.
 _PIVOT_SQL = ",\n           ".join(
-    f"count_if(event_type = '{t}') AS {t}" for t in _TYPES
+    f"CAST(count_if(event_type = '{t}') AS BIGINT) AS {t}" for t in _TYPES
 )
 
 
@@ -42,7 +45,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id, event_type, n_events FROM (
       SELECT user_id, unnest(['{"', '".join(_TYPES)}']) AS event_type,
-             unnest([{", ".join(f"count_if(event_type = '{t}')" for t in _TYPES)}])
+             unnest([{", ".join(f"CAST(count_if(event_type = '{t}') AS BIGINT)" for t in _TYPES)}])
                AS n_events
       FROM events GROUP BY user_id
     )

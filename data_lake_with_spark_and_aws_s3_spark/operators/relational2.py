@@ -120,7 +120,7 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
            strftime(o_orderdate, '%a') AS weekday_name,
            strftime(o_orderdate, '%B') AS month_name,
-           epoch(CAST(o_orderdate AS TIMESTAMP)) AS unix_sec,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS unix_sec,
            CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_floor
     FROM orders
     """,
@@ -150,8 +150,13 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sketch memory; accuracy knob = max relative error via
     `accuracy`. Exact twin for small groups: q_stats_summary.median."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Scalar columns, not array<double>: the driver's canonicalizer
+    # (pandas sort_values + hash) cannot handle ndarray cells.
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        q.getItem(0).alias("price_p25"),
+        q.getItem(1).alias("price_p50"),
+        q.getItem(2).alias("price_p75"),
         F.percentile_approx("l_quantity", 0.5).alias("median_qty_approx"),
     )
 

@@ -106,9 +106,9 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
-           count_if(CAST(props->>'k' AS BIGINT) > 50) AS n_high
+           CAST(count_if(CAST(props->>'k' AS BIGINT) > 50) AS BIGINT) AS n_high
     FROM events
     GROUP BY event_type
     """,

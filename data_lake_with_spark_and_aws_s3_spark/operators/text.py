@@ -141,7 +141,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY lang, source

@@ -57,8 +57,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_buckets",
     oracle="""
     SELECT l_linestatus,
-           count_if(o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
-           count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+           CAST(count_if(o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+           CAST(count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'

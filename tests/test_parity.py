@@ -20,9 +20,35 @@ def test_oracle_parity(spark, duck, sf_dir, spec):
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=[s.name for s in ROWS_ONLY_SPECS])
 def test_rows_only_runs(spark, sf_dir, spec):
+    from .parity import assert_driver_hashable
+
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0  # must execute without error; schema stable
     assert len(df.schema.fields) > 0
+    # rows-only still goes through the driver's canonicalizer — it must
+    # not emit array/map/binary cells (pandas sort_values crashes)
+    assert_driver_hashable(df.limit(200).toPandas(), name=spec.name)
+
+
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_dtype_lint(duck, spec):
+    """Static lint: DESCRIBE every oracle and reject result dtypes the
+    driver's hash canonicalizes differently from Spark's (HUGEINT ->
+    float64) or crashes on (nested list/struct/map columns). Catches
+    count_if/SUM(BIGINT)/epoch regressions without running anything."""
+    desc = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    for col, dtype, *_ in desc:
+        up = dtype.upper()
+        assert not any(b in up for b in _BANNED_ORACLE_TYPES), (
+            f"{spec.name}: oracle col {col!r} is {dtype} — wrap in CAST(... AS BIGINT)"
+        )
+        assert "[]" not in up and not up.startswith(("STRUCT", "MAP")), (
+            f"{spec.name}: oracle col {col!r} is nested ({dtype}) — the driver's "
+            f"canonicalizer crashes on list cells; flatten or stringify"
+        )
 
 
 def test_entry_smoke(spark):
