@@ -83,10 +83,27 @@ def decode_image_stub(payload: bytes) -> dict:
     return {"width": 16 + n % 64, "height": 16 + (n * 7) % 64, "n_bytes": n}
 
 
-@query("q_multimodal_binary", oracle=None, tags=("multimodal", "binary", "pandas-udf"))
+@query(
+    "q_multimodal_binary",
+    # The stub features are pure functions of the payload byte length,
+    # so the mapInPandas output IS oracle-checkable: strlen() in DuckDB
+    # is byte length of the UTF-8 text, identical to len() of the
+    # binary-cast payload on the Spark side.
+    oracle="""
+    SELECT doc_id,
+           lang,
+           CAST(16 + strlen(text) % 64 AS BIGINT) AS width,
+           CAST(16 + (strlen(text) * 7) % 64 AS BIGINT) AS height,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "pandas-udf"),
+)
 def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary payloads + Arrow-batched feature extraction
-    (rows-only: the mapInPandas path is not SQL-expressible).
+    """Opaque binary payloads + Arrow-batched feature extraction.
+    The Python decode path (mapInPandas) is the thing under test; the
+    stub's outputs are deterministic functions of byte length so the
+    whole pipeline is value-checked against SQL.
 
     documents.text stands in for an image payload (cast to binary);
     mapInPandas streams Arrow batches through decode_image_stub and

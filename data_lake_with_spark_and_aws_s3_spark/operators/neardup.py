@@ -146,39 +146,92 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash", oracle=None, tags=("neardup", "simhash"))
+# SimHash token-hash: 64 bits drawn from the md5 hex digest (bit b =
+# bit b%4 of hex digit b//4). md5 exists in BOTH engines, which makes
+# the whole sketch oracle-checkable; production would swap in xxhash64
+# (one line) and lose only the cross-engine check, not the semantics.
+_SIMHASH_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN ((instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1 >> {b % 4})"
+    f" & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64)
+)
+_SIMHASH_CHUNKS = ",\n           ".join(
+    "CAST("
+    + " + ".join(f"(CASE WHEN b{16 * c + j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(16))
+    + f" AS BIGINT) AS chunk{c}"
+    for c in range(4)
+)
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(t) AS h FROM tok
+    ), sums AS (
+      SELECT doc_id,
+           {_SIMHASH_SUMS}
+      FROM hashed GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id,
+           {_SIMHASH_CHUNKS},
+           CASE WHEN b63 > 0 THEN 1 ELSE 0 END AS sign_bit
+      FROM sums
+    )
+    SELECT doc_id,
+           CAST(chunk0 + chunk1 * 65536 + chunk2 * 4294967296
+                + (chunk3 - sign_bit * 65536) * 281474976710656 AS BIGINT) AS simhash,
+           chunk0, chunk1, chunk2, chunk3
+    FROM chunks
+    """,
+    tags=("neardup", "simhash"),
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash sketch per document (rows-only: engine-hash
-    specific). Bit b of the sketch = sign of sum over tokens of
-    (+1/-1 per token-hash bit b). Computed as 64 conditional
-    aggregates over exploded tokens — one shuffle on doc_id, all
-    codegen. Output includes the 4 16-bit chunks used for hamming<=3
-    candidate banding."""
+    """64-bit SimHash sketch per document. Bit b of the sketch = sign
+    of sum over tokens of (+1/-1 per token-hash bit b). Computed as 64
+    conditional aggregates over exploded tokens — one shuffle on
+    doc_id, all codegen. Output includes the 4 16-bit chunks used for
+    hamming<=3 candidate banding. Token hash bits come from md5 so the
+    sketch is value-checked cross-engine (see _SIMHASH_SUMS note)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", F.md5("t"))
+    # hex digit values once per token, bits sliced from them
+    digits = [
+        F.expr(f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1") for i in range(16)
+    ]
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(digits[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(64)
         ]
     )
-    simhash = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        simhash = term if simhash is None else simhash.bitwiseXOR(term)
-    out = bit_sums.select("doc_id", simhash.alias("simhash"))
+    bit = lambda i: F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(  # noqa: E731
+        F.lit(0).cast("long")
+    )
+    chunks = [
+        sum((F.shiftleft(bit(16 * c + j), j) for j in range(1, 16)), bit(16 * c).cast("long"))
+        .cast("long")
+        .alias(f"chunk{c}")
+        for c in range(4)
+    ]
+    out = bit_sums.select("doc_id", *chunks, bit(63).alias("sign_bit"))
+    simhash = (
+        F.col("chunk0")
+        + F.col("chunk1") * F.lit(65536).cast("long")
+        + F.col("chunk2") * F.lit(4294967296).cast("long")
+        + (F.col("chunk3") - F.col("sign_bit") * 65536) * F.lit(281474976710656).cast("long")
+    )
     return out.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk{c}")
-            for c in range(4)
-        ],
+        "doc_id", simhash.cast("long").alias("simhash"), "chunk0", "chunk1", "chunk2", "chunk3"
     )
 
 

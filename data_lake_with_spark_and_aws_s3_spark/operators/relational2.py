@@ -143,27 +143,61 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentiles", oracle=None, tags=("agg", "approx"))
+@query(
+    "q_approx_percentiles",
+    # With accuracy >= group size the GK sketch never compresses and
+    # percentile_approx is exact: the smallest value at rank ceil(p*n),
+    # which is DuckDB's quantile_disc (verified value-identical on this
+    # data). At 100 TB you'd lower accuracy and accept the error bound;
+    # the correctness gate runs in the exact regime.
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS price_p25,
+           quantile_disc(l_extendedprice, 0.5)  AS price_p50,
+           quantile_disc(l_extendedprice, 0.75) AS price_p75,
+           quantile_disc(l_quantity, 0.5) AS median_qty_approx
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (rows-only: approximate by construction,
-    SURVEY.md §2.4). The 100 TB path for quantiles — single pass,
-    bounded sketch memory; accuracy knob = max relative error via
-    `accuracy`. Exact twin for small groups: q_stats_summary.median."""
+    """percentile_approx (SURVEY.md §2.4). The 100 TB path for
+    quantiles — single pass, bounded sketch memory; accuracy knob =
+    max relative error via `accuracy` (set to exact-regime here so the
+    sketch is value-checkable; production would use ~10k)."""
     li = load_table(spark, sf_dir, "lineitem")
     # Scalar columns, not array<double>: the driver's canonicalizer
     # (pandas sort_values + hash) cannot handle ndarray cells.
-    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 1_000_000)
     return li.groupBy("l_returnflag").agg(
         q.getItem(0).alias("price_p25"),
         q.getItem(1).alias("price_p50"),
         q.getItem(2).alias("price_p75"),
-        F.percentile_approx("l_quantity", 0.5).alias("median_qty_approx"),
+        F.percentile_approx("l_quantity", 0.5, 1_000_000).alias("median_qty_approx"),
     )
 
 
-@query("q_python_udtf", oracle=None, tags=("udf", "udtf"))
+@query(
+    "q_python_udtf",
+    # No WITH ORDINALITY in DuckDB — zip two unnests of equal-length
+    # lists (token list + generate_series of its indices). The regex
+    # split + empty-filter matches Python str.split() whitespace
+    # semantics exactly.
+    oracle=r"""
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 20
+    )
+    """,
+    tags=("udf", "udtf"),
+)
 def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF (SURVEY.md §2.11, rows-only): one input row ->
+    """Python UDTF (SURVEY.md §2.11): one input row ->
     many output rows from Python. Tokenizes a 20-doc sample into
     (doc_id, pos, token) rows. For anything explode() can express,
     explode wins (JVM-side); a real UDTF earns its cost only for
