@@ -62,6 +62,70 @@ def q_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_full_outer_join",
+    oracle="""
+    WITH u AS (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+         l AS (SELECT o_custkey, COUNT(*) AS n_low FROM orders
+               WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+    SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+           CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent,
+           CAST(COALESCE(l.n_low, 0) AS BIGINT) AS n_low,
+           CASE WHEN u.o_custkey IS NULL THEN 'low_only'
+                WHEN l.o_custkey IS NULL THEN 'urgent_only'
+                ELSE 'both' END AS side
+    FROM u FULL JOIN l ON u.o_custkey = l.o_custkey
+    """,
+    tags=("join", "outer", "full"),
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with genuinely unmatched rows on BOTH sides:
+    per-customer urgent-order counts vs low-order counts (customers
+    having only one kind survive on one side with nulls on the other).
+    COALESCE to 0 keeps the counts int64 (nullable ints would float)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    low = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_custkey").alias("l_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_low"))
+    )
+    j = urgent.join(low, urgent.u_custkey == low.l_custkey, "full")
+    return j.select(
+        F.coalesce("u_custkey", "l_custkey").alias("custkey"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.coalesce("n_low", F.lit(0)).alias("n_low"),
+        F.when(F.col("u_custkey").isNull(), "low_only")
+        .when(F.col("l_custkey").isNull(), "urgent_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@query(
+    "q_right_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_orderstatus
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+    RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join", "outer", "right"),
+)
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every order kept, customer columns null when
+    the (filtered) customer side has no match."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_name", "o_orderstatus"
+    )
+
+
+@query(
     "q_semi_join",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
@@ -120,6 +184,9 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(s)
 
 
+_THETA_BANDS = 32
+
+
 @query(
     "q_theta_join",
     oracle="""
@@ -133,20 +200,64 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta) join: per supplier, count customers with
-    strictly smaller account balance.
+    strictly smaller account balance — WITHOUT a nested-loop join.
 
-    Plan: BroadcastNestedLoopJoin with supplier (tiny side)
-    broadcast. At 100 TB the scalable form is sort both sides on
-    acctbal and merge-count (a band/rank join); NLJ is only safe
-    because |supplier| is bounded here.
+    Scale-safe band/merge form (the NLJ compares O(|S|x|C|) pairs; this
+    shuffles O(|S|+|C|) rows once):
+      1. union both sides tagged (supplier tag=0, customer tag=1,
+         is_cust 0/1); ordering key is (balance, tag) so equal-balance
+         customers sort AFTER the supplier and are excluded (strict <).
+      2. deterministic range bands from approxQuantile boundaries on
+         the union (driver holds only the ~32 split points — this is
+         exactly the two-pass distributed prefix-sum you'd run at
+         100 TB; quantile banding keeps bands balanced under skew).
+      3. per-band running customer count (window partitioned BY BAND —
+         never a global single-partition window).
+      4. band offsets = prefix sum over the tiny per-band totals,
+         broadcast-joined back; final count = offset + local count.
     """
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_acctbal").alias("bal"), F.lit(0).alias("tag")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit(None).cast("long").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("s_name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("tag"),
+    )
+    u = s.unionByName(c)
+    # deterministic value-based bands (approxQuantile is one cheap
+    # 1-column pass; duplicate split points collapse harmlessly)
+    splits = sorted(
+        set(
+            u.select("bal").approxQuantile(
+                "bal", [i / _THETA_BANDS for i in range(1, _THETA_BANDS)], 0.01
+            )
+        )
+    )
+    band = F.lit(0)
+    for b in splits:
+        band = band + F.when(F.col("bal") >= F.lit(b), 1).otherwise(0)
+    u = u.withColumn("band", band).withColumn("is_cust", F.col("tag"))
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy("bal", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("local_cnt", F.sum("is_cust").over(w_local))
+    totals = u.groupBy("band").agg(F.sum("is_cust").alias("band_cust"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("band_cust").over(w_off), F.lit(0))
+    ).select("band", "offset")
     return (
-        F.broadcast(s)
-        .join(c, c.c_acctbal < s.s_acctbal, "left")
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count("c_custkey").alias("n_poorer_customers"))
+        u.filter(F.col("tag") == 0)
+        .join(F.broadcast(offsets), "band")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("offset") + F.col("local_cnt")).alias("n_poorer_customers"),
+        )
     )
 
 

@@ -64,3 +64,18 @@ def test_registry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_driver_prefix_is_curated_and_oracle_checked():
+    """The driver checks only the first 50 queries() entries; that
+    prefix must be exactly DRIVER_PRIORITY and every entry in it must
+    be oracle-checked (a no-oracle entry in the prefix wastes a slot)."""
+    import __spark_entry__ as e
+
+    from data_lake_with_spark_and_aws_s3_spark import DRIVER_PRIORITY
+
+    assert len(DRIVER_PRIORITY) == 50
+    names = list(e.queries())
+    assert tuple(names[:50]) == DRIVER_PRIORITY
+    for n in DRIVER_PRIORITY:
+        assert REGISTRY[n].oracle, f"{n} is in the driver prefix without an oracle"

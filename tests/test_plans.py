@@ -53,6 +53,17 @@ def test_semi_join_prunes_right_columns(spark):
     ), f"semi join should read only join+filter columns from orders: {orders_scan}"
 
 
+def test_theta_join_avoids_nested_loop(spark):
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_theta_join"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        "theta join must use the band/prefix-sum form, not an O(S*C) nested loop"
+    )
+    assert has_broadcast_join(df), "band-offset join should broadcast the tiny offsets side"
+
+
 def test_global_sort_range_partitions(spark):
     from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
 
