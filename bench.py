@@ -22,12 +22,23 @@ if REPO_ROOT not in sys.path:
 from data_lake_with_spark_and_aws_s3_spark import REGISTRY  # noqa: E402
 from data_lake_with_spark_and_aws_s3_spark.session import get_spark  # noqa: E402
 
+# The first five mirror BASELINE.md exactly; `value` sums ONLY these so
+# the headline total stays apples-to-apples round over round.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_join_topk",
     "q_window_rank",
     "q_events_tumbling",
     "q_distinct_users",
+]
+
+# LLM-data-pipeline operators where the real cost lives at 100 TB —
+# timed and reported per-query (not folded into the headline total).
+EXTENDED = [
+    "q_minhash_lsh",
+    "q_dedup_clusters",
+    "q_cosine_topk",
+    "q_curation_pipeline",
 ]
 
 
@@ -42,7 +53,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="engine-bench")
-    names = [n for n in HEADLINE if n in REGISTRY]
+    names = [n for n in HEADLINE + EXTENDED if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -53,7 +64,7 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
         json.dumps(
             {
