@@ -172,12 +172,23 @@ def process_log_data(spark: SparkSession, input_path: str, output_path: str) -> 
         (plays.song == songs.title) & (plays.artist == songs.artist_name),
         "left",
     )
-    # deterministic surrogate key: row_number over a total order
-    # (NOT monotonically_increasing_id — partition-dependent,
-    # template ~140; SURVEY.md §1.1 requires determinism)
-    order = Window.orderBy("ts", "sessionId", "itemInSession")
+    # deterministic surrogate key derived from the natural key
+    # (ts, sessionId, itemInSession) packed into one bigint — unique
+    # while sessionId < 1e6 and itemInSession < 1e3 (both orders of
+    # magnitude above the log schema's reality), strictly increasing
+    # in event order, and computed per-row with NO shuffle. The
+    # template's monotonically_increasing_id is partition-dependent
+    # (template ~140) and a row_number over a global Window.orderBy
+    # collapses the fact table into a single task — both rejected
+    # (SURVEY.md §1.1 requires determinism; 100 TB posture requires
+    # partition-parallel key generation).
+    songplay_id = (
+        F.col("ts") * F.lit(1_000_000).cast("long")
+        + F.pmod(F.col("sessionId").cast("long"), F.lit(1_000_000)) * 1_000
+        + F.pmod(F.col("itemInSession").cast("long"), F.lit(1_000))
+    )
     songplays = joined.select(
-        F.row_number().over(order).alias("songplay_id"),
+        songplay_id.alias("songplay_id"),
         F.timestamp_millis(F.col("ts")).alias("start_time"),
         F.col("userId").alias("user_id"),
         "level",

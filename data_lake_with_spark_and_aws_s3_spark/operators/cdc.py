@@ -37,7 +37,7 @@ from ..sources.loader import load_table
       FROM islands GROUP BY user_id, event_type, island
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island)
              AS valid_to,
            n_events,
            CAST(island AS BIGINT) AS version
@@ -64,7 +64,10 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges = islands.groupBy("user_id", "event_type", "island").agg(
         F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    # island as tie-break: two islands of one user can share valid_from
+    # (identical ns timestamps across a type flip) and lead() would
+    # otherwise be order-nondeterministic between engines
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "island")
     return ranges.select(
         "user_id",
         "event_type",

@@ -9,7 +9,9 @@ Writes go to a per-process temp dir (never the read-only testdata).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,9 +21,14 @@ from ..registry import query
 from ..sources.formats import write_csv, write_partitioned_parquet
 from ..sources.loader import load_table
 
+# one scratch root per process, removed at interpreter exit — repeated
+# test/bench/driver runs no longer accumulate orphan temp dirs
+_SCRATCH = tempfile.mkdtemp(prefix="engine_sinks_")
+atexit.register(shutil.rmtree, _SCRATCH, True)
+
 
 def _tmp(name: str) -> str:
-    return os.path.join(tempfile.mkdtemp(prefix=f"sink_{name}_"), name)
+    return os.path.join(tempfile.mkdtemp(dir=_SCRATCH, prefix=f"{name}_"), name)
 
 
 @query(

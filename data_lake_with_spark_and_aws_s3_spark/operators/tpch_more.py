@@ -203,9 +203,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions WITH reasons — the auditable shape a real pipeline
     needs (you keep the reasons, not just the survivors).
 
-    One fingerprint computation per row (codegen), one tiny aggregate
-    (|distinct fingerprints|), one broadcast-able join back. At
-    100 TB this is a scan + one digest-keyed shuffle."""
+    One fingerprint computation per row (codegen), then a single
+    fingerprint-keyed shuffle: canonical = min(doc_id) over a window
+    partitioned by fingerprint (a groupBy+join-back would recompute
+    the md5-shingle scan for the second branch). Window buffering per
+    fingerprint group is bounded by the duplicate-cluster size; if a
+    100 TB corpus had pathological mega-clusters, switch back to
+    groupBy + broadcast join with the fingerprint stage checkpointed.
+    At 100 TB this is a scan + one digest-keyed shuffle."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     idx = F.filter(
@@ -219,11 +226,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.select(
         "doc_id", "lang", fingerprint.alias("fingerprint"), n_tokens.alias("n_tokens")
     )
-    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
-    is_canon = F.col("doc_id") == F.col("keep_id")
+    is_canon = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fingerprint"))
     long_enough = F.col("n_tokens") >= 20
     lang_ok = F.col("lang").isin("en", "es", "de", "fr")
-    return fp.join(keepers, "fingerprint").select(
+    return fp.select(
         "doc_id",
         "lang",
         "n_tokens",

@@ -35,25 +35,40 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+# staged symlink dirs, one per source file per process, removed at exit
+_STAGED: dict[str, str] = {}
+
+
+def _staged_dir(src: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if src not in _STAGED:
+        staged = tempfile.mkdtemp(prefix="stream_events_")
+        atexit.register(shutil.rmtree, staged, True)
+        os.symlink(src, os.path.join(staged, "events.parquet"))
+        _STAGED[src] = staged
+    return _STAGED[src]
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same
     nanos->timestamp conversion as the batch loader.
 
     The file-based streaming source requires a DIRECTORY (it monitors
     for new files); the testdata table is a single file, so stage a
-    symlink directory. A production stream points at a landing dir or
-    kafka instead."""
+    symlink directory (cached per process, cleaned at exit). A
+    production stream points at a landing dir or kafka instead."""
     import os
-    import tempfile
 
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
     src = f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
-        staged = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(src, os.path.join(staged, "events.parquet"))
-        src = staged
+        src = _staged_dir(src)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")

@@ -110,7 +110,12 @@ def test_songplays_fact(spark, etl_out):
     outp, _ = etl_out
     sp = spark.read.parquet(f"{outp}/songplays").orderBy("songplay_id").collect()
     assert len(sp) == 3  # NextSong rows only
-    assert [r["songplay_id"] for r in sp] == [1, 2, 3]  # deterministic surrogate
+    ids = [r["songplay_id"] for r in sp]
+    # surrogate key: unique, deterministic (pure function of the
+    # natural key), strictly increasing in event order
+    assert len(set(ids)) == 3 and ids == sorted(ids)
+    ts_order = [r["songplay_id"] for r in sorted(sp, key=lambda r: (r["start_time"], r["session_id"]))]
+    assert ts_order == ids
     by_user = {}
     for r in sp:
         by_user.setdefault(r["user_id"], []).append(r)
