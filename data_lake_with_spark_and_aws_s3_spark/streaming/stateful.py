@@ -58,3 +58,54 @@ def streaming_user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_user_profiles_tws(events: DataFrame) -> DataFrame:
+    """Same operator on the Spark 4.x successor API,
+    transformWithStateInPandas: a StatefulProcessor with named,
+    composable state variables (ValueState here; List/MapState and
+    event/processing-time timers are the API's additions over
+    applyInPandasWithState's single state tuple). Requires the RocksDB
+    state store provider (set by the caller/test) and the `protobuf`
+    package (Spark's Python<->JVM state-server protocol; absent in this
+    container, so the equivalence test import-skips — the operator
+    itself is complete). State economics are unchanged — one store per
+    shuffle partition, O(|users|) state."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            prior = self._profile.get() if self._profile.exists() else None
+            n, total, last = prior if prior is not None else (0, 0.0, None)
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    last = pdf["event_type"].iloc[-1]
+            self._profile.update((n, total, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "last_type": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
