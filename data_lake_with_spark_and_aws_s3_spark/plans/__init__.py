@@ -1,5 +1,6 @@
 from .explain import (  # noqa: F401
     count_exchanges,
+    count_scans,
     formatted_plan,
     has_broadcast_join,
     has_pushed_filter,

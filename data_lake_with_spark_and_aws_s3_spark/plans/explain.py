@@ -57,6 +57,20 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def count_scans(df: DataFrame) -> int:
+    """Number of distinct file-scan nodes. Each formatted-plan node
+    appears twice (tree line + numbered detail section); count only the
+    detail headers so one scan counts once. A query that should read a
+    table once but plans two scans will recompute the whole upstream
+    stage per branch — the classic self-join-instead-of-window smell."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and line.strip().split(") ", 1)[-1].startswith("Scan ")
+    )
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle count in the (initial) plan. AQE may coalesce partitions
     at runtime but each Exchange is still a full data movement — the

@@ -64,6 +64,21 @@ def test_theta_join_avoids_nested_loop(spark):
     assert has_broadcast_join(df), "band-offset join should broadcast the tiny offsets side"
 
 
+def test_curation_single_fingerprint_scan(spark):
+    """Canonical-doc selection must not recompute the md5-shingle scan:
+    one documents scan, one fingerprint-keyed exchange."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import count_scans
+
+    df = REGISTRY["q_curation_pipeline"].fn(spark, SF)
+    assert count_scans(df) == 1, "fingerprint stage scanned documents twice"
+    assert count_exchanges(df) == 1
+
+
+def test_simhash_single_shuffle(spark):
+    df = REGISTRY["q_simhash"].fn(spark, SF)
+    assert count_exchanges(df) == 1  # explode is map-side; one doc_id agg
+
+
 def test_global_sort_range_partitions(spark):
     from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
 
