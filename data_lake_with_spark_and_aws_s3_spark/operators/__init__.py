@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     sinks,
     sorts,
     tpch_more,
+    tpch_subqueries,
     setops,
     similarity,
     text,
