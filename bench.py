@@ -39,6 +39,8 @@ EXTENDED = [
     "q_dedup_clusters",
     "q_cosine_topk",
     "q_curation_pipeline",
+    "q_decontaminate",
+    "q_repetition_signals",
 ]
 
 

