@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_and_aws_s3_spark import REGISTRY
-from data_lake_with_spark_and_aws_s3_spark.operators.graph import connected_components
+from data_lake_with_spark_and_aws_s3_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
 
 SF = "/root/testdata/sf0.01"
@@ -64,3 +67,55 @@ def test_components_handle_isolated_and_chain(spark):
     vertices = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 99]], "id long")
     got = {r["id"]: r["component"] for r in connected_components(edges, vertices).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, vertices).collect()
+    }
+    assert star == got
+
+
+def test_star_variant_matches_label_propagation_on_real_edges(spark):
+    """Both algorithms over the SAME Jaccard edge set must agree on
+    every (vertex, component) assignment."""
+    d = load_table(spark, SF, "documents")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = d.select("doc_id", "lang", "source", toks.alias("ts"))
+    a = t.select(
+        F.col("doc_id").alias("src"), F.col("lang").alias("la"),
+        F.col("source").alias("sa"), F.col("ts").alias("tsa"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lb"),
+        F.col("source").alias("sb"), F.col("ts").alias("tsb"),
+    )
+    inter = F.size(F.array_intersect("tsa", "tsb"))
+    union = F.size("tsa") + F.size("tsb") - inter
+    edges = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("src") < F.col("dst")),
+        )
+        .filter(inter.cast("double") / union >= 0.8)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    prop = {r["id"]: r["component"] for r in connected_components(edges, vertices).collect()}
+    star = {r["id"]: r["component"] for r in connected_components_star(edges, vertices).collect()}
+    assert star == prop
+
+
+def test_star_variant_converges_on_long_chain(spark):
+    """A 200-node path has diameter 199 — min-label propagation would
+    need ~200 rounds; star contraction must finish in O(log^2 n)
+    (well under 30) and still label every node with the chain min."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, vertices, max_iter=30).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
