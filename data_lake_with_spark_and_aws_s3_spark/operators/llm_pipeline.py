@@ -312,3 +312,124 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY pri, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM t
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(cum_end - n_tokens AS BIGINT) AS start_token,
+           CAST((cum_end - n_tokens) // 256 AS BIGINT) AS first_pack,
+           CAST((cum_end - 1) // 256 AS BIGINT) AS last_pack
+    FROM c
+    """,
+    tags=("pipeline", "packing", "window"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for fixed-context training: within each
+    (lang, source) stratum, documents are concatenated in a
+    deterministic md5-priority order and cut into 256-token context
+    windows; each document learns its global token offset and the
+    pack range it spans (a doc crossing a boundary belongs to two
+    packs — the usual pack-and-span bookkeeping).
+
+    The running offset is a windowed cumulative sum PARTITIONED BY the
+    stratum — no global single-partition window. At 100 TB, if one
+    stratum dominates, swap the window for the two-pass prefix-sum
+    pattern used by q_theta_join (per-range partial sums + broadcast
+    offsets); semantics are unchanged. Integer token counts make every
+    offset exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    t = d.select(
+        "doc_id", "lang", "source", n_tokens.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_end", F.sum("n_tokens").over(w))
+    start = F.col("cum_end") - F.col("n_tokens")
+    return c.select(
+        "doc_id", "lang", "source", "n_tokens",
+        start.cast("long").alias("start_token"),
+        F.floor(start / 256).cast("long").alias("first_pack"),
+        F.floor((F.col("cum_end") - 1) / 256).cast("long").alias("last_pack"),
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, e,
+             127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, label, scale,
+             list_transform(e, x -> CAST(ROUND(x * scale, 0) AS BIGINT)) AS qe,
+             e
+      FROM s
+    )
+    SELECT vec_id, label, scale,
+           CAST(list_reduce(qe, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(list_reduce(list_transform(qe, x -> abs(x)), (a, b) -> a + b)
+                AS BIGINT) AS q_l1,
+           CAST(len(list_filter(qe, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+           list_max(list_transform(range(1, 65),
+               i -> abs(qe[i] / scale - e[i]))) AS max_abs_err
+    FROM q
+    """,
+    tags=("pipeline", "embedding", "quantization"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/serving
+    compression step of an embedding pipeline): per-vector scale =
+    127/max|x|, elements rounded onto the int8 grid, with integrity
+    stats — quantized checksum, L1 mass, saturation count, and the
+    max absolute reconstruction error.
+
+    Map-only (no shuffle). Exactness: float32 -> double widening is
+    exact, the scale division and per-element rounding are single
+    IEEE ops identical in both engines, and the checksums are integer
+    sums (order-independent). max_abs_err is a max — not a sum — of
+    deterministic doubles, so it is also bit-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    scale = F.lit(127.0) / F.array_max(F.transform("e", lambda x: F.abs(x)))
+    s = v.withColumn("scale", scale)
+    qe = F.transform("e", lambda x: F.round(x * F.col("scale"), 0).cast("long"))
+    q = s.withColumn("qe", qe)
+    err = F.array_max(
+        F.zip_with("qe", "e", lambda qi, xi: F.abs(qi / F.col("scale") - xi))
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.aggregate("qe", F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        F.aggregate(
+            "qe", F.lit(0).cast("long"), lambda a, b: a + F.abs(b)
+        ).alias("q_l1"),
+        F.size(F.filter("qe", lambda x: F.abs(x) == 127)).cast("long").alias("n_saturated"),
+        err.alias("max_abs_err"),
+    )
