@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     sinks,
     sorts,
     tpch_more,
+    tpch_rest,
     tpch_subqueries,
     setops,
     similarity,

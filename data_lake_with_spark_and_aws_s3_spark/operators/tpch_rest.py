@@ -1,0 +1,463 @@
+"""The remaining TPC-H query shapes (Q6, Q7, Q9, Q10, Q11, Q13, Q15,
+Q16, Q18) — with Q1/Q2/Q3/Q4/Q5/Q8/Q12/Q14/Q17/Q19/Q20/Q21/Q22 in the
+sibling modules this completes all 22 public-spec shapes on the
+synthetic schema. Queries needing ``partsupp`` / ``l_receiptdate`` /
+``o_comment`` (absent from the test corpus) are adapted to equivalent
+plan shapes over the columns that exist, per the Q2/Q20 precedent in
+tpch_subqueries.py.
+
+Exactness follows functions/numeric.py: money sums in DECIMAL, scale
+reduced (Spark CAST rounds HALF_UP == DuckDB ROUND ties-away-from-zero,
+also for negative profits in Q9), one final double cast. Top-k queries
+order by exact-decimal-derived values with a unique key tie-break, so
+LIMIT is deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dec
+from ..registry import query
+from ..sources.loader import load_table
+
+RATE = "decimal(8,6)"
+
+# Exact per-line revenue l_extendedprice * (1 - l_discount), mirrored
+# literally by _REV_SQL (same casts, same order of operations).
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(19,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(8,6))"
+)
+
+
+def _rev() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE)).cast(RATE)
+
+
+def _money(expr: F.Column, alias: str) -> F.Column:
+    """SUM -> DECIMAL(38,2) (HALF_UP) -> DOUBLE; oracle mirror is
+    CAST(ROUND(SUM(...), 2) AS DOUBLE)."""
+    return F.sum(expr).cast("decimal(38,2)").cast("double").alias(alias)
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                          * CAST(l_discount AS DECIMAL(8,6))), 2) AS DOUBLE)
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg", "filter"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue lost if mid-band discounts on small lines were
+    dropped. Scan -> filter -> global agg: every predicate reaches the
+    parquet reader (PushedFilters), no join, one exchange for the final
+    1-row combine — the cheapest possible shape at any scale. Discount
+    bounds compare the raw parquet doubles, identical in both engines;
+    the money product is exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.groupBy().agg(
+        _money(dec("l_extendedprice") * dec("l_discount", RATE), "revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    tags=("tpch", "join", "agg", "self-join-dim"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations per ship
+    year. The nation dimension is joined TWICE (supplier side and
+    customer side) with the disjunctive cross-pair predicate applied
+    after both attach. Scale shape: the only big-big join is
+    lineitem ⋈ orders on orderkey; customer/supplier/nation are
+    broadcast, and pre-filtering both dims to the two nations prunes
+    the fact rows before the wide join."""
+    two = ("NATION_9", "NATION_11")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*two))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(_money(_rev(), "revenue"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           CAST(ROUND(SUM({_REV_SQL}
+                 - CAST(p_retailprice AS DECIMAL(19,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'gear' product lines per supplier
+    nation per order year. The spec's ps_supplycost (no partsupp table
+    in this corpus) becomes p_retailprice * l_quantity — same
+    revenue-minus-cost decimal arithmetic, same 5-way join topology.
+    Profit can be NEGATIVE: Spark's HALF_UP scale reduction and
+    DuckDB's ROUND both break ties away from zero, so the sign doesn't
+    perturb parity. Part filter is pushed and broadcast; the fact-fact
+    join (lineitem ⋈ orders) shuffles on orderkey once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cost = dec("p_retailprice") * dec("l_quantity", "decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(_money(_rev() - cost, "profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: the 20 customers who returned the most revenue in a
+    quarter. Revenue is an exact decimal sum, so DESC order is
+    deterministic; equal revenues tie-break on the unique custkey —
+    LIMIT 20 picks the same rows in both engines. Spark plan:
+    orderdate+returnflag pushed to the scans, one orderkey shuffle
+    join, broadcast customer/nation, TakeOrderedAndProject for the
+    top-k (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS val
+      FROM lineitem
+      JOIN supplier s ON s.s_suppkey = l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_9'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(CAST(val AS DECIMAL(38,2)) AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(val AS DECIMAL(18,2)) * 1000
+            > (SELECT CAST(SUM(val) AS DECIMAL(28,2)) FROM v)
+    """,
+    tags=("tpch", "agg", "scalar-subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value from one nation's
+    suppliers exceeds 0.1% of that nation's total (the spec's partsupp
+    inventory value becomes lineitem traded value — same
+    agg-vs-global-scalar topology). The correlated HAVING scalar
+    decorrelates to: one per-part aggregate (the only fact shuffle),
+    re-aggregate THAT small result for the grand total, broadcast the
+    1-row total back — the fact table is scanned once, not twice.
+    The 0.1% comparison is integer-exact: value*1000 > total in
+    DECIMAL, no double threshold wobble. (Scale note: DECIMAL(18,2)
+    holds per-part values to 10^16 cents; widen before the multiply if
+    a single part could exceed that.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    per_part = (
+        li.join(
+            F.broadcast(
+                s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select("s_suppkey")
+            ),
+            F.col("s_suppkey") == li.l_suppkey,
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    total = per_part.groupBy().agg(
+        F.sum("val").cast("decimal(28,2)").alias("total_val")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("decimal(18,2)") * F.lit(1000) > F.col("total_val"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("decimal(38,2)").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join", "agg", "histogram"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer — the
+    classic two-level aggregate over a LEFT join (customers with zero
+    qualifying orders must appear in the c_count=0 bucket, which an
+    inner join would lose). The priority filter stands in for the
+    spec's o_comment NOT LIKE (column absent). COUNT(o_orderkey)
+    counts only matched rows — null-safe by definition in both
+    engines. Shape: one shuffle join on custkey, per-custkey count
+    (reuses the join partitioning), then a tiny histogram agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(8,6)))
+               AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM r)
+    """,
+    tags=("tpch", "agg", "scalar-subquery", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in a quarter.
+    The view + scalar MAX subquery decorrelates to a rank window over
+    the PER-SUPPLIER AGGREGATE: rank()==1 keeps all exact-decimal ties,
+    identical to the oracle's rev = MAX(rev). The unpartitioned window
+    runs on post-aggregation rows only — one row per supplier, after
+    the fact table has already been reduced — so its single-partition
+    pass is bounded by supplier cardinality, not data volume. (The
+    alternative max-scalar + broadcast-back crossJoin plans the
+    per-supplier subtree twice, and AQE's exchange reuse does NOT fire
+    on it — the equality pushes an IsNotNull into one branch — so the
+    fact table would be scanned twice; measured, not guessed. If
+    supplier cardinality ever rivals fact size, reduce with a
+    partial per-partition max first.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev"))
+    top = (
+        per_supp.withColumn("rk", F.rank().over(Window.orderBy(F.col("rev").desc())))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return top.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey",
+        "s_name",
+        F.col("rev").cast("decimal(38,2)").cast("double").alias("total_revenue"),
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tpch", "join", "anti", "count-distinct"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) bucket, excluding complained-about suppliers —
+    here the NOT IN exclusion is negative-balance suppliers (the
+    corpus has no s_comment). Supplier pairs come from lineitem (no
+    partsupp table): same anti-join + COUNT DISTINCT topology. The NOT
+    IN decorrelates to a broadcast left-anti join (s_suppkey is never
+    null, so NOT IN == anti join); the count-distinct shuffles on the
+    group keys once with partial distinct-aggregation map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(CAST(qty AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "having", "join", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind the largest-volume orders (order
+    quantity > 300), top 100 by order price. The HAVING pre-aggregate
+    runs FIRST, shrinking lineitem to the rare big orders before any
+    join — at 100 TB this is the difference between joining 60 B lines
+    and joining a few thousand qualifying orders (which then join
+    broadcast-style). Quantities sum in decimal (integral values, but
+    decimal keeps the > 300 boundary exact by construction); ordering
+    is parquet-exact o_totalprice with the unique orderkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", "decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("qty").cast("decimal(38,2)").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

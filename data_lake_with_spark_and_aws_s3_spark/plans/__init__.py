@@ -1,6 +1,7 @@
 from .explain import (  # noqa: F401
     count_exchanges,
     count_scans,
+    executed_plan,
     formatted_plan,
     has_broadcast_join,
     has_pushed_filter,

@@ -81,3 +81,12 @@ def count_exchanges(df: DataFrame) -> int:
         for line in plan.splitlines()
         if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
     )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Run the query, then return the FINAL adaptive plan. AQE rewrites
+    (ReusedExchange, skew-join splits, runtime broadcast promotion)
+    only appear post-execution — use this for assertions about what
+    actually ran, formatted_plan for static shape."""
+    df.collect()
+    return formatted_plan(df)

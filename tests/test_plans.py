@@ -8,6 +8,7 @@ from __future__ import annotations
 from data_lake_with_spark_and_aws_s3_spark import REGISTRY
 from data_lake_with_spark_and_aws_s3_spark.plans import (
     count_exchanges,
+    count_scans,
     has_broadcast_join,
     has_pushed_filter,
     has_take_ordered,
@@ -103,3 +104,58 @@ def test_global_sort_range_partitions(spark):
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan, (
         "global sort must range-partition, not single-task sort"
     )
+
+
+def test_q6_pushdown_no_join(spark):
+    """Q6 is the pure scan-filter-agg query: all three predicates reach
+    the parquet reader and the plan has no join at all."""
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_quantity")
+    (cols,) = read_schema_columns(df)
+    assert "l_orderkey" not in cols, f"scan reads unprojected columns: {cols}"
+    assert count_exchanges(df) == 1  # partial->final global agg only
+
+
+def test_q10_topk_and_broadcast(spark):
+    df = REGISTRY["q10_returned_items"].fn(spark, SF)
+    assert has_take_ordered(df), "top-20 must plan TakeOrderedAndProject"
+    assert has_broadcast_join(df), "customer/nation dims must broadcast"
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_q18_aggregates_before_join(spark):
+    """The HAVING pre-aggregate must shrink lineitem BEFORE the orders
+    join: the plan's join inputs are aggregates, and the orderkey
+    shuffle count stays bounded (agg + join reuse, sort for top-k is
+    TakeOrdered not a global Exchange)."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q18_large_volume_customers"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert has_take_ordered(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert count_scans(df) == 3  # lineitem, orders, customer — one each
+
+
+def test_q11_fact_exchange_reused(spark):
+    """Q11's global-total scalar re-aggregates the per-part result; the
+    static plan prints the subtree twice, but AQE must reuse the
+    per-part shuffle so the lineitem map stage runs ONCE."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import executed_plan
+
+    df = REGISTRY["q11_important_parts"].fn(spark, SF)
+    assert "ReusedExchange" in executed_plan(df), (
+        "per-part aggregate shuffle not reused — lineitem scanned twice at runtime"
+    )
+
+
+def test_q15_single_fact_scan(spark):
+    """The rank-window argmax form plans ONE lineitem subtree (the
+    max-broadcast alternative duplicates it and AQE reuse doesn't
+    fire) — lineitem + supplier, two scans total."""
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF)
+    assert count_scans(df) == 2
+    assert has_pushed_filter(df, "l_shipdate")
