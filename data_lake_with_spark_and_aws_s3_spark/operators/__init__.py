@@ -14,6 +14,7 @@ Each module maps to a SURVEY.md §2 family:
 from . import (  # noqa: F401
     aggregates,
     cdc,
+    clustering,
     combined,
     dedup,
     events,

@@ -433,3 +433,112 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qe", lambda x: F.abs(x) == 127)).cast("long").alias("n_saturated"),
         err.alias("max_abs_err"),
     )
+
+
+@query(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total FROM n),
+    r AS (
+      SELECT lang, n_lang,
+             least(1.0, sqrt(CAST(n_total AS DOUBLE) / n_lang) * 0.2) AS keep_rate
+      FROM n, tot
+    )
+    SELECT d.doc_id, d.lang,
+           CAST({_hex_val_sql("md5(CAST(d.doc_id AS VARCHAR) || d.lang)")}
+                AS DOUBLE) / 65536.0 AS u,
+           r.keep_rate
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE CAST({_hex_val_sql("md5(CAST(d.doc_id AS VARCHAR) || d.lang)")}
+               AS DOUBLE) / 65536.0 < r.keep_rate
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style mixture resampling: per-language keep rate
+    ∝ 1/sqrt(language share) capped at 1 — rare languages keep more of
+    their documents, dominant ones are downsampled (the alpha=0.5
+    flattening of a training-mixture build). The keep decision is
+    md5-uniform, so the SAMPLE ITSELF is deterministic and
+    engine-independent — rerunning the pipeline reproduces the corpus
+    byte-for-byte, unlike rand(seed) which is engine- and
+    partitioning-dependent.
+
+    Exactness: every float op (one division, one sqrt, one multiply,
+    least) is a single correctly-rounded IEEE step on exact integer
+    inputs — no cross-group double SUM anywhere. Scale: pass 1
+    aggregates language counts reading ONE pruned column; the rates
+    (|langs| rows) broadcast back into the map-side filter of the full
+    pass — no fact shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = n.groupBy().agg(F.sum("n_lang").alias("n_total"))
+    r = n.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.col("n_total").cast("double") / F.col("n_lang")) * 0.2,
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.expr(_hex_val_sql("md5(CAST(doc_id AS STRING) || lang)")).cast("double")
+        / 65536.0
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .select("doc_id", "lang", u.alias("u"), "keep_rate")
+        .filter(F.col("u") < F.col("keep_rate"))
+    )
+
+
+@query(
+    "q_token_rarity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(v.c) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+           CAST(count_if(v.c <= 2) AS BIGINT) AS n_rare,
+           CAST(CAST(count_if(v.c <= 2) AS BIGINT) AS DOUBLE) / COUNT(*) AS rare_frac
+    FROM tok t JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("pipeline", "quality", "vocab"),
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality scoring without transcendentals: per
+    document, the mean corpus frequency of its tokens and the fraction
+    of rare (freq <= 2) tokens — the unigram-LM quality signal with
+    log() deliberately avoided (libm log differs by ULPs across
+    engines; integer sums and single divisions do not).
+
+    Shape: one vocab aggregate (map-side combined), one token-keyed
+    join back, one per-doc aggregate. The token join key is Zipf-skewed
+    at scale — the vocab side aggregates to distinct tokens first (so
+    it's the SMALL side, broadcastable for real corpora's vocab; AQE
+    skew-join handles the explode side otherwise)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_token_freq"),
+            F.count_if(F.col("c") <= 2).alias("n_rare"),
+            (
+                F.count_if(F.col("c") <= 2).cast("double") / F.count(F.lit(1))
+            ).alias("rare_frac"),
+        )
+    )

@@ -92,3 +92,33 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.write.mode("overwrite").json(path)
     back = spark.read.json(path)  # inferred schema
     return back.select(F.col("r_regionkey").cast("int"), "r_name")
+
+
+@query(
+    "q_orc_sink_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(19,2))), 2) AS DOUBLE)
+             AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sink", "orc"),
+)
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-read round-trip (Spark's second native columnar
+    format — the warehouse-interchange path next to parquet). Typed
+    content (string / bigint / double) must survive the ORC round-trip
+    bit-exactly; the balance sum is decimal-exact before the write so
+    the hash checks real content, not float luck."""
+    c = load_table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(19,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_balance"),
+    )
+    path = _tmp("customer_orc")
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
