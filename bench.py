@@ -41,6 +41,10 @@ EXTENDED = [
     "q_curation_pipeline",
     "q_decontaminate",
     "q_repetition_signals",
+    # round 2: heaviest new TPC-H shapes + the iterative clusterer
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q_kmeans_lloyd",
 ]
 
 

@@ -13,6 +13,23 @@ Scale: state lives in the state store, one store per shuffle
 partition; keys hash-partition, state size is O(|users|) not
 O(|events|). Pandas batches flow through Arrow per (partition, key
 group) — the same slow-path economics as applyInPandas.
+
+State-store provider at scale: the default HDFSBackedStateStore keeps
+every key's state on the executor HEAP (plus snapshot files) — fine
+for these tests, a memory wall once per-partition state outgrows the
+executor. Production configuration for large keyspaces:
+
+    spark.sql.streaming.stateStore.providerClass =
+        org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    # optional: changelog checkpointing trades snapshot upload cost
+    # for faster commits on large state
+    spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled = true
+
+RocksDB spills state to local disk with block-cache reads, bounding
+heap usage regardless of key cardinality; transformWithStateInPandas
+(below) additionally REQUIRES the RocksDB provider in Spark 4.x.
+The operator code in this package is provider-agnostic — the provider
+is a session conf, not an API change.
 """
 
 from __future__ import annotations

@@ -72,3 +72,40 @@ def test_stream_stream_join_matches_batch(spark):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES")),
     ).count()
     assert n_stream == n_batch and n_batch > 0
+
+
+def test_sliding_window_second_granularity(spark, duck, sf_dir):
+    """Multi-assignment correctness at a second (size, slide) pair:
+    90 min / 30 min puts every event in exactly 3 windows (vs the
+    registered query's 1 h / 15 min = 4). Guards the epoch-alignment
+    arithmetic against being accidentally tuned to one granularity."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.functions.numeric import dec, money_sum
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    from .parity import assert_frames_match
+
+    e = load_table(spark, sf_dir, "events")
+    sp = (
+        e.groupBy(F.window("ts", "90 minutes", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), money_sum(dec("value"), "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    slide_us = 1_800_000_000  # 30 min
+    du = duck.execute(f"""
+        SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // {slide_us}) - g.i)
+                              * {slide_us}) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE) AS sum_value
+        FROM events, generate_series(0, 2) AS g(i)
+        GROUP BY 1, 2
+    """).fetchdf()
+    assert_frames_match(sp, du, name="sliding_90m_30m")
