@@ -200,3 +200,50 @@ def q_apply_in_pandas_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         slope, schema="user_id long, value_slope_per_day double, n_events long"
     )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) - length(text) AS BIGINT) AS n_multibyte_extra
+    FROM documents
+    """,
+    tags=("udf", "map-in-arrow"),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (SURVEY.md §2.11) — the zero-copy end of the Python
+    interop matrix: batches arrive as pyarrow.RecordBatch, compute runs
+    in Arrow kernels (binary_length on the utf8->binary view vs
+    utf8_length), no pandas materialization at all. Completes the
+    ladder pandas_udf -> applyInPandas -> mapInPandas -> mapInArrow;
+    for byte-level feature extraction over 100 TB this path has the
+    lowest serialization tax Python can get.
+
+    Oracle: DuckDB strlen() is bytes, length() is characters —
+    byte/char counts are encoding facts, identical cross-engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def byte_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            n_bytes = pc.binary_length(text.cast(pa.binary()))
+            n_chars = pc.utf8_length(text)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    n_bytes.cast(pa.int64()),
+                    n_chars.cast(pa.int64()),
+                    pc.subtract(n_bytes, n_chars).cast(pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "n_multibyte_extra"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        byte_stats,
+        schema="doc_id long, n_bytes long, n_chars long, n_multibyte_extra long",
+    )

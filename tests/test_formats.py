@@ -74,3 +74,31 @@ def test_partitioned_parquet_sink(spark, tmp_path):
     one_year = back.filter(F.col("yr") == 1995)
     plan = one_year.explain(mode="formatted") or ""
     assert one_year.count() == orders.filter(F.year("o_orderdate") == 1995).count()
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path, sf_dir):
+    """Partitioned layout must buy partition PRUNING at read time: a
+    filter on the partition column shows up as a PartitionFilter on
+    the scan (whole directories skipped — the mechanism that turns a
+    100 TB table into the one year you asked for), and the pruned
+    read returns exactly the partition's rows."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_yr")
+    o.write.partitionBy("yr").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("yr") == 1997)
+    plan = formatted_plan(back)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("yr" in l for l in pf_lines), (
+        f"partition filter did not reach the scan:\n{plan}"
+    )
+    # pruning must not change semantics
+    expected = o.filter(F.col("yr") == 1997).count()
+    assert back.count() == expected > 0
