@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     graph,
     joins,
     llm_pipeline,
+    modern,
     multimodal,
     neardup,
     pivots,

@@ -1,0 +1,93 @@
+"""Spark 4.x API surface (SURVEY.md §2 extensions): lateral joins and
+the VARIANT semi-structured type — the two headline additions a user
+migrating from the reference's era of Spark would reach for next.
+
+- ``DataFrame.lateralJoin`` (4.0+): correlated subquery per outer row,
+  the SQL LATERAL equivalent — here the canonical per-key top-k.
+- ``parse_json`` -> VARIANT + ``variant_get`` (4.0+): schema-flexible
+  ingestion without schema inference passes; typed extraction happens
+  at read time per path, an order of magnitude faster than
+  ``get_json_object`` string re-parsing when a document is touched
+  more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via DataFrame.lateralJoin — the
+    correlated-subquery form of per-group top-k (same answer as the
+    window row_number form in q_window_rank, different API surface).
+    Catalyst decorrelates the LIMIT-per-outer-row into a single
+    ranked join, so this does NOT execute one subquery per customer;
+    determinism comes from the (o_totalprice DESC, o_orderkey)
+    tie-broken ordering on both engines. Customers without orders
+    drop (inner lateral), matching the comma-LATERAL oracle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    sub = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(sub)
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    """,
+    tags=("scalar", "variant", "json"),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access: parse the JSON props
+    column ONCE into a variant, then do typed path extraction
+    (bigint + string views of the same path, existence probe for an
+    absent path) and a pushable predicate on the extracted value.
+    Versus get_json_object, the parse cost is paid once per document
+    instead of once per path — the difference that matters when a
+    100 TB event stream has 20 extracted fields. The variant itself
+    never leaves the plan (binary cells would crash the driver's
+    canonicalizer); only typed scalars are returned."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", "event_type", F.parse_json("props").alias("v")
+    )
+    k_num = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.select(
+            "event_id",
+            "event_type",
+            k_num.alias("k_num"),
+            F.variant_get("v", "$.k", "string").alias("k_str"),
+            F.variant_get("v", "$.missing", "string").isNotNull().alias("has_missing"),
+        )
+        .where(F.col("k_num") >= 50)
+    )

@@ -159,3 +159,15 @@ def test_q15_single_fact_scan(spark):
     df = REGISTRY["q15_top_supplier"].fn(spark, SF)
     assert count_scans(df) == 2
     assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_lateral_topk_decorrelates(spark):
+    """lateralJoin's per-outer-row LIMIT must decorrelate into a
+    ranked join (Window + WindowGroupLimit + hash join), NOT a
+    nested-loop subquery per customer."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_lateral_topk"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, "per-group limit not pushed below the sort"
