@@ -91,3 +91,35 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("k_num") >= 50)
     )
+
+
+# One SQL text, two engines: the query below is deliberately written in
+# the ANSI subset both Spark SQL and DuckDB parse IDENTICALLY — the
+# oracle is the very same string the Spark side executes.
+_PORTABLE_SQL = """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,2))), 2) AS DOUBLE)
+             AS revenue,
+           CASE WHEN COUNT(*) >= 20 THEN 'major' ELSE 'minor' END AS tier
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    HAVING COUNT(*) > 5
+"""
+
+
+@query("q_sql_frontend", oracle=_PORTABLE_SQL, tags=("sql", "frontend"))
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: temp views + ``spark.sql`` running
+    the EXACT text the DuckDB oracle runs — no DataFrame translation
+    layer at all. Proves the engine speaks portable ANSI (joins,
+    year(), DECIMAL casts, HAVING, CASE) with hash-identical results,
+    which is what lets a reference user bring their SQL unchanged.
+    Catalyst treats the parsed plan like any DataFrame plan: same
+    pushdown, same broadcast of the dimension sides."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_SQL)

@@ -102,3 +102,19 @@ def test_partition_pruning_reaches_scan(spark, tmp_path, sf_dir):
     # pruning must not change semantics
     expected = o.filter(F.col("yr") == 1997).count()
     assert back.count() == expected > 0
+
+
+def test_write_file_count_control(spark, tmp_path, sf_dir):
+    """Small-files control: repartition(n) before write must produce
+    exactly n part files (the compaction knob — at 100 TB an
+    uncontrolled write fans out one file per task and the object
+    store drowns in small objects)."""
+    import glob
+
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_4files")
+    n.repartition(4).write.parquet(path)
+    parts = glob.glob(path + "/part-*.parquet")
+    assert len(parts) == 4, f"expected 4 part files, got {len(parts)}"
