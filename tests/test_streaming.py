@@ -109,3 +109,52 @@ def test_sliding_window_second_granularity(spark, duck, sf_dir):
         GROUP BY 1, 2
     """).fetchdf()
     assert_frames_match(sp, du, name="sliding_90m_30m")
+
+
+def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink: drive the tumbling aggregate through
+    the streaming engine into a parquet target, then RE-RUN the whole
+    stream (simulating an epoch replay) — the target must equal the
+    batch aggregate both times, proving the sink is idempotent (the
+    at-least-once -> exactly-once contract of foreachBatch)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.streaming.twins import (
+        run_foreach_batch_upsert,
+        stream_events,
+        streaming_tumbling,
+    )
+
+    target = str(tmp_path / "upsert_target")
+    events = stream_events(spark, sf_dir)
+    agg = streaming_tumbling(events).select("hour_ts", "event_type", "n_events")
+    # streaming upsert key: one row per (hour_ts, event_type) —
+    # merge_upsert takes one key column, so pack them
+    keyed = agg.select(
+        F.concat_ws("|", F.col("hour_ts").cast("string"), "event_type").alias("k"),
+        "hour_ts", "event_type", "n_events",
+    )
+    run_foreach_batch_upsert(keyed, target, "k")
+    first = {tuple(r) for r in spark.read.parquet(target).collect()}
+
+    # replay: the whole bounded stream re-runs; idempotent sink converges
+    run_foreach_batch_upsert(keyed, target, "k")
+    second = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert first == second
+
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+    batch_df = (
+        REGISTRY["q_events_tumbling"]
+        .fn(spark, sf_dir)
+        .select(
+            F.concat_ws(
+                "|", F.col("hour_ts").cast("string"), "event_type"
+            ).alias("k"),
+            "hour_ts",
+            "event_type",
+            "n_events",
+        )
+    )
+    batch = {tuple(r) for r in batch_df.collect()}
+    assert second == batch
