@@ -211,17 +211,36 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct",
-    oracle=None,  # approximate => rows-only (SURVEY.md §2.4); exact twin: q_distinct_users
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("agg", "approx"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality per event_type — the 100 TB path for
     distinct counts (constant memory per group vs expand+shuffle for
-    exact). rsd 1% to show the accuracy knob."""
+    exact). rsd 1% to show the accuracy knob.
+
+    Oracle design (the "exact twin" pattern for sketches): DuckDB
+    cannot reproduce Spark's HLL++ register values, but the sketch IS
+    deterministic (register updates are max-based — order- and
+    partitioning-independent), so the RELATIVE-ERROR CONTRACT is a
+    deterministic boolean. The oracle checks the exact side exactly
+    and the sketch side against its accuracy bound; the raw estimate
+    stays out of the hash."""
     e = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    exact = F.countDistinct("user_id")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.02 * exact.cast("double")
+        ).alias("approx_within_2pct"),
     )
 
 
