@@ -123,3 +123,37 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PORTABLE_SQL)
+
+
+@query(
+    "q_python_datasource",
+    oracle=f"""
+    SELECT i AS id,
+           md5(CAST(i AS VARCHAR)) AS h,
+           CAST({{hexval}} AS BIGINT) AS bucket
+    FROM range(0, 500) t(i)
+    """.format(hexval=(
+        "((((0) * 16 + instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1)"
+        " * 16 + instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 2, 1)) - 1)"
+        " * 16 + instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 3, 1)) - 1)"
+        " * 16 + instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 4, 1)) - 1"
+    )),
+    tags=("source", "python-datasource"),
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources/pysource.py): a
+    partition-planned synthetic feed read through the Spark 4.x
+    ``pyspark.sql.datasource`` extension API — 8 InputPartitions read
+    in parallel on executors, exactly like file splits. Deterministic
+    md5 content makes a CUSTOM source oracle-checkable: DuckDB
+    regenerates the identical feed from range(). The sf_dir is unused
+    by construction (the source is synthetic at every scale)."""
+    from ..sources.pysource import register
+
+    register(spark)
+    return (
+        spark.read.format("synth_docs")
+        .option("n", 500)
+        .option("parts", 8)
+        .load()
+    )

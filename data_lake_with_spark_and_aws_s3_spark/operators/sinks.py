@@ -122,3 +122,23 @@ def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("customer_orc")
     agg.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "q_text_sink_roundtrip",
+    oracle="""
+    SELECT concat(n_name, '|', CAST(n_regionkey AS VARCHAR)) AS value
+    FROM nation
+    """,
+    tags=("sink", "text"),
+)
+def q_text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + re-read (the log/landing format:
+    one string column, one line per row). Structured content packed
+    into the line must survive the round-trip byte-for-byte."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.concat_ws("|", "n_name", F.col("n_regionkey").cast("string")).alias("value")
+    )
+    path = _tmp("nation_text")
+    n.write.mode("overwrite").text(path)
+    return spark.read.text(path)
