@@ -52,3 +52,52 @@ def test_ann_ivf_recall(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.3, f"IVF recall@5 too low even for isotropic data: {recall}"
+
+
+def test_aqe_skew_join_runtime_split(spark):
+    """AQE's runtime answer to skew (complementing the manual salted
+    join above): a join where one key holds half the rows must come
+    out of execution with the skewed partition SPLIT — the plan says
+    SortMergeJoin(skew=true). Thresholds are lowered to make local
+    data 'big'; forceOptimizeSkewedJoin accepts the extra shuffle the
+    split costs (at real scale the default cost model decides).
+    Correctness is asserted alongside the plan shape."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.count()
+        # hot key 0: 200k left rows x 1 right row; other matches: odd ids < 2000
+        assert rows == 200_000 + 1_000
+        j.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "skew=true" in buf.getvalue(), "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
