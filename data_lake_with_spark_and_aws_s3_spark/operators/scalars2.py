@@ -247,3 +247,64 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_stats,
         schema="doc_id long, n_bytes long, n_chars long, n_multibyte_extra long",
     )
+
+
+@query(
+    "q_cogroup_pandas",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE) AS event_value
+      FROM events GROUP BY user_id
+    ), ords AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey < 150 GROUP BY o_custkey
+    )
+    SELECT COALESCE(ev.user_id, ords.user_id) AS user_id,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(ev.event_value, 0.0) AS event_value,
+           CAST(COALESCE(ords.n_orders, 0) AS BIGINT) AS n_orders
+    FROM ev FULL OUTER JOIN ords ON ords.user_id = ev.user_id
+    """,
+    tags=("udf", "cogroup", "apply-in-pandas"),
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas (SURVEY.md §2.11, the two-sided grouped
+    UDF): events and orders co-partitioned on the shared key arrive as
+    a pandas frame PAIR per key — the escape hatch for per-key merge
+    logic no join expresses (trajectory alignment, per-entity
+    reconciliation). Here the merge is deliberately oracle-expressible
+    (full-outer aggregate semantics incl. keys present on only one
+    side) so the Arrow pair-delivery path itself is what's verified.
+    One shuffle per side on the key — same economics as a shuffle
+    join; the decimal sum keeps event_value exact."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(19,2)")).alias("val_dec"),
+        )
+        .select("user_id", "n_events", F.col("val_dec").cast("decimal(38,2)").cast("double").alias("event_value"))
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+
+    def merge(ev: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        uid = int(ev["user_id"].iloc[0]) if len(ev) else int(ords["o_custkey"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [int(ev["n_events"].iloc[0]) if len(ev) else 0],
+                "event_value": [float(ev["event_value"].iloc[0]) if len(ev) else 0.0],
+                "n_orders": [len(ords)],
+            }
+        )
+
+    return (
+        e.groupby("user_id")
+        .cogroup(o.groupby("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, event_value double, n_orders long",
+        )
+    )
