@@ -157,3 +157,29 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", 8)
         .load()
     )
+
+
+from ..registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query(
+    "q_python_datasource_arrow",
+    oracle=_REGISTRY["q_python_datasource"].oracle,  # identical feed, bulk wire format
+    tags=("source", "python-datasource", "arrow"),
+)
+def q_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same custom source, Arrow-batch wire format: read() yields ONE
+    pyarrow.RecordBatch per partition instead of pickled tuples — the
+    bulk-transfer path whose absence the tuple variant's docstring
+    warns about. Content is bit-identical (same oracle), so the two
+    registered queries pin both wire formats to the same truth."""
+    from ..sources.pysource import register
+
+    register(spark)
+    return (
+        spark.read.format("synth_docs")
+        .option("n", 500)
+        .option("parts", 8)
+        .option("arrow", "true")
+        .load()
+    )

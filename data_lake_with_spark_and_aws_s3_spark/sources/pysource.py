@@ -20,7 +20,19 @@ engines can agree on bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+
+def _row(i: int) -> tuple:
+    import hashlib
+
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    return (i, h, int(h[:4], 16))
 
 
 class _IdRange(InputPartition):
@@ -29,26 +41,70 @@ class _IdRange(InputPartition):
 
 
 class _SynthDocsReader(DataSourceReader):
-    """Deterministic synthetic feed: (id, md5(id), first-4-hex bucket)."""
+    """Deterministic synthetic feed: (id, md5(id), first-4-hex bucket).
+
+    Two wire formats, chosen by option("arrow", "true"|"false"):
+    per-row tuples (simple, control-plane economics) or
+    pyarrow.RecordBatch per partition — the BULK path: one columnar
+    batch crosses Python->JVM instead of N pickled rows."""
 
     def __init__(self, options):
         self.n = int(options.get("n", 100))
         self.parts = int(options.get("parts", 4))
+        self.arrow = str(options.get("arrow", "false")).lower() == "true"
 
     def partitions(self):
         step = (self.n + self.parts - 1) // self.parts
         return [_IdRange(i, min(i + step, self.n)) for i in range(0, self.n, step)]
 
     def read(self, part: _IdRange):
-        import hashlib
+        rows = [_row(i) for i in range(part.start, part.end)]
+        if not self.arrow:
+            yield from rows
+            return
+        import pyarrow as pa
 
-        for i in range(part.start, part.end):
-            h = hashlib.md5(str(i).encode()).hexdigest()
-            yield (i, h, int(h[:4], 16))
+        ids, hs, buckets = zip(*rows) if rows else ((), (), ())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(hs, pa.string()),
+                pa.array(buckets, pa.int64()),
+            ],
+            names=["id", "h", "bucket"],
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SynthDocsSource)
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read of the same deterministic feed:
+    each micro-batch is one page of `page` ids; the OFFSET ({"pos": n})
+    is the exactly-once contract — Spark checkpoints it, and a crashed
+    epoch is re-read via readBetweenOffsets with the SAME bounds, so
+    replay produces identical rows (the property the idempotence test
+    asserts). This is the shape of a custom Kafka-less queue/API tailer."""
+
+    def __init__(self, options):
+        self.page = int(options.get("page", 5))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        end = start["pos"] + self.page
+        return iter([_row(i) for i in range(start["pos"], end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(start["pos"], end["pos"])])
 
 
 class SynthDocsSource(DataSource):
-    """spark.read.format("synth_docs").option("n", N).option("parts", P)"""
+    """spark.read.format("synth_docs").option("n", N).option("parts", P)
+    — batch; spark.readStream.format("synth_docs").option("page", K)
+    — micro-batched stream over the same feed."""
 
     @classmethod
     def name(cls) -> str:
@@ -60,6 +116,5 @@ class SynthDocsSource(DataSource):
     def reader(self, schema):
         return _SynthDocsReader(self.options)
 
-
-def register(spark) -> None:
-    spark.dataSource.register(SynthDocsSource)
+    def simpleStreamReader(self, schema):
+        return _SynthStreamReader(self.options)
