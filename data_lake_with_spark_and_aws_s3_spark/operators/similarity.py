@@ -222,3 +222,63 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+@query("q_ann_ivf_kmeans", oracle=None, tags=("similarity", "ann", "ivf", "kmeans"))
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED codebook — the real train->assign->probe
+    pipeline: cells come from 2 Lloyd iterations (operators/
+    clustering.py), not from the pre-existing label column q_ann_ivf
+    leans on. Train is one negligible-shuffle pass per iteration;
+    ASSIGN is map-only against broadcast-literal centroids (adds a
+    cluster_id column, no shuffle); PROBE ranks cells per query by
+    centroid cosine, scores only vectors in the top-4 cells via the
+    cell equi-join, reranks exactly. Rows-only like every ANN (result
+    set depends on the codebook), with the same exact twin
+    (q_cosine_topk) for recall measurement."""
+    from .clustering import K, _assign, _update
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    init = ev.filter(F.col("vec_id") < K).collect()
+    centroids = {int(r.vec_id): list(r.v) for r in init}
+    for _ in range(2):
+        centroids = _update(_assign(ev, centroids))
+    assigned = _assign(ev, centroids).select("vec_id", "v", "cluster_id")
+
+    cent = spark.createDataFrame(
+        [(cid, c) for cid, c in sorted(centroids.items())],
+        "cluster_id long, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    )
+
+    def cos_double(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        return dot / (n1 * n2)
+
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "cluster_id",
+        cos_double(F.col("q_emb"), F.col("centroid")).alias("cell_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "cluster_id")
+    probed = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= 4)
+        .select("query_id", "q_emb", "cluster_id")
+    )
+    cand = probed.join(assigned, "cluster_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_double(F.col("q_emb"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )

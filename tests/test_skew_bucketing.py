@@ -101,3 +101,15 @@ def test_aqe_skew_join_runtime_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_ivf_kmeans_recall(spark):
+    """Learned-codebook IVF (k=8 Lloyd cells, nprobe=4): same ceiling
+    logic as above — isotropic data caps recall near the probed
+    fraction (4/8), so >= 0.3 proves assignment + probe work."""
+    exact = REGISTRY["q_cosine_topk"].fn(spark, SF).collect()
+    approx = REGISTRY["q_ann_ivf_kmeans"].fn(spark, SF).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"kmeans-IVF recall@5 too low: {recall}"
