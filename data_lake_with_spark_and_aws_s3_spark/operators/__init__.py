@@ -39,3 +39,6 @@ from . import (  # noqa: F401
     text,
     windows,
 )
+
+# imported LAST: composes queries registered above
+from . import capstones  # noqa: F401, E402

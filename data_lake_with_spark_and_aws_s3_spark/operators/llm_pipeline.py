@@ -542,3 +542,4 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+

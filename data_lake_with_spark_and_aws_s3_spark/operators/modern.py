@@ -183,3 +183,42 @@ def q_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("arrow", "true")
         .load()
     )
+
+
+@query(
+    "q_pandas_api",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("api", "pandas-on-spark"),
+)
+def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (``pyspark.pandas``): the dataframe dialect
+    a pandas user brings unchanged — groupby/agg compiled by the same
+    Catalyst pipeline as the native API (this is a PLAN translation
+    layer, not a driver-side pandas: the aggregate is the usual
+    distributed partial+final HashAggregate). Output chosen
+    parquet-exact (count/max/min — no float summation) so the API
+    round-trip itself is what the oracle hashes."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as pss
+
+        psdf = pss.DataFrame(load_table(spark, sf_dir, "orders"))
+        out = (
+            psdf.groupby("o_orderstatus")
+            .agg(
+                n_orders=("o_orderkey", "count"),
+                max_price=("o_totalprice", "max"),
+                min_price=("o_totalprice", "min"),
+            )
+            .reset_index()
+        )
+        return out.to_spark()
