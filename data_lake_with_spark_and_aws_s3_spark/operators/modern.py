@@ -222,3 +222,45 @@ def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             .reset_index()
         )
         return out.to_spark()
+
+
+@query(
+    "q_try_safe_math",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(user_id % 5 AS DOUBLE) = 0 THEN NULL
+                ELSE value / CAST(user_id % 5 AS DOUBLE) END AS rate,
+           COALESCE(TRY_CAST(event_type AS BIGINT), -1) AS parsed_type,
+           COALESCE(TRY_CAST(substr(event_type, 1, 1) AS BIGINT), -1) AS parsed_first,
+           CASE WHEN CAST(event_id AS HUGEINT) * 4611686018427387904
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN CAST(event_id * 4611686018427387904 AS BIGINT)
+                ELSE -1 END AS scaled_or_sentinel
+    FROM events
+    """,
+    tags=("scalar", "ansi", "try"),
+)
+def q_try_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safe arithmetic: Spark 4 runs ANSI by default (a
+    divide-by-zero or overflow FAILS the job — correct for a lake,
+    unlike silent NULLs), and the try_* family is the per-expression
+    opt-out: try_divide -> NULL on zero denominators, try_cast -> NULL
+    on malformed input, try_multiply -> NULL on int64 overflow
+    (event_id >= 2 here, sentinel proves the NULL path). The oracle
+    expresses each contract arithmetically (DuckDB 1.0 has TRY_CAST
+    but no TRY() expression — overflow is checked via HUGEINT
+    widening). Sentinels keep integer columns non-null so both
+    engines materialize int64, not float64."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_divide("value", (F.col("user_id") % 5).cast("double")).alias("rate"),
+        F.coalesce(F.col("event_type").try_cast("bigint"), F.lit(-1)).alias("parsed_type"),
+        F.coalesce(
+            F.substring("event_type", 1, 1).try_cast("bigint"), F.lit(-1)
+        ).alias("parsed_first"),
+        F.coalesce(
+            F.try_multiply(F.col("event_id"), F.lit(4611686018427387904)),
+            F.lit(-1),
+        ).alias("scaled_or_sentinel"),
+    )
