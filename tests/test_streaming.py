@@ -193,3 +193,39 @@ def test_rate_source_streams(spark):
         assert all(0 <= r.bucket <= 9 for r in buckets)
     finally:
         q.stop()
+
+
+def test_stream_static_join(spark, sf_dir):
+    """Stream-static join: the micro-batched event stream enriched
+    against a STATIC dimension (no watermark needed on the static
+    side — it's re-read per epoch, the standard dimension-enrichment
+    shape). Result must equal the batch join."""
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+    from data_lake_with_spark_and_aws_s3_spark.streaming.twins import (
+        run_to_memory,
+        stream_events,
+    )
+
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream_events(spark, SF)
+        .join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    run_to_memory(enriched, "t_stream_static", output_mode="complete")
+    got = {
+        (r.c_mktsegment, r.n_events)
+        for r in spark.sql("SELECT * FROM t_stream_static").collect()
+    }
+    e = load_table(spark, SF, "events")
+    want = {
+        (r.c_mktsegment, r.n_events)
+        for r in e.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want and got
