@@ -264,3 +264,42 @@ def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 x 25k buckets over order price, top
+    bucket open) — the profiling aggregate every engine ships.
+    Bucketing is a map-side expression, so the shuffle carries at
+    most 20 groups after partial agg; the bucket boundary math is one
+    correctly-rounded double division + floor, identical cross-engine
+    (width_bucket exists in Spark but not DuckDB 1.0 — the arithmetic
+    form is the portable one and compiles to the same codegen)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long"), F.lit(19)
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("bucket_lo"),
+            "n_orders",
+        )
+    )
