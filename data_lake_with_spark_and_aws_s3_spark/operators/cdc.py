@@ -176,3 +176,65 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg((num / den).alias("china_share"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@query(
+    "q_merge_with_deletes",
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, 'U' AS op, c_name, 'PLATINUM' AS c_mktsegment,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(19,2))
+                        * CAST('1.1' AS DECIMAL(2,1)), 2) AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_acctbal > 9000 AND c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL, NULL
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM delta WHERE op = 'U'
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+    """,
+    tags=("cdc", "merge", "delete", "tombstone"),
+)
+def q_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC MERGE semantics incl. the DELETE branch: the change
+    feed carries updates AND tombstones (op = 'D'), i.e. Delta's
+    WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT. Plan: ONE anti join removes every
+    delta-touched key from the target (updates and deletes alike),
+    then only the non-tombstone delta rows union back — deletes cost
+    nothing extra over the upsert. Same single key-shuffle economics
+    as merge_upsert; the balance bump reuses the decimal tie-break
+    pattern documented in q_merge_upsert."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    updates = (
+        c.filter((F.col("c_acctbal") > 9000) & (F.col("c_custkey") % 97 != 0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("c_mktsegment", F.lit("PLATINUM"))
+        .withColumn(
+            "c_acctbal",
+            F.round(
+                F.col("c_acctbal").cast("decimal(19,2)")
+                * F.lit("1.1").cast("decimal(2,1)"),
+                2,
+            ).cast("double"),
+        )
+    )
+    tombstones = c.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    delta = updates.select("c_custkey", "op", "c_name", "c_mktsegment", "c_acctbal").unionByName(
+        tombstones
+    )
+    untouched = c.join(delta.select("c_custkey"), "c_custkey", "left_anti")
+    applied = delta.filter(F.col("op") == "U").drop("op")
+    return untouched.unionByName(applied)

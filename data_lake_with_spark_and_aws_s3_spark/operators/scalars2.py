@@ -308,3 +308,41 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_events long, event_value double, n_orders long",
         )
     )
+
+
+@query(
+    "q_apply_in_arrow",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_sum,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf", "apply-in-arrow"),
+)
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — the zero-copy GROUPED UDF (each key's
+    rows arrive as one pyarrow.Table; compute runs in Arrow kernels).
+    Completes the grouped half of the interop matrix next to
+    applyInPandas/cogroup; integer kernel sums keep the oracle exact.
+    Same shuffle economics as any grouped UDF: one key shuffle, whole
+    group materialized per call — aggregate first when a builtin can."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array([table.column("event_type")[0].as_py()], pa.string()),
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "uid_sum": pa.array([pc.sum(table.column("user_id")).as_py()], pa.int64()),
+                "max_event_id": pa.array([pc.max(table.column("event_id")).as_py()], pa.int64()),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    return e.groupBy("event_type").applyInArrow(
+        stats, schema="event_type string, n_events long, uid_sum long, max_event_id long"
+    )

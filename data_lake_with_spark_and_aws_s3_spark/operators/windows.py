@@ -166,3 +166,37 @@ def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(dec("value")).over(w).cast("decimal(38,2)").cast("double").alias("trailing_1h_value"),
     )
+
+
+@query(
+    "q_window_extras",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS cume,
+           nth_value(o_orderkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS third_key
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def q_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window trio: percent_rank / cume_dist
+    (relative position — both a single division of integer
+    rank/count, rounded to absorb nothing: the division is exact-
+    input, the round only normalizes 0.1 vs 0.1000...; 9 digits keeps
+    full information) and nth_value over the full-partition frame.
+    Total order inside each partition (price + unique key) makes all
+    three deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
