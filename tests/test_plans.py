@@ -171,3 +171,42 @@ def test_lateral_topk_decorrelates(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan, "per-group limit not pushed below the sort"
+
+
+# Queries whose BroadcastNestedLoopJoin is a reviewed, justified design:
+# 1-row scalar broadcasts (watermark threshold, grand total, global avg),
+# the deliberately guarded tiny cross join, and the broadcast
+# query-batch x corpus scoring that the similarity operators document.
+_NLJ_ALLOWED = {
+    "q_late_data_filter",   # broadcast 1-row max-ts watermark scalar
+    "q_cross_join",         # guarded 5x3 demonstration
+    "q_mixture_sample",     # broadcast 1-row corpus total
+    "q11_important_parts",  # broadcast 1-row grand total
+    "q22_idle_customers",   # broadcast 1-row global average
+    "q_cosine_topk",        # broadcast query batch (documented exactness baseline)
+    "q_ann_ivf",            # broadcast query batch x tiny codebook
+    "q_ann_ivf_kmeans",     # broadcast query batch x tiny codebook
+}
+# Row-at-a-time Python is banned except the deliberate UDTF demo.
+_ROW_PYTHON_ALLOWED = {"q_python_udtf"}
+
+
+def test_registry_wide_plan_lint(spark):
+    """Global plan-shape net over EVERY registered query: no
+    CartesianProduct ever; BroadcastNestedLoopJoin only where a
+    reviewed justification exists (see allowlist); row-at-a-time
+    Python (BatchEvalPython) only in the deliberate UDTF. A new query
+    that accidentally plans a quadratic join or a pickled-row UDF
+    fails here before it ever ships."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        plan = formatted_plan(spec.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+        if "BatchEvalPython" in plan and name not in _ROW_PYTHON_ALLOWED:
+            offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
+    assert not offenders, f"unjustified plan shapes: {offenders}"
