@@ -185,3 +185,104 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(count_if(t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count_if(t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS n_view_click,
+           CAST(count_if(t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click) AS BIGINT) AS n_full_funnel,
+           COUNT(*) AS n_users
+    FROM per_user
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a
+    stage only if their FIRST click follows their first view, etc —
+    the order constraint that separates a funnel from three counters.
+    One conditional-min aggregate per user (single shuffle), then a
+    1-row funnel rollup; NULL-safe because `NULL > t` is NULL, never
+    TRUE, in both engines. At 100 TB this is the map-side-combined
+    two-level aggregate — no joins, no windows."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.groupBy().agg(
+        F.count_if(viewed).alias("n_view"),
+        F.count_if(clicked).alias("n_view_click"),
+        F.count_if(purchased).alias("n_full_funnel"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "cohort", "analytics"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each later day they return (first week). Shape: first-day
+    aggregate, join back on user_id (both sides already hash on
+    user_id — AQE reuses the partitioning), DISTINCT to one row per
+    (user, day), then the cohort matrix aggregate. datediff on DATEs
+    is integer arithmetic — exact everywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_day = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            # DATE surfaces as python objects in pandas while DuckDB
+            # yields datetime64 — normalize to timestamp on both sides
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
