@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     modern,
     multimodal,
     neardup,
+    pagerank,
     pivots,
     relational,
     relational2,

@@ -1,0 +1,183 @@
+"""Distributed PageRank over the customer<->supplier trade graph —
+the second iterative graph operator (alongside graph.py's connected
+components), built the way GraphX/Pregel builds it: ranks live in a
+(node, rank) DataFrame, each iteration is one edge-join (contributions
+flow along edges) plus one hash aggregate (incoming mass per node),
+i.e. exactly two key-shuffles per iteration, never an all-pairs
+anything. Iteration count is FIXED (3) so the whole computation is a
+deterministic, oracle-checkable dataflow (same pattern as
+clustering.py's Lloyd steps: fixed iterations => expressible as a
+chained CTE in the oracle).
+
+Exactness ([[oracle-exactness-playbook]]): double sums are
+order-dependent, so ranks are kept as SCALED INT64 (1.0 == 10^12).
+Every step is integer arithmetic that both engines define identically
+for non-negative operands:
+
+    contrib  = rank DIV outdeg              (floor division)
+    rank'    = 0.15*ONE + (85 * sum(contrib)) DIV 100
+
+Integer sums are order-independent and exact; `div` (Spark) and `//`
+(DuckDB) agree on non-negative longs. Overflow headroom: total mass
+<= n_nodes * 10^12 ~ 1.6e16 at sf0.1, and 85x that is ~1.4e18 <
+int64 max. DuckDB SUM(BIGINT) returns HUGEINT -> CAST AS BIGINT in
+the oracle (round-1 lesson).
+
+Graph: undirected bipartite "customer traded with supplier" edges
+(distinct (o_custkey, l_suppkey) pairs via orders |><| lineitem),
+node ids namespaced arithmetically (customer -> 2k, supplier ->
+2k+1). Isolated nodes (customers with no orders) receive the
+teleport mass only — the LEFT join + COALESCE(0) in both engines.
+
+At 100 TB: the edge list is the big table; it shuffles once per
+iteration on src (co-partitioned with ranks after the first
+iteration, so AQE reuses the layout), and the per-node aggregate is
+partial-agg'd map-side. Dangling-mass redistribution is deliberately
+the simplified "ignore" variant — the full variant adds one scalar
+agg + broadcast per iteration, noted here rather than implemented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+ONE = 1_000_000_000_000  # rank 1.0 in scaled-int units
+ITERS = 3
+TOP_N = 100
+
+_GRAPH_SQL = """
+    e0 AS (
+      SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    v AS (
+      SELECT 2 * c_custkey AS node FROM customer
+      UNION ALL
+      SELECT 2 * s_suppkey + 1 AS node FROM supplier
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM sym GROUP BY src
+    )
+"""
+
+
+def _iter_sql(prev: str, cur: str) -> str:
+    """One oracle PageRank step: contributions along edges, floor-div
+    damping — mirrors the Spark step token for token."""
+    return f"""
+    i{cur} AS (
+      SELECT s.dst AS node,
+             CAST(SUM(r.rank_scaled // d.outdeg) AS BIGINT) AS inc
+      FROM sym s
+      JOIN r{prev} r ON s.src = r.node
+      JOIN deg d ON s.src = d.node
+      GROUP BY s.dst
+    ),
+    r{cur} AS (
+      SELECT v.node,
+             CAST({15 * ONE // 100} + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT)
+               AS rank_scaled
+      FROM v LEFT JOIN i{cur} i ON v.node = i.node
+    )
+    """
+
+
+def _oracle() -> str:
+    steps = ",".join(_iter_sql(str(i), str(i + 1)) for i in range(ITERS))
+    return f"""
+    WITH {_GRAPH_SQL},
+    r0 AS (SELECT node, CAST({ONE} AS BIGINT) AS rank_scaled FROM v),
+    {steps}
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           rank_scaled
+    FROM r{ITERS}
+    QUALIFY ROW_NUMBER() OVER (ORDER BY rank_scaled DESC, node) <= {TOP_N}
+    """
+
+
+@query(
+    "q_pagerank",
+    oracle=_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 nodes by 3-iteration PageRank (damping 0.85) on the
+    customer-supplier trade graph. Scaled-int ranks; two shuffles per
+    iteration (edge join + per-node agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Edge derivation (join+distinct) feeds every iteration — evaluate
+    # it once, not ITERS times (same rationale as graph.py).
+    sym = sym.localCheckpoint(eager=True)
+
+    vertices = (
+        c.select((F.col("c_custkey") * 2).alias("node"))
+        .unionAll(s.select((F.col("s_suppkey") * 2 + 1).alias("node")))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # Attach static out-degrees to the edge list once; iterations then
+    # only join ranks in.
+    edges = (
+        sym.join(deg, sym["src"] == deg["node"])
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = vertices.select("node", F.lit(ONE).cast("long").alias("rank_scaled"))
+    for _ in range(ITERS):
+        inc = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("rank_scaled div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = vertices.join(inc, vertices["node"] == inc["dst"], "left").select(
+            "node",
+            (
+                F.lit(15 * ONE // 100)
+                + F.expr("85 * coalesce(inc, 0L) div 100")
+            ).alias("rank_scaled"),
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_scaled").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_N)
+        .select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank_scaled",
+        )
+    )
