@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     scalars,
     scalars2,
     sinks,
+    sketches,
     sorts,
     tpch_more,
     tpch_rest,
