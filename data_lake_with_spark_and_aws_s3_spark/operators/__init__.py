@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     events,
     graph,
     joins,
+    layout,
     llm_pipeline,
     modern,
     multimodal,
