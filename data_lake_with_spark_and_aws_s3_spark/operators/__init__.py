@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     combined,
     dedup,
     events,
+    fuzzy,
     graph,
     joins,
     layout,

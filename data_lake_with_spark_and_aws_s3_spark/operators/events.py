@@ -286,3 +286,52 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev
+      FROM events
+    ),
+    counts AS (
+      SELECT prev AS prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+    FROM counts
+    """,
+    tags=("events", "product-analytics", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lag window -> bigram counts -> row-normalized transition
+    probability. One window shuffle on user_id, one agg on the (at
+    most |types|^2-row) bigram table; p is a single long/long division
+    (correctly rounded in both engines). Oracle orders by the
+    us-truncated timestamp so ns sub-ticks can't reorder ties
+    differently from Spark ([[oracle-exactness-playbook]])."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wp)).alias("p"),
+    )
