@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     pivots,
     relational,
     relational2,
+    sampling,
     scalars,
     scalars2,
     sinks,

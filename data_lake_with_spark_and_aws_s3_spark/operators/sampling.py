@@ -1,0 +1,108 @@
+"""Deterministic distributed sampling — the data-mixture tools an LLM
+curation pipeline runs before training: weighted reservoir sampling
+(Efraimidis–Spirakis A-ES, bottom-k over hash-derived exponential
+keys) and per-stratum variable-rate Bernoulli sampling.
+
+Determinism is the design constraint (same reasoning as
+llm_pipeline.py's hash split): `rand()` is neither reproducible
+across retries nor expressible in an oracle, so uniforms come from
+md5(doc_id) — u = (first-8-hex-digits + 1) / (2^32 + 1) in (0, 1) —
+making every sample a pure function of the data
+([[oracle-exactness-playbook]] hex-digit trick).
+
+A-ES: item i gets key ln(u_i) / w_i and the k LARGEST keys win —
+one map-only projection plus a top-k (TakeOrderedAndProject-shaped,
+no global sort), so the 100 TB cost is a scan. P(selected) is
+proportional-ish to weight w_i = n_chars: big documents win more
+slots. ln() is libm in both engines (not guaranteed correctly
+rounded), so the float key itself is NOT in the output — only the
+selected membership, which flips only if two keys collide within an
+ulp AT the k-boundary; parity at the driver's scale proves the
+dataset is nowhere near that. The tie-break (doc_id) is exact.
+
+Bernoulli-per-stratum: language-dependent rates (en downsampled 10%,
+the rest 25%) via md5-bucket < threshold — the "rebalance the corpus
+mixture" op. Map-only, zero shuffle; the oracle is the same
+predicate verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+from .llm_pipeline import _hex_val_sql
+
+K = 50
+DENOM = float(2**32 + 1)
+RATES = {"en": 100, "_": 250}  # per-mille thresholds
+
+
+def _u_sql(id_expr: str, salt: str, concat: str) -> str:
+    """Uniform in (0,1) from md5 — `concat` switches dialect syntax."""
+    if concat == "spark":
+        h = f"md5(concat(cast({id_expr} as string), '{salt}'))"
+    else:
+        h = f"md5(CAST({id_expr} AS VARCHAR) || '{salt}')"
+    return f"(({_hex_val_sql(h, 8)}) + 1.0) / {DENOM!r}"
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln({_u_sql("doc_id", "#w", "duck")}) / greatest(n_chars, 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM keyed
+    QUALIFY ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) <= {K}
+    """,
+    tags=("sampling", "weighted", "llm-pipeline"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 weighted sample (weight = n_chars) via A-ES exponential
+    keys. The key column is deliberately NOT emitted (libm float);
+    membership + exact columns only."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.expr(f"ln({_u_sql('doc_id', '#w', 'spark')})")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("k"),
+    )
+    w = Window.orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ({_hex_val_sql("md5(CAST(doc_id AS VARCHAR) || '#s')")}) % 1000
+          < CASE WHEN lang = 'en' THEN {RATES["en"]} ELSE {RATES["_"]} END
+    """,
+    tags=("sampling", "stratified", "llm-pipeline"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-rate Bernoulli sample per language stratum: en kept at
+    10%, every other language at 25% — the corpus-mixture rebalance.
+    Pure filter, no shuffle; reproducible under retries because the
+    coin is md5(doc_id), not rand()."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_hex_val_sql("md5(concat(cast(doc_id as string), '#s'))")) % 1000
+    thresh = F.when(F.col("lang") == "en", F.lit(RATES["en"])).otherwise(
+        F.lit(RATES["_"])
+    )
+    return d.filter(bucket < thresh).select("doc_id", "lang", "n_chars")
