@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     neardup,
     pagerank,
     pivots,
+    quality,
     relational,
     relational2,
     sampling,

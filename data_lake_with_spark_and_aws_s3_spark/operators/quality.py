@@ -1,0 +1,195 @@
+"""Data-quality operators: column profiling and declarative constraint
+checks (the Deequ/"expectations" family) plus incremental
+materialized-view maintenance — the governance layer a 100 TB lake
+runs nightly, expressed as single-pass aggregates.
+
+Profiling: one scan of orders computes null counts, distinct counts,
+and min/max per profiled column; the per-column rows come from
+unpivoting AFTER aggregation (aggregate first into one wide row, then
+stack k columns into k rows), so the table is read ONCE and the
+unpivot touches k rows, not n. Everything is count/min/max — exact,
+order-independent, cross-engine identical.
+
+Constraints: primary-key uniqueness, non-null, foreign-key coverage,
+and domain checks — each a boolean derived from counts in the same
+style. The output row is the "quality report" a pipeline gates on.
+
+MV maintenance: the partial-aggregate merge identity
+  agg(base UNION delta) == merge(agg(base), agg(delta))
+for sum/count (and any commutative monoid). The query splits orders
+at a date cutoff into a "yesterday's MV" half and a "new data" half,
+aggregates each independently, merges with a second aggregate over
+the union of partials, and the oracle computes the full aggregate
+directly — parity IS the correctness proof of the maintenance
+identity. At 100 TB this is the difference between re-scanning the
+table nightly and touching only the new partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+_MV_CUTOFF = "1999-01-01"
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("quality", "profiling"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of orders. One wide aggregate row ->
+    unpivoted to one row per column; numeric min/max rendered through
+    the same VARCHAR cast the oracle uses (DuckDB and Spark print
+    doubles/longs identically for these exact values — asserted by
+    parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) "
+        "AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+    )
+
+
+@query(
+    "q_dq_constraints",
+    oracle=f"""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+      (SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders) AS pk_unique,
+      (SELECT COUNT(*) - COUNT(o_custkey) FROM orders) = 0 AS custkey_complete,
+      CAST((SELECT COUNT(*) FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) AS BIGINT) AS fk_orphans,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_totalprice <= 0 OR o_totalprice > 1000000) = 0 AS price_in_range,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0 AS status_in_domain
+    """,
+    tags=("quality", "constraints"),
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint report over orders: PK uniqueness,
+    completeness, FK coverage against customer (broadcast anti-join),
+    numeric range and categorical domain checks. Each check reduces to
+    counts in one pass + one tiny join; the single output row is what
+    a pipeline's quality gate asserts on."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    orphans = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    checks = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) == F.countDistinct("o_orderkey")).alias("pk_unique"),
+        ((F.count(F.lit(1)) - F.count("o_custkey")) == 0).alias("custkey_complete"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1_000_000),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("price_in_range"),
+        (
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("status_in_domain"),
+    )
+    return checks.crossJoin(orphans).select(
+        "n_rows", "pk_unique", "custkey_complete", "fk_orphans",
+        "price_in_range", "status_in_domain",
+    )
+
+
+@query(
+    "q_mv_incremental",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "materialized-view", "incremental"),
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance: base (before {_MV_CUTOFF}) and
+    delta (after) are aggregated INDEPENDENTLY, then their partials
+    merge with a second aggregate — sum-of-sums, sum-of-counts. The
+    oracle aggregates the full table directly, so parity proves the
+    merge identity. Decimal sums keep the merge exact regardless of
+    partial order ([[oracle-exactness-playbook]])."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(F.col("o_totalprice").cast("decimal(19,2)")).alias("ps"),
+        )
+
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("yr", "status")
+        .agg(
+            F.sum("pc").alias("n_orders"),
+            F.sum("ps").cast("decimal(38,2)").cast("double").alias("revenue"),
+        )
+    )

@@ -183,6 +183,7 @@ _NLJ_ALLOWED = {
     "q_mixture_sample",     # broadcast 1-row corpus total
     "q11_important_parts",  # broadcast 1-row grand total
     "q22_idle_customers",   # broadcast 1-row global average
+    "q_dq_constraints",     # 1-row checks x 1-row orphan count stitch
     "q_cosine_topk",        # broadcast query batch (documented exactness baseline)
     "q_ann_ivf",            # broadcast query batch x tiny codebook
     "q_ann_ivf_kmeans",     # broadcast query batch x tiny codebook
