@@ -320,3 +320,48 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+@query(
+    "q_substring_containment",
+    oracle="""
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id, a.lang,
+           CAST(len(a.text) AS BIGINT) AS contained_chars,
+           CAST(len(b.text) AS BIGINT) AS container_chars
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND len(a.text) < len(b.text)
+     AND contains(b.text, a.text)
+    """,
+    tags=("dedup", "containment", "llm-pipeline"),
+)
+def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup: documents whose ENTIRE text occurs
+    inside a strictly longer same-language document — the "quoted in
+    full / scraped twice with boilerplate" case exact dedup
+    (dedup.py) can't see and token-set Jaccard underweights. The join
+    is an equi-join on the lang block with the containment predicate
+    evaluated post-join (SortMergeJoin, not a nested loop); per-block
+    it is quadratic in documents — the same honesty as the exact
+    Jaccard baseline above, with MinHash-LSH as the unbounded-block
+    strategy. Strict length inequality leaves exact duplicates to
+    q_dedup_md5."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.length("a.text") < F.length("b.text"))
+            & F.col("b.text").contains(F.col("a.text")),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+            F.col("a.lang").alias("lang"),
+            F.length("a.text").cast("long").alias("contained_chars"),
+            F.length("b.text").cast("long").alias("container_chars"),
+        )
+    )
