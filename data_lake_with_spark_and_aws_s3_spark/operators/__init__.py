@@ -13,6 +13,7 @@ Each module maps to a SURVEY.md §2 family:
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     cdc,
     clustering,
     combined,
@@ -37,6 +38,7 @@ from . import (  # noqa: F401
     sinks,
     sketches,
     sorts,
+    timeseries,
     tpch_more,
     tpch_rest,
     tpch_subqueries,

@@ -140,3 +140,43 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+_FH_DIM = 64  # hashing-trick feature dimension
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    )
+    SELECT doc_id,
+           ({_hex_val_sql("md5(tok)")}) % {_FH_DIM} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY 1, 2
+    """,
+    tags=("sketch", "feature-hashing", "llm-pipeline"),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens hash into a fixed
+    {_FH_DIM}-dimensional space (md5 -> first 4 hex digits -> mod), term
+    frequencies per (doc, bucket). The sparse long-form output is the
+    join-friendly layout (a dense vector column would be banned by the
+    driver's canonicalizer anyway); collisions are the accepted price
+    of a vocabulary-free, single-pass, bounded-width encoding — the
+    standard trick when a 100 TB corpus's vocabulary won't fit a
+    broadcast dictionary. Plan: explode -> project (codegen md5) ->
+    one hash aggregate; output <= |docs| x dim rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = f"({_hex_val_sql('md5(tok)')}) % {_FH_DIM}"
+    return (
+        toks.select("doc_id", F.expr(bucket).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

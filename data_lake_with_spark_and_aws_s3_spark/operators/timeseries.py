@@ -1,0 +1,185 @@
+"""Time-series operators over `events`: grid resampling with
+gap-filling (LOCF) and interval-overlap union — the hypertable-style
+rollups a metrics/observability workload runs constantly
+(TimescaleDB's `time_bucket_gapfill` + `locf`, SQL:2016 row-pattern
+"busy time" unions).
+
+Scale posture (100 TB):
+- Gap-fill is agg -> per-key span -> `sequence` explode -> left join
+  -> per-key window. Every stage is keyed by user_id, so all shuffles
+  hash on the same key and AQE coalesces; the generated grid is
+  |keys| x |buckets|, produced executor-side by `sequence` (never a
+  driver loop). A pathological key spanning years materializes its
+  own grid rows only — no cross-key blowup.
+- Interval union is the classic sweep: one hash shuffle on user_id,
+  then sort-within-partition windows (running max end, island sum) —
+  O(n log n) per key, no self-join. The quadratic interval-overlap
+  join this replaces is the plan that dies at 100x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, money_sum
+from ..registry import query
+from ..sources.loader import load_table
+
+_BUCKET_US = 21_600_000_000  # 6 hours
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(19,2)) AS v
+      FROM events
+    ), actual AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // {_BUCKET_US}) * {_BUCKET_US})
+               AS bucket_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM e GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+      FROM actual GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket_start
+      FROM span
+    )
+    SELECT g.user_id, g.bucket_start,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           last_value(a.sum_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.bucket_start
+                   ROWS UNBOUNDED PRECEDING) AS sum_value_locf,
+           a.n_events IS NULL AS is_gap
+    FROM grid g LEFT JOIN actual a USING (user_id, bucket_start)
+    """,
+    tags=("timeseries", "gap-fill", "locf", "resample"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense 6-hour grid per user (from each
+    user's first to last bucket) and forward-fill the value sum into
+    empty buckets (LOCF). `sequence()` generates the grid
+    executor-side; the first grid bucket is always an actual bucket,
+    so the LOCF window never emits NULL. `is_gap` marks filled rows so
+    downstream consumers can tell carried values from observed ones."""
+    e = load_table(spark, sf_dir, "events")
+    actual = (
+        e.groupBy("user_id", F.window("ts", "6 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("window.start").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    grid = (
+        actual.groupBy("user_id")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 6 hours)")).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(actual, ["user_id", "bucket_start"], "left").select(
+        "user_id",
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "q_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP)
+               + to_minutes(CAST(event_id % 45 + 5 AS BIGINT)) AS en
+      FROM events
+    ), m AS (
+      SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max_end
+      FROM iv
+    ), f AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR s > prev_max_end
+                     THEN 1 ELSE 0 END AS new_island
+      FROM m
+    ), n AS (
+      SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS busy_seq,
+           MIN(s) AS busy_start, MAX(en) AS busy_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(epoch_us(MAX(en)) - epoch_us(MIN(s)) AS BIGINT) AS busy_us
+    FROM n GROUP BY user_id, island
+    """,
+    tags=("timeseries", "interval-union", "gaps-and-islands"),
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping per-user intervals (sweep-line): each event
+    opens an interval [ts, ts + (event_id % 45 + 5) minutes]; touching
+    or overlapping intervals merge into one busy period. A row starts a
+    new island iff its start exceeds the running max end of all earlier
+    intervals — running max + island sum, both single-pass windows on
+    one user_id shuffle. Durations are exact integer microseconds."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(event_id % 45 + 5 AS INT), ts)"
+        ).alias("en"),
+    )
+    order = [F.col("s"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn("prev_max_end", F.max("en").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_end").isNull() | (F.col("s") > F.col("prev_max_end")), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("busy_start"),
+        F.max("en").alias("busy_end"),
+        F.count(F.lit(1)).alias("n_merged"),
+        (F.unix_micros(F.max("en")) - F.unix_micros(F.min("s"))).alias("busy_us"),
+    ).select(
+        "user_id",
+        F.col("island").alias("busy_seq"),
+        "busy_start",
+        "busy_end",
+        "n_merged",
+        "busy_us",
+    )
