@@ -12,6 +12,7 @@ Each module maps to a SURVEY.md §2 family:
 """
 
 from . import (  # noqa: F401
+    affinity,
     aggregates,
     analytics,
     cdc,

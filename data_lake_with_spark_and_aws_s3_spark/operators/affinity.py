@@ -1,0 +1,271 @@
+"""Affinity analytics: market-basket co-occurrence lift, RFM customer
+segmentation, and triangle counting on the co-purchase graph.
+
+Scale posture (100 TB):
+- Lift restricts the vocabulary to the top-K document-frequency tokens
+  FIRST (broadcast of K rows), so the per-doc pair explosion is
+  bounded by K^2/2 regardless of corpus size; the pair aggregate is
+  one hash shuffle. Log-free lift (a ratio of exact integer counts in
+  one double division) keeps cross-engine parity — ln() is libm- and
+  engine-dependent, a deliberate avoidance (see q_token_rarity).
+- RFM reduces orders to one row per customer before any window; the
+  ntile windows are global single-partition by definition — fine on
+  |customers| post-agg rows here, and the documented 100 TB variant is
+  approx-quantile cutoffs broadcast as literals (no global sort).
+- Triangle counting orders every edge (a < b) so each triangle is
+  counted exactly once as x<y<z; the wedge join's fan-out is
+  sum(deg^2), the known cost of exact triangle enumeration — at true
+  graph scale you'd pre-prune by degeneracy ordering (noted in
+  docstring). All joins are equi-joins on vertex keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, money_sum
+from ..registry import query
+from ..sources.loader import load_table
+
+_VOCAB_K = 100  # lift vocabulary: top-K tokens by document frequency
+_TOP_PAIRS = 50
+
+
+_LIFT_ORACLE = f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs_tok
+      FROM dt GROUP BY tok
+      QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) <= {_VOCAB_K}
+    ), vt AS (
+      SELECT dt.doc_id, dt.tok, df.n_docs_tok
+      FROM dt JOIN df USING (tok)
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    ), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt)
+    SELECT tok_a, tok_b, n_ab,
+           da.n_docs_tok AS n_a, db.n_docs_tok AS n_b,
+           CAST(n_ab * n.n_docs AS DOUBLE)
+             / CAST(da.n_docs_tok * db.n_docs_tok AS DOUBLE) AS lift
+    FROM pairs
+    JOIN df da ON da.tok = pairs.tok_a
+    JOIN df db ON db.tok = pairs.tok_b
+    CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (ORDER BY lift DESC, tok_a, tok_b) <= {_TOP_PAIRS}
+"""
+
+
+@query(
+    "q_token_lift",
+    oracle=_LIFT_ORACLE,
+    tags=("affinity", "market-basket", "pmi", "llm-pipeline"),
+)
+def q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (log-free PMI): for the top-{_VOCAB_K}
+    document-frequency tokens, lift(a,b) = P(a,b)/(P(a)P(b)) =
+    n_ab * n_docs / (n_a * n_b) over document co-occurrence. Integer
+    numerator/denominator products are exact; one double division.
+    Top {_TOP_PAIRS} pairs by (lift DESC, tok_a, tok_b) — fully
+    tie-broken ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    w_df = Window.orderBy(F.col("n_docs_tok").desc(), F.col("tok"))
+    df_top = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_docs_tok"))
+        .withColumn("rn", F.row_number().over(w_df))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .drop("rn")
+    )
+    vt = dt.join(F.broadcast(df_top), "tok")
+    a = vt.select(
+        F.col("doc_id"), F.col("tok").alias("tok_a"), F.col("n_docs_tok").alias("n_a")
+    )
+    b = vt.select(
+        F.col("doc_id"), F.col("tok").alias("tok_b"), F.col("n_docs_tok").alias("n_b")
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_docs = dt.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_PAIRS)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)))
+                  AS DECIMAL(38,2)) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT)
+             AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT)
+             AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+             AS m_quartile
+    FROM base
+    """,
+    tags=("affinity", "rfm", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (last order date),
+    frequency (order count), monetary (exact decimal revenue), each
+    scored into quartiles (1 = best) by fully tie-broken ntile. The
+    windows are global but run on per-customer aggregates (orders
+    already reduced ~10:1); the 100 TB variant replaces ntile with
+    approxQuantile cutoffs broadcast as literals."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        money_sum(dec("o_totalprice"), "monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), "custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "custkey")
+    return base.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+
+
+_TRI_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+      SELECT DISTINCT pa, pb FROM pairs
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT pa AS v FROM edges UNION ALL SELECT pb AS v FROM edges
+      ) GROUP BY v
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_triangles,
+           CAST(3 * tri.n_triangles AS DOUBLE) / CAST(agg.n_wedges AS DOUBLE)
+             AS clustering_coeff
+    FROM agg, ne, tri
+"""
+
+
+@query(
+    "q_copurchase_triangles",
+    oracle=_TRI_ORACLE,
+    tags=("affinity", "graph", "triangles"),
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (edge = two parts in one order). Every edge
+    is stored once as (pa < pb), so each triangle x<y<z is enumerated
+    exactly once via (x,y)+(y,z) closed by (x,z). Wedge count is
+    sum C(deg,2) with exact integer arithmetic; the coefficient is one
+    double division. The wedge join costs sum(deg^2) — the known price
+    of exact enumeration; at graph scale, degeneracy-order the edges
+    (orient from lower- to higher-degree endpoint) to cap the fan-out
+    before this join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        # edges feeds FIVE plan branches (deg, edge count, e1/e2/e3);
+        # without materialization Spark recomputes the lineitem
+        # self-join + distinct for each — localCheckpoint (same
+        # convention as graph.py) computes it once and truncates
+        # lineage. |edges| << |lineitem|, safe to hold.
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        agg.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
