@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     events,
     fuzzy,
     graph,
+    insights,
     joins,
     layout,
     llm_pipeline,

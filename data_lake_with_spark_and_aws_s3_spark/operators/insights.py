@@ -1,0 +1,231 @@
+"""Behavioral-insight operators over `events`: multi-touch
+attribution, z-score anomaly flagging from exact integer moments, and
+partial-aggregate re-merge (the lambda-architecture rollup).
+
+Scale posture (100 TB):
+- Attribution is an equi-join on user_id with a time-range predicate
+  — per-user blocks only, never cross-user; credit is emitted at pair
+  grain with exact integer numerator/denominator (a SUM of 1/n
+  doubles would be order-dependent; downstream can aggregate the
+  rationals exactly).
+- Anomaly detection computes (n, sum, sum-of-squares) as exact BIGINT
+  cents in ONE hash aggregate, then derives mean/std/z with
+  deterministic IEEE double steps — no builtin stddev (its merge
+  order varies), no second pass over the data for the mean.
+- Re-aggregation merges daily partial states (count/sum/min/max) into
+  monthly finals — sums of sums, min of mins — demonstrating that
+  every aggregate here is decomposable; at 100 TB this is the
+  pre-aggregation pipeline pattern (store partials, merge on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+@query(
+    "q_attribution_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ), conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM e WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type
+      FROM e WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT c.conv_id, c.user_id, t.touch_id, t.event_type AS channel,
+             c.conv_ts, t.touch_ts
+      FROM conv c
+      JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts < c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    )
+    SELECT conv_id, user_id, touch_id, channel,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS touch_pos,
+           CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
+           ROW_NUMBER() OVER w = 1 AS is_first_touch,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts DESC, touch_id DESC) = 1
+             AS is_last_touch,
+           CAST(1 AS DOUBLE)
+             / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE)
+             AS linear_credit
+    FROM pairs
+    WINDOW w AS (PARTITION BY conv_id ORDER BY touch_ts, touch_id)
+    """,
+    tags=("insights", "attribution", "events"),
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every view/click in the 7 days before
+    a purchase by the same user is a touch; emits first/last-touch
+    flags and linear credit 1/n per touch. Credit stays at pair grain
+    as one division of exact counts — summing 1/n doubles across
+    conversions would be order-dependent, so channel rollups should
+    aggregate (1, n_touches) rationals instead. The join is user-keyed
+    with a range predicate evaluated inside each user block."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("conv_ts")
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w_fwd = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_rev = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    w_all = Window.partitionBy("conv_id")
+    return pairs.select(
+        "conv_id",
+        "user_id",
+        "touch_id",
+        "channel",
+        F.row_number().over(w_fwd).cast("long").alias("touch_pos"),
+        F.count(F.lit(1)).over(w_all).alias("n_touches"),
+        (F.row_number().over(w_fwd) == 1).alias("is_first_touch"),
+        (F.row_number().over(w_rev) == 1).alias("is_last_touch"),
+        (
+            F.lit(1).cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        ).alias("linear_credit"),
+    )
+
+
+@query(
+    "q_zscore_anomalies",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, {_CENTS} AS cents FROM events
+    ), stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) AS BIGINT) AS s2
+      FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.user_id, v.cents,
+           CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean_cents,
+           sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                / CAST(s.n * (s.n - 1) AS DOUBLE)) AS std_cents,
+           (CAST(v.cents AS DOUBLE)
+              - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                    / CAST(s.n * (s.n - 1) AS DOUBLE)) AS z
+    FROM v JOIN stats s USING (user_id)
+    WHERE abs((CAST(v.cents AS DOUBLE)
+               - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+              / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+                     / CAST(s.n * (s.n - 1) AS DOUBLE))) >= 2.5
+    """,
+    tags=("insights", "anomaly", "zscore"),
+)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (|z| >= 2.5) over event values in
+    exact integer cents. The sample variance comes from integer
+    moments — var = (n*s2 - s1^2) / (n*(n-1)) with BIGINT numerator
+    and denominator computed exactly, then ONE double division, one
+    sqrt (correctly rounded per IEEE), and deterministic double
+    arithmetic for z. Builtin stddev is avoided: its partial-merge
+    order varies run to run. One aggregate + one user-keyed join."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", "user_id", F.expr(_CENTS).alias("cents"))
+    stats = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    std = F.sqrt(var)
+    z = (F.col("cents").cast("double") - mean) / std
+    return (
+        v.join(stats, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            mean.alias("mean_cents"),
+            std.alias("std_cents"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )
+
+
+@query(
+    "q_reaggregate_partials",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents,
+             CAST(MIN({_CENTS}) AS BIGINT) AS min_cents,
+             CAST(MAX({_CENTS}) AS BIGINT) AS max_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month, event_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(SUM(sum_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(min_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(max_cents) AS BIGINT) AS max_cents,
+           CAST(SUM(sum_cents) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS avg_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_partials_merged
+    FROM daily GROUP BY 1, 2
+    """,
+    tags=("insights", "reaggregation", "partial-state"),
+)
+def q_reaggregate_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture rollup: daily partial aggregate states
+    (count / sum / min / max in exact cents) merged into monthly
+    finals — sum of sums, min of mins, max of maxes, and the exact
+    average derived from merged sums at the end. Every statistic here
+    is decomposable, which is precisely what makes store-the-partials
+    pre-aggregation work at 100 TB; the second aggregate's input is
+    |days| x |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr(_CENTS)
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "day").alias("month"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("sum_cents").alias("total_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+        (F.sum("sum_cents").cast("double") / F.sum("cnt").cast("double")).alias(
+            "avg_cents"
+        ),
+        F.count(F.lit(1)).alias("n_partials_merged"),
+    )

@@ -106,3 +106,72 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(RATES["_"])
     )
     return d.filter(bucket < thresh).select("doc_id", "lang", "n_chars")
+
+
+_NEG_K = 4
+_ANCHOR_MOD = 29
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id % {_ANCHOR_MOD} = 0
+    ), cand AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id,
+             e.label AS neg_label,
+             md5(CAST(a.anchor_id AS VARCHAR) || '#'
+                 || CAST(e.vec_id AS VARCHAR)) AS h
+      FROM anchors a
+      JOIN embeddings e ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label,
+           CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY h, neg_id) AS BIGINT) AS neg_rank
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY h, neg_id)
+            <= {_NEG_K}
+    """,
+    tags=("sampling", "negative-sampling", "llm-pipeline"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor vector (vec_id % {_ANCHOR_MOD} == 0), pick the
+    {_NEG_K} pseudo-random different-label vectors ranked by
+    md5(anchor_id # cand_id) — the sample is a pure function of the
+    data (same rationale as the A-ES sampler above), reproducible
+    across retries and engines. The candidate join is
+    anchors x corpus, bounded by the anchor subsample; at true scale
+    you'd first LSH-bucket candidates per anchor instead of ranking
+    the full corpus (the md5 ranking is then applied within the
+    bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % _ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cand = (
+        F.broadcast(anchors)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+            ),
+            F.col("neg_label") != F.col("anchor_label"),
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("#"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "neg_rank")
+    )
