@@ -177,6 +177,70 @@ def test_lateral_topk_decorrelates(spark):
 # 1-row scalar broadcasts (watermark threshold, grand total, global avg),
 # the deliberately guarded tiny cross join, and the broadcast
 # query-batch x corpus scoring that the similarity operators document.
+def test_interval_union_single_exchange(spark):
+    """Sweep-line interval union: one user_id shuffle feeds both
+    windows AND the island aggregate — zero extra exchanges."""
+    df = REGISTRY["q_interval_union"].fn(spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_gap_fill_keyed_plan(spark):
+    """Grid generation must be executor-side (Generate/sequence), and
+    both aggregates hash on user_id — no cartesian grid build."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_gap_fill"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Generate" in plan and "sequence(" in plan, "grid must come from sequence()"
+    assert "CartesianProduct" not in plan
+    # span agg shuffle + actuals agg shuffle + actuals broadcast back
+    # onto the grid (counted: count_exchanges includes BroadcastExchange)
+    assert count_exchanges(df) == 3
+    assert has_broadcast_join(df)
+
+
+def test_skyline_preaggregates_before_window(spark):
+    """The global sweep window must consume the distinct-pair
+    aggregate, not raw parts: pair agg exchange + single-partition
+    sort exchange only."""
+    df = REGISTRY["q_skyline"].fn(spark, SF)
+    assert count_exchanges(df) == 2
+
+
+def test_triangles_materialize_edges_once(spark):
+    """Edges feed five plan branches; localCheckpoint must prevent the
+    lineitem self-join from re-running — the final plan re-reads the
+    checkpointed edge set, never the parquet."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_copurchase_triangles"].fn(spark, SF)
+    plan = formatted_plan(df)
+    parquet_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    )
+    assert parquet_scans == 0, "triangle plan rescans parquet (edges recomputed)"
+    assert "Scan ExistingRDD" in plan  # all branches read the checkpointed edges
+
+
+def test_zscore_broadcasts_stats(spark):
+    """Per-user stats (150 rows at sf0.01) must broadcast back onto
+    events — a shuffled join would re-shuffle the fact table."""
+    df = REGISTRY["q_zscore_anomalies"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_attribution_equijoins_on_user(spark):
+    """The touch-window join has a user_id equi component; the range
+    predicate must ride on it, never a nested loop."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_attribution_touch"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 _NLJ_ALLOWED = {
     "q_late_data_filter",   # broadcast 1-row max-ts watermark scalar
     "q_cross_join",         # guarded 5x3 demonstration
@@ -187,6 +251,9 @@ _NLJ_ALLOWED = {
     "q_cosine_topk",        # broadcast query batch (documented exactness baseline)
     "q_ann_ivf",            # broadcast query batch x tiny codebook
     "q_ann_ivf_kmeans",     # broadcast query batch x tiny codebook
+    "q_token_lift",         # broadcast 1-row corpus doc count
+    "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
+    "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demo.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf"}
