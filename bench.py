@@ -45,6 +45,9 @@ EXTENDED = [
     "q9_product_profit",
     "q18_large_volume_customers",
     "q_kmeans_lloyd",
+    # round 2, session 3: time-series sweeps (window-heavy shapes)
+    "q_gap_fill",
+    "q_interval_union",
 ]
 
 
