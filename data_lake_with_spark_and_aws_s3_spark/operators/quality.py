@@ -193,3 +193,76 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps").cast("decimal(38,2)").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents
+    ), cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN r = (5 * n + 99) // 100 THEN n_chars END) AS p05,
+             MIN(CASE WHEN r = (95 * n + 99) // 100 THEN n_chars END) AS p95
+      FROM ranked GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+           c.p05, c.p95,
+           CAST(least(greatest(d.n_chars, c.p05), c.p95) AS BIGINT) AS w_chars,
+           d.n_chars < c.p05 AS clipped_low,
+           d.n_chars > c.p95 AS clipped_high
+    FROM documents d JOIN cuts c USING (lang)
+    """,
+    tags=("quality", "winsorize", "robust-stats", "llm-pipeline"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each document's length at its language's
+    exact [p05, p95] percentiles (percentile_disc semantics — the
+    value at rank ceil(q*n), computed with INTEGER ceiling arithmetic
+    (q*n + 99) div 100 so both engines pick the identical rank; no
+    float percentile estimation anywhere). The cutoffs reduce to
+    |langs| rows and broadcast back onto the corpus — the standard
+    outlier-robust preprocessing gate before length-sensitive
+    training-data statistics."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w_rank = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_all = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("r") == F.expr("(5 * n + 99) div 100"), F.col("n_chars")
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("r") == F.expr("(95 * n + 99) div 100"), F.col("n_chars")
+            )
+        ).alias("p95"),
+    )
+    return d.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")).alias(
+            "w_chars"
+        ),
+        (F.col("n_chars") < F.col("p05")).alias("clipped_low"),
+        (F.col("n_chars") > F.col("p95")).alias("clipped_high"),
+    )

@@ -1,0 +1,89 @@
+"""Oracle-independent invariants for the sweep/percentile operators:
+the DuckDB oracle proves cross-engine agreement; these prove the
+SEMANTICS are right even if both engines agreed on a wrong answer —
+structural properties that must hold for any input."""
+
+from __future__ import annotations
+
+from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_interval_union_islands_disjoint_and_complete(spark):
+    out = REGISTRY["q_interval_union"].fn(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    # islands cover every event exactly once
+    assert out["n_merged"].sum() == len(ev)
+    # durations are consistent and at least the 5-minute minimum interval
+    us = (out["busy_end"] - out["busy_start"]).dt.total_seconds() * 1_000_000
+    assert (us.round().astype("int64") == out["busy_us"]).all()
+    assert (out["busy_us"] >= 5 * 60 * 1_000_000).all()
+    # per user, islands ordered by start never overlap (strictly after)
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("busy_start")
+        prev_end = g["busy_end"].shift(1)
+        ok = g["busy_start"].iloc[1:] > prev_end.iloc[1:]
+        assert ok.all(), f"overlapping islands for user {g['user_id'].iloc[0]}"
+
+
+def test_skyline_mutual_nondominance_and_coverage(spark):
+    sky = REGISTRY["q_skyline"].fn(spark, SF).toPandas()
+    parts = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    pairs = parts[["p_retailprice", "p_size"]].drop_duplicates()
+    sp = list(zip(sky["p_retailprice"], sky["p_size"]))
+    # no skyline point dominates another
+    for pa, sa in sp:
+        for pb, sb in sp:
+            if (pa, sa) != (pb, sb):
+                assert not (pb <= pa and sb >= sa and (pb < pa or sb > sa))
+    # every distinct pair is equalled-or-dominated by some skyline point
+    for _, row in pairs.iterrows():
+        p, s = row["p_retailprice"], row["p_size"]
+        assert any(pb <= p and sb >= s for pb, sb in sp), f"uncovered pair {(p, s)}"
+
+
+def test_gap_fill_grid_contiguous_and_locf_correct(spark):
+    out = REGISTRY["q_gap_fill"].fn(spark, SF).toPandas()
+    step = 6 * 3600 * 1_000_000_000  # 6h in ns
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("bucket_start").reset_index(drop=True)
+        diffs = g["bucket_start"].diff().dropna().dt.total_seconds() * 1e9
+        assert (diffs == step).all(), f"grid not contiguous for user {uid}"
+        # first bucket is observed, gaps carry the last observed value
+        assert not g["is_gap"].iloc[0]
+        last = None
+        for _, r in g.iterrows():
+            if r["is_gap"]:
+                assert r["n_events"] == 0
+                assert r["sum_value_locf"] == last
+            else:
+                assert r["n_events"] > 0
+                last = r["sum_value_locf"]
+
+
+def test_winsorize_bounds_and_clip_rates(spark):
+    out = REGISTRY["q_winsorize"].fn(spark, SF).toPandas()
+    assert ((out["w_chars"] >= out["p05"]) & (out["w_chars"] <= out["p95"])).all()
+    inside = ~(out["clipped_low"] | out["clipped_high"])
+    assert (out.loc[inside, "w_chars"] == out.loc[inside, "n_chars"]).all()
+    for lang, g in out.groupby("lang"):
+        n = len(g)
+        # rank-based cut: strictly-below-p05 rows are < 5% of the group
+        # (the value AT the cutoff rank is never clipped)
+        assert g["clipped_low"].sum() < 0.05 * n + 1, lang
+        assert g["clipped_high"].sum() <= 0.05 * n + 1, lang
+
+
+def test_attribution_credit_sums_and_touch_flags(spark):
+    out = REGISTRY["q_attribution_touch"].fn(spark, SF).toPandas()
+    g = out.groupby("conv_id")
+    # exactly one first and one last touch per conversion
+    assert (g["is_first_touch"].sum() == 1).all()
+    assert (g["is_last_touch"].sum() == 1).all()
+    # n_touches is the group size and linear credit is exactly 1/n
+    assert (g["touch_id"].count() == g["n_touches"].first()).all()
+    assert (out["linear_credit"] * out["n_touches"] == 1.0).all()
+    # touch positions are 1..n with no repeats
+    assert (g["touch_pos"].max() == g["n_touches"].first()).all()
+    assert (g["touch_pos"].nunique() == g["n_touches"].first()).all()
