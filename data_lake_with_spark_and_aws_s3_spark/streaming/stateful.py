@@ -126,3 +126,83 @@ def streaming_user_profiles_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful interval-union twin (batch form: operators/timeseries.py
+# q_interval_union). State per user = the MERGED busy intervals so far,
+# held as parallel arrays (starts/ends in epoch-µs, per-island event
+# counts). Each micro-batch merges its new intervals into that state
+# with the same sweep the batch operator runs, so out-of-order arrival
+# across batches is handled by construction — merging is associative
+# and commutative over interval sets. Emission per batch is one
+# summary row per touched user; n_events grows monotonically, so the
+# final state is the emission with the max n_events (test contract,
+# same selection rule as the profile twin above).
+# ---------------------------------------------------------------------------
+
+IU_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_islands long, total_busy_us long"
+)
+IU_STATE_SCHEMA = "starts array<long>, ends array<long>, counts array<long>"
+_IU_MIN_US = 60_000_000  # one minute in µs
+
+
+def _merge_intervals(items: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+    """Sweep-merge (start_us, end_us, count) triples; touching
+    intervals (start == prev end) merge, same as the batch operator's
+    strict `start > prev_max_end` island rule."""
+    items.sort()
+    out: list[tuple[int, int, int]] = []
+    for s, e, c in items:
+        if out and s <= out[-1][1]:
+            ps, pe, pc = out[-1]
+            out[-1] = (ps, max(pe, e), pc + c)
+        else:
+            out.append((s, e, c))
+    return out
+
+
+def _update_busy_intervals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        starts, ends, counts = state.get
+        merged = list(zip(starts, ends, counts))
+    else:
+        merged = []
+    for pdf in pdfs:
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000
+        dur_us = (pdf["event_id"] % 45 + 5) * _IU_MIN_US
+        merged.extend(
+            (int(s), int(s + d), 1) for s, d in zip(ts_us, dur_us)
+        )
+    merged = _merge_intervals(merged)
+    state.update(
+        ([s for s, _, _ in merged], [e for _, e, _ in merged],
+         [c for _, _, c in merged])
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [sum(c for _, _, c in merged)],
+            "n_islands": [len(merged)],
+            "total_busy_us": [sum(e - s for s, e, _ in merged)],
+        }
+    )
+
+
+def streaming_interval_union(events: DataFrame) -> DataFrame:
+    """Incremental interval-overlap union (update mode): per user, the
+    merged busy periods evolve as events stream in. State size is
+    O(islands per user), not O(events) — merging compacts on every
+    batch, the property that keeps the state store bounded on an
+    unbounded stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_busy_intervals,
+        outputStructType=IU_OUTPUT_SCHEMA,
+        stateStructType=IU_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

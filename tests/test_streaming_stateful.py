@@ -94,3 +94,36 @@ def test_stateful_profiles_match_batch(spark):
         gn, gt = got[uid]
         assert gn == n, uid
         assert abs(gt - total) < 0.02, (uid, gt, total)  # float sum order differs
+
+
+def test_stateful_interval_union_matches_batch(spark):
+    """The incremental interval-union state machine must converge to
+    the batch sweep's islands: per user, same total event count,
+    island count, and total busy microseconds."""
+    from data_lake_with_spark_and_aws_s3_spark.streaming.stateful import (
+        streaming_interval_union,
+    )
+    from data_lake_with_spark_and_aws_s3_spark.registry import REGISTRY
+
+    out = streaming_interval_union(stream_events(spark, SF))
+    run_to_memory(out, "t_interval_union", output_mode="update")
+    got = {}
+    for r in spark.sql("SELECT * FROM t_interval_union").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["n_islands"], r["total_busy_us"])
+    batch = {
+        r["user_id"]: (r["n_events"], r["n_islands"], r["total_busy_us"])
+        for r in REGISTRY["q_interval_union"]
+        .fn(spark, SF)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_merged").alias("n_events"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("busy_us").alias("total_busy_us"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid in batch:
+        assert got[uid] == batch[uid], (uid, got[uid], batch[uid])
