@@ -37,26 +37,34 @@ TABLES = (
 )
 
 
-def _fix_events_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet INT64 TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong=true it reads as long nanos.
-    Convert to a microsecond timestamp with exact integer division
-    (`div`, not `/` — float division loses sub-µs precision at 1e18 ns).
-    DuckDB reads the same column natively as TIMESTAMP_NS; oracle SQL
-    must CAST(ts AS TIMESTAMP) so both sides truncate ns -> µs
-    identically.
+def normalize_timestamps(df: DataFrame, nanos_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize timestamp columns to session-UTC TIMESTAMP regardless
+    of how the driver generated the parquet (the generator has shipped
+    both encodings across rounds):
+
+    - INT64 TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong
+      =true it reads as long nanos -> exact integer division to µs
+      (`div`, not `/` — float division loses sub-µs precision at 1e18
+      ns), then timestamp_micros. Only applied to known-nanos columns
+      (`nanos_cols`) so genuine bigint columns are untouched.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which time functions like unix_micros reject ->
+      cast to TIMESTAMP. With spark.sql.session.timeZone=UTC the wall
+      clock is reinterpreted as the same UTC instant, matching DuckDB's
+      naive-timestamp read of the identical column bit-for-bit.
     """
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dt in df.dtypes:
+        if dt == "bigint" and col in nanos_cols:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)  # driver's session may lack the nanos flag
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _fix_events_ts(df)
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -22,17 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet on-disk schema under nanosAsLong (ts = INT64 nanos)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet on-disk schema, discovered per source file: the
+# driver generator has shipped ts as INT64 nanos (reads as bigint
+# under nanosAsLong) and as TIMESTAMP(MICROS, ntz) across rounds, and
+# readStream requires an explicit schema — so take it from a one-off
+# batch read of the same file and reuse the loader's normalization.
+_RAW_SCHEMA: dict[str, T.StructType] = {}
+
+
+def _events_raw_schema(spark: SparkSession, src: str) -> T.StructType:
+    if src not in _RAW_SCHEMA:
+        _RAW_SCHEMA[src] = spark.read.parquet(src).schema
+    return _RAW_SCHEMA[src]
 
 
 # staged symlink dirs, one per source file per process, removed at exit
@@ -65,17 +66,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..session import apply_runtime_confs
 
+    from ..sources.loader import normalize_timestamps
+
     apply_runtime_confs(spark)
     src = f"{sf_dir}/events.parquet"
+    schema = _events_raw_schema(spark, src)
     if os.path.isfile(src):
         src = _staged_dir(src)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("path", src)
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(raw)
 
 
 def streaming_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
