@@ -40,6 +40,7 @@ from . import (  # noqa: F401
     sinks,
     sketches,
     sorts,
+    stats,
     timeseries,
     tpch_more,
     tpch_rest,

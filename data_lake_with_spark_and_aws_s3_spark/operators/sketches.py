@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.loader import load_table
-from .llm_pipeline import _hex_val_sql
+from .llm_pipeline import _HEX, _hex_val_sql
 
 DEPTH = 4
 WIDTH = 256
@@ -179,4 +179,218 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.expr(bucket).alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# --- Mergeable Datasketches HLL rollup (SURVEY.md §2.4 approx family) --
+
+@query(
+    "q_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS direct_within_3pct,
+           TRUE AS merged_equals_direct
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "hll", "mergeable", "approx"),
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern:
+    build one Datasketches HLL per (event_type, week) partition cell
+    (hll_sketch_agg), then roll weeks up to event_type by UNIONING the
+    binary sketches (hll_union_agg), never re-touching the raw data.
+    At scale the weekly sketches are a few KB each and live in a
+    metadata table; re-aggregating a year costs 52 sketch merges per
+    key instead of a 100 TB scan.
+
+    Oracle design (exact-twin pattern, same as q_approx_distinct):
+    DuckDB cannot reproduce Datasketches register bytes, but both
+    contract booleans are deterministic — sketch updates are max-based
+    (order/partitioning independent), and at this cardinality (dozens
+    of users) the sketch is in exact sparse mode, so the merged
+    estimate must EQUAL the direct single-pass estimate and sit within
+    3% of truth. The raw estimates stay out of the hash."""
+    e = load_table(spark, sf_dir, "events")
+    per_week = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_week.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_direct").cast("double") - F.col("exact_users").cast("double"))
+            <= 0.03 * F.col("exact_users").cast("double")
+        ).alias("direct_within_3pct"),
+        (F.col("est_merged") == F.col("est_direct")).alias("merged_equals_direct"),
+    )
+
+
+# --- Hand-built distributed Bloom filter: semi-join reduction --------
+#
+# The pattern behind Spark's runtime row-level filtering (and every
+# engine's "bloom join"): reduce a big probe side by a compact bitmap
+# of the build side's keys BEFORE the real join/shuffle. Built here
+# from first principles so it is EXACTLY oracle-checkable: md5-derived
+# double hashing (Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m) into
+# an m=4096-bit filter materialized as 128 x 32-bit words via bit_or —
+# pure integer math both engines compute identically. (32-bit words,
+# not 64: DuckDB's checked BIGINT `<<` rejects 1 << 63, and keeping
+# the mask below 2^31 sidesteps sign games in both dialects.)
+#
+# Scale shape: the filter build is one hash aggregate collapsing to
+# 128 rows regardless of build-side size (partial bit_or map-side);
+# the probe is a broadcast join against those 128 rows — no shuffle of
+# the probe table. False positives are bounded (~83 build keys in 4096
+# bits at sf0.01 -> fp ~ 2e-4; ~880 keys at sf0.1 -> fp ~ 10%, an
+# honest picture of load-factor degradation) and quantified in the
+# output; false negatives are impossible (asserted as a column).
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+_HIVAL_THRESHOLD = 497_000.0  # o_totalprice filter defining the build side
+
+
+def _bloom_probe_sql(key: str, i: int, dialect: str) -> tuple[str, str]:
+    """(word_idx, mask) SQL for probe i of `key` — dialect in
+    {'spark','duck'}; only the bigint shift spelling differs."""
+    h = f"md5(CAST({key} AS {'STRING' if dialect == 'spark' else 'VARCHAR'}))"
+    h1 = _hex_val_sql(f"{h}", 4)
+    # digits 5..8 as the second, independent hash value
+    h2 = "CAST(0 AS BIGINT)"
+    for d in range(4, 8):
+        h2 = f"(({h2}) * 16 + instr('{_HEX}', substr({h}, {d + 1}, 1)) - 1)"
+    pos = f"(({h1}) + {i} * ({h2})) % {_BLOOM_BITS}"
+    word = f"CAST(({pos}) / 32 AS INT)"
+    bit = f"CAST(({pos}) % 32 AS INT)"
+    if dialect == "spark":
+        mask = f"shiftleft(CAST(1 AS BIGINT), {bit})"
+    else:
+        mask = f"(CAST(1 AS BIGINT) << ({bit}))"
+    return word, mask
+
+
+def _duck_bloom_oracle() -> str:
+    build_rows = "\n      UNION ALL\n      ".join(
+        "SELECT {w} AS word_idx, {m} AS mask FROM hi".format(
+            w=_bloom_probe_sql("o_custkey", i, "duck")[0],
+            m=_bloom_probe_sql("o_custkey", i, "duck")[1],
+        )
+        for i in range(_BLOOM_K)
+    )
+    probe_rows = "\n      UNION ALL\n      ".join(
+        "SELECT c_custkey, {w} AS word_idx, {m} AS mask FROM customer".format(
+            w=_bloom_probe_sql("c_custkey", i, "duck")[0],
+            m=_bloom_probe_sql("c_custkey", i, "duck")[1],
+        )
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH hi AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_totalprice > {_HIVAL_THRESHOLD}
+    ),
+    build AS ({build_rows}),
+    bloom AS (
+      SELECT word_idx, bit_or(mask) AS word_val FROM build GROUP BY word_idx
+    ),
+    probes AS ({probe_rows}),
+    cand AS (
+      SELECT p.c_custkey,
+             (COUNT(*) FILTER (WHERE (b.word_val & p.mask) <> 0)) = {_BLOOM_K}
+               AS bloom_candidate
+      FROM probes p LEFT JOIN bloom b ON b.word_idx = p.word_idx
+      GROUP BY p.c_custkey
+    ),
+    truth AS (
+      SELECT c.c_custkey, (h.o_custkey IS NOT NULL) AS is_member
+      FROM customer c LEFT JOIN hi h ON h.o_custkey = c.c_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) FILTER (WHERE t.is_member) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (WHERE c.bloom_candidate) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE c.bloom_candidate AND NOT t.is_member) AS BIGINT)
+             AS n_false_positives,
+           CAST(COUNT(*) FILTER (WHERE t.is_member AND NOT c.bloom_candidate) AS BIGINT)
+             AS n_false_negatives
+    FROM truth t JOIN cand c ON c.c_custkey = t.c_custkey
+    """
+
+
+@query(
+    "q_bloom_semijoin",
+    oracle=_duck_bloom_oracle(),
+    tags=("sketch", "bloom", "semi-join-reduction", "join"),
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a hand-built 1024-bit Bloom filter of
+    high-value order custkeys, probed by the customer table. Emits the
+    membership/candidate/false-positive accounting (all exact BIGINTs;
+    n_false_negatives is provably 0). See module comment for the
+    hashing scheme and the 16-row broadcast plan shape."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    hi = (
+        o.filter(F.col("o_totalprice") > _HIVAL_THRESHOLD)
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def probes(df: DataFrame, key: str) -> DataFrame:
+        rows = []
+        for i in range(_BLOOM_K):
+            w, m = _bloom_probe_sql(key, i, "spark")
+            rows.append(
+                df.select(
+                    F.col(key),
+                    F.expr(w).alias("word_idx"),
+                    F.expr(m).alias("mask"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        return out
+
+    bloom = (
+        probes(hi, "o_custkey")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word_val"))
+    )
+    cand = (
+        probes(c, "c_custkey")
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("c_custkey")
+        .agg(
+            (
+                F.count_if(F.col("word_val").bitwiseAND(F.col("mask")) != 0)
+                == _BLOOM_K
+            ).alias("bloom_candidate")
+        )
+    )
+    truth = c.select("c_custkey").join(
+        hi.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "is_member", F.lit(True)
+        ),
+        "c_custkey",
+        "left",
+    ).fillna(False, ["is_member"])
+    j = truth.join(cand, "c_custkey")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_if(F.col("is_member")).alias("n_members"),
+        F.count_if(F.col("bloom_candidate")).alias("n_candidates"),
+        F.count_if(F.col("bloom_candidate") & ~F.col("is_member")).alias(
+            "n_false_positives"
+        ),
+        F.count_if(F.col("is_member") & ~F.col("bloom_candidate")).alias(
+            "n_false_negatives"
+        ),
     )

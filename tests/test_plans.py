@@ -278,3 +278,54 @@ def test_registry_wide_plan_lint(spark):
         if "BatchEvalPython" in plan and name not in _ROW_PYTHON_ALLOWED:
             offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
     assert not offenders, f"unjustified plan shapes: {offenders}"
+
+
+def test_bloom_semijoin_broadcasts_filter(spark):
+    """The hand-built bloom table (<=128 rows) must broadcast to the
+    probe side — the whole point of a semi-join reduction is that the
+    probe table never shuffles."""
+    df = REGISTRY["q_bloom_semijoin"].fn(spark, SF)
+    assert has_broadcast_join(df), "bloom word table must broadcast"
+
+
+def test_regr_diagnostics_single_aggregate_pass(spark):
+    """All moments + all builtin stats must come from ONE partial->
+    final aggregate over the scan (one exchange) — not one pass per
+    statistic."""
+    df = REGISTRY["q_regr_diagnostics"].fn(spark, SF)
+    assert count_scans(df) == 1
+    assert count_exchanges(df) == 1
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark's built-in runtime row-level filtering (the engine-native
+    version of q_bloom_semijoin): with the optimizer's bloom filter
+    enabled and a selective build side, a shuffle join probe scan gets
+    a might_contain(bloom_agg(...)) predicate injected at planning
+    time. This is a 100 TB lever — at local scale we force it by
+    lowering the thresholds and disabling broadcast."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF, "orders").filter(F.col("o_totalprice") > 490_000)
+        li = load_table(spark, SF, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter not injected; optimized plan:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
