@@ -48,6 +48,8 @@ EXTENDED = [
     # round 2, session 3: time-series sweeps (window-heavy shapes)
     "q_gap_fill",
     "q_interval_union",
+    # round 2, session 4: exact-complete near-dup candidate generation
+    "q_prefix_filter_pairs",
 ]
 
 

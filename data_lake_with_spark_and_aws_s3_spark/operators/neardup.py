@@ -365,3 +365,114 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("b.text").cast("long").alias("container_chars"),
         )
     )
+
+
+# --- Prefix-filtering set-similarity join (AllPairs/PPJoin family) ---
+
+_PF_T_NUM, _PF_T_DEN = 1, 2  # Jaccard threshold t = 1/2
+
+
+@query(
+    "q_prefix_filter_pairs",
+    oracle="""
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+4], ' '))) AS s
+      FROM ts WHERE len(toks) >= 4
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+             AS n_union,
+           CAST((10000 * len(list_intersect(a.s, b.s)))
+                // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                AS BIGINT) AS jaccard_x10000
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 2 * len(list_intersect(a.s, b.s))
+            >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    """,
+    tags=("neardup", "jaccard", "prefix-filter", "llm-pipeline"),
+)
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL document pairs with 4-gram-shingle Jaccard >= 0.5 via
+    prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07) — the third candidate-generation strategy in this
+    module, and the only EXACT one: (lang, source) blocking
+    (q_ngram_jaccard_pairs) misses cross-block pairs and MinHash-LSH
+    (q_minhash_lsh) is probabilistic; prefix filtering is complete by
+    a pigeonhole argument, which the all-pairs oracle verifies.
+
+    Candidate generation: order shingles globally by (document
+    frequency, shingle) — rarest first — and take each doc's first
+    L - ceil(t*L) + 1 shingles as its PREFIX. J(A,B) >= t implies
+    |A∩B| >= ceil(t*|A|) (and, with the 2*min>=max length filter,
+    >= ceil(t*|B|)), so a qualifying pair must share a shingle inside
+    either side's prefix: probe prefix rows against FULL posting
+    lists, never full x full. Shuffle cost is sum over prefix shingles
+    of their document frequency — rare-first ordering minimizes it,
+    and at 100 TB the df counts come from the same single token scan.
+    Verification is exact integer math (array_intersect on the two
+    shingle sets; 2*inter >= union) — no floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    )
+    arr = d.select("doc_id", shingles.alias("s")).filter(F.size("s") > 0)
+    sh = arr.select("doc_id", F.size("s").alias("len"), F.explode("s").alias("tok"))
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = sh.join(dfreq, "tok").withColumn("pos", F.row_number().over(w))
+    # prefix length L - ceil(t*L) + 1 in exact integers:
+    # ceil(t*L) = (NUM*L + DEN - 1) div DEN
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("len")
+        - F.expr(f"({_PF_T_NUM} * len + {_PF_T_DEN} - 1) div {_PF_T_DEN}")
+        + 1
+    ).select(F.col("doc_id").alias("pd"), F.col("len").alias("plen"), "tok")
+
+    full = sh.select(F.col("doc_id").alias("fd"), F.col("len").alias("flen"), "tok")
+    cand = (
+        prefix.join(full, "tok")
+        .filter(F.col("pd") != F.col("fd"))
+        # length filter: J >= t needs t*max <= min (here 2*min >= max)
+        .filter(
+            _PF_T_DEN * F.least("plen", "flen")
+            >= _PF_T_NUM * F.greatest("plen", "flen")
+        )
+        .select(
+            F.least("pd", "fd").alias("doc_a"),
+            F.greatest("pd", "fd").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumns({"n_inter": inter.cast("bigint"), "n_union": union.cast("bigint")})
+        .filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.expr("CAST((10000 * n_inter) div n_union AS BIGINT)").alias(
+                "jaccard_x10000"
+            ),
+        )
+    )
