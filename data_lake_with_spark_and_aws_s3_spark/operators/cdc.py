@@ -238,3 +238,193 @@ def q_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched = c.join(delta.select("c_custkey"), "c_custkey", "left_anti")
     applied = delta.filter(F.col("op") == "U").drop("op")
     return untouched.unionByName(applied)
+
+
+_SCD2_HIST_CTE = """
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    ), hist AS (
+      SELECT user_id, event_type, island,
+             MIN(ts) AS valid_from,
+             lead(MIN(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY MIN(ts), island) AS valid_to
+      FROM islands GROUP BY user_id, event_type, island
+    )
+"""
+
+
+@query(
+    "q_scd2_pit_join",
+    oracle=_SCD2_HIST_CTE
+    + """
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(h.island AS BIGINT) AS version,
+           h.event_type AS state_at_purchase
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    tags=("cdc", "scd2", "point-in-time", "asof"),
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: join each purchase event to the SCD2
+    dimension VERSION that was valid at the event's timestamp — the
+    canonical lakehouse/feature-store lookup ("what was the user's
+    state when they bought?"), and the join shape ML training-data
+    builders need to avoid label leakage (never join future state).
+
+    Plan: NOT an interval-containment theta join. Dimension versions
+    and facts union into one stream (dim rows sorting before facts on
+    ties via a kind flag), one window per user carries the last seen
+    version forward (last_value ignorenulls) — the as-of trick from
+    joins.py, ONE shuffle on user_id regardless of version counts.
+    The oracle does the naive containment join; identical output
+    proves the single-shuffle form implements the [from, to)
+    semantics, including empty intervals from same-timestamp flips."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(chg).over(wsum).alias("island"),
+    )
+    hist = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from")
+    )
+    dim = hist.select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("island").alias("o"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("island").alias("d_version"),
+        F.col("event_type").alias("d_state"),
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("o"),
+        "event_id",
+        F.lit(None).cast("long").alias("d_version"),
+        F.lit(None).cast("string").alias("d_state"),
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = dim.unionByName(fact).select(
+        "user_id", "t", "kind", "event_id",
+        F.last("d_version", ignorenulls=True).over(wa).alias("version"),
+        F.last("d_state", ignorenulls=True).over(wa).alias("state_at_purchase"),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts"),
+        F.col("version").cast("bigint").alias("version"),
+        "state_at_purchase",
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_acctbal > 9000 THEN 'PLATINUM' ELSE c_mktsegment END
+               AS c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'New Customer', 'BUILDING'
+      FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.c_mktsegment AS old_segment,
+           n.c_mktsegment AS new_segment
+    FROM customer o FULL JOIN new_snap n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR (o.c_name, o.c_mktsegment) IS DISTINCT FROM (n.c_name, n.c_mktsegment)
+    """,
+    tags=("cdc", "snapshot-diff", "change-data-feed"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table snapshots (the read side of
+    CDC, where q_merge_upsert is the write side): full outer join on
+    the key classifies every row as insert / delete / update,
+    comparing the non-key payload with null-safe struct equality.
+    The 'new' snapshot is derived deterministically from customer
+    (drops custkey%13, upgrades high-balance segments, adds custkey%17
+    clones) so both engines diff identical inputs.
+
+    Scale: one shuffle on the key for the full join; at lakehouse
+    scale the same diff runs partition-by-partition on a
+    key-partitioned layout, and unchanged-row skipping via content
+    hashes pushes the comparison into the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    new_snap = (
+        c.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_acctbal") > 9000, "PLATINUM")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("New Customer").alias("c_name"),
+                F.lit("BUILDING").alias("c_mktsegment"),
+            )
+        )
+    )
+    o = c.select(
+        F.col("c_custkey").alias("o_key"),
+        F.col("c_name").alias("o_name"),
+        F.col("c_mktsegment").alias("old_segment"),
+    )
+    n = new_snap.select(
+        F.col("c_custkey").alias("n_key"),
+        F.col("c_name").alias("n_name"),
+        F.col("c_mktsegment").alias("new_segment"),
+    )
+    j = o.join(n, o.o_key == n.n_key, "full")
+    changed = (
+        F.col("o_key").isNull()
+        | F.col("n_key").isNull()
+        | ~F.struct("o_name", "old_segment").eqNullSafe(
+            F.struct(
+                F.col("n_name").alias("o_name"),
+                F.col("new_segment").alias("old_segment"),
+            )
+        )
+    )
+    return j.filter(changed).select(
+        F.coalesce("o_key", "n_key").alias("c_custkey"),
+        F.when(F.col("o_key").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_segment",
+        "new_segment",
+    )

@@ -346,3 +346,63 @@ def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInArrow(
         stats, schema="event_type string, n_events long, uid_sum long, max_event_id long"
     )
+
+
+@query(
+    "q_ewma_recurrence",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, rn, v AS s FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, (r.s + e.v) // 2
+      FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_cents
+    FROM r
+    """,
+    tags=("udf", "stateful", "recurrence", "timeseries"),
+)
+def q_ewma_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-key recurrence — the operator class that pure SQL
+    windows CANNOT express in Spark (each state depends on the
+    previous OUTPUT, not the previous input): integer-exact EWMA
+    s_t = (s_{t-1} + v_t) div 2 over cent-scaled event values in
+    event-time order. Implemented as grouped applyInPandas holding one
+    user's ordered history per batch; the oracle replays the identical
+    recurrence with a DuckDB recursive CTE, so a Python stateful
+    operator gets a full value-for-value cross-engine check (the
+    integer div makes it exact — no float accumulation drift).
+
+    Scale: one shuffle on user_id, Arrow-batched per group, state is
+    O(1) per row. The streaming twin of this shape is
+    transformWithStateInPandas (streaming/stateful.py); for groups too
+    large for one pandas frame, chunk by time and carry s across
+    chunks (the recurrence needs only the last state)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s, out = None, []
+        for v in pdf["v"].to_numpy():
+            v = int(v)
+            s = v if s is None else (s + v) // 2
+            out.append(s)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"].to_numpy(), "event_id": pdf["event_id"].to_numpy(),
+             "ewma_cents": out}
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id long, event_id long, ewma_cents long"
+    )
