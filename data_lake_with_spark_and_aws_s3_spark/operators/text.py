@@ -324,3 +324,68 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
     )
+
+
+@query(
+    "q_phrase_search",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos,
+             unnest(toks) AS tok
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      )
+    ), big AS (
+      SELECT p1.doc_id, p1.tok AS term_1, p2.tok AS term_2
+      FROM post p1 JOIN post p2
+        ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    ), top AS (
+      SELECT term_1, term_2 FROM big
+      GROUP BY term_1, term_2
+      ORDER BY COUNT(*) DESC, term_1, term_2 LIMIT 1
+    )
+    SELECT b.doc_id, b.term_1, b.term_2, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM big b JOIN top t ON b.term_1 = t.term_1 AND b.term_2 = t.term_2
+    GROUP BY b.doc_id, b.term_1, b.term_2
+    """,
+    tags=("text", "inverted-index", "phrase-search"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over a positional inverted index: postings are
+    (term, doc, position) rows from one posexplode pass — the
+    search-engine layout — and a two-term phrase match is a
+    posting-list self-join on (doc, pos+1), never a rescan of the
+    document text. The phrase itself is data-derived (the corpus's
+    most frequent bigram, deterministic tie-break) so the query is
+    self-contained; per-doc match counts are exact integers.
+
+    Scale: postings shuffle once on doc_id for the adjacency join (at
+    index-build time this partitioning is persisted); the phrase probe
+    then touches only the two terms' postings — cost is bounded by
+    document frequency of the rarer term, which is why real engines
+    intersect rarest-first. The top-bigram subquery broadcasts (1
+    row)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    post = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    p1 = post.select("doc_id", F.col("pos").alias("pos1"), F.col("tok").alias("term_1"))
+    p2 = post.select("doc_id", F.col("pos").alias("pos2"), F.col("tok").alias("term_2"))
+    big = p1.join(
+        p2,
+        (p1.doc_id == p2.doc_id) & (F.col("pos2") == F.col("pos1") + 1),
+    ).select(p1.doc_id, "term_1", "term_2")
+    top = (
+        big.groupBy("term_1", "term_2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term_1", "term_2")
+        .limit(1)
+        .select("term_1", "term_2")
+    )
+    return (
+        big.join(F.broadcast(top), ["term_1", "term_2"])
+        .groupBy("doc_id", "term_1", "term_2")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select("doc_id", "term_1", "term_2", "n_matches")
+    )

@@ -183,3 +183,77 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merged",
         "busy_us",
     )
+
+
+@query(
+    "q_reaggregation",
+    oracle="""
+    WITH minutely AS (
+      SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM events GROUP BY 1, 2
+    ), hourly_rollup AS (
+      SELECT event_type, date_trunc('hour', m) AS hour_ts,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(v_cents) AS BIGINT) AS value_cents
+      FROM minutely GROUP BY 1, 2
+    ), hourly_direct AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_direct,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_direct
+      FROM events GROUP BY 1, 2
+    )
+    SELECT r.event_type, r.hour_ts, r.n_events, r.value_cents,
+           (r.n_events = d.n_direct AND r.value_cents = d.v_direct)
+             AS rollup_matches_direct
+    FROM hourly_rollup r
+    JOIN hourly_direct d
+      ON d.event_type = r.event_type AND d.hour_ts = r.hour_ts
+    """,
+    tags=("timeseries", "reaggregation", "rollup", "mergeable"),
+)
+def q_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup — the materialized-aggregate pattern at
+    the heart of every warehouse's cube/rollup tables: aggregate the
+    raw stream ONCE at minute grain, then derive hour grain by
+    re-aggregating the minutely table, never rescanning raw events.
+    Works because count/sum are mergeable (unlike median — use the
+    sketch operators for those); the rollup_matches_direct boolean
+    proves rollup == direct exactly (cent-scaled integer sums, no
+    float drift), in both engines independently.
+
+    Scale: the raw scan happens once for the fine grain; each coarser
+    grain aggregates the previous one — at 100 TB that is the
+    difference between one scan plus tiny re-aggs and one full scan
+    per granularity. Same mergeability story as q_hll_mergeable, with
+    exact sums instead of sketches."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("m"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("vc"),
+    )
+    minutely = e.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("v_cents")
+    )
+    rollup = minutely.groupBy(
+        "event_type", F.date_trunc("hour", "m").alias("hour_ts")
+    ).agg(F.sum("n").alias("n_events"), F.sum("v_cents").alias("value_cents"))
+    direct = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_direct"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("v_direct"),
+        )
+    )
+    return rollup.join(direct, ["event_type", "hour_ts"]).select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        "value_cents",
+        (
+            (F.col("n_events") == F.col("n_direct"))
+            & (F.col("value_cents") == F.col("v_direct"))
+        ).alias("rollup_matches_direct"),
+    )
