@@ -545,3 +545,65 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "q_cascade_delete",
+    oracle="""
+    WITH del AS (
+      SELECT user_id FROM (
+        SELECT user_id, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_err
+        FROM events GROUP BY user_id
+      ) WHERE n_err >= 19
+    ),
+    kept AS (
+      SELECT e.user_id, e.event_id FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = e.user_id)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_deleted_users,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_events_before,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_events_after,
+           CAST((SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM kept)
+                AS BIGINT) AS n_events_purged,
+           (SELECT COUNT(*) FROM kept k JOIN del d ON d.user_id = k.user_id) = 0
+             AS no_survivor_rows
+    """,
+    tags=("pipeline", "governance", "deletion", "anti-join"),
+)
+def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request propagation (GDPR/right-to-be-forgotten
+    shape): a deterministic deletion cohort (users with >= 19 error
+    events stands in for the request table) anti-joins every
+    downstream table, with an audit row proving completeness — the
+    no_survivor_rows invariant is the thing a regulator asks for.
+
+    Scale: the request table is small by nature -> broadcast anti
+    join, so each fact table is purged in one scan with NO shuffle of
+    the fact side; the audit counts ride the same scans. On a
+    lakehouse table this pairs with q_merge_with_deletes (rewrite) and
+    q_snapshot_diff (verification feed)."""
+    e = load_table(spark, sf_dir, "events")
+    del_users = (
+        e.groupBy("user_id")
+        .agg(F.count_if(F.col("event_type") == "error").alias("n_err"))
+        .filter(F.col("n_err") >= 19)
+        .select("user_id")
+    )
+    kept = e.join(F.broadcast(del_users), "user_id", "left_anti")
+    survivors = kept.join(F.broadcast(del_users), "user_id", "left_semi")
+    return (
+        del_users.agg(F.count(F.lit(1)).alias("n_deleted_users"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_events_before")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_events_after")))
+        .crossJoin(survivors.agg(F.count(F.lit(1)).alias("n_surv")))
+        .select(
+            "n_deleted_users",
+            "n_events_before",
+            "n_events_after",
+            (F.col("n_events_before") - F.col("n_events_after")).alias(
+                "n_events_purged"
+            ),
+            (F.col("n_surv") == 0).alias("no_survivor_rows"),
+        )
+    )
