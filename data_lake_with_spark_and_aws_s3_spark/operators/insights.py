@@ -229,3 +229,60 @@ def q_reaggregate_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_partials_merged"),
     )
+
+
+@query(
+    "q_frequent_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), tri AS (
+      SELECT user_id, event_type AS e1, e2, e3 FROM seq
+      WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT e1, e2, e3,
+           CAST(COUNT(*) AS BIGINT) AS support,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri
+    GROUP BY e1, e2, e3
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, e1, e2, e3) <= 20
+    """,
+    tags=("insights", "sequence-mining", "events"),
+)
+def q_frequent_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral sequences: top-20 event-type trigrams in
+    per-user event-time order, with total support and distinct-user
+    reach — the sequence-mining primitive behind funnel discovery
+    (q_funnel_conversion assumes a funnel; this FINDS candidate
+    funnels). Sliding trigrams come from two lead() taps on one
+    per-user window — the contiguous-subsequence special case that
+    needs no joins (general gapped sequence mining would build on the
+    same window + a self-join per extension step).
+
+    Scale: one shuffle for the user window, one hash aggregate whose
+    key space is |event_types|^3 (tiny) — the distinct-user count is
+    the only expand. Top-20 is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("support"), "e1", "e2", "e3")
+        .limit(20)
+    )

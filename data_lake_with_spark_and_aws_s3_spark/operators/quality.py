@@ -266,3 +266,63 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") < F.col("p05")).alias("clipped_low"),
         (F.col("n_chars") > F.col("p95")).alias("clipped_high"),
     )
+
+
+@query(
+    "q_table_checksums",
+    oracle="""
+    WITH rowh AS (
+      SELECT c_custkey // 100 AS bucket,
+             (
+               (CAST(0 AS BIGINT) * 16 + instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substr(h, 2, 1)) - 1
+             ) * 16 + instr('0123456789abcdef', substr(h, 3, 1)) - 1 AS hv
+      FROM (
+        SELECT c_custkey,
+               md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                   c_mktsegment || '|' ||
+                   CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR)) AS h
+        FROM customer
+      )
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(hv AS BIGINT)) AS BIGINT) AS xor_checksum,
+           CAST(SUM(hv) AS BIGINT) AS sum_checksum
+    FROM rowh GROUP BY bucket
+    """,
+    tags=("quality", "checksum", "anti-entropy", "governance"),
+)
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key-range table checksums — the anti-entropy pattern for
+    validating replicated/migrated tables WITHOUT moving the data:
+    each side computes (bucket, row count, order-independent XOR and
+    SUM of a canonical row digest) and only the tiny checksum tables
+    cross the wire; a mismatched bucket pinpoints which key range to
+    re-sync. XOR catches any single-row difference, SUM catches the
+    XOR blind spot (duplicated-row pairs); count catches cardinality.
+    The row digest canonicalizes floats to cent-integers first (the
+    same rule any cross-engine comparison needs).
+
+    Scale: one scan, map-side partial aggregation collapses each task
+    to <= n_buckets rows — the shuffle is the checksum table, not the
+    data. The md5-hex-digit integer math is the engine-portable hash
+    from [[oracle-exactness-playbook]] (llm_pipeline._hex_val_sql,
+    3 digits here so SUM stays far from BIGINT bounds at any sf)."""
+    from .llm_pipeline import _hex_val_sql
+
+    c = load_table(spark, sf_dir, "customer")
+    digest = (
+        "md5(CAST(c_custkey AS STRING) || '|' || c_name || '|' || "
+        "c_mktsegment || '|' || "
+        "CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS STRING))"
+    )
+    rowh = c.select(
+        F.expr("c_custkey div 100").alias("bucket"),
+        F.expr(_hex_val_sql(digest, 3)).alias("hv"),
+    )
+    return rowh.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("hv").alias("xor_checksum"),
+        F.sum("hv").alias("sum_checksum"),
+    )
