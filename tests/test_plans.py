@@ -254,6 +254,7 @@ _NLJ_ALLOWED = {
     "q_token_lift",         # broadcast 1-row corpus doc count
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
+    "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demo.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf"}
