@@ -84,3 +84,78 @@ def q_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@query(
+    "q_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang, md5(text) AS fingerprint FROM documents
+    ), hist AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, lang, fingerprint, 'fresh' AS arrival
+      FROM fp WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, lang, fingerprint, 'recrawl' AS arrival
+      FROM fp WHERE doc_id % 7 = 0
+    ), inc AS (
+      SELECT b.*, (h.fingerprint IS NOT NULL) AS seen_before,
+             ROW_NUMBER() OVER (PARTITION BY b.fingerprint
+                                ORDER BY b.arrival, b.doc_id) AS rn
+      FROM batch b LEFT JOIN hist h ON h.fingerprint = b.fingerprint
+    )
+    SELECT doc_id, lang, arrival,
+           (NOT seen_before AND rn = 1) AS keep,
+           CASE WHEN seen_before THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS reason
+    FROM inc
+    """,
+    tags=("dedup", "incremental", "llm-pipeline"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the PRODUCTION dedup shape: today's batch
+    (fresh docs = doc_id%5==0, plus verbatim re-crawls of doc_id%7==0
+    — the crawler re-fetch case) dedups against (a) the historical
+    corpus's fingerprint index and (b) itself, with a per-arrival
+    keep/reason audit. All three outcomes occur: re-crawls of
+    historical docs -> dup_of_corpus; a fresh doc re-delivered in the
+    same batch (doc_id%35==0) -> dup_in_batch for the later arrival;
+    the rest -> new. Batch-vs-corpus is a probe of the digest INDEX,
+    not a re-dedup of the corpus — at 100 TB the daily cost is
+    O(batch + index-probe), never O(corpus); the index itself is
+    maintained incrementally (q_merge_upsert is the write side).
+
+    Plan: map-side md5 fingerprints; corpus index = one distinct over
+    the digest column; batch-internal dedup is a window on the
+    fingerprint with deterministic (arrival, doc_id) order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("fingerprint")
+    )
+    hist = d.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("arrival", F.lit("fresh"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).withColumn("arrival", F.lit("recrawl"))
+        )
+    )
+    inc = batch.join(
+        hist.withColumn("seen_before", F.lit(True)), "fingerprint", "left"
+    ).fillna(False, ["seen_before"])
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("arrival", "doc_id")
+    inc = inc.withColumn("rn", F.row_number().over(w))
+    return inc.select(
+        "doc_id",
+        "lang",
+        "arrival",
+        (~F.col("seen_before") & (F.col("rn") == 1)).alias("keep"),
+        F.when(F.col("seen_before"), "dup_of_corpus")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+        .alias("reason"),
+    )
