@@ -330,3 +330,39 @@ def test_runtime_bloom_filter_injection(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_aqe_runtime_broadcast_conversion(spark):
+    """AQE's runtime join demotion: with compile-time broadcast
+    disabled (static threshold -1) but the ADAPTIVE threshold set,
+    the planner emits a sort-merge join and AQE converts it to a
+    broadcast hash join at runtime once the supplier side's actual
+    shuffle size is known — the mechanism that saves fact-dim joins
+    whose dimension-size estimates are wrong at 100 TB."""
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        s = load_table(spark, SF, "supplier")
+        j = (
+            li.join(s, li.l_suppkey == s.s_suppkey)
+            .groupBy("s_nationkey")
+            .count()
+        )
+        j.collect()  # run it so AQE finalizes the plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, (
+            "AQE did not convert the SMJ to broadcast:\n" + final[:1500]
+        )
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
