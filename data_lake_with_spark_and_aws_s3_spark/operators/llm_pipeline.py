@@ -607,3 +607,50 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_surv") == 0).alias("no_survivor_rows"),
         )
     )
+
+
+@query(
+    "q_filter_ablation",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id,
+             n_chars < 100 AS too_short,
+             lang NOT IN ('en', 'es', 'de', 'fr') AS lang_blocked,
+             len(string_split(text, ' ')) -
+               len(list_distinct(string_split(text, ' '))) >
+               len(string_split(text, ' ')) // 2 AS high_repetition
+      FROM documents
+    )
+    SELECT too_short, lang_blocked, high_repetition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flags
+    GROUP BY CUBE (too_short, lang_blocked, high_repetition)
+    """,
+    tags=("pipeline", "quality", "ablation", "grouping-sets"),
+)
+def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation matrix for the curation pipeline: CUBE over the
+    three gating predicates (length floor, language allowlist,
+    repetition ceiling) counts documents for every filter combination
+    — the diagnostic a pipeline owner reads before tightening a
+    threshold ("how many docs does each filter UNIQUELY kill?"). The
+    NULL rows of the cube are the marginals; the all-flags row is the
+    joint. One scan, one grouping-sets aggregate whose key space is
+    3^3 regardless of corpus size.
+
+    Flags are exact integer/set predicates (no floats): repetition =
+    more than half the tokens are repeats of earlier tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    flags = d.select(
+        "doc_id",
+        (F.col("n_chars") < 100).alias("too_short"),
+        (~F.col("lang").isin("en", "es", "de", "fr")).alias("lang_blocked"),
+        (
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            > F.expr("size(split(text, ' ')) div 2")
+        ).alias("high_repetition"),
+    )
+    return flags.cube("too_short", "lang_blocked", "high_repetition").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
