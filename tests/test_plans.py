@@ -330,6 +330,8 @@ def test_runtime_bloom_filter_injection(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_aqe_runtime_broadcast_conversion(spark):
@@ -366,3 +368,5 @@ def test_aqe_runtime_broadcast_conversion(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
