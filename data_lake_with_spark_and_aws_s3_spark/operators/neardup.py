@@ -476,3 +476,159 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Oracle-checked MinHash-LSH twin (md5-portable hashing) ----------
+
+_ML_SEEDS = 16
+_ML_BANDS = 4  # 4 seeds per band
+
+
+def _ml_oracle() -> str:
+    from .llm_pipeline import _hex_val_sql
+
+    sig_cols = ",\n             ".join(
+        f"MIN(CASE WHEN seed = {i} THEN hv END) AS m{i}" for i in range(_ML_SEEDS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"CAST(m{4 * b + j} AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for b in range(_ML_BANDS)
+    )
+    return f"""
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+4], ' '))) AS s
+      FROM ts WHERE len(toks) >= 4
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), hv AS (
+      SELECT doc_id, seed,
+             {_hex_val_sql("md5(shingle || '#' || CAST(seed AS VARCHAR))", 8)} AS hv
+      FROM ex CROSS JOIN (SELECT unnest(range({_ML_SEEDS})) AS seed)
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hv GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_inter,
+           CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT)
+             AS n_union,
+           CAST((10000 * len(list_intersect(x.s, y.s)))
+                // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+                AS BIGINT) AS jaccard_x10000
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE 2 * len(list_intersect(x.s, y.s))
+            >= (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+    """
+
+
+@query(
+    "q_minhash_lsh_exact",
+    oracle=_ml_oracle(),
+    tags=("neardup", "minhash", "lsh", "llm-pipeline"),
+)
+def q_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, FULLY oracle-checked: the twin of
+    q_minhash_lsh with the engine-specific xxhash64 lanes swapped for
+    md5 hex-digit hashing ([[oracle-exactness-playbook]]) so DuckDB
+    reproduces signatures, band keys, candidates, and verified pairs
+    value-for-value — closing the "LSH is unscored" gap: the banding
+    MECHANISM itself is now under the driver's hash, not just its
+    exact-verify tail. Keep q_minhash_lsh for throughput (xxhash64 is
+    ~an order cheaper per lane than md5); this twin is the
+    correctness witness for the same (16 seeds, 4 bands of 4) scheme
+    over 4-gram shingles with J >= 0.5 exact verification.
+
+    Scale shape is identical: signatures partial-aggregate map-side
+    (doc x seed keyed min), band keys explode to 4 rows per doc, the
+    candidate join is equi on (band, band_hash) — O(n) shuffle."""
+    from .llm_pipeline import _hex_val_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    )
+    arr = d.select("doc_id", shingles.alias("s")).filter(F.size("s") > 0)
+    ex = arr.select("doc_id", F.explode("s").alias("shingle"))
+    hv = ex.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_ML_SEEDS)])).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.expr(
+            _hex_val_sql("md5(shingle || '#' || CAST(seed AS STRING))", 8)
+        ).alias("hv"),
+    )
+    sig = hv.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("seed") == i, F.col("hv"))).alias(f"m{i}")
+            for i in range(_ML_SEEDS)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"m{4 * b + j}").cast("string") for j in range(4)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(_ML_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = arr.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    y = arr.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumns({"n_inter": inter.cast("bigint"), "n_union": union.cast("bigint")})
+        .filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.expr("CAST((10000 * n_inter) div n_union AS BIGINT)").alias(
+                "jaccard_x10000"
+            ),
+        )
+    )
