@@ -282,3 +282,176 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+_IVF_NPROBE = 4
+_IVF_TOPK = 5
+
+
+@query(
+    "q_ann_ivf_exact",
+    oracle=f"""
+    WITH ei AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      FROM embeddings
+    ), pos AS (
+      SELECT vec_id, label, unnest(v) AS val,
+             CAST(unnest(generate_series(1, len(v))) AS INTEGER) AS pos
+      FROM ei
+    ), cells AS (
+      SELECT label, pos, CAST(SUM(val) AS BIGINT) AS sval
+      FROM pos GROUP BY label, pos
+    ), snorm AS (
+      SELECT label, CAST(SUM(sval * sval) AS BIGINT) AS snorm2
+      FROM cells GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM ei WHERE vec_id < 10
+    ), qpos AS (
+      SELECT query_id, unnest(qv) AS qval,
+             CAST(unnest(generate_series(1, len(qv))) AS INTEGER) AS pos
+      FROM q
+    ), qq AS (
+      SELECT query_id, CAST(SUM(qval * qval) AS BIGINT) AS qnorm2
+      FROM qpos GROUP BY query_id
+    ), celldot AS (
+      SELECT qp.query_id, c.label, CAST(SUM(qp.qval * c.sval) AS BIGINT) AS dot
+      FROM qpos qp JOIN cells c ON c.pos = qp.pos
+      GROUP BY qp.query_id, c.label
+    ), cellcos AS (
+      SELECT d.query_id, d.label,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(qq.qnorm2 AS DOUBLE)) * sqrt(CAST(sn.snorm2 AS DOUBLE)))
+               AS cell_cos
+      FROM celldot d
+      JOIN qq ON qq.query_id = d.query_id
+      JOIN snorm sn ON sn.label = d.label
+    ), probed AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cell_cos DESC, label) AS r
+        FROM cellcos
+      ) WHERE r <= {_IVF_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, q.qv, e.vec_id AS neighbor_id, e.v
+      FROM probed p
+      JOIN q ON q.query_id = p.query_id
+      JOIN ei e ON e.label = p.label
+      WHERE e.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(v) + 1),
+                                          i -> qv[i] * v[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)))
+               AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(cosine * 10000) AS BIGINT) AS cos_x10000
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "exact-oracle"),
+)
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, FULLY oracle-checked — closes the "ANN is unscored"
+    gap the same way q_minhash_lsh_exact closes LSH's: every stage is
+    deterministic integer math plus IEEE-identical double expressions.
+    Embeddings scale to 1e4 ints (exact in both engines); cells use
+    the per-label SUM vector directly as the centroid direction
+    (cosine is scale-invariant, so SUM ranks cells identically to
+    AVG while staying in exact int64); cell ranking and final rerank
+    compute cosine as the SAME double expression over those exact
+    ints, which both engines round identically (mul/div/sqrt are
+    correctly rounded IEEE ops). Output carries floor-scaled cosines,
+    so the driver hash covers probe selection AND ranking.
+
+    Plan shape matches q_ann_ivf: tiny codebook broadcast both ways,
+    candidates via the label equi-join (O(n) shuffle), rerank only
+    nprobe/ncells of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ei = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+        ).alias("v"),
+    )
+    pos = ei.select("vec_id", "label", F.posexplode("v").alias("p", "val"))
+    cells = pos.groupBy("label", "p").agg(F.sum("val").alias("sval"))
+    snorm = cells.groupBy("label").agg(
+        F.sum(F.col("sval") * F.col("sval")).alias("snorm2")
+    )
+    q = ei.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qpos = q.select("query_id", F.posexplode("qv").alias("p", "qval"))
+    qq = qpos.groupBy("query_id").agg(
+        F.sum(F.col("qval") * F.col("qval")).alias("qnorm2")
+    )
+    celldot = (
+        qpos.join(cells, "p")
+        .groupBy("query_id", "label")
+        .agg(F.sum(F.col("qval") * F.col("sval")).alias("dot"))
+    )
+    cellcos = (
+        celldot.join(qq, "query_id")
+        .join(F.broadcast(snorm), "label")
+        .select(
+            "query_id",
+            "label",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qnorm2").cast("double"))
+                    * F.sqrt(F.col("snorm2").cast("double"))
+                )
+            ).alias("cell_cos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label")
+    probed = (
+        cellcos.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "label")
+    )
+    int_dot = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    int_norm2 = lambda c: F.expr(
+        f"aggregate(transform({c}, x -> x * x), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    cand = (
+        probed.join(F.broadcast(q), "query_id")
+        .join(ei, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                int_dot.cast("double")
+                / (
+                    F.sqrt(int_norm2("qv").cast("double"))
+                    * F.sqrt(int_norm2("v").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cosine") * 10000).cast("bigint").alias("cos_x10000"),
+        )
+    )
