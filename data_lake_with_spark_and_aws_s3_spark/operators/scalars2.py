@@ -406,3 +406,28 @@ def q_ewma_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         ewma, schema="user_id long, event_id long, ewma_cents long"
     )
+
+
+@query(
+    "q_stack_inline",
+    oracle="""
+    SELECT r_regionkey, 'name' AS attr, r_name AS val FROM region
+    UNION ALL
+    SELECT r_regionkey, 'key_str' AS attr, CAST(r_regionkey AS VARCHAR) AS val
+    FROM region
+    """,
+    tags=("scalar", "generator", "stack"),
+)
+def q_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generator builtins (SURVEY.md §2.8 tail): stack(n, ...)
+    turns N column pairs into N rows per input row — the inline
+    wide-to-long generator (explode's fixed-arity cousin, what
+    unpivot compiles to). The oracle is the UNION ALL it desugars
+    to. Map-side only: no shuffle, generators run inside codegen."""
+    r = load_table(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.expr(
+            "stack(2, 'name', r_name, 'key_str', CAST(r_regionkey AS STRING))"
+        ).alias("attr", "val"),
+    )

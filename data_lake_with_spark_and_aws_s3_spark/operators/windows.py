@@ -200,3 +200,48 @@ def q_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
     )
+
+
+@query(
+    "q_window_distinct_count",
+    oracle="""
+    SELECT e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, e.event_id,
+           CAST((
+             SELECT COUNT(DISTINCT e2.user_id) FROM events e2
+             WHERE e2.event_type = e.event_type
+               AND CAST(e2.ts AS TIMESTAMP)
+                     BETWEEN CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+                         AND CAST(e.ts AS TIMESTAMP)
+           ) AS BIGINT) AS users_trailing_1h
+    FROM events e WHERE e.event_id % 20 = 0
+    """,
+    tags=("window", "distinct", "range-frame"),
+)
+def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding time frame — the window class
+    Spark has NO native aggregate for (COUNT(DISTINCT ...) OVER is
+    unsupported): per sampled event, distinct users of the same type
+    in the trailing hour. Expressed as size(collect_set(...)) over a
+    RANGE frame keyed on epoch seconds — set semantics inside the
+    frame, one shuffle on event_type. The oracle is the correlated
+    subquery definition.
+
+    Scale note: collect_set state is bounded by distinct users per
+    (type, 1h) — fine when the window's key cardinality is bounded
+    (here: dozens); for unbounded cardinality switch to the sketch
+    path (approx_count_distinct over a windowed pre-aggregate, or
+    q_hll_mergeable's per-bucket sketches)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.withColumn(
+            "users_trailing_1h",
+            F.size(F.collect_set("user_id").over(w)).cast("bigint"),
+        )
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_type", "ts", "event_id", "users_trailing_1h")
+    )
