@@ -21,7 +21,7 @@ form survives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -245,3 +245,91 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices = d.select(F.col("doc_id").alias("id"))
     cc = connected_components(edges, vertices)
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@query(
+    "q_identity_stitching",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(props->>'k' AS BIGINT) AS dev
+      FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 4
+    ), e AS (
+      SELECT user_id * 2 AS src, dev * 2 + 1 AS dst FROM ud
+    ), nodes AS (
+      SELECT src AS n FROM e UNION SELECT dst FROM e
+    ), sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst, src FROM e
+      UNION
+      SELECT n, n FROM nodes
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src, MIN(dst) AS comp FROM reach GROUP BY src
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), ucomp AS (
+      SELECT u.user_id, COALESCE(c.comp, u.user_id * 2) AS comp
+      FROM users u LEFT JOIN comp c ON c.src = u.user_id * 2
+    )
+    SELECT user_id,
+           CAST(MIN(user_id) OVER (PARTITION BY comp) AS BIGINT)
+             AS identity_user,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+             AS n_linked_users
+    FROM ucomp
+    """,
+    tags=("graph", "identity", "entity-resolution", "iterative"),
+)
+def q_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching — the entity-resolution shape
+    behind every CDP/ads identity graph: users who STRONGLY share a
+    device (>= 4 events on the same props.k device id) merge into one
+    identity, transitively (A and C never met, but both share devices
+    with B). The bipartite user<->device graph goes through the same
+    distributed connected-components machinery as near-dup clustering
+    (node encoding user*2 / device*2+1 keeps the id spaces disjoint);
+    every user maps to the min user_id of their identity group, with
+    the group size for downstream weighting. Weak (1-3 event) links
+    are dropped BEFORE the graph — link-strength gating is what keeps
+    real identity graphs from collapsing into one giant component,
+    demonstrated here: without the gate this corpus's 100 devices x
+    ~80 users each would stitch all 150 users into one identity.
+
+    Scale: the gated edge list is tiny relative to events (one
+    groupBy); CC cost is bounded by the identity-graph size, not the
+    event volume — see connected_components for the per-iteration
+    shuffle story and connected_components_star for unknown shapes."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("dev"),
+        )
+        .groupBy("user_id", "dev")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 4)
+    )
+    edges = ud.select(
+        (F.col("user_id") * 2).alias("src"), (F.col("dev") * 2 + 1).alias("dst")
+    )
+    users = e.select("user_id").distinct()
+    vertices = users.select((F.col("user_id") * 2).alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    cc = connected_components(edges, vertices)
+    ucomp = (
+        users.join(cc, users.user_id * 2 == cc.id)
+        .select("user_id", F.col("component").alias("comp"))
+    )
+    w = Window.partitionBy("comp")
+    return ucomp.select(
+        "user_id",
+        F.min("user_id").over(w).cast("bigint").alias("identity_user"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_linked_users"),
+    )
