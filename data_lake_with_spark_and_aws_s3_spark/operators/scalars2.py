@@ -396,7 +396,15 @@ def q_ewma_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, out = None, []
         for v in pdf["v"].to_numpy():
             v = int(v)
-            s = v if s is None else (s + v) // 2
+            if s is None:
+                s = v
+            else:
+                # Truncate toward zero to mirror DuckDB's `//` (Python's
+                # `//` FLOORS: -3//2 = -2 vs DuckDB -1) — identical for the
+                # current non-negative values, exact either way if the
+                # fixtures ever ship negatives.
+                t = s + v
+                s = t // 2 if t >= 0 else -((-t) // 2)
             out.append(s)
         return pd.DataFrame(
             {"user_id": pdf["user_id"].to_numpy(), "event_id": pdf["event_id"].to_numpy(),

@@ -190,7 +190,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS direct_within_3pct,
-           TRUE AS merged_equals_direct
+           TRUE AS merged_within_3pct
     FROM events GROUP BY event_type
     """,
     tags=("sketch", "hll", "mergeable", "approx"),
@@ -206,11 +206,13 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle design (exact-twin pattern, same as q_approx_distinct):
     DuckDB cannot reproduce Datasketches register bytes, but both
-    contract booleans are deterministic — sketch updates are max-based
-    (order/partitioning independent), and at this cardinality (dozens
-    of users) the sketch is in exact sparse mode, so the merged
-    estimate must EQUAL the direct single-pass estimate and sit within
-    3% of truth. The raw estimates stay out of the hash."""
+    contract booleans are deterministic given the data (sketch updates
+    are max-based, order/partitioning independent): direct AND merged
+    estimates each land within 3% of the exact count. Measured slack at
+    every shipped SF: worst deviation 0.8% (sf0.1, where the sketch has
+    left exact sparse mode — merged != direct there, which is why the
+    contract is a tolerance, not equality). Raw estimates stay out of
+    the hash."""
     e = load_table(spark, sf_dir, "events")
     per_week = e.groupBy(
         "event_type", F.date_trunc("week", F.col("ts")).alias("week")
@@ -229,7 +231,10 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_direct").cast("double") - F.col("exact_users").cast("double"))
             <= 0.03 * F.col("exact_users").cast("double")
         ).alias("direct_within_3pct"),
-        (F.col("est_merged") == F.col("est_direct")).alias("merged_equals_direct"),
+        (
+            F.abs(F.col("est_merged").cast("double") - F.col("exact_users").cast("double"))
+            <= 0.03 * F.col("exact_users").cast("double")
+        ).alias("merged_within_3pct"),
     )
 
 
@@ -268,11 +273,15 @@ def _bloom_probe_sql(key: str, i: int, dialect: str) -> tuple[str, str]:
     for d in range(4, 8):
         h2 = f"(({h2}) * 16 + instr('{_HEX}', substr({h}, {d + 1}, 1)) - 1)"
     pos = f"(({h1}) + {i} * ({h2})) % {_BLOOM_BITS}"
-    word = f"CAST(({pos}) / 32 AS INT)"
+    # Integer division in BOTH dialects: `/` yields a double in each, but
+    # DuckDB's double->INT cast ROUNDS while Spark's TRUNCATES, so the two
+    # engines would place bits in different words whenever pos%32 >= 16.
     bit = f"CAST(({pos}) % 32 AS INT)"
     if dialect == "spark":
+        word = f"CAST(({pos}) div 32 AS INT)"
         mask = f"shiftleft(CAST(1 AS BIGINT), {bit})"
     else:
+        word = f"CAST(({pos}) // 32 AS INT)"
         mask = f"(CAST(1 AS BIGINT) << ({bit}))"
     return word, mask
 
@@ -330,11 +339,12 @@ def _duck_bloom_oracle() -> str:
     tags=("sketch", "bloom", "semi-join-reduction", "join"),
 )
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join reduction via a hand-built 1024-bit Bloom filter of
-    high-value order custkeys, probed by the customer table. Emits the
-    membership/candidate/false-positive accounting (all exact BIGINTs;
-    n_false_negatives is provably 0). See module comment for the
-    hashing scheme and the 16-row broadcast plan shape."""
+    """Semi-join reduction via a hand-built 4096-bit Bloom filter
+    (_BLOOM_BITS) of high-value order custkeys, probed by the customer
+    table. Emits the membership/candidate/false-positive accounting
+    (all exact BIGINTs; n_false_negatives is provably 0). See the
+    section comment above _bloom_probe_sql for the hashing scheme and
+    the 128-row (32-bit words) broadcast plan shape."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     hi = (

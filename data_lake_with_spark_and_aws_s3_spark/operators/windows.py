@@ -222,9 +222,12 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has NO native aggregate for (COUNT(DISTINCT ...) OVER is
     unsupported): per sampled event, distinct users of the same type
     in the trailing hour. Expressed as size(collect_set(...)) over a
-    RANGE frame keyed on epoch seconds — set semantics inside the
-    frame, one shuffle on event_type. The oracle is the correlated
-    subquery definition.
+    RANGE frame keyed on epoch MICROseconds — the fixture timestamps
+    carry sub-second components, so the frame key must match the
+    oracle's microsecond-precision BETWEEN exactly (a seconds-truncated
+    key admits different rows). Set semantics inside the frame, one
+    shuffle on event_type. The oracle is the correlated subquery
+    definition.
 
     Scale note: collect_set state is bounded by distinct users per
     (type, 1h) — fine when the window's key cardinality is bounded
@@ -234,8 +237,8 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_seconds(F.col("ts")))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         e.withColumn(
