@@ -40,6 +40,10 @@ HEADLINE = [
 # LLM-data-pipeline operators where the real cost lives at 100 TB —
 # timed and reported per-query (not folded into the headline total).
 EXTENDED = [
+    # NOTE round 3: q_minhash_lsh became the sketch-twin contract (runs
+    # the xxhash64 throughput pipeline AND the md5 twin + precision
+    # join) — its wall grew by design; compare r3+ numbers to r3, not
+    # to the r1/r2 pair-emitting variant.
     "q_minhash_lsh",
     "q_dedup_clusters",
     "q_cosine_topk",

@@ -161,136 +161,10 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbor (rows-only: approximate
-    by construction).
-
-    Cells = per-label centroids (q_embedding_centroids as codebook).
-    For each query: rank cells by centroid cosine, probe the top-4
-    cells, score only vectors in those cells, keep top-5. The cell
-    assignment join is equi on label — O(n) shuffle — and the scored
-    candidate set is nprobe/ncells of the corpus: the standard
-    recall/cost knob. Exact twin for recall measurement: q_cosine_topk.
-
-    Honesty note about THIS corpus: the synthetic embeddings are
-    isotropic (no cluster structure), so recall can't beat roughly
-    the probed fraction no matter the codebook — measured ~0.3 at
-    nprobe=2/10, ~0.5 at 4/10 (tests/test_skew_bucketing.py). On real
-    clustered embeddings IVF recall is far above the probed fraction;
-    the pipeline shape (train -> assign -> probe -> rerank) is what
-    this operator demonstrates.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    # codebook: label -> centroid array (collected per label, tiny)
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
-    )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-
-    def cos_double(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
-        n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
-        return dot / (n1 * n2)
-
-    # probe: top-2 cells per query by centroid cosine
-    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
-        "query_id", "q_emb", "label", cos_double(F.col("q_emb"), F.col("centroid")).alias("cell_cos")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label")
-    probed = qc.withColumn("cell_rank", F.row_number().over(wq)).filter(F.col("cell_rank") <= 4)
-    # candidate scoring within probed cells only
-    cand = probed.join(e, "label").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cos_double(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 5
-    )
-
-
-@query("q_ann_ivf_kmeans", oracle=None, tags=("similarity", "ann", "ivf", "kmeans"))
-def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a LEARNED codebook — the real train->assign->probe
-    pipeline: cells come from 2 Lloyd iterations (operators/
-    clustering.py), not from the pre-existing label column q_ann_ivf
-    leans on. Train is one negligible-shuffle pass per iteration;
-    ASSIGN is map-only against broadcast-literal centroids (adds a
-    cluster_id column, no shuffle); PROBE ranks cells per query by
-    centroid cosine, scores only vectors in the top-4 cells via the
-    cell equi-join, reranks exactly. Rows-only like every ANN (result
-    set depends on the codebook), with the same exact twin
-    (q_cosine_topk) for recall measurement."""
-    from .clustering import K, _assign, _update
-
-    e = load_table(spark, sf_dir, "embeddings")
-    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    init = ev.filter(F.col("vec_id") < K).collect()
-    centroids = {int(r.vec_id): list(r.v) for r in init}
-    for _ in range(2):
-        centroids = _update(_assign(ev, centroids))
-    assigned = _assign(ev, centroids).select("vec_id", "v", "cluster_id")
-
-    cent = spark.createDataFrame(
-        [(cid, c) for cid, c in sorted(centroids.items())],
-        "cluster_id long, centroid array<double>",
-    )
-    q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
-    )
-
-    def cos_double(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-        n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-        return dot / (n1 * n2)
-
-    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
-        "query_id", "q_emb", "cluster_id",
-        cos_double(F.col("q_emb"), F.col("centroid")).alias("cell_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "cluster_id")
-    probed = (
-        qc.withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= 4)
-        .select("query_id", "q_emb", "cluster_id")
-    )
-    cand = probed.join(assigned, "cluster_id").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cos_double(F.col("q_emb"), F.col("v")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 5
-    )
-
-
 _IVF_NPROBE = 4
 _IVF_TOPK = 5
 
-
-@query(
-    "q_ann_ivf_exact",
-    oracle=f"""
+_IVF_EXACT_ORACLE = f"""
     WITH ei AS (
       SELECT vec_id, label,
              list_transform(embedding,
@@ -357,7 +231,202 @@ _IVF_TOPK = 5
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {_IVF_TOPK}
+    """
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"SELECT query_id, neighbor_id FROM ({_IVF_EXACT_ORACLE}) x",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor over the float path,
+    scored on NEIGHBOR-SET MEMBERSHIP (round-3: was rows-only).
+
+    Cells = per-label centroids (q_embedding_centroids as codebook).
+    For each query: rank cells by centroid cosine, probe the top-4
+    cells, score only vectors in those cells, keep top-5. The cell
+    assignment join is equi on label — O(n) shuffle — and the scored
+    candidate set is nprobe/ncells of the corpus: the standard
+    recall/cost knob. Exact twin for recall measurement: q_cosine_topk.
+
+    Oracle design: the output is (query_id, neighbor_id) only — the
+    top-5 MEMBERSHIP, which the int-quantized twin's oracle
+    (q_ann_ivf_exact) reproduces exactly: verified identical at all
+    three shipped SFs. Rank and cosine stay OUT of the hash because
+    double vs scaled-int arithmetic can (and at sf0.1 does) flip the
+    order of near-ties inside the same top-5 set; q_ann_ivf_exact
+    carries the fully-ranked, cosine-hashed surface. If a future
+    testdata regen puts a near-tie exactly at the rank-5/6 boundary,
+    this parity check is the designed tripwire (re-pin via the exact
+    twin after inspecting).
+
+    Honesty note about THIS corpus: the synthetic embeddings are
+    isotropic (no cluster structure), so recall can't beat roughly
+    the probed fraction no matter the codebook — measured ~0.3 at
+    nprobe=2/10, ~0.5 at 4/10 (tests/test_skew_bucketing.py). On real
+    clustered embeddings IVF recall is far above the probed fraction;
+    the pipeline shape (train -> assign -> probe -> rerank) is what
+    this operator demonstrates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # codebook: label -> centroid array (collected per label, tiny)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def cos_double(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+        n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+        return dot / (n1 * n2)
+
+    # probe: top-2 cells per query by centroid cosine
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "label", cos_double(F.col("q_emb"), F.col("centroid")).alias("cell_cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label")
+    probed = qc.withColumn("cell_rank", F.row_number().over(wq)).filter(F.col("cell_rank") <= 4)
+    # candidate scoring within probed cells only
+    cand = probed.join(e, "label").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_double(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@query(
+    "q_ann_ivf_kmeans",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS recall_ge_2of5
+    FROM embeddings WHERE vec_id < 10
     """,
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED codebook — the real train->assign->probe
+    pipeline: cells come from 2 Lloyd iterations (operators/
+    clustering.py), not from the pre-existing label column q_ann_ivf
+    leans on. Train is one negligible-shuffle pass per iteration;
+    ASSIGN is map-only against broadcast-literal centroids (adds a
+    cluster_id column, no shuffle); PROBE ranks cells per query by
+    centroid cosine, scores only vectors in the top-4 cells via the
+    cell equi-join, reranks exactly.
+
+    Scored via the recall-contract surface (round-3: was rows-only):
+    the learned float codebook is not SQL-replayable, so the output is
+    per-query (n_results, recall_ge_2of5) against the exact
+    brute-force top-5 computed in the same job. Both are deterministic
+    given the data (fixed init = lowest-K vec_ids, fixed iteration
+    count, tie-broken ranking); measured per-query overlap at the
+    shipped SFs is 3-5 of 5 (isotropic synthetic embeddings —
+    nprobe/ncells = 4/10 bounds what any codebook can do here), so the
+    >= 2 bound has real margin. The neighbor ids themselves stay out of
+    the hash; q_ann_ivf / q_ann_ivf_exact carry the hashed-membership
+    and fully-ranked surfaces for the fixed-codebook variant."""
+    from .clustering import K, _assign, _update
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    init = ev.filter(F.col("vec_id") < K).collect()
+    centroids = {int(r.vec_id): list(r.v) for r in init}
+    for _ in range(2):
+        centroids = _update(_assign(ev, centroids))
+    assigned = _assign(ev, centroids).select("vec_id", "v", "cluster_id")
+
+    cent = spark.createDataFrame(
+        [(cid, c) for cid, c in sorted(centroids.items())],
+        "cluster_id long, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    )
+
+    def cos_double(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        n1 = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        n2 = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        return dot / (n1 * n2)
+
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "cluster_id",
+        cos_double(F.col("q_emb"), F.col("centroid")).alias("cell_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "cluster_id")
+    probed = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= 4)
+        .select("query_id", "q_emb", "cluster_id")
+    )
+    cand = probed.join(assigned, "cluster_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_double(F.col("q_emb"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    ivf = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact brute-force top-5 in the same job (broadcast query batch —
+    # the documented exactness baseline, 10 x N rows, never N^2)
+    brute = (
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_double(F.col("q_emb"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    n_res = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    n_ov = (
+        ivf.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_res.join(n_ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 2).alias("recall_ge_2of5"),
+        )
+    )
+
+
+@query(
+    "q_ann_ivf_exact",
+    oracle=_IVF_EXACT_ORACLE,
     tags=("similarity", "ann", "ivf", "exact-oracle"),
 )
 def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

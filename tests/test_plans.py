@@ -255,6 +255,7 @@ _NLJ_ALLOWED = {
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
+    "q_minhash_lsh",        # 1-row twin/precision/recall contract aggregates stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demo.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf"}

