@@ -503,11 +503,27 @@ _ML_SEEDS = 16
 _ML_BANDS = 4  # 4 seeds per band
 
 
-def _ml_oracle() -> str:
-    from .llm_pipeline import _hex_val_sql
+def _hex_window_sql(h: str, start: int, n: int = 4) -> str:
+    """Integer value of hex digits [start, start+n) (1-based) of `h` —
+    digit-parse form valid in BOTH dialects (Spark additionally uses
+    conv(), which DuckDB lacks; values are identical)."""
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(n):
+        expr = f"(({expr}) * 16 + instr('0123456789abcdef', substr({h}, {start + i}, 1)) - 1)"
+    return expr
 
+
+def _ml_lane(lane: int) -> tuple[str, int]:
+    """(digest column, 1-based hex offset) for lane i of the 2-digest
+    scheme: lanes 0-7 are 4-hex-digit windows of md5(shingle||'#0'),
+    lanes 8-15 of md5(shingle||'#1')."""
+    return (f"d{lane // 8}", 4 * (lane % 8) + 1)
+
+
+def _ml_oracle() -> str:
     sig_cols = ",\n             ".join(
-        f"MIN(CASE WHEN seed = {i} THEN hv END) AS m{i}" for i in range(_ML_SEEDS)
+        "MIN({w}) AS m{i}".format(w=_hex_window_sql(*_ml_lane(i)), i=i)
+        for i in range(_ML_SEEDS)
     )
     band_rows = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
@@ -529,14 +545,15 @@ def _ml_oracle() -> str:
       FROM ts WHERE len(toks) >= 4
     ), ex AS (
       SELECT doc_id, unnest(s) AS shingle FROM sh
-    ), hv AS (
-      SELECT doc_id, seed,
-             {_hex_val_sql("md5(shingle || '#' || CAST(seed AS VARCHAR))", 8)} AS hv
-      FROM ex CROSS JOIN (SELECT unnest(range({_ML_SEEDS})) AS seed)
+    ), dg AS (
+      SELECT doc_id,
+             md5(shingle || '#0') AS d0,
+             md5(shingle || '#1') AS d1
+      FROM ex
     ), sig AS (
       SELECT doc_id,
              {sig_cols}
-      FROM hv GROUP BY doc_id
+      FROM dg GROUP BY doc_id
     ), bands AS (
       {band_rows}
     ), cand AS (
@@ -568,14 +585,24 @@ def _ml_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MECHANISM itself is now under the driver's hash, not just its
     exact-verify tail. Keep q_minhash_lsh for throughput (xxhash64 is
     ~an order cheaper per lane than md5); this twin is the
-    correctness witness for the same (16 seeds, 4 bands of 4) scheme
-    over 4-gram shingles with J >= 0.5 exact verification.
+    correctness witness for the same (16 lanes, 4 bands of 4) scheme
+    over 4-gram shingles with J >= 0.5 exact verification. The 16
+    lanes are 4-hex-digit (16-bit) windows of TWO md5 digests per
+    shingle — md5 dominates the twin's cost, and 2 digests give the
+    same 16 pairwise-independent-enough lanes as 16 did at 1/8 the
+    hash work (lane width only coarsens min-ties; candidates are
+    exactly verified afterwards either way).
 
     Scale shape is identical: signatures partial-aggregate map-side
-    (doc x seed keyed min), band keys explode to 4 rows per doc, the
-    candidate join is equi on (band, band_hash) — O(n) shuffle."""
-    from .llm_pipeline import _hex_val_sql
-
+    (16 plain mins over posting rows), band keys explode to 4 rows per
+    doc, the candidate join is equi on (band, band_hash) — O(n)
+    shuffle. (Measured alternative: hashing once per DISTINCT shingle
+    and joining back is SLOWER here — this corpus's shingle vocabulary
+    is ~0.8x its posting list, so the dictionary join's extra shuffle
+    outweighs the saved md5 work; on a 100 TB corpus where postings
+    outnumber distinct shingles by orders of magnitude, flip to the
+    dictionary form. The min per (doc, lane) is invariant to where
+    hashes are computed, so the oracle stays valid either way.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     starts = F.when(
@@ -586,22 +613,30 @@ def _ml_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = d.select("doc_id", shingles.alias("s")).filter(F.size("s") > 0)
     ex = arr.select("doc_id", F.explode("s").alias("shingle"))
-    hv = ex.select(
+    # Two md5 digests per posting row; 16 lanes are 4-hex-digit windows
+    # of those digests, as COLUMNS (no seed-explode): md5 — the
+    # dominant cost — runs 2x per posting instead of 16x, and the
+    # aggregate partial-combines 16 plain mins map-side. Spark parses
+    # windows with conv() (cheaper); the oracle digit-parses the same
+    # windows — identical integers either way.
+    dg = ex.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(_ML_SEEDS)])).alias("seed"),
-        "shingle",
-    ).select(
+        F.md5(F.concat(F.col("shingle"), F.lit("#0"))).alias("d0"),
+        F.md5(F.concat(F.col("shingle"), F.lit("#1"))).alias("d1"),
+    )
+    hv = dg.select(
         "doc_id",
-        "seed",
-        F.expr(
-            _hex_val_sql("md5(shingle || '#' || CAST(seed AS STRING))", 8)
-        ).alias("hv"),
+        *[
+            F.expr(
+                "CAST(conv(substr({d}, {off}, 4), 16, 10) AS BIGINT)".format(
+                    d=_ml_lane(i)[0], off=_ml_lane(i)[1]
+                )
+            ).alias(f"h{i}")
+            for i in range(_ML_SEEDS)
+        ],
     )
     sig = hv.groupBy("doc_id").agg(
-        *[
-            F.min(F.when(F.col("seed") == i, F.col("hv"))).alias(f"m{i}")
-            for i in range(_ML_SEEDS)
-        ]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_ML_SEEDS)]
     )
     band_arr = F.array(
         *[

@@ -1,0 +1,125 @@
+"""Generate sf1-SCALE synthetic tables (10x sf0.1) for the growth-curve
+sweep (VERDICT r2, next-round #4). The driver ships no sf1, so this
+mimics the driver corpus's measured character (read from the real sf0.1
+footers/values, documented in FIXTURES.md):
+
+- documents: bag-of-words over the SAME 31-word vocabulary, uniform
+  lengths 10-100 tokens (sf0.1 measures min 10 / max 100 / mean 54),
+  langs weighted like sf0.1 (~41% en, rest ~15% each), 20 sources,
+  plus the same light exact-dup rate (~0.2%)
+- events: 10x rows, 10x users, 5 event types, value ~ |N(0,1)|*80
+  capped, 30-day microsecond timestamps
+- embeddings: 10x vectors, 64-dim float32 in ~[-0.4, 0.4], labels 0-9
+
+Everything seeds from a fixed numpy RandomState so reruns are
+identical. Writes parquet under .scratch/sf1x/ (gitignored; outside
+/root/testdata which is read-only). Other tables symlink to sf0.1 so
+loaders that touch the relational side keep working.
+
+Usage: python scripts/gen_scale.py [mult]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "fr", "es", "zh"]
+LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
+
+BASE = {"documents": 5000, "events": 100_000, "embeddings": 2000}
+
+
+def gen(out_dir: str, mult: int) -> None:
+    rng = np.random.RandomState(42)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # documents
+    n_docs = BASE["documents"] * mult
+    lens = rng.randint(10, 101, size=n_docs)
+    toks = rng.randint(0, len(VOCAB), size=int(lens.sum()))
+    texts, off = [], 0
+    vocab = np.array(VOCAB)
+    for ln in lens:
+        texts.append(" ".join(vocab[toks[off:off + ln]]))
+        off += ln
+    # plant the sf0.1-like exact-dup tail (8 dups / 5000 docs)
+    for i in range(0, n_docs // 625):
+        texts[n_docs - 1 - i] = texts[i]
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_W)
+    sources = np.char.add("src", rng.randint(0, 20, size=n_docs).astype(str))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+
+    # events
+    n_ev = BASE["events"] * mult
+    ts0 = np.datetime64("2024-01-01T00:00:00.000000")
+    span_us = 30 * 86_400 * 1_000_000
+    ts = ts0 + rng.randint(0, span_us, size=n_ev).astype("timedelta64[us]")
+    ts.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(rng.randint(0, 1500 * mult, size=n_ev), pa.int64()),
+                "event_type": pa.array(
+                    rng.choice(["view", "click", "purchase", "signup", "error"], size=n_ev),
+                    pa.string(),
+                ),
+                "value": pa.array(
+                    np.round(np.abs(rng.randn(n_ev)) * 80.0, 2), pa.float64()
+                ),
+                "props": pa.array(["{}"] * n_ev, pa.string()),
+            }
+        ),
+        f"{out_dir}/events.parquet",
+    )
+
+    # embeddings
+    n_emb = BASE["embeddings"] * mult
+    emb = (rng.rand(n_emb, 64).astype(np.float32) - 0.5) * 0.8
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                "label": pa.array(rng.randint(0, 10, size=n_emb), pa.int32()),
+            }
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+
+    # relational side: symlink the real sf0.1 tables
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    print(f"wrote {out_dir}: docs={n_docs} events={n_ev} emb={n_emb}")
+
+
+if __name__ == "__main__":
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scratch", f"sf{mult}x")
+    gen(out, mult)

@@ -1,0 +1,85 @@
+"""Growth-curve sweep for the heavy operator families (VERDICT r2 #4):
+run each at sf0.1 (real), 3x, and 10x (synthetic, scripts/gen_scale.py)
+and report wall + the family's dominant intermediate ROW counts (the
+shuffle currency), so sub-quadratic growth is measured, not argued.
+
+Prints a markdown table for SCALE.md.
+
+Usage: python scripts/growth_sweep.py [--quick]  (--quick: 1x/3x only)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_lake_with_spark_and_aws_s3_spark import REGISTRY  # noqa: E402
+from data_lake_with_spark_and_aws_s3_spark.session import get_spark  # noqa: E402
+from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table  # noqa: E402
+
+
+def shingle_stats(spark, sf_dir):
+    """Posting-list rows + candidate pairs for the prefix filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4))))
+        ).alias("tok"),
+    )
+    return sh.count()
+
+
+FAMILIES = {
+    "q_prefix_filter_pairs": lambda spark, d: {"posting_rows": shingle_stats(spark, d)},
+    "q_minhash_lsh": lambda spark, d: {
+        "band_rows": load_table(spark, d, "documents").count() * 4
+    },
+    "q_dedup_clusters": lambda spark, d: {},
+    "q_kmeans_lloyd": lambda spark, d: {
+        "points": load_table(spark, d, "events").count()
+    },
+    "q_curation_pipeline": lambda spark, d: {},
+}
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    dirs = [("1x", "/root/testdata/sf0.1"), ("3x", f"{REPO}/.scratch/sf3x")]
+    if not quick:
+        dirs.append(("10x", f"{REPO}/.scratch/sf10x"))
+    spark = get_spark(app_name="growth-sweep")
+    rows = []
+    for name, aux in FAMILIES.items():
+        fn = REGISTRY[name].fn
+        for label, d in dirs:
+            extras = aux(spark, d)
+            df = fn(spark, d)
+            t0 = time.perf_counter()
+            # noop v2 sink: executes EVERY column (count() lets Catalyst
+            # prune whole stages) without driver-collect serialization
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            n_out = df.count()
+            rows.append((name, label, round(wall, 2), n_out, extras))
+            print(f"# {name} @{label}: {wall:.2f}s out={n_out} {extras}",
+                  file=sys.stderr)
+    print("| family | scale | wall s | output rows | key intermediates |")
+    print("|---|---|---|---|---|")
+    for name, label, wall, n_out, extras in rows:
+        ex = ", ".join(f"{k}={v:,}" for k, v in extras.items()) or "—"
+        print(f"| {name} | {label} | {wall} | {n_out:,} | {ex} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
