@@ -46,6 +46,9 @@ EXTENDED = [
     # to the r1/r2 pair-emitting variant.
     "q_minhash_lsh",
     "q_dedup_clusters",
+    # round 3: the no-quadratic-stage clusters composition (LSH edges
+    # via the md5 twin + star-contraction CC)
+    "q_dedup_clusters_lsh",
     "q_cosine_topk",
     "q_curation_pipeline",
     "q_decontaminate",

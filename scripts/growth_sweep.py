@@ -63,10 +63,12 @@ def main() -> None:
         fn = REGISTRY[name].fn
         for label, d in dirs:
             extras = aux(spark, d)
-            df = fn(spark, d)
             t0 = time.perf_counter()
-            # noop v2 sink: executes EVERY column (count() lets Catalyst
-            # prune whole stages) without driver-collect serialization
+            # time construction + noop sink: iterative operators (CC,
+            # Lloyd) do their rounds at construction time, and the noop
+            # v2 sink executes EVERY column (count() lets Catalyst prune
+            # whole stages) without driver-collect serialization
+            df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             n_out = df.count()
