@@ -167,3 +167,47 @@ def test_python_stream_source_exactly_once_offsets(spark, tmp_path):
     assert second == list(range(len(second))), (
         f"restart re-emitted or skipped ids: {second[:30]}..."
     )
+
+
+def test_dynamic_partition_pruning_star_join(spark, tmp_path, sf_dir):
+    """DYNAMIC partition pruning: when the pruning predicate lives on
+    the DIMENSION side of a star join (not on the fact's partition
+    column itself), Spark must still prune fact partitions at runtime
+    by reusing the broadcast of the filtered dimension as a
+    PartitionFilter subquery. This is the mechanism that lets a
+    100 TB date-partitioned fact read only the days a dim filter
+    selects — static pruning can't see through the join."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    fact_path = str(tmp_path / "fact_by_yr")
+    o.write.partitionBy("yr").parquet(fact_path)
+    dim_path = str(tmp_path / "dim_years")
+    (
+        o.select("yr")
+        .distinct()
+        .withColumn(
+            "tag", F.when(F.col("yr") == 1996, F.lit("focus")).otherwise(F.lit("rest"))
+        )
+        .write.parquet(dim_path)
+    )
+
+    fact = spark.read.parquet(fact_path)
+    # the predicate must be one Spark's isLikelySelective recognizes
+    # (equality, IN, LIKE...) — a bare boolean attribute is not
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "focus")
+    joined = fact.join(F.broadcast(dim), "yr").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        f"expected a dynamicpruningexpression PartitionFilter on the fact scan:\n{plan}"
+    )
+    row = joined.collect()[0]
+    exp = o.filter("yr = 1996").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    assert (row["n"], row["s"]) == (exp["n"], exp["s"]) and row["n"] > 0
