@@ -326,3 +326,103 @@ def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("hv").alias("xor_checksum"),
         F.sum("hv").alias("sum_checksum"),
     )
+
+
+@query(
+    "q_entropy_profile",
+    oracle="""
+    WITH cv AS (
+      SELECT 'lang' AS col_name, lang AS value FROM documents
+      UNION ALL
+      SELECT 'source' AS col_name, source AS value FROM documents
+    ),
+    counts AS (
+      SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cv GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT col_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS max_c,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+             CAST(SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_clnc_mnats
+      FROM counts GROUP BY 1
+    )
+    SELECT col_name,
+           n_rows,
+           n_distinct,
+           CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+           CAST(n_rows * n_rows - sum_c2 AS DOUBLE)
+             / CAST(n_rows * n_rows AS DOUBLE) AS gini_impurity,
+           CAST(ROUND(ln(n_rows) * 1000000) AS BIGINT)
+             - sum_clnc_mnats // n_rows AS entropy_mnats
+    FROM prof
+    """,
+    tags=("quality", "profiling", "entropy", "llm-pipeline"),
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy / concentration profile of the categorical
+    columns a curation pipeline balances on (documents.lang,
+    documents.source): per column, row count, distinct count, top
+    value share, Gini impurity, and entropy in integer micro-nats.
+
+    Cross-engine exactness (see [[oracle-exactness-playbook]]): counts
+    are exact ints; max_share and gini_impurity are a SINGLE IEEE
+    division of exactly-representable integers (identical on any IEEE
+    engine, no sum-order dependence). Entropy needs ln, whose libm may
+    differ by an ulp between the JVM and DuckDB, and a double SUM of
+    ln-terms would also be order-dependent — so each value's c*ln(c)
+    term is quantized to micro-nats (an exactly-representable integer
+    double < 2^53) BEFORE an exact integer sum, and the identity
+    H = ln(n) - (1/n)*sum(c*ln c) is finished in integer micro-nat
+    arithmetic (truncating div; operands non-negative so Spark `div`
+    == DuckDB `//`). Residual risk is a per-term half-ulp rounding
+    boundary, probability ~1e-10 per distinct value.
+
+    Scale: ONE scan of documents — the k profiled columns are stacked
+    map-side via explode(array(struct...)), so the plan is
+    scan -> explode (k×n rows) -> two hash aggregates whose outputs
+    are |values| then k rows. Entropy/gini per partition-key is the
+    standard skew detector before a big join: a column with max_share
+    near 1 at 100 TB is a salting candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    cv = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("col_name"), F.col("lang").alias("value")
+                ),
+                F.struct(
+                    F.lit("source").alias("col_name"), F.col("source").alias("value")
+                ),
+            )
+        ).alias("cv")
+    ).select("cv.*")
+    counts = cv.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("c"))
+    prof = counts.groupBy("col_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")) * F.lit(1_000_000)).cast("long")
+        ).alias("sum_clnc_mnats"),
+    )
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        (F.col("max_c").cast("double") / F.col("n_rows").cast("double")).alias(
+            "max_share"
+        ),
+        (
+            (F.col("n_rows") * F.col("n_rows") - F.col("sum_c2")).cast("double")
+            / (F.col("n_rows") * F.col("n_rows")).cast("double")
+        ).alias("gini_impurity"),
+        (
+            F.round(F.log(F.col("n_rows")) * F.lit(1_000_000)).cast("long")
+            - F.expr("sum_clnc_mnats div n_rows")
+        ).alias("entropy_mnats"),
+    )
