@@ -395,3 +395,113 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components_star(edges, vertices)
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+_BFS_ROUNDS = 3
+
+_BFS_EDGES_SQL = """
+    e0 AS (
+      SELECT DISTINCT 2 * o_custkey AS u, 2 * l_suppkey + 1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (
+      SELECT u AS src, v AS dst FROM e0
+      UNION ALL
+      SELECT v AS src, u AS dst FROM e0
+    ),
+    d0 AS (
+      SELECT 2 * s_suppkey + 1 AS node, CAST(0 AS BIGINT) AS hops
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+"""
+
+
+def _bfs_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+      FROM (
+        SELECT node, hops FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, d.hops + 1 AS hops
+        FROM {prev} d JOIN und e ON d.node = e.src
+      )
+      GROUP BY node
+    )"""
+
+
+def _bfs_oracle() -> str:
+    rounds = ",".join(
+        _bfs_round_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_ROUNDS)
+    )
+    return f"""
+    WITH {_BFS_EDGES_SQL}, {rounds}
+    SELECT CAST(node AS BIGINT) AS node, hops FROM d{_BFS_ROUNDS}
+    """
+
+
+@query(
+    "q_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative", "bfs", "shortest-path"),
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (unweighted shortest path) on the
+    undirected customer<->supplier trade graph (same edge derivation as
+    q_pagerank), seeded from all NATION_7 suppliers; nodes not reached
+    within 3 rounds are absent from the output.
+
+    The Pregel-style frontier loop as DataFrames: each round is ONE
+    edge equi-join (expand the current distance table along edges) plus
+    ONE min-aggregate (keep the shortest label per node) — two key
+    shuffles per round, never an all-pairs step; the round count is
+    FIXED so the whole computation is a deterministic dataflow the
+    oracle mirrors as a chained CTE (the house pattern for iterative
+    ops: q_pagerank, q_kmeans_lloyd). All values are exact ints.
+
+    100 TB posture: the full-distance-table rejoin is the simple
+    textbook form; the production refinement is delta-frontier BFS
+    (expand only nodes whose label changed last round — frontier
+    shrinks geometrically on small-diameter graphs) plus
+    localCheckpoint per round to cut lineage, as connected_components
+    does. Edge list shuffles on src each round; co-partitioning with
+    the distance table makes rounds 2+ exchange-free on a real
+    cluster."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    # evaluated once, reused every round (join+distinct is the costly part)
+    und = und.localCheckpoint(eager=True)
+
+    dist = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+    )
+    for _ in range(_BFS_ROUNDS):
+        expanded = und.join(dist, und["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist
