@@ -524,3 +524,249 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cosine") * 10000).cast("bigint").alias("cos_x10000"),
         )
     )
+
+
+# ---- Product quantization (PQ) ANN ---------------------------------
+# 64 dims -> _PQ_M subspaces of _PQ_D dims; codebook = the subvectors
+# of the first _PQ_K corpus vectors (sampled codebook). All distances
+# run on the scaled-int grid, so encode, ADC, and ranking are exact
+# integer arithmetic in BOTH engines — no float boundary anywhere.
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace
+_PQ_NQ = 10  # query batch: vec_id < 10
+_PQ_TOPK = 5
+
+_D2_SQL = (
+    "list_reduce(list_transform(range(1, " + str(_PQ_D + 1) + "), i -> ("
+    + _QI.format(x="{a}[i]") + " - " + _QI.format(x="{b}[i]") + ") * ("
+    + _QI.format(x="{a}[i]") + " - " + _QI.format(x="{b}[i]")
+    + ")), (s, x) -> s + x)"
+)
+
+_PQ_SHORTLIST = 100  # ADC shortlist size feeding the exact rerank
+
+_D2_FULL_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> ("
+    + _QI.format(x="{a}[i]") + " - " + _QI.format(x="{b}[i]") + ") * ("
+    + _QI.format(x="{a}[i]") + " - " + _QI.format(x="{b}[i]")
+    + ")), (s, x) -> s + x)"
+)
+
+# sub -> cw -> enc -> lut -> scored: the shared encode+ADC dataflow,
+# prefixed onto both PQ oracles below.
+_PQ_SCORED_CTES = f"""
+    WITH sub AS (
+      SELECT vec_id, m,
+             embedding[(m * {_PQ_D} + 1):(m * {_PQ_D} + {_PQ_D})] AS sv
+      FROM embeddings, range(0, {_PQ_M}) t(m)
+    ),
+    cw AS (
+      SELECT vec_id AS code, m, sv FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cw.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {_D2_SQL.format(a="s.sv", b="cw.sv")}, cw.code
+               ) AS rn
+        FROM sub s JOIN cw ON s.m = cw.m
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cw.m, cw.code,
+             {_D2_SQL.format(a="q.sv", b="cw.sv")} AS d2
+      FROM sub q JOIN cw ON q.m = cw.m
+      WHERE q.vec_id < {_PQ_NQ}
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+"""
+
+_PQ_ORACLE = f"""
+    {_PQ_SCORED_CTES}
+    SELECT query_id, neighbor_id, adc_d2, rank FROM (
+      SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """
+
+_PQ_RERANK_ORACLE = f"""
+    {_PQ_SCORED_CTES},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST({_D2_FULL_SQL.format(a="q.embedding", b="n.embedding")}
+                  AS BIGINT) AS d2
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, d2, rank FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+def _d2_int(a, b):
+    """Exact scaled-integer squared L2 distance of two float arrays."""
+    diffs = F.zip_with(a, b, lambda x, y: (qint(x) - qint(y)) * (qint(x) - qint(y)))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda s, x: s + x)
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ dataflow: split -> codebook -> encode (argmin) ->
+    per-query ADC lookup table -> summed approximate distances.
+    Returns (query_id, neighbor_id, adc_d2), self-pairs excluded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
+    )
+    cw = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    enc = (
+        sub.join(F.broadcast(cw), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "code", _d2_int(F.col("sv"), F.col("cv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cw), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            _d2_int(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+    )
+    return (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+
+
+@query(
+    "q_ann_pq",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "pq", "product-quantization"),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim vectors split into 8 subspaces
+    of 8 dims; each subvector is ENCODED as the id of its nearest of
+    16 codewords (codebook = subvectors of the first 16 corpus
+    vectors — the sampled-codebook baseline; a learned codebook would
+    Lloyd-iterate per subspace exactly as clustering.py does). Queries
+    score candidates with ASYMMETRIC DISTANCE (ADC): a per-query
+    8x16 lookup table of exact subspace distances, summed along each
+    candidate's 8 codes — the memory-bound trick that makes
+    billion-scale search feasible (Jegou et al., TPAMI'11: the corpus
+    shrinks from 64 floats to 8 bytes per vector).
+
+    Every distance runs on the scaled-int grid (qint above), so
+    encode argmin, ADC sums, and the final ranking are EXACT integer
+    arithmetic with int tie-breaks — unlike q_ann_ivf there is no
+    float near-tie surface at all; the full ranked output is hashed.
+
+    Plan/scale shape: codebook (128 rows) and LUT (|Q| x 128) are
+    broadcast; encode is a broadcast join + one (vec, subspace) argmin
+    aggregate — the only O(n) shuffles are that aggregate and the
+    final per-query ADC aggregate, both map-side-combined. Candidate
+    rows never carry embeddings, only 8 small ints.
+
+    Honesty note (same caveat as q_ann_ivf): on this ISOTROPIC
+    synthetic corpus, ADC-rank-5 recall vs the exact top-5 is ~0.16
+    at both shipped SFs — concentration of measure leaves almost no
+    spread between true distances for 8-byte codes to preserve. Real
+    clustered embeddings fare far better; and production PQ never
+    stops at ADC rank anyway — see q_ann_pq_rerank for the
+    shortlist+exact-rerank composition (recall 0.78-0.88 here). The
+    hashed surface is exact regardless of recall."""
+    scored = _pq_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+@query(
+    "q_ann_pq_rerank",
+    oracle=_PQ_RERANK_ORACLE,
+    tags=("similarity", "ann", "pq", "rerank"),
+)
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ pipeline: ADC shortlist (top-100 approximate
+    distances per query, computed from 8-byte codes — the cheap scan)
+    then EXACT rerank of only the shortlist (full 64-dim scaled-int
+    squared L2 — the expensive math, now on 100 rows per query
+    instead of the corpus). Measured capture of the true top-5 inside
+    the shortlist: 0.88 at sf0.01 (R/n = 20%), 0.78 at sf0.1 (R/n =
+    5%) on the isotropic corpus — and rerank is exact, so that IS the
+    recall (tests/test_similarity_recall.py pins a floor).
+
+    Fully hash-checked: both stages are integer arithmetic with
+    integer tie-breaks, so shortlist membership, rerank distances,
+    and ranks are engine-identical — the first ANN scale path in the
+    registry whose APPROXIMATE stage is exactly oracle-replayed
+    end-to-end at full output fidelity.
+
+    Scale: the rerank join fetches neighbor embeddings by vec_id
+    (equi-join, O(|Q| x R) rows) and broadcasts the query batch —
+    candidate embeddings move once; nothing is all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = _pq_scored(spark, sf_dir)
+    w_s = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        short.join(e, short["neighbor_id"] == e["vec_id"])
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _d2_int(F.col("q_emb"), F.col("embedding")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
