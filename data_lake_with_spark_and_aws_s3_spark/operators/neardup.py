@@ -767,3 +767,94 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RNG_N = 8  # words per gram
+_RNG_FLAG = 0.2  # flag docs whose duplicated-position share exceeds this
+
+
+@query(
+    "q_repeated_ngram_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             array_to_string(ts[i:i + {_RNG_N - 1}], ' ') AS gram
+      FROM tok, UNNEST(range(1, len(ts) - {_RNG_N} + 2)) AS t(i)
+    ),
+    df AS (
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio,
+           CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) >= {_RNG_FLAG} AS flagged
+    FROM g JOIN df ON g.gram = df.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("neardup", "llm-pipeline", "substring-dedup", "ngram"),
+)
+def q_repeated_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage profile: for every document,
+    the share of its 8-word-gram positions whose gram also occurs in
+    at least one OTHER document, plus a curation flag at 20% — the
+    distributable approximation of exact-substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22: their suffix-array dedup is single-machine;
+    fixed-length gram df is the shuffle-friendly form every large
+    corpus pipeline actually runs, cf. Dolma/RedPajama dedup configs).
+
+    Dataflow: tokenize map-side -> one gram row per position
+    (transform+explode, no joins) -> gram document-frequency hash
+    aggregate -> 1:1 equi-join of gram rows to their df -> per-doc
+    aggregate. Two O(total-positions) key shuffles (df agg, df join)
+    plus the final per-doc agg; nothing quadratic, no gram ever
+    expands beyond its own positions — a viral gram contributes its
+    df row once (contrast the posting-list join in
+    q_prefix_filter_pairs where skew needs AQE). At 100 TB the gram
+    STRING key would be replaced by a 128-bit digest to cut shuffle
+    bytes (md5-portable pattern, q_minhash_lsh_exact) and docs under
+    8 tokens are dropped by construction in both engines.
+
+    Exactness: counts are ints; dup_ratio is a single IEEE division
+    of two exact ints, and the flag threshold compares that identical
+    double in both engines — no accumulation anywhere."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("ts"),
+    )
+    g = (
+        d.filter(F.size("ts") >= _RNG_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {_RNG_N} + 1), "
+                    f"i -> concat_ws(' ', slice(ts, i, {_RNG_N})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    df = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("n_dup"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+            (dup.cast("double") / F.count(F.lit(1)) >= F.lit(_RNG_FLAG)).alias(
+                "flagged"
+            ),
+        )
+    )
