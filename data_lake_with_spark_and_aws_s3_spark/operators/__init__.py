@@ -47,6 +47,7 @@ from . import (  # noqa: F401
     tpch_subqueries,
     setops,
     similarity,
+    skew,
     text,
     windows,
 )

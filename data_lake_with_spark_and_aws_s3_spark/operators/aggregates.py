@@ -15,7 +15,7 @@ deep (here it's 2-3 levels — fine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec, money_sum
@@ -302,4 +302,91 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") * 25000.0).alias("bucket_lo"),
             "n_orders",
         )
+    )
+
+
+@query(
+    "q_exact_median_mode",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(MAX(n) AS BIGINT) AS n,
+             (MIN(value) + MAX(value)) / 2 AS median_value
+      FROM r
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT event_type, user_id AS mode_user, CAST(cnt AS BIGINT) AS mode_count,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rr
+      FROM c
+    )
+    SELECT med.event_type, med.n, med.median_value, mo.mode_user, mo.mode_count
+    FROM med JOIN mo ON med.event_type = mo.event_type AND mo.rr = 1
+    """,
+    tags=("aggregate", "median", "mode", "exact"),
+)
+def q_exact_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median and mode — the deterministic twins of
+    the approx_percentile / any-value shortcuts. Built-ins are
+    deliberately avoided: Spark's percentile() and DuckDB's median()
+    interpolate even-count middles with *different* expression trees
+    (0.5*a+0.5*b vs a+(b-a)*0.5 — a last-ulp divergence), and both
+    engines' mode() break count-ties arbitrarily. Here both engines
+    run the SAME formula: median = (lo + hi) / 2 picked by row_number
+    at positions (n+1) div 2 and n div 2 + 1 (equal when n is odd —
+    one double add and one exact halving), and mode tie-breaks by
+    smallest user_id via an explicit rank.
+
+    Scale: the median needs a per-group sort — expressed as ONE
+    ranking window per group (range-partitioned sort, no global
+    sort); mode is two hash aggregates. The 100 TB path for
+    percentiles remains approx_percentile (q_approx_percentiles);
+    this operator is the exact-audit tool you run on the groups that
+    matter (its window sort is O(n log n) per group but
+    distribution-friendly)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            ((F.min("value") + F.max("value")) / F.lit(2)).alias("median_value"),
+        )
+    )
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    wm = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    mo = (
+        c.withColumn("rr", F.row_number().over(wm))
+        .filter(F.col("rr") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    return med.join(mo, "event_type").select(
+        "event_type", "n", "median_value", "mode_user", "mode_count"
     )

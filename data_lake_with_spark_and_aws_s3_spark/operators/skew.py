@@ -62,3 +62,56 @@ def write_bucketed(
         .mode("overwrite")
         .saveAsTable(table_name)
     )
+
+
+from ..functions.numeric import dec, money_sum  # noqa: E402
+from ..registry import query  # noqa: E402
+from ..sources.loader import load_table  # noqa: E402
+
+
+@query(
+    "q_salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("skew", "salted-join", "plan"),
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a SALTED fact-to-fact join:
+    the left side's keys are spread over 16 salt sub-partitions and
+    the right side replicated 16x, so no single join key can pin one
+    task (the hot-key mitigation AQE's skew split can't reach when a
+    downstream aggregate re-keys on the same column). The oracle is
+    the PLAIN join+aggregate — parity proves salting is row-identical,
+    which is the entire point of the transform; the salt column is
+    random per run and never observable.
+
+    This registers the skew.py primitive (already equivalence- and
+    plan-tested in tests/test_skew_bucketing.py) on the driver's
+    oracle surface. This corpus's l_orderkey is uniform — the query
+    demonstrates the mechanism, not a measured win; the measured-skew
+    counterpart is the AQE forceOptimizeSkewedJoin test. Cost model at
+    100 TB: salting multiplies the small side's shuffle by `salt`
+    (16x here) to divide the hot key's task time by the same factor —
+    apply per hot key (filtered split) in production, not blanket."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", dec("l_extendedprice").alias("price")
+    )
+    # shuffle_hash hint: without it Catalyst happily BROADCASTS the
+    # 16x-replicated right side (a ~300 MiB build at sf0.1, fatal at
+    # scale) — salting only means anything on a shuffle join.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(li, o, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(F.col("price"), "revenue"),
+    )

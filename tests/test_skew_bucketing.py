@@ -113,3 +113,15 @@ def test_ann_ivf_kmeans_recall(spark):
     assert len(rows) == 10
     assert all(r["n_results"] == 5 for r in rows)
     assert all(r["recall_ge_2of5"] for r in rows)
+
+
+def test_salted_join_agg_plans_shuffle_join(spark):
+    """q_salted_join_agg must exercise the salted SHUFFLE join —
+    without the shuffle_hash hint Catalyst broadcasts the
+    16x-replicated side (~300 MiB build at sf0.1, fatal at scale),
+    which makes the salting demonstration vacuous."""
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+    df = REGISTRY["q_salted_join_agg"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
