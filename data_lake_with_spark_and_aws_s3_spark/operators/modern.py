@@ -264,3 +264,38 @@ def q_try_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("scaled_or_sentinel"),
     )
+
+
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_shipdate >= DATE '1997-01-01'
+    |> AGGREGATE COUNT(*) AS n_items,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)))
+                      AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+       GROUP BY l_returnflag, l_linestatus
+    |> WHERE n_items > 0
+    |> SELECT l_returnflag, l_linestatus, n_items, sum_qty
+"""
+
+_PIPE_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 0
+"""
+
+
+@query("q_sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "pipe-syntax", "spark4"))
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.x `|>`, SQL:202x pipe-operator
+    proposal a la GoogleSQL): the linear FROM -> WHERE -> AGGREGATE ->
+    WHERE -> SELECT chain parses to the identical Catalyst plan as the
+    nested ANSI form the oracle runs — same pushdown, same partial
+    aggregation; the surface is sugar, the plan is not. Registered so
+    a user migrating pipe-syntax queries has the front-end covered."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_SQL)
