@@ -411,8 +411,7 @@ _BFS_EDGES_SQL = """
     ),
     d0 AS (
       SELECT 2 * s_suppkey + 1 AS node, CAST(0 AS BIGINT) AS hops
-      FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
+      FROM supplier WHERE s_suppkey < 5
     )
 """
 
@@ -449,7 +448,7 @@ def _bfs_oracle() -> str:
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance (unweighted shortest path) on the
     undirected customer<->supplier trade graph (same edge derivation as
-    q_pagerank), seeded from all NATION_7 suppliers; nodes not reached
+    q_pagerank), seeded from the first five suppliers (present at every SF); nodes not reached
     within 3 rounds are absent from the output.
 
     The Pregel-style frontier loop as DataFrames: each round is ONE
@@ -471,7 +470,6 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
 
     e0 = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
@@ -487,13 +485,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated once, reused every round (join+distinct is the costly part)
     und = und.localCheckpoint(eager=True)
 
-    dist = (
-        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
-               s["s_nationkey"] == n["n_nationkey"])
-        .select(
-            (F.col("s_suppkey") * 2 + 1).alias("node"),
-            F.lit(0).cast("long").alias("hops"),
-        )
+    dist = s.filter(F.col("s_suppkey") < 5).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        F.lit(0).cast("long").alias("hops"),
     )
     for _ in range(_BFS_ROUNDS):
         expanded = und.join(dist, und["src"] == dist["node"]).select(
