@@ -62,6 +62,11 @@ EXTENDED = [
     "q_interval_union",
     # round 2, session 4: exact-complete near-dup candidate generation
     "q_prefix_filter_pairs",
+    # round 3, session 2: substring-dedup signal, PQ ANN pipeline,
+    # iterative BFS — the new 100 TB-relevant shapes
+    "q_repeated_ngram_profile",
+    "q_ann_pq_rerank",
+    "q_bfs_hops",
 ]
 
 # Headline gets the stabler protocol (2 warm-ups, median of 5): it IS

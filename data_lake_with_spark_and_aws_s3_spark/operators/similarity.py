@@ -635,7 +635,18 @@ def _d2_int(a, b):
 def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PQ dataflow: split -> codebook -> encode (argmin) ->
     per-query ADC lookup table -> summed approximate distances.
-    Returns (query_id, neighbor_id, adc_d2), self-pairs excluded."""
+    Returns (query_id, neighbor_id, adc_d2), self-pairs excluded.
+
+    Physical design: the _PQ_D subspace dims are FLATTENED to scalar
+    columns (a0..a7 / b0..b7) so the n x k candidate distances are one
+    whole-stage-codegen arithmetic expression — measured ~5x faster at
+    sf0.1 than the array zip_with/aggregate HOF form, which Spark
+    evaluates interpreted with per-row array allocation (the HOF path
+    stays right for variable/large dims; PQ subspaces are small by
+    construction). The encode argmin is a hash aggregate over
+    min(struct(d2, code)) — map-side combinable, deterministic
+    (lexicographic = the (d2, code) tie-break) — not a sort-based
+    row_number window over all n x m x k rows."""
     e = load_table(spark, sf_dir, "embeddings")
     sub = e.select(
         "vec_id",
@@ -644,28 +655,31 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "m",
-        F.expr(f"slice(embedding, m * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
+        *[
+            qint(F.element_at("embedding", F.col("m") * _PQ_D + i + 1)).alias(f"a{i}")
+            for i in range(_PQ_D)
+        ],
     )
     cw = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("code"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+        F.col("vec_id").alias("code"),
+        F.col("m").alias("cm"),
+        *[F.col(f"a{i}").alias(f"b{i}") for i in range(_PQ_D)],
     )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    d2 = sum(
+        (F.col(f"a{i}") - F.col(f"b{i}")) * (F.col(f"a{i}") - F.col(f"b{i}"))
+        for i in range(_PQ_D)
+    ).alias("d2")
     enc = (
         sub.join(F.broadcast(cw), F.col("m") == F.col("cm"))
-        .select("vec_id", "m", "code", _d2_int(F.col("sv"), F.col("cv")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        .select("vec_id", "m", d2, "code")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("s"))
+        .select("vec_id", "m", F.col("s.code").alias("code"))
     )
     lut = (
         sub.filter(F.col("vec_id") < _PQ_NQ)
         .join(F.broadcast(cw), F.col("m") == F.col("cm"))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            "code",
-            _d2_int(F.col("sv"), F.col("cv")).alias("d2"),
-        )
+        .select(F.col("vec_id").alias("query_id"), "m", "code", d2)
     )
     return (
         enc.join(F.broadcast(lut), ["m", "code"])

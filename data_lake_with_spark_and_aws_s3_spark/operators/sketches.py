@@ -26,7 +26,7 @@ negative — asserted in tests/test_sketches.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -403,4 +403,44 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("is_member") & ~F.col("bloom_candidate")).alias(
             "n_false_negatives"
         ),
+    )
+
+
+@query(
+    "q_approx_top_k",
+    oracle="""
+    SELECT user_id, cnt, rank FROM (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+    tags=("sketch", "approx-top-k", "spark4"),
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native approx_top_k (Spark 4.x) driven in its EXACT
+    regime: the sketch tracks up to `maxItemsTracked` items and is
+    provably exact while distinct(user_id) stays below that capacity
+    (dozens here vs 100), so its flattened output can be fully
+    hash-checked against the exact GROUP BY oracle — the same
+    sketch-twin trick as q_approx_distinct. Capacity is set ABOVE the
+    domain so top-k SELECTION happens in our deterministic re-rank
+    (count desc, user_id), not inside the sketch, whose internal
+    tie order at the k-boundary is unspecified.
+
+    Scale: approx_top_k is a mergeable partial-aggregate (one scan,
+    O(capacity) state per partition, O(capacity) shuffle) — at 100 TB
+    with a genuinely huge domain the result becomes approximate with
+    the usual heavy-hitter guarantees and the hand-built CMS
+    (q_cms_heavy_hitters) carries the error-bounded contract."""
+    e = load_table(spark, sf_dir, "events")
+    flat = (
+        e.agg(F.expr("approx_top_k(user_id, 100)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("user_id"), F.col("s.count").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "user_id")
+    return (
+        flat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
     )

@@ -49,7 +49,30 @@ FAMILIES = {
         "points": load_table(spark, d, "events").count()
     },
     "q_curation_pipeline": lambda spark, d: {},
+    # round 3, session 2 additions
+    "q_repeated_ngram_profile": lambda spark, d: {
+        "gram_positions": gram_positions(spark, d)
+    },
+    "q_ann_pq_rerank": lambda spark, d: {
+        "corpus": load_table(spark, d, "embeddings").count()
+    },
+    # NOT swept: q_bfs_hops — its input (orders x lineitem trade graph)
+    # is symlinked to sf0.1 in the synthetic scale dirs, so a sweep
+    # would measure a flat curve and prove nothing.
 }
+
+
+def gram_positions(spark, sf_dir):
+    """Total 8-gram positions = the shuffle currency of the df join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    return (
+        d.select(F.greatest(F.size(toks) - 7, F.lit(0)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+
+
 
 
 def main() -> None:
