@@ -310,7 +310,8 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value NULLS LAST) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
     ),
@@ -357,7 +358,10 @@ def q_exact_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter (its window sort is O(n log n) per group but
     distribution-friendly)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
+    # NULLS LAST pinned on both sides: Spark defaults nulls-first
+    # ascending, DuckDB nulls-last — a latent divergence if a future
+    # testdata regen ships NULL values (none today).
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("value"))
     wn = Window.partitionBy("event_type")
     r = e.select(
         "event_type",

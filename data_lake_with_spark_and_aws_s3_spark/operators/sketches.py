@@ -421,7 +421,7 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native approx_top_k (Spark 4.x) driven in its EXACT
     regime: the sketch tracks up to `maxItemsTracked` items and is
     provably exact while distinct(user_id) stays below that capacity
-    (dozens here vs 100), so its flattened output can be fully
+    (dozens here vs 10000 — headroom against any plausible testdata regeneration), so its flattened output can be fully
     hash-checked against the exact GROUP BY oracle — the same
     sketch-twin trick as q_approx_distinct. Capacity is set ABOVE the
     domain so top-k SELECTION happens in our deterministic re-rank
@@ -435,7 +435,7 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_cms_heavy_hitters) carries the error-bounded contract."""
     e = load_table(spark, sf_dir, "events")
     flat = (
-        e.agg(F.expr("approx_top_k(user_id, 100)").alias("tk"))
+        e.agg(F.expr("approx_top_k(user_id, 10000)").alias("tk"))
         .select(F.explode("tk").alias("s"))
         .select(F.col("s.item").alias("user_id"), F.col("s.count").alias("cnt"))
     )
