@@ -784,3 +784,198 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "d2", "rank")
     )
+
+
+# ---- Signed-random-projection (SRP) LSH ANN ------------------------
+# The LSH-bucketed counterpart to the IVF and PQ scale paths: H
+# pseudo-random hyperplanes (components derived from md5 hex digits —
+# engine-portable, no RNG), each vector's H sign bits form a signature,
+# the signature splits into 2 bands of 8 bits, and candidates are
+# corpus vectors sharing EITHER band with the query (banded OR = the
+# standard LSH recall amplification). Everything is integer arithmetic.
+_SRP_H = 16  # hyperplanes (signature bits)
+_SRP_NBANDS = 4  # bands per signature
+_SRP_BITS = 4  # bits per band: more bands x fewer bits => higher recall
+_SRP_NQ = 10
+_SRP_TOPK = 5
+
+
+def _srp_hexval(md5_expr: str) -> str:
+    from .llm_pipeline import _hex_val_sql
+
+    return f"({_hex_val_sql(md5_expr, 4)}) - 32768"
+
+
+_SRP_ORACLE = f"""
+    WITH hp AS (
+      SELECT j, d,
+             {_srp_hexval("md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR))")} AS c
+      FROM range(0, {_SRP_H}) t(j), range(0, 64) u(d)
+    ),
+    pos AS (
+      SELECT vec_id, d, {_QI.format(x="embedding[d + 1]")} AS qd
+      FROM embeddings, range(0, 64) u(d)
+    ),
+    dots AS (
+      SELECT vec_id, j, CAST(SUM(c * qd) AS BIGINT) AS dot
+      FROM pos JOIN hp USING (d) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sg
+      FROM dots GROUP BY 1
+    ),
+    bands AS (
+      SELECT vec_id, k,
+             (sg // (CAST(1 AS BIGINT) << CAST({_SRP_BITS} * k AS INTEGER)))
+               % {1 << _SRP_BITS} AS bv
+      FROM sig, range(0, {_SRP_NBANDS}) r(k)
+    ),
+    q AS (SELECT vec_id AS query_id, k, bv FROM bands WHERE vec_id < {_SRP_NQ}),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM q JOIN bands c ON q.k = c.k AND q.bv = c.bv
+      WHERE c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST({_DOT_SQL.format(a="qq.embedding", b="nn.embedding")} AS DOUBLE)
+               / (sqrt(CAST({_NORM2_SQL.format(a="qq.embedding")} AS DOUBLE))
+                  * sqrt(CAST({_NORM2_SQL.format(a="nn.embedding")} AS DOUBLE)))
+               AS cosine
+      FROM cand
+      JOIN embeddings qq ON qq.vec_id = cand.query_id
+      JOIN embeddings nn ON nn.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(cosine * 10000) AS BIGINT) AS cos_x10000
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_SRP_TOPK}
+    """
+
+
+@query(
+    "q_ann_srp",
+    oracle=_SRP_ORACLE,
+    tags=("similarity", "ann", "lsh", "srp", "random-projection"),
+)
+def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN via signed random projections (Charikar'02
+    SimHash for real vectors): 16 md5-derived hyperplanes give each
+    vector a 16-bit sign signature; 4 bands of 4 bits bucket the corpus
+    and a query's candidates are vectors sharing any band; exact
+    scaled-int cosine reranks candidates to top-5. Completes the ANN
+    family: IVF (cells), PQ (codes), SRP-LSH (hyperplane buckets).
+
+    Determinism: hyperplane components are md5-hex-digit integers (the
+    engine-portable pseudo-randomness used across the repo — no RNG
+    state), projections are exact int sums, sign bits and band splits
+    integer ops, and rerank cosines are identical IEEE doubles from
+    exact ints — the full ranked output is hashed.
+
+    Plan shape: signatures are one posexplode + broadcast hyperplane
+    join + two hash aggregates (O(n*64*16) map-side rows collapsing to
+    O(n)); candidate generation explodes each signature
+    to (band, value) rows and runs ONE equi-join (never an OR
+    nested-loop) + distinct; rerank is an equi-join fetch of candidate
+    embeddings. At 100 TB: band tables are the only shuffles at O(n);
+    banding count and width trade recall vs candidate volume exactly
+    as the MinHash-LSH text path (operators/neardup.py) documents.
+
+    Honesty (isotropic corpus, same caveat as IVF/PQ): 16 random bits
+    over isotropic vectors bucket near-uniformly, so recall vs the
+    exact top-5 tracks the candidate fraction; the measured value and
+    floor live in tests/test_similarity_recall.py. On real clustered
+    embeddings SRP recall concentrates sharply."""
+    e = load_table(spark, sf_dir, "embeddings")
+    hp = (
+        spark.range(_SRP_H * 64)
+        .select(
+            (F.col("id") / 64).cast("long").alias("j"),
+            (F.col("id") % 64).alias("d"),
+        )
+        .select(
+            "j",
+            "d",
+            F.expr(
+                _srp_hexval("md5(concat(cast(j as string), '_', cast(d as string)))")
+            ).alias("c"),
+        )
+    )
+    pos = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    ).select("vec_id", "d", qint(F.col("val")).alias("qd"))
+    dots = (
+        pos.join(F.broadcast(hp), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("c") * F.col("qd")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0))
+        ).alias("sg")
+    )
+    bands = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_NBANDS - 1))).alias("k"),
+        "sg",
+    ).select(
+        "vec_id",
+        "k",
+        (
+            F.expr(f"sg div shiftleft(cast(1 as bigint), cast({_SRP_BITS} * k as int))")
+            % (1 << _SRP_BITS)
+        ).alias("bv"),
+    )
+    q = bands.filter(F.col("vec_id") < _SRP_NQ).select(
+        F.col("vec_id").alias("query_id"), "k", "bv"
+    )
+    cand = (
+        bands.join(F.broadcast(q), ["k", "bv"])
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .distinct()
+    )
+    qe = e.filter(F.col("vec_id") < _SRP_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    norm2 = lambda col: F.aggregate(
+        F.transform(col, lambda x: qint(x) * qint(x)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    scored = (
+        cand.join(e, cand["neighbor_id"] == e["vec_id"])
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_int(F.col("q_emb"), F.col("embedding")).cast("double")
+                / (
+                    F.sqrt(norm2(F.col("q_emb")).cast("double"))
+                    * F.sqrt(norm2(F.col("embedding")).cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _SRP_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cosine") * 10000).cast("long").alias("cos_x10000"),
+        )
+    )

@@ -54,3 +54,21 @@ def test_pq_rerank_recall_floor(spark):
 
     per = Counter(p for p, _ in got)
     assert all(v == _PQ_TOPK for v in per.values()) and len(per) == n_queries
+
+
+def test_srp_recall_floor(spark):
+    """SRP-LSH banded candidates + exact rerank must recover a
+    meaningful share of the true cosine top-5. Measured 0.38 (sf0.01)
+    / 0.46 (sf0.1) with 4 bands x 4 bits on the isotropic corpus; 0.2
+    is the regression floor with margin for testdata regeneration."""
+    ex = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["q_cosine_topk"].fn(spark, SF).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["q_ann_srp"].fn(spark, SF).collect()
+    }
+    n_queries = len({q for q, _ in ex})
+    recall = len(ex & got) / (_PQ_TOPK * n_queries)
+    assert recall >= 0.2, f"SRP recall@5 collapsed: {recall:.2f}"
