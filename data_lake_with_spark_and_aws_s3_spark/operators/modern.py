@@ -299,3 +299,65 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user migrating pipe-syntax queries has the front-end covered."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PIPE_SQL)
+
+
+_REC_SPARK_SQL = """
+    WITH RECURSIVE spans AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS m,
+             date_trunc('month', MAX(o_orderdate)) AS last_m
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT o_custkey, m + INTERVAL '1' MONTH, last_m
+      FROM spans WHERE m < last_m
+    )
+    SELECT date_format(m, 'yyyy-MM') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM spans GROUP BY date_format(m, 'yyyy-MM')
+"""
+
+_REC_ORACLE = """
+    WITH RECURSIVE spans AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS m,
+             date_trunc('month', MAX(o_orderdate)) AS last_m
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT o_custkey, m + INTERVAL 1 MONTH, last_m
+      FROM spans WHERE m < last_m
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM spans GROUP BY 1
+"""
+
+
+@query(
+    "q_recursive_cte",
+    oracle=_REC_ORACLE,
+    tags=("sql", "recursive-cte", "spark4", "scaffold"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4.x): expand each customer's
+    [first order month, last order month] span into one row per month
+    — the calendar-scaffold pattern behind cohort/retention and
+    gap-fill analyses — then count active-span customers per month.
+    DuckDB runs the same recursion; months render as strings because
+    the two engines materialize DATE differently in pandas (object vs
+    datetime64), a hash-kind mismatch strftime sidesteps.
+
+    Iteration-vs-recursion in this repo: the hand-driven loops
+    (q_bfs_hops, q_pagerank, connected components) exist because
+    arbitrary-depth recursion over BIG fan-out graphs needs per-round
+    lineage control (localCheckpoint) and dedup; the engine's
+    recursive CTE is the right tool when depth is bounded and row
+    multiplicity is linear, as here (span months per customer, depth
+    <= ~84 < spark.sql.cteRecursionLevelLimit's default 100). Each
+    recursion step is one filter+projection over the previous step's
+    rows — no joins, no explosion; the final aggregate is exact ints.
+    Measured cost note: wall (~5.5s at BOTH sf0.01 and sf0.1) is
+    recursion-STEP scheduling (one stage per month of depth), not
+    data — the engine loop, not the operator, is the overhead; the
+    hand-driven iterative ops amortize this by doing work per round."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_REC_SPARK_SQL)
