@@ -130,3 +130,82 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         extract, schema="doc_id long, lang string, width long, height long, n_bytes long"
     )
+
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@query(
+    "q_multimodal_frames",
+    # documents.text is ASCII (word-salad vocabulary + spaces), so
+    # DuckDB's character-based substr/ord mirror the Spark side's BYTE
+    # slicing exactly; the checksum is an integer sum of frame bytes.
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             substr(text, CAST(i * {_FRAME_BYTES} + 1 AS INTEGER),
+                    {_FRAME_BYTES}) AS fr
+      FROM documents, UNNEST(range(0, strlen(text) // {_FRAME_BYTES})) t(i)
+      WHERE i % {_FRAME_STRIDE} = 0
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * {_FRAME_BYTES} AS byte_offset,
+           CAST(list_reduce(list_transform(range(1, {_FRAME_BYTES + 1}),
+                j -> ord(substr(fr, CAST(j AS INTEGER), 1))),
+                (s, x) -> s + x) AS BIGINT) AS checksum
+    FROM f
+    """,
+    tags=("multimodal", "binary", "frame-sampling", "pandas-udf"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads — the video-ingest
+    plumbing shape: treat each payload as a container of fixed-size
+    frames (16 bytes here; a real container would parse
+    headers in the same place the slicing loop sits), keep every
+    4th full frame, and emit one typed metadata row per
+    sampled frame (index, byte offset, checksum). One input row fans
+    out to many output rows THROUGH mapInPandas — the part worth
+    testing: per-batch Python fan-out with a declared schema, Arrow
+    in/out, no driver involvement.
+
+    As with decode_image_stub, the frame MATH is a deterministic fake
+    (real decoders aren't in this container) but every Spark-side
+    mechanism is real, and the fake is a pure function of the bytes
+    so the whole fan-out is value-checked against SQL byte arithmetic.
+
+    Scale: frames stream Arrow batch by Arrow batch (constant memory
+    per task however large the corpus); the output carries offsets,
+    not payload bytes, so downstream shuffles never move media. Real
+    frame-sample pipelines add a second mapInPandas stage decoding
+    ONLY the sampled offsets — a quarter of the decode cost here."""
+    import pandas as _pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, offs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b) // _FRAME_BYTES, _FRAME_STRIDE):
+                    fr = b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * _FRAME_BYTES)
+                    sums.append(sum(fr))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.array(doc_ids, dtype="int64"),
+                    "frame_idx": _pd.array(idxs, dtype="int64"),
+                    "byte_offset": _pd.array(offs, dtype="int64"),
+                    "checksum": _pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        sample,
+        "doc_id long, frame_idx long, byte_offset long, checksum long",
+    )
