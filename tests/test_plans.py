@@ -371,3 +371,39 @@ def test_aqe_runtime_broadcast_conversion(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_ann_pq_broadcasts_codebook_and_lut(spark):
+    """PQ's joins must all be broadcast (codebook, ADC LUT, query
+    batch): a shuffled or nested-loop join anywhere in the encode/ADC
+    path would move the corpus for data that fits in one task."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_ann_pq"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ann_srp_banded_join_is_equi(spark):
+    """SRP candidate generation must be the banded EQUI-join (explode
+    to (band, value) rows, one hash join) — an OR-predicate nested
+    loop over signatures is the trap the oracle is allowed but the
+    engine is not."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_ann_srp"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_repeated_ngram_df_join_not_broadcast_corpus(spark):
+    """The gram-df join joins two O(total-positions) relations; at
+    test scale Spark may pick any equi strategy, but it must never
+    plan a nested loop or cartesian (the df relation is 1:1 with gram
+    keys, so the join can only be equi)."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_repeated_ngram_profile"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
