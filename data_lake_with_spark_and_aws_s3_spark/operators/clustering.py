@@ -15,9 +15,13 @@ Exactness (the reason this is oracle-checkable at all, see
     double with a FIXED fold order (Spark ``F.aggregate`` and DuckDB
     ``list_reduce`` both fold left, and the 0.0 init doesn't change
     bracketing), so every distance is bit-identical cross-engine.
-  - centroid updates sum DECIMAL(15,9) (order-independent), reduce to
-    double with one correctly-rounded cast, divide by the count once —
-    the exact pattern q_embedding_centroids fuzz-validated.
+  - centroid updates quantize each element to nano-unit INTEGERS
+    (exact integer doubles < 2^53), sum exactly, then one IEEE
+    division by (count * 1e9) — the q_embedding_centroids pattern.
+    (The earlier DECIMAL(15,9) sum died at sf0.1: Spark's
+    float->decimal and DuckDB's CAST(double AS DECIMAL) rounded a few
+    elements differently, nudging one centroid by ~1e-9 and every
+    distance to it by ~1e-13 — found by the round-3 sf0.1 sweep.)
   - argmin ties break toward the smallest cluster id in both engines
     (first-match CASE in Spark, ROW_NUMBER(dist, cid) in SQL).
 """
@@ -67,15 +71,14 @@ def _assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
 def _update(assigned: DataFrame) -> dict[int, list[float]]:
     """New centroids: per-(cluster, dim) exact-decimal mean, collected
     to the driver (k*dim values — the broadcast-centroid pattern)."""
+    scaled = F.round(F.col("val") * F.lit(1_000_000_000), 0).cast("long")
     cells = (
         assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
         .groupBy("cluster_id", "dim")
         .agg(
             (
-                F.sum(F.col("val").cast("decimal(15,9)"))
-                .cast("decimal(38,9)")
-                .cast("double")
-                / F.count(F.lit(1))
+                F.sum(scaled).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000_000.0))
             ).alias("c")
         )
         .collect()
@@ -112,7 +115,8 @@ def _kmeans_oracle() -> str:
     ), a{it} AS (SELECT vec_id, v, cid, dist FROM d{it} WHERE rn = 1)
     , m{it} AS (
       SELECT cid, g.i,
-             CAST(SUM(CAST(v[g.i] AS DECIMAL(15,9))) AS DOUBLE) / COUNT(*) AS c
+             CAST(SUM(CAST(ROUND(v[g.i] * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000000.0) AS c
       FROM a{it}, generate_series(1, {DIM}) AS g(i)
       GROUP BY cid, g.i
     ), cent{it} AS (SELECT cid, list(c ORDER BY i) AS c FROM m{it} GROUP BY cid)

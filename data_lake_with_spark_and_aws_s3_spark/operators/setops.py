@@ -78,14 +78,18 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey < 20
     """,
     tags=("setop", "except"),
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with customers but no high-balance supplier
-    (subtract = EXCEPT with set semantics)."""
-    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    """Nations with customers but outside the first supplier group's
+    nations (subtract = EXCEPT with set semantics). The subtracted set
+    is capped at 20 suppliers so the difference is NON-EMPTY at every
+    shipped SF — the original s_acctbal > 5000 predicate emptied out
+    at sf0.1 (every nation grows a high-balance supplier), a vacuous
+    parity the sf0.1 sweep caught."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 20)
     high = s.select(F.col("s_nationkey").cast("int").alias("nationkey"))
     return _cust_nations(spark, sf_dir).distinct().subtract(high)
 

@@ -135,8 +135,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_centroids",
     oracle="""
     SELECT label, g.i AS dim,
-           CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(15,9))) AS DOUBLE)
-             / COUNT(*) AS centroid,
+           CAST(SUM(CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 1000000000, 0)
+                         AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000000.0) AS centroid,
            COUNT(*) AS n_vectors
     FROM embeddings, generate_series(1, 64) AS g(i)
     GROUP BY label, g.i
@@ -144,17 +145,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "centroid"),
 )
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid, one row per (label, dimension). Decimal
-    sums keep the mean exact across engines. This is the 'training
+    """Per-label centroid, one row per (label, dimension), on the
+    scaled-int grid: each element quantized to nano-units (exact
+    integer double < 2^53), summed exactly, then ONE IEEE division by
+    (count * 1e9), whose operands are exactly representable — so the
+    mean is bit-identical cross-engine. The previous decimal(15,9)
+    formulation died at sf0.1: Spark's float->decimal and DuckDB's
+    CAST(double AS DECIMAL) rounded ONE element differently in 128k,
+    a 5e-12 hash miss the sf0.1 sweep caught — ROUND-to-integer on
+    the shared double value has no such edge. This is the 'training
     pass' reused by q_ann_ivf as the coarse codebook."""
     e = load_table(spark, sf_dir, "embeddings")
     expl = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    scaled = F.round(F.col("val").cast("double") * F.lit(1_000_000_000), 0).cast("long")
     return (
         expl.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(
             (
-                F.sum(F.col("val").cast("decimal(15,9)")).cast("decimal(38,9)").cast("double")
-                / F.count(F.lit(1))
+                F.sum(scaled).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000_000.0))
             ).alias("centroid"),
             F.count(F.lit(1)).alias("n_vectors"),
         )

@@ -229,38 +229,42 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS val
       FROM lineitem
       JOIN supplier s ON s.s_suppkey = l_suppkey
-      JOIN nation n   ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name = 'NATION_9'
+      WHERE s.s_suppkey < 25
       GROUP BY l_partkey
     )
     SELECT l_partkey AS p_partkey,
            CAST(CAST(val AS DECIMAL(38,2)) AS DOUBLE) AS part_value
     FROM v
-    WHERE CAST(val AS DECIMAL(18,2)) * 1000
-            > (SELECT CAST(SUM(val) AS DECIMAL(28,2)) FROM v)
+    WHERE 2 * CAST(val * 100 AS BIGINT) * (SELECT CAST(COUNT(*) AS BIGINT) FROM v)
+            > 3 * (SELECT CAST(SUM(val) * 100 AS BIGINT) FROM v)
     """,
     tags=("tpch", "agg", "scalar-subquery"),
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose traded value from one nation's
-    suppliers exceeds 0.1% of that nation's total (the spec's partsupp
-    inventory value becomes lineitem traded value — same
-    agg-vs-global-scalar topology). The correlated HAVING scalar
+    """TPC-H Q11 shape: parts whose traded value within a supplier
+    group exceeds 1.5x the group's AVERAGE part value (the spec's
+    partsupp inventory value becomes lineitem traded value — same
+    agg-vs-global-scalar topology). Two round-3 lessons baked in,
+    both found by the sf0.1 parity sweep: (1) the spec's FIXED
+    fraction (0.1%) goes vacuous as parts dilute with SF — TPC-H
+    itself scales the fraction by 1/SF, so the threshold here is
+    avg-RELATIVE (2 * val * n_parts > 3 * total), which is
+    scale-free and non-empty at every shipped SF (measured max/avg:
+    1.73 at sf0.001, 2.75 at sf0.01, 5.36 at sf0.1); (2) scoping by
+    one nation went empty at sf0.001 (that nation had no suppliers
+    there), so the scope is the first 25 suppliers, present at every
+    SF. The comparison runs in exact integer CENTS (headroom:
+    2*cents*n_parts ~ 6e12 at sf0.1, far under int64) — no double
+    threshold wobble and no decimal-precision overflow from the
+    decimal x bigint product. The correlated HAVING scalar
     decorrelates to: one per-part aggregate (the only fact shuffle),
-    re-aggregate THAT small result for the grand total, broadcast the
-    1-row total back — the fact table is scanned once, not twice.
-    The 0.1% comparison is integer-exact: value*1000 > total in
-    DECIMAL, no double threshold wobble. (Scale note: DECIMAL(18,2)
-    holds per-part values to 10^16 cents; widen before the multiply if
-    a single part could exceed that.)"""
+    re-aggregate THAT small result for count+total, broadcast the
+    1-row scalars back — the fact table is scanned once, not twice."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 25)
     per_part = (
         li.join(
-            F.broadcast(
-                s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select("s_suppkey")
-            ),
+            F.broadcast(s.select("s_suppkey")),
             F.col("s_suppkey") == li.l_suppkey,
             "left_semi",
         )
@@ -268,11 +272,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_extendedprice")).alias("val"))
     )
     total = per_part.groupBy().agg(
-        F.sum("val").cast("decimal(28,2)").alias("total_val")
+        (F.sum("val") * 100).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("val").cast("decimal(18,2)") * F.lit(1000) > F.col("total_val"))
+        .filter(
+            F.lit(2) * (F.col("val") * 100).cast("long") * F.col("n_parts")
+            > F.lit(3) * F.col("total_cents")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("val").cast("decimal(38,2)").cast("double").alias("part_value"),
