@@ -285,13 +285,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: cosine >= 0.3 within label blocks (threshold fitted to this synthetic corpus: within-label max is 0.47).
 
-    Exactness across engines: float elements are cast to DECIMAL(15,9)
-    and the dot product / norms accumulate in DECIMAL(38,18) — exact,
-    order-independent — then reduce to scale 12 before the double cast
-    (DuckDB's decimal->double is only correctly rounded under 2^53
-    unscaled). The one double division and sqrt are IEEE-identical.
-    DuckDB's own list_cosine_similarity accumulates in float32
-    (measured ~1e-7 error) — deliberately NOT used.
+    Exactness across engines: float elements are quantized to the
+    scaled-int grid (similarity.qint, ROUND(x*1e8) as int64) and the
+    dot product / norms accumulate as exact int64 sums —
+    order-independent, no float->DECIMAL cast anywhere (that cast
+    pattern rounded differently across engines at sf0.1 and was
+    purged repo-wide in round 3). The one double division and sqrt
+    are IEEE-identical. DuckDB's own list_cosine_similarity
+    accumulates in float32 (measured ~1e-7 error) — deliberately NOT
+    used.
     """
     e = load_table(spark, sf_dir, "embeddings")
 
