@@ -89,39 +89,49 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
     JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
-        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+    WHERE (n1.n_nationkey < 12) <> (n2.n_nationkey < 12)
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
     """,
     tags=("tpch", "join", "agg", "self-join-dim"),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume between two nations per ship
-    year. The nation dimension is joined TWICE (supplier side and
-    customer side) with the disjunctive cross-pair predicate applied
-    after both attach. Scale shape: the only big-big join is
-    lineitem ⋈ orders on orderkey; customer/supplier/nation are
-    broadcast, and pre-filtering both dims to the two nations prunes
-    the fact rows before the wide join."""
-    two = ("NATION_9", "NATION_11")
+    """TPC-H Q7: bilateral trade volume per ship year between two
+    trade BLOCS (n_nationkey < 12 vs >= 12) — the spec's two named
+    nations went vacuous at sf0.001, where neither had a supplier
+    (the sf-sweep vacuity class; bloc membership is populated on both
+    sides at every SF). Topology unchanged from Q7: the nation
+    dimension is joined TWICE (supplier side and customer side) with
+    the disjunctive cross-pair predicate applied after both attach.
+    Scale shape: the only big-big join is lineitem ⋈ orders on
+    orderkey; customer/supplier/nation are broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*two))
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", (F.col("n_nationkey") < 12).alias("bloc")
+    )
     s = (
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("bloc").alias("s_bloc"),
+        )
     )
     c = (
         load_table(spark, sf_dir, "customer")
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("bloc").alias("c_bloc"),
+        )
     )
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(F.col("s_bloc") != F.col("c_bloc"))
         .groupBy(
             "supp_nation",
             "cust_nation",
