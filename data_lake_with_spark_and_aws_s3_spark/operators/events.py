@@ -335,3 +335,55 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(wp)).alias("p"),
     )
+
+
+@query(
+    "q_streaming_tumbling_exec",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg", "executed-stream"),
+)
+def q_streaming_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming engine on the driver's oracle
+    surface: events.parquet is driven through readStream -> watermark
+    -> tumbling window aggregate -> memory sink with an availableNow
+    trigger, run to completion synchronously, and the sink table is
+    returned. Output mode is COMPLETE, so once the bounded input
+    drains, the emitted state is the full aggregation — byte-identical
+    to the batch q_events_tumbling answer, which is exactly what the
+    oracle asserts. (The append-mode twin, which emits only
+    watermark-closed windows, is equivalence-tested in
+    tests/test_streaming.py; complete mode is what makes the streaming
+    EXECUTION hashable here.)
+
+    Decimal value sums keep the streaming aggregation state
+    order-independent — the same exactness rule as batch, now enforced
+    through the state store. Scale posture: one stateful operator,
+    state keyed by (window, event_type) and bounded by the watermark;
+    shuffle.partitions sizes the state store; swap the memory sink for
+    foreachBatch/parquet and availableNow for processingTime in
+    production (streaming/twins.py notes)."""
+    from ..streaming import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_to_memory(agg, "q_streaming_tumbling_exec_sink", output_mode="complete")
+    return spark.table("q_streaming_tumbling_exec_sink")
