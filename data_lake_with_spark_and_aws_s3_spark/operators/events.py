@@ -387,3 +387,40 @@ def q_streaming_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_tumbling_exec_sink", output_mode="complete")
     return spark.table("q_streaming_tumbling_exec_sink")
+
+
+@query(
+    "q_streaming_session_exec",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "session-window", "executed-stream"),
+)
+def q_streaming_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed Structured Streaming SESSION windows on the oracle
+    surface — the harder stateful twin of q_streaming_tumbling_exec:
+    session windows MERGE as events arrive (variable-length state, not
+    fixed buckets), so this exercises the engine's session-state
+    machinery end-to-end. COMPLETE output mode + availableNow means
+    the drained state is the full merged session set — hash-equal to
+    the batch q_session_window answer, whose gaps-and-islands SQL
+    oracle this query reuses verbatim.
+
+    Scale posture: session state per (user, open session), merged on
+    arrival; in production append mode + watermark bound the state and
+    emit sessions as they close (the equivalence-tested twin in
+    streaming/twins.py); complete mode is what makes the EXECUTION
+    hashable on bounded input."""
+    from ..streaming import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", _GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    run_to_memory(agg, "q_streaming_session_exec_sink", output_mode="complete")
+    return spark.table("q_streaming_session_exec_sink")
