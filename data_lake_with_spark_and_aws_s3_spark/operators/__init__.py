@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     cdc,
     clustering,
     combined,
+    corpus,
     dedup,
     events,
     fuzzy,

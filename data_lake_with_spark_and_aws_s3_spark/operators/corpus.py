@@ -1,0 +1,518 @@
+"""Round-3 corpus-construction operators — the three big text-pipeline
+algorithms a 100 TB training-data build needs beyond near-dup filtering:
+
+  - q_bpe_train          distributed BPE tokenizer training (the
+                         pair-count/merge loop, vocabulary-sized state)
+  - q_duplicate_span_scrub  exact-substring deduplication at n-gram
+                         granularity (Lee et al. 2022 "Deduplicating
+                         Training Data" style): duplicated spans are
+                         REMOVED from later occurrences, not whole docs
+  - q_contamination_report  per-benchmark train/eval overlap audit —
+                         the report card behind q_decontaminate's filter
+
+All three are oracle-checked exactly (chained-CTE oracles for the
+iterative BPE loop, window/exists SQL for the scrub), and all keep the
+Python driver out of the data path: the only collect() in the module is
+BPE's one (left,right) pair per merge round — the same O(1)-per-round
+driver state as q_kmeans_lloyd's centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+# ---------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def _tok_array(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+def _char_split(word: Column) -> Column:
+    """1-char symbol array (word.substr is 1-indexed, like the
+    oracle's substring(word, i, 1))."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+
+
+def _pair_structs(sym: Column) -> Column:
+    """Adjacent symbol pairs [(s[i], s[i+1])] — empty for 1-symbol
+    words (sequence(1,0) would count DOWN in Spark, so guard)."""
+    n = F.size(sym)
+    idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.get(sym, i - 1).alias("lhs"), F.get(sym, i).alias("rhs")
+        ),
+    )
+
+
+def _merge_starts(sym: Column, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right BPE merge positions as a zero-shuffle HOF
+    fold: scan pair positions ascending, take a match only if its left
+    symbol wasn't consumed by the previous taken match. Equivalent to
+    the oracle's gaps-and-islands parity rule (within a run of
+    consecutive matching positions, every other one merges)."""
+    n = F.size(sym)
+    idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    init = F.struct(
+        F.lit(0).alias("last"), F.array().cast("array<int>").alias("m")
+    )
+
+    def step(st: Column, i: Column) -> Column:
+        hit = (
+            (F.get(sym, i - 1) == F.lit(lhs))
+            & (F.get(sym, i) == F.lit(rhs))
+            & (i > st["last"])
+        )
+        return F.struct(
+            F.when(hit, i + 1).otherwise(st["last"]).alias("last"),
+            F.when(hit, F.concat(st["m"], F.array(i))).otherwise(st["m"]).alias("m"),
+        )
+
+    return F.aggregate(idx, init, step, lambda st: st["m"])
+
+
+def _apply_merge(sym: Column, starts: Column) -> Column:
+    """Rebuild the symbol array: a merge-start position j becomes
+    s[j]||s[j+1]; position j+1 is dropped; everything else passes
+    through. Pure array transform — no shuffle."""
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(sym)),
+            lambda j: F.when(
+                F.array_contains(starts, j),
+                F.concat(F.get(sym, j - 1), F.get(sym, j)),
+            )
+            .when(F.array_contains(starts, j - 1), F.lit(None))
+            .otherwise(F.get(sym, j - 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """The same merge loop as chained CTEs, one block per round:
+    pair counts -> deterministic top pair (count desc, lhs, rhs) ->
+    match positions -> islands-of-consecutive parity (the greedy rule)
+    -> rebuilt symbol lists."""
+    sql = """
+    WITH toks AS (
+      SELECT t.tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+    s0 AS (
+      SELECT word, cnt,
+             list_transform(generate_series(1, length(word)),
+                            i -> substring(word, i, 1)) AS sym
+      FROM w
+    )"""
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+    , px{r} AS (
+      SELECT word, cnt, sym,
+             unnest(generate_series(1, len(sym) - 1)) AS i
+      FROM {prev}
+    ), p{r} AS (
+      SELECT sym[i] AS lhs, sym[i + 1] AS rhs, SUM(cnt) AS total
+      FROM px{r} GROUP BY 1, 2
+    ), t{r} AS (
+      SELECT lhs, rhs, total FROM p{r} ORDER BY total DESC, lhs, rhs LIMIT 1
+    ), mp{r} AS (
+      SELECT s.word, s.i
+      FROM px{r} AS s, t{r} AS t
+      WHERE s.sym[s.i] = t.lhs AND s.sym[s.i + 1] = t.rhs
+    ), st{r} AS (
+      SELECT word, i FROM (
+        SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+        FROM (
+          SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+          FROM mp{r}
+        )
+      ) WHERE rn % 2 = 1
+    ), pos{r} AS (
+      SELECT word, cnt, sym,
+             unnest(generate_series(1, len(sym))) AS j
+      FROM {prev}
+    ), s{r} AS (
+      SELECT word, ANY_VALUE(cnt) AS cnt,
+             list(CASE WHEN is_start THEN sym_j || sym_j1 ELSE sym_j END
+                  ORDER BY j) AS sym
+      FROM (
+        SELECT p.word, p.cnt, p.j, p.sym[p.j] AS sym_j, p.sym[p.j + 1] AS sym_j1,
+               EXISTS (SELECT 1 FROM st{r} a
+                       WHERE a.word = p.word AND a.i = p.j) AS is_start,
+               EXISTS (SELECT 1 FROM st{r} b
+                       WHERE b.word = p.word AND b.i = p.j - 1) AS after_start
+        FROM pos{r} AS p
+      ) WHERE NOT after_start
+      GROUP BY word
+    )"""
+        prev = f"s{r}"
+    sql += f"""
+    SELECT word, cnt, CAST(len(sym) AS BIGINT) AS n_syms,
+           array_to_string(sym, ' ') AS segmented
+    FROM {prev}
+    """
+    return sql
+
+
+@query(
+    "q_bpe_train",
+    oracle=_bpe_oracle(),
+    tags=("llm-pipeline", "tokenizer", "bpe", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the algorithm behind every
+    modern LLM vocabulary, in its natural Spark shape. The corpus
+    collapses to a (word, count) table FIRST (one aggregate — at 100 TB
+    this is the only pass that touches the raw text; everything after
+    runs on vocabulary-sized data). Each merge round is then:
+
+      1. adjacent-pair counts, weighted by word frequency — a HOF
+         explode + one hash aggregate over |vocab| rows;
+      2. the argmax pair pulled to the driver (ONE row per round, the
+         q_kmeans_lloyd centroid pattern — deterministic tie-break on
+         (count desc, lhs, rhs));
+      3. greedy left-to-right merge applied as a zero-shuffle array
+         fold (F.aggregate) + rebuild (F.transform/filter) — all
+         codegen, no Python in the data path.
+
+    Returns the final per-word segmentation after 4 merges (plus the
+    surviving symbol count); the oracle replays the identical loop as
+    chained CTEs, with the greedy scan expressed as the equivalent
+    gaps-and-islands parity rule. Greedy semantics pinned by both:
+    in a run of k consecutive matching pair positions (e.g. 'aaaa'
+    with top pair (a,a)), positions 1,3,... merge and 2,4,... are
+    consumed — a left fold here, ROW_NUMBER parity there.
+
+    Scale: pair-count state is O(|symbol vocab|^2) worst case but
+    ~O(observed pairs) in practice; per-round shuffle is bounded by
+    |vocab|, never corpus size. Driver state: one pair per round."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tok_array()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "word", "cnt", _char_split(F.col("word")).alias("sym")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            cur.select("cnt", F.explode(_pair_structs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        top = pairs.orderBy(F.desc("total"), "lhs", "rhs").limit(1).collect()[0]
+        starts = _merge_starts(F.col("sym"), top.lhs, top.rhs)
+        cur = cur.select(
+            "word", "cnt", _apply_merge(F.col("sym"), starts).alias("sym")
+        ).localCheckpoint(eager=True)
+
+    return cur.select(
+        "word",
+        "cnt",
+        F.size("sym").cast("long").alias("n_syms"),
+        F.concat_ws(" ", F.col("sym")).alias("segmented"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact-substring (duplicate-span) scrubbing
+# ---------------------------------------------------------------------
+
+_SPAN_N = 8  # n-gram granularity of the duplicated-span detector
+
+
+@query(
+    "q_duplicate_span_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS i
+        FROM t
+      )
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM occ
+      ) WHERE rn > 1
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id,
+               unnest(generate_series(pos, pos + {_SPAN_N - 1})) AS pos
+        FROM dup
+      )
+    ),
+    kept AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id, toks[j] AS tok, j AS pos FROM (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS j
+          FROM t
+        )
+      ) AS k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rm WHERE rm.doc_id = k.doc_id AND rm.pos = k.pos
+      )
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.scrubbed, '') AS scrubbed_text
+    FROM t LEFT JOIN agg AS a USING (doc_id)
+    """,
+    tags=("llm-pipeline", "dedup", "exact-substring"),
+)
+def q_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication at {n}-gram granularity — the
+    span-level counterpart of document-level dedup (Lee et al. 2022:
+    removing repeated SPANS beats dropping whole documents). Every
+    {n}-token window that occurs more than once in the corpus keeps
+    its globally-first occurrence (ordered by doc_id, pos); every
+    later occurrence marks its {n} token positions for removal; docs
+    are reassembled from the surviving tokens.
+
+    Plan: gram generation is a map-side array transform (slice over
+    the token array — no self-join); the first-occurrence decision is
+    ONE aggregate keyed by gram (min(struct(doc_id,pos)) partial-
+    aggregates map-side, so a viral gram — the skew case — collapses
+    to one row per map task before the shuffle); removal positions
+    explode from dup occurrences only; the rebuild is an anti-join on
+    (doc_id, pos) plus one groupBy(doc_id). Four key shuffles total,
+    all linear in data size. At 100 TB swap the gram string for a
+    64-bit digest to cut shuffle bytes (q_repeated_ngram_profile
+    note), and suffix-array the exactness-critical slice offline.
+
+    Greedy-mark semantics (pinned by the oracle): positions are marked
+    per duplicated WINDOW, so two overlapping duplicate windows in the
+    same doc mark the union of their spans; a doc that is a verbatim
+    copy of an earlier one scrubs to (nearly) empty."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tok_array().alias("toks"))
+    n = F.size("toks")
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= _SPAN_N,
+                F.transform(
+                    F.sequence(F.lit(1), n - (_SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, _SPAN_N)).alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+    first = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dup = (
+        grams.join(first, "gram")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    rm = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("pos")
+    ).distinct()
+
+    toks_pos = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks_pos.join(rm, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("scrubbed"),
+    )
+    return (
+        t.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+q_duplicate_span_scrub.__doc__ = q_duplicate_span_scrub.__doc__.format(n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------
+# Per-benchmark contamination report
+# ---------------------------------------------------------------------
+
+_CONTAM_N = 8  # n-gram size, matching q_decontaminate's detector
+_BENCHMARKS = ((101, "bench_a"), (97, "bench_b"), (89, "bench_c"))
+_BENCH_CASE = " ".join(
+    f"WHEN doc_id % {m} = 0 THEN '{name}'" for m, name in _BENCHMARKS
+)
+
+
+@query(
+    "q_contamination_report",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CASE {_BENCH_CASE} ELSE NULL END AS benchmark
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, benchmark,
+             array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ') AS gram
+      FROM (
+        SELECT doc_id, benchmark, toks,
+               unnest(generate_series(1, len(toks) - {_CONTAM_N - 1})) AS i
+        FROM (
+          SELECT doc_id, benchmark,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM tagged
+        )
+      )
+    ),
+    eval_grams AS (
+      SELECT DISTINCT benchmark, gram FROM grams WHERE benchmark IS NOT NULL
+    ),
+    train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE benchmark IS NULL),
+    hits AS (
+      SELECT e.benchmark, t.doc_id, t.gram
+      FROM train AS t JOIN eval_grams AS e USING (gram)
+    ),
+    n_train AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM tagged WHERE benchmark IS NULL
+    )
+    SELECT e.benchmark,
+           CAST(COUNT(DISTINCT e.gram) AS BIGINT) AS n_eval_grams,
+           CAST(COUNT(DISTINCT h.gram) AS BIGINT) AS n_overlapping_grams,
+           CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS n_contaminated_docs,
+           ROUND(COUNT(DISTINCT h.doc_id)
+                 / CAST((SELECT n FROM n_train) AS DOUBLE), 9)
+             AS frac_train_contaminated
+    FROM eval_grams AS e
+    LEFT JOIN hits AS h
+      ON h.benchmark = e.benchmark AND h.gram = e.gram
+    GROUP BY e.benchmark
+    """,
+    tags=("llm-pipeline", "decontamination", "audit"),
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination AUDIT — the report behind
+    q_decontaminate's filter: for each held-out eval slice (deterministic
+    doc_id residue classes standing in for benchmark suites), how many of
+    its {n}-grams appear in the training split, and how many training
+    docs carry at least one. This is the number a data card publishes;
+    the filter is what q_decontaminate then applies.
+
+    Plan: grams are map-side array slices; eval gram sets are tiny
+    (benchmarks are small by nature) so the train⋈eval gram join
+    BROADCASTS the eval side — the train corpus is never shuffled by
+    gram, only scanned. Distinct-counts aggregate per benchmark.
+    A doc in several residue classes tags with the first (CASE order) —
+    same rule in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = None
+    for m, name in _BENCHMARKS:
+        cond = F.col("doc_id") % m == 0
+        bench = F.when(cond, F.lit(name)) if bench is None else bench.when(cond, F.lit(name))
+    tagged = d.select("doc_id", _tok_array().alias("toks"), bench.alias("benchmark"))
+
+    n = F.size("toks")
+    grams = tagged.select(
+        "doc_id",
+        "benchmark",
+        F.explode(
+            F.when(
+                n >= _CONTAM_N,
+                F.transform(
+                    F.sequence(F.lit(1), n - (_CONTAM_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _CONTAM_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("benchmark").isNotNull())
+        .select("benchmark", "gram")
+        .distinct()
+    )
+    train = (
+        grams.filter(F.col("benchmark").isNull()).select("doc_id", "gram").distinct()
+    )
+    hits = train.join(F.broadcast(eval_grams), "gram").select(
+        "benchmark", "doc_id", "gram"
+    )
+    n_train = tagged.filter(F.col("benchmark").isNull()).count()
+    report = (
+        eval_grams.groupBy("benchmark")
+        .agg(F.countDistinct("gram").alias("n_eval_grams"))
+        .join(
+            hits.groupBy("benchmark").agg(
+                F.countDistinct("gram").alias("n_overlapping_grams"),
+                F.countDistinct("doc_id").alias("n_contaminated_docs"),
+            ),
+            "benchmark",
+            "left",
+        )
+        .select(
+            "benchmark",
+            "n_eval_grams",
+            F.coalesce("n_overlapping_grams", F.lit(0)).alias("n_overlapping_grams"),
+            F.coalesce("n_contaminated_docs", F.lit(0)).alias("n_contaminated_docs"),
+            F.round(
+                F.coalesce("n_contaminated_docs", F.lit(0)) / F.lit(float(n_train)), 9
+            ).alias("frac_train_contaminated"),
+        )
+    )
+    return report

@@ -424,3 +424,49 @@ def q_streaming_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_session_exec_sink", output_mode="complete")
     return spark.table("q_streaming_session_exec_sink")
+
+
+@query(
+    "q_streaming_join_exec",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user,
+           CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+    FROM events AS p
+    JOIN events AS c
+      ON c.user_id = p.user_id
+     AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "stream-stream-join", "executed-stream"),
+)
+def q_streaming_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed stream-STREAM join on the oracle surface — the third
+    and hardest stateful streaming class after windowed aggregation
+    (q_streaming_tumbling_exec) and merging sessions
+    (q_streaming_session_exec): both inputs are unbounded, so the
+    engine buffers each side's rows in keyed state and emits a match
+    the moment the other side's row arrives. Both sides carry
+    watermarks AND the join predicate carries an event-time bound
+    (c_ts within [p_ts - 5 min, p_ts)), which is what lets Spark
+    EVICT state — without the time bound, stream-stream join state
+    grows forever.
+
+    Inner-join emission is immediate (the watermark only gates state
+    cleanup, not output), so draining the bounded source with
+    availableNow emits exactly the batch join's row set — hash-equal
+    to the plain SQL join the oracle runs. The append-mode memory
+    sink therefore makes the real streaming EXECUTION value-checked,
+    not just equivalence-tested (outer stream-stream joins, whose
+    NULL-padding does wait on the watermark, are exercised in
+    tests/test_streaming.py).
+
+    Scale posture: state per user_id bounded by watermark + 5-minute
+    join horizon on each side; shuffle.partitions sizes the join
+    state stores; the same plan on kafka sources is the production
+    clickstream-attribution topology."""
+    from ..streaming import run_to_memory, stream_events, streaming_event_time_join
+
+    joined = streaming_event_time_join(stream_events(spark, sf_dir), window_minutes=5)
+    run_to_memory(joined, "q_streaming_join_exec_sink", output_mode="append")
+    return spark.table("q_streaming_join_exec_sink")
