@@ -324,7 +324,13 @@ def q_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per duplicated WINDOW, so two overlapping duplicate windows in the
     same doc mark the union of their spans; a doc that is a verbatim
     copy of an earlier one scrubs to (nearly) empty."""
-    d = load_table(spark, sf_dir, "documents")
+    return duplicate_span_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def duplicate_span_scrub(d: DataFrame) -> DataFrame:
+    """Core of q_duplicate_span_scrub over any (doc_id, text) frame —
+    split out so invariant tests can plant adversarial corpora
+    (verbatim copies, overlapping spans) without touching testdata."""
     t = d.select("doc_id", _tok_array().alias("toks"))
     n = F.size("toks")
     grams = t.select(

@@ -1,0 +1,99 @@
+"""Oracle-independent invariants for the round-3 corpus operators
+(operators/corpus.py): the BPE greedy-merge rule on its adversarial
+inputs, and duplicate-span scrub semantics on planted corpora. These
+hold regardless of what the driver's testdata looks like — the parity
+harness checks agreement with DuckDB; these check the ALGORITHM."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_lake_with_spark_and_aws_s3_spark.operators.corpus import (
+    _apply_merge,
+    _merge_starts,
+    _SPAN_N,
+    duplicate_span_scrub,
+)
+
+
+def _merge_once(spark, word: str, lhs: str, rhs: str) -> list[str]:
+    df = spark.createDataFrame([(list(word),)], "sym array<string>")
+    out = df.select(
+        _apply_merge(F.col("sym"), _merge_starts(F.col("sym"), lhs, rhs)).alias("m")
+    ).collect()
+    return out[0].m
+
+
+@pytest.mark.parametrize(
+    "word,lhs,rhs,expect",
+    [
+        # run-of-overlapping matches: greedy takes 1,3,... within the run
+        ("aaaa", "a", "a", ["aa", "aa"]),
+        ("aaa", "a", "a", ["aa", "a"]),
+        ("aaaaa", "a", "a", ["aa", "aa", "a"]),
+        # adjacent but non-overlapping matches both merge
+        ("abab", "a", "b", ["ab", "ab"]),
+        ("aba", "a", "b", ["ab", "a"]),
+        # no match / single symbol are no-ops
+        ("abc", "x", "y", ["a", "b", "c"]),
+        ("a", "a", "a", ["a"]),
+        # match at word end
+        ("xab", "a", "b", ["x", "ab"]),
+    ],
+)
+def test_bpe_greedy_merge_rule(spark, word, lhs, rhs, expect):
+    assert _merge_once(spark, word, lhs, rhs) == expect
+
+
+def test_scrub_verbatim_copy_empties_later_doc(spark):
+    """A doc that verbatim-copies an earlier one scrubs to empty (every
+    window duplicated => every position covered); the FIRST occurrence
+    is untouched. Needs >= _SPAN_N tokens to have any window at all."""
+    text = " ".join(f"w{i}" for i in range(_SPAN_N + 4))
+    other = " ".join(f"z{i}" for i in range(_SPAN_N + 4))
+    d = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in duplicate_span_scrub(d).collect()}
+    assert rows[1].scrubbed_text == text and rows[1].n_removed == 0
+    assert rows[2].scrubbed_text == "" and rows[2].n_removed == _SPAN_N + 4
+    assert rows[3].scrubbed_text == other and rows[3].n_removed == 0
+
+
+def test_scrub_partial_overlap_removes_span_union(spark):
+    """Doc 2 shares only a single duplicated window with doc 1: exactly
+    those _SPAN_N positions are scrubbed, the unique suffix survives."""
+    shared = " ".join(f"s{i}" for i in range(_SPAN_N))  # exactly one window
+    uniq = " ".join(f"u{i}" for i in range(5))
+    d = spark.createDataFrame(
+        [(1, shared + " " + " ".join(f"p{i}" for i in range(5))),
+         (2, shared + " " + uniq)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in duplicate_span_scrub(d).collect()}
+    # doc 1 has windows spanning into its suffix => only the pure-shared
+    # window in doc 2 is a global dup; doc 2 keeps its unique tail
+    assert rows[2].n_removed == _SPAN_N
+    assert rows[2].scrubbed_text == uniq
+
+
+def test_scrub_short_docs_pass_through(spark):
+    """Docs below the window size generate no grams and survive
+    verbatim, including when they are exact duplicates of each other
+    (span-level scrub is not document-level dedup)."""
+    d = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = duplicate_span_scrub(d).collect()
+    assert all(r.n_removed == 0 and r.scrubbed_text == "tiny doc" for r in rows)
+
+
+def test_contamination_report_broadcasts_eval_side(spark, sf_dir):
+    """The train-corpus gram join must broadcast the (small) eval gram
+    set — shuffling a 100 TB train corpus by gram would be the scale
+    bug. Same assertion pattern as q_decontaminate's plan test."""
+    from data_lake_with_spark_and_aws_s3_spark.registry import REGISTRY
+
+    plan = REGISTRY["q_contamination_report"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
