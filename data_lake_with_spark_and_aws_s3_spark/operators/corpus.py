@@ -106,11 +106,12 @@ def _apply_merge(sym: Column, starts: Column) -> Column:
     )
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
-    """The same merge loop as chained CTEs, one block per round:
-    pair counts -> deterministic top pair (count desc, lhs, rhs) ->
-    match positions -> islands-of-consecutive parity (the greedy rule)
-    -> rebuilt symbol lists."""
+def _bpe_cte_chain(rounds: int = _BPE_ROUNDS) -> tuple[str, str]:
+    """The merge loop as chained CTEs, one block per round: pair
+    counts -> deterministic top pair (count desc, lhs, rhs) -> match
+    positions -> islands-of-consecutive parity (the greedy rule) ->
+    rebuilt symbol lists. Returns (with_clause, final_cte_name) so
+    both the train and apply oracles share the chain."""
     sql = """
     WITH toks AS (
       SELECT t.tok FROM (
@@ -168,17 +169,65 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
       GROUP BY word
     )"""
         prev = f"s{r}"
-    sql += f"""
+    return sql, prev
+
+
+def _bpe_train_oracle() -> str:
+    chain, last = _bpe_cte_chain()
+    return f"""{chain}
     SELECT word, cnt, CAST(len(sym) AS BIGINT) AS n_syms,
            array_to_string(sym, ' ') AS segmented
-    FROM {prev}
+    FROM {last}
     """
-    return sql
+
+
+def _bpe_apply_oracle() -> str:
+    chain, last = _bpe_cte_chain()
+    return f"""{chain}
+    , seg AS (SELECT word, len(sym) AS n_syms FROM {last})
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ) AS d
+    JOIN seg ON seg.word = d.tok
+    GROUP BY d.doc_id
+    """
+
+
+def _bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the merge loop; returns (word, cnt, sym) after _BPE_ROUNDS
+    greedy merges. Shared by the train and apply queries."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tok_array()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "word", "cnt", _char_split(F.col("word")).alias("sym")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            cur.select("cnt", F.explode(_pair_structs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        top = pairs.orderBy(F.desc("total"), "lhs", "rhs").limit(1).collect()[0]
+        starts = _merge_starts(F.col("sym"), top.lhs, top.rhs)
+        cur = cur.select(
+            "word", "cnt", _apply_merge(F.col("sym"), starts).alias("sym")
+        ).localCheckpoint(eager=True)
+    return cur
 
 
 @query(
     "q_bpe_train",
-    oracle=_bpe_oracle(),
+    oracle=_bpe_train_oracle(),
     tags=("llm-pipeline", "tokenizer", "bpe", "iterative"),
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,34 +257,48 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair-count state is O(|symbol vocab|^2) worst case but
     ~O(observed pairs) in practice; per-round shuffle is bounded by
     |vocab|, never corpus size. Driver state: one pair per round."""
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(_tok_array()).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    cur = words.select(
-        "word", "cnt", _char_split(F.col("word")).alias("sym")
-    ).localCheckpoint(eager=True)
-
-    for _ in range(_BPE_ROUNDS):
-        pairs = (
-            cur.select("cnt", F.explode(_pair_structs(F.col("sym"))).alias("p"))
-            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-            .agg(F.sum("cnt").alias("total"))
-        )
-        top = pairs.orderBy(F.desc("total"), "lhs", "rhs").limit(1).collect()[0]
-        starts = _merge_starts(F.col("sym"), top.lhs, top.rhs)
-        cur = cur.select(
-            "word", "cnt", _apply_merge(F.col("sym"), starts).alias("sym")
-        ).localCheckpoint(eager=True)
-
-    return cur.select(
+    return _bpe_segment(spark, sf_dir).select(
         "word",
         "cnt",
         F.size("sym").cast("long").alias("n_syms"),
         F.concat_ws(" ", F.col("sym")).alias("segmented"),
+    )
+
+
+@query(
+    "q_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("llm-pipeline", "tokenizer", "bpe"),
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the production counterpart of q_bpe_train:
+    the trained segmentation becomes a (word -> subword count)
+    dictionary that BROADCASTS to every task; tokenizing the corpus is
+    then a map-side explode + equi-join + one per-doc aggregate. This
+    is the shape of every "count tokens per document" pass at 100 TB:
+    the corpus is scanned once and never shuffled by word — only the
+    (doc_id) aggregate moves data, and it partial-aggregates map-side.
+
+    Every corpus token hits the dictionary by construction (the vocab
+    was built from the same corpus), so the join is total; unseen-word
+    handling in a real pipeline is a left join + per-character
+    fallback, same plan shape. Returns per-doc word and BPE-token
+    counts; the oracle replays training and re-counts via the same
+    join."""
+    seg = _bpe_segment(spark, sf_dir).select(
+        "word", F.size("sym").alias("n_syms")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tok_array()).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
     )
 
 
