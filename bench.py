@@ -67,6 +67,10 @@ EXTENDED = [
     "q_repeated_ngram_profile",
     "q_ann_pq_rerank",
     "q_bfs_hops",
+    # round 3, session 3: exact-substring span scrub (the heaviest new
+    # corpus op; BPE train/apply are vocabulary-bound and scheduling-
+    # dominated locally, so benching them here would measure overhead)
+    "q_duplicate_span_scrub",
 ]
 
 # Headline gets the stabler protocol (2 warm-ups, median of 5): it IS

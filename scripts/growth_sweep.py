@@ -56,6 +56,14 @@ FAMILIES = {
     "q_ann_pq_rerank": lambda spark, d: {
         "corpus": load_table(spark, d, "embeddings").count()
     },
+    # round 3, session 3 additions
+    "q_duplicate_span_scrub": lambda spark, d: {
+        "gram_positions": gram_positions(spark, d)
+    },
+    # expected ~FLAT: the corpus collapses to a (word,count) table in
+    # one pass; merge rounds run on vocabulary-sized data, and the
+    # synthetic corpora share sf0.1's 31-word vocabulary
+    "q_bpe_train": lambda spark, d: {},
     # NOT swept: q_bfs_hops — its input (orders x lineitem trade graph)
     # is symlinked to sf0.1 in the synthetic scale dirs, so a sweep
     # would measure a flat curve and prove nothing.
