@@ -470,3 +470,38 @@ def q_streaming_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = streaming_event_time_join(stream_events(spark, sf_dir), window_minutes=5)
     run_to_memory(joined, "q_streaming_join_exec_sink", output_mode="append")
     return spark.table("q_streaming_join_exec_sink")
+
+
+@query(
+    "q_streaming_dedup_exec",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value
+    FROM events
+    """,
+    tags=("streaming", "dedup", "executed-stream"),
+)
+def q_streaming_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed streaming DEDUP on the oracle surface — completes the
+    executed-stream family (windowed agg, merging sessions,
+    stream-stream join, and now keyed dedup state): at-least-once
+    delivery is simulated by unioning TWO file sources over the same
+    events directory (every event arrives twice), then
+    dropDuplicatesWithinWatermark keeps the first arrival per
+    event_id with state bounded by the watermark horizon.
+
+    First-arrival emission is immediate in append mode, and both
+    copies are identical, so the drained output is exactly one row
+    per event — hash-equal to the plain table scan the oracle runs.
+    availableNow processes the bounded input before the watermark
+    advances, so no arrival can be classified late; in production the
+    watermark is the replay-window SLA and controls state size
+    (streaming/twins.py notes). Batch twin: q_stream_dedup."""
+    from ..streaming import run_to_memory, stream_events, streaming_dedup
+
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    dedup = streaming_dedup(doubled).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    run_to_memory(dedup, "q_streaming_dedup_exec_sink", output_mode="append")
+    return spark.table("q_streaming_dedup_exec_sink")
