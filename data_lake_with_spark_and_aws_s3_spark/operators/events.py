@@ -505,3 +505,52 @@ def q_streaming_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(dedup, "q_streaming_dedup_exec_sink", output_mode="append")
     return spark.table("q_streaming_dedup_exec_sink")
+
+
+@query(
+    "q_streaming_upsert_exec",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "foreachBatch", "exactly-once", "executed-stream"),
+)
+def q_streaming_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed foreachBatch EXACTLY-ONCE upsert on the oracle surface
+    — the executed-stream family's SINK leg (the other four exercise
+    state: agg, sessions, join, dedup). The events stream aggregates
+    per event_type in complete mode; every micro-batch MERGEs its
+    snapshot into a parquet target by key via the idempotent
+    anti-join+union upsert (streaming/twins.run_foreach_batch_upsert —
+    replaying an epoch converges instead of duplicating, which is what
+    makes at-least-once delivery exactly-once at the sink). The query
+    returns the TARGET TABLE read back from parquet, so what gets
+    hash-checked is the durable result of the streaming WRITE path,
+    not an in-memory sink.
+
+    Decimal value sums keep the streaming aggregation state
+    order-independent (the q_streaming_tumbling_exec exactness rule,
+    now carried through the state store AND the sink merge). Scale:
+    aggregation state is |event types| rows; the merge rewrites only
+    the |keys|-row target (at 100 TB: partition the target and rewrite
+    touched partitions, or hand MERGE to a table format — notes in
+    streaming/twins.py). The parquet target is a per-process temp dir;
+    production points it at the lake path."""
+    import tempfile
+
+    from ..streaming import run_foreach_batch_upsert, stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="upsert_exec_") + "/target"
+    run_foreach_batch_upsert(agg, target, "event_type")
+    return spark.read.parquet(target)
