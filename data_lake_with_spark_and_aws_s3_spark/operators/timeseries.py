@@ -257,3 +257,100 @@ def q_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("value_cents") == F.col("v_direct"))
         ).alias("rollup_matches_direct"),
     )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, hour_ts, cents,
+             (1000 * SUM(cents) OVER w) // (COUNT(*) OVER w) AS trend_milli
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    detrended AS (
+      SELECT event_type, hour_ts, cents, trend_milli,
+             1000 * cents - trend_milli AS det_milli,
+             EXTRACT(hour FROM hour_ts) AS hod
+      FROM trended
+    ),
+    seasonal AS (
+      SELECT event_type, hod,
+             SUM(det_milli) // COUNT(*) AS seasonal_milli
+      FROM detrended GROUP BY 1, 2
+    )
+    SELECT d.event_type, CAST(d.hour_ts AS TIMESTAMP) AS hour_ts,
+           d.cents, CAST(d.trend_milli AS BIGINT) AS trend_milli,
+           CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+           CAST(d.det_milli - s.seasonal_milli AS BIGINT) AS residual_milli
+    FROM detrended AS d JOIN seasonal AS s
+      ON s.event_type = d.event_type AND s.hod = d.hod
+    """,
+    tags=("timeseries", "decomposition", "window"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (trend + hour-of-day seasonal +
+    residual) over the hourly event-value series — entirely in exact
+    INTEGER arithmetic so the whole decomposition is hash-stable:
+    values quantize to cents, the 24h centered moving-average trend is
+    an integer-division of exact sums (Spark `div` and DuckDB `//`
+    both truncate toward zero), the seasonal component is the
+    integer-mean of detrended milli-cents per hour-of-day, and the
+    residual is what's left. No double ever enters an aggregation, so
+    no sum-order or libm drift exists to diverge ([[oracle-exactness
+    -playbook]] rule: quantize first, divide once).
+
+    Plan: one hourly aggregate (partial map-side), one ROWS-frame
+    window (single shuffle on event_type), one |types|x24-row seasonal
+    aggregate joined back broadcast. Scale: the series table after the
+    first aggregate is |types| x hours — metadata-sized at any corpus
+    scale; this is the standard pre-aggregate-then-decompose shape."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-12, 11)
+    )
+    trended = hourly.select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        (F.sum("cents").over(w) * 1000).alias("_tsum"),
+        F.count(F.lit(1)).over(w).alias("_tn"),
+    ).select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        F.expr("_tsum div _tn").alias("trend_milli"),
+    )
+    detrended = trended.select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        "trend_milli",
+        (F.col("cents") * 1000 - F.col("trend_milli")).alias("det_milli"),
+        F.hour("hour_ts").alias("hod"),
+    )
+    seasonal = detrended.groupBy("event_type", "hod").agg(
+        F.expr("sum(det_milli) div count(*)").alias("seasonal_milli")
+    )
+    return detrended.join(F.broadcast(seasonal), ["event_type", "hod"]).select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("det_milli") - F.col("seasonal_milli")).alias("residual_milli"),
+    )
