@@ -342,7 +342,10 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_milli",
         (F.col("cents") * 1000 - F.col("trend_milli")).alias("det_milli"),
         F.hour("hour_ts").alias("hod"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the series is |types| x hours (metadata-sized); checkpointing it
+    # keeps the seasonal self-join from recomputing the window chain —
+    # and, at scale, from scanning the raw events table TWICE
     seasonal = detrended.groupBy("event_type", "hod").agg(
         F.expr("sum(det_milli) div count(*)").alias("seasonal_milli")
     )

