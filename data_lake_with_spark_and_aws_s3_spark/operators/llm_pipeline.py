@@ -17,8 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from ..registry import query
 from ..sources.loader import load_table
+from .text import _STOPWORDS, _SW_SQL
 
 # Shared: md5-hex -> integer in [0, 65536) from the first 4 hex digits,
 # computable identically in Spark and DuckDB (no hex->int builtin is
@@ -653,4 +658,74 @@ def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flags.cube("too_short", "lang_blocked", "high_repetition").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q_model_inference_iter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(7 * n_tokens - 3 * n_stop + 2 * n_letters - 500 AS BIGINT)
+             AS logit_milli
+    FROM feats
+    """,
+    tags=("udf", "pandas-udf-iterator", "llm-pipeline", "inference"),
+)
+def q_model_inference_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MODEL INFERENCE via the iterator-of-batches pandas UDF —
+    the pattern for running a trained model over a 100 TB corpus: the
+    iterator form loads the model ONCE per task (outside the batch
+    loop), then scores every Arrow batch with it, amortizing a
+    seconds-scale model load across millions of rows instead of paying
+    it per batch. Here the "model" is a fixed integer-weight linear
+    scorer over three text features (token count, stopword count,
+    letter count), so the inference is exactly reproducible and the
+    full output hashes — a real checkpoint load (torch/onnx) replaces
+    _load_model() at the same boundary, and everything else stays.
+
+    Scale: map-only (zero shuffle); Arrow batches keep the
+    Python-side vectorized (numpy int64 ops per batch, never per
+    row); executor-side model memory is per-task, not per-row. The
+    oracle computes the identical integer expression in SQL."""
+    @F.pandas_udf("long")
+    def score_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        def _load_model():
+            # the expensive once-per-task boundary: weights for
+            # [n_tokens, n_stop, n_letters] + bias, in milli-units
+            return np.array([7, -3, 2], dtype=np.int64), np.int64(-500)
+
+        w, b = _load_model()
+        stop = set(_STOPWORDS)
+        for texts in batches:
+            toks = texts.str.split(" ").map(
+                lambda ts: [t for t in ts if t != ""]
+            )
+            n_tokens = toks.map(len).to_numpy(dtype="int64")
+            n_stop = toks.map(
+                lambda ts: sum(1 for t in ts if t in stop)
+            ).to_numpy(dtype="int64")
+            n_letters = (
+                texts.str.replace(" ", "", regex=False).str.len()
+                .to_numpy(dtype="int64")
+            )
+            logit = w[0] * n_tokens + w[1] * n_stop + w[2] * n_letters + b
+            yield pd.Series(logit)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score_iter("text").alias("logit_milli"),
     )
