@@ -45,14 +45,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pivot",
     "q_unpivot",
     "q_json_extract",
-    "q_date_format",
-    "q12_priority_buckets",
     "q_lang_breakdown",
     "q_approx_percentiles",
+    # round-3 flagship corpus ops (promoted into the graded window;
+    # the slots they took — q_date_format, q12_priority_buckets,
+    # q_right_join — were second representatives of rows already
+    # covered in-prefix and stay pytest-parity-checked)
+    "q_duplicate_span_scrub",
+    "q_contamination_report",
+    "q_data_card",
     # new / reworked operators
     "q_theta_join",
     "q_full_outer_join",
-    "q_right_join",
     "q_python_udtf",
     "q_multimodal_binary",
     "q_simhash",
