@@ -729,3 +729,78 @@ def q_model_inference_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         score_iter("text").alias("logit_milli"),
     )
+
+
+@query(
+    "q_quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (CAST(len(list_filter(string_split(text, ' '),
+                                   x -> x IN ({_SW_SQL}))) AS BIGINT)
+              * 500000)
+             // CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT)
+             + least(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                          AS BIGINT), 500) AS score_units
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, score_units,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_units DESC, doc_id) AS lang_rank,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored
+    )
+    SELECT doc_id, lang, score_units, CAST(lang_rank AS BIGINT) AS lang_rank
+    FROM ranked
+    WHERE lang_rank <= (n_lang + 1) // 2
+    """,
+    tags=("llm-pipeline", "quality-filter", "percentile"),
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality pruning — the curation stage between
+    scoring and sampling: keep the TOP 50% of documents per language
+    by quality, not those above a fixed threshold (fixed thresholds
+    rot as the corpus mix shifts; percentiles self-calibrate). The
+    quality key is exact-integer (stopword-ratio in milliunits via
+    integer division + saturating length bonus), so ranking ties break
+    identically cross-engine, and the per-language keep-count is the
+    exact ceiling of n/2.
+
+    Plan: map-side scoring (HOF codegen), ONE window shuffle on lang.
+    lang is low-cardinality, so locally each language's ranking is one
+    task — at 100 TB replace the full row_number with the two-pass
+    threshold pattern (per-lang exact k-th score via q_winsorize's
+    percentile-rank arithmetic, broadcast the |langs|-row cutoff table,
+    filter map-side); the output CONTRACT is identical, which is why
+    the window form is the registered truth."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr(
+                f"""(CAST(size(filter(split(text, ' '), x -> x IN ({_SW_SQL}))) AS BIGINT)
+                    * 500000)
+                   div CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"""
+            )
+            + F.least(n_tokens, F.lit(500))
+        ).alias("score_units"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score_units"), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "score_units",
+        F.row_number().over(w).alias("lang_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n_lang"),
+    )
+    return ranked.filter(
+        F.col("lang_rank") <= F.expr("(_n_lang + 1) div 2")
+    ).select("doc_id", "lang", "score_units", F.col("lang_rank").cast("long").alias("lang_rank"))
