@@ -69,7 +69,11 @@ EXTENDED = [
     "q_bfs_hops",
     # round 3, session 3: exact-substring span scrub (the heaviest new
     # corpus op; BPE train/apply are vocabulary-bound and scheduling-
-    # dominated locally, so benching them here would measure overhead)
+    # dominated locally, so benching them here would measure overhead).
+    # NOTE: extended entries share one child JVM, so LATE entries carry
+    # accumulated codegen-cache/GC drag — this one measures ~3.5s warm
+    # in a clean session vs ~2-3x that here. Only the headline phase
+    # (fresh JVM, first thing it runs) is comparable round-over-round.
     "q_duplicate_span_scrub",
 ]
 
