@@ -35,6 +35,7 @@ from . import (  # noqa: F401
     quality,
     relational,
     relational2,
+    retrieval,
     sampling,
     scalars,
     scalars2,

@@ -1,0 +1,306 @@
+"""Full-text retrieval operators over the documents corpus: BM25
+top-k ranking from a distributed inverted statistic build, and an
+n-gram language-model predictability filter (the KenLM-style "does a
+cheap LM think this document is plausible text" quality gate every
+LLM-data pipeline runs).
+
+BM25 is the classic lexical ranker (Robertson & Zaragoza 2009):
+
+    score(q, d) = sum over t in q of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+Everything distributes as three one-scan aggregates (tf per doc-term,
+df per term, corpus length stats) plus a term-keyed join against the
+tiny broadcast query-term table; no all-pairs anywhere. The per-term
+score is quantized to integer micro-nats BEFORE the per-(query, doc)
+sum so the hashable surface is order-independent exact integers
+([[oracle-exactness-playbook]], same treatment as q_entropy_profile).
+
+The bigram LM avoids floats entirely: add-one-smoothed conditional
+probabilities are held as exact integer parts-per-million
+(p_ppm = 1e6 * (c12 + 1) div (c1 + V)), so Spark and DuckDB agree bit
+for bit with no ln/rounding boundary at any scale factor.
+
+At 100 TB: tf/df/bigram counts all have map-side partial aggregation;
+the scoring joins are keyed on term/bigram (shuffle proportional to
+the posting statistics, not the corpus squared); query terms and the
+vocabulary scalar broadcast. This is exactly how a distributed index
+build + LM-filter pass is laid out on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+# (query_id, query text) — terms chosen from the corpus vocabulary with
+# a spread of document frequencies ('dup' is rare -> high idf; 'join'
+# and 'hash' are near-ubiquitous -> idf close to 0, which is exactly
+# the regime where the quantized-idf plumbing has to stay exact).
+_BM25_QUERIES = (
+    (1, "hash join spark"),
+    (2, "window agg stream"),
+    (3, "dup scan"),
+)
+_BM25_K = 5  # top-k docs per query
+_K1 = "1.2"
+_B = "0.75"
+
+
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    rows = [(qid, text) for qid, text in _BM25_QUERIES]
+    return spark.createDataFrame(rows, "query_id INT, query_text STRING")
+
+
+def _bm25_queries_sql() -> str:
+    vals = ", ".join(f"({qid}, '{text}')" for qid, text in _BM25_QUERIES)
+    return f"(VALUES {vals}) AS q(query_id, query_text)"
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    qterm AS (
+      SELECT query_id, unnest(string_split(query_text, ' ')) AS term
+      FROM {_bm25_queries_sql()}
+    ),
+    idf AS (
+      SELECT qterm.query_id, qterm.term,
+             CAST(ROUND(ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                  / (CAST(df.df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
+               AS idf_mnats
+      FROM qterm JOIN df USING (term) CROSS JOIN stats
+    ),
+    scored_terms AS (
+      SELECT idf.query_id, tf.doc_id,
+             CAST(ROUND(CAST(idf.idf_mnats AS DOUBLE)
+                        * ((CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0))
+                           / (CAST(tf.tf AS DOUBLE)
+                              + {_K1} * ((1.0 - {_B})
+                                         + {_B} * (CAST(dl.dl AS DOUBLE)
+                                                   / (CAST(stats.sum_dl AS DOUBLE)
+                                                      / CAST(stats.n_docs AS DOUBLE))))))
+                   ) AS BIGINT) AS term_score_mnats
+      FROM idf
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    doc_scores AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_score_mnats) AS BIGINT) AS score_mnats,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored_terms GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_mnats, n_terms_hit,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, doc_id, score_mnats, n_terms_hit,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_mnats DESC, doc_id) AS rnk
+      FROM doc_scores)
+    WHERE rnk <= {_BM25_K}
+    """,
+    tags=("retrieval", "bm25", "text", "llm-pipeline"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query set, built from
+    distributed inverted statistics (tf, df, doc length) — the lexical
+    half of every retrieval/RAG stack.
+
+    Cross-engine exactness: idf is quantized to integer micro-nats
+    (one ln per query term — a handful of values, each rounded from a
+    half-ulp-safe region); the tf-saturation factor is a pure-double
+    expression of exactly-representable integers written with the SAME
+    association in both engines, so each per-term score rounds to the
+    same integer; the per-document score is then an exact integer SUM
+    (order-independent). Ranking happens on (score_mnats DESC, doc_id)
+    — fully deterministic.
+
+    Scale: tf and df are one-scan hash aggregates with map-side
+    partials; the query-term table (a few rows) broadcasts into the
+    posting join, so the only real shuffle is the tf/df build keyed by
+    term — proportional to the index, not to |docs| x |queries|. The
+    final top-k is a per-query window over only the matched docs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qterm = (
+        _bm25_queries_df(spark)
+        .select("query_id", F.explode(F.split("query_text", " ")).alias("term"))
+    )
+    idf = (
+        F.broadcast(qterm)
+        .join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.expr(
+                "CAST(ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                " / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)"
+            ).alias("idf_mnats"),
+        )
+    )
+    scored = (
+        F.broadcast(idf)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(ROUND(CAST(idf_mnats AS DOUBLE)"
+                f" * ((CAST(tf AS DOUBLE) * ({_K1} + 1.0))"
+                f" / (CAST(tf AS DOUBLE)"
+                f" + {_K1} * ((1.0 - {_B})"
+                f" + {_B} * (CAST(dl AS DOUBLE)"
+                f" / (CAST(sum_dl AS DOUBLE)"
+                f" / CAST(n_docs AS DOUBLE))))))"
+                f") AS BIGINT)"
+            ).alias("term_score_mnats"),
+        )
+    )
+    doc_scores = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score_mnats").alias("score_mnats"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_mnats"), "doc_id")
+    return (
+        doc_scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _BM25_K)
+        .select("query_id", "doc_id", "score_mnats", "n_terms_hit", "rnk")
+    )
+
+
+_LM_KEEP_PPM = 40_000  # keep docs whose mean bigram probability >= 4%
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v
+      FROM (SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg)
+    ),
+    p AS (
+      SELECT c12.w1, c12.w2,
+             (1000000 * (c12.c12 + 1)) // (c1.c1 + vocab.v) AS p_ppm
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+    ),
+    doc AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(p.p_ppm) AS BIGINT) AS sum_ppm
+      FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           sum_ppm // n_bigrams AS mean_ppm,
+           sum_ppm // n_bigrams >= {_LM_KEEP_PPM} AS keep
+    FROM doc
+    """,
+    tags=("retrieval", "lm-score", "quality", "llm-pipeline"),
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model predictability filter: train add-one-
+    smoothed bigram probabilities on the corpus itself, then score
+    each document by its mean bigram probability and gate on a
+    threshold — the cheap-LM quality filter (the KenLM-perplexity
+    pattern) from CCNet/Gopher-style pipelines.
+
+    Exactness: probabilities are exact integer parts-per-million via
+    truncating integer division (all operands positive, so Spark `div`
+    == DuckDB `//`); the document score is an integer sum then one
+    more integer division. No floats anywhere — hash-stable at every
+    scale factor by construction.
+
+    Scale: bigram extraction is map-side (posexplode over an array
+    slice — no shuffle); the count model is one hash aggregate keyed
+    by bigram with map-side partials; scoring joins docs' bigrams to
+    the model on the bigram key (shuffle ~ corpus bigram count, the
+    same cost as the count build); V is a 1-row broadcast scalar. On a
+    real cluster the trained model table is exactly what you'd persist
+    and re-broadcast for incremental scoring of new batches."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("pos", "w1"),
+        F.col("t"),
+    ).select("doc_id", "w1", F.expr("t[pos + 1]").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .unionAll(bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    p = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", F.expr("(1000000 * (c12 + 1)) div (c1 + v)").alias("p_ppm"))
+    )
+    doc = bg.join(p, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_ppm").alias("sum_ppm"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("sum_ppm div n_bigrams").alias("mean_ppm"),
+        (F.expr("sum_ppm div n_bigrams") >= F.lit(_LM_KEEP_PPM)).alias("keep"),
+    )
