@@ -161,3 +161,126 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         (F.col("n_orders").cast("double") / total.cast("double")).alias("pct"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(cents) + MAX(cents) AS BIGINT) AS med2
+      FROM r
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, ABS(2 * v.cents - med.med2) AS dev2
+      FROM v JOIN med ON v.event_type = med.event_type
+    ),
+    rd AS (
+      SELECT event_type, dev2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, CAST(MIN(dev2) + MAX(dev2) AS BIGINT) AS mad4
+      FROM rd
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type
+    )
+    SELECT med.event_type, med.n, med.med2 AS median_2cents, mad.mad4,
+           CAST(SUM(CASE WHEN 40000 * dev.dev2 > 44478 * mad.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(dev.dev2) AS BIGINT) AS max_dev2
+    FROM dev
+    JOIN med ON dev.event_type = med.event_type
+    JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY med.event_type, med.n, med.med2, mad.mad4
+    """,
+    tags=("analytics", "robust-stats", "outliers", "quality"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    robust twin of q_zscore_anomalies (mean/stddev break down when the
+    outliers themselves inflate the spread; median/MAD have a 50%
+    breakdown point). Flags |x - median| > 3 * 1.4826 * MAD per
+    event_type and reports the per-group outlier census.
+
+    Exactness: everything is integer — cents, then the median kept as
+    lo+hi (2x median, exact), deviations in 2x-cent units, MAD kept as
+    lo+hi again (4x MAD). The Gaussian consistency constant 1.4826
+    enters via integer cross-multiplication
+    (40000 * dev2 > 44478 * mad4), so no float ever touches the
+    hashed surface.
+
+    Scale: two ranking windows partitioned by event_type (per-group
+    range sort, no global sort) + hash joins on the tiny per-group
+    stats table, which broadcasts. Same shape as q_exact_median_mode —
+    the exact-audit path; at 100 TB the screening pass would swap the
+    exact medians for approx_percentile and keep the identical
+    comparison algebra."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents")
+    )
+    wv = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("n div 2 + 1")))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (F.min("cents") + F.max("cents")).alias("med2"),
+        )
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med2", F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2")
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev2")
+    rd = dev.select(
+        "event_type",
+        "dev2",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nn"),
+    )
+    mad = (
+        rd.filter(
+            (F.col("rn") == F.expr("(nn + 1) div 2")) | (F.col("rn") == F.expr("nn div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg((F.min("dev2") + F.max("dev2")).alias("mad4"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med2", "mad4")
+        .agg(
+            F.sum(
+                F.when(40000 * F.col("dev2") > 44478 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("dev2").alias("max_dev2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("med2").alias("median_2cents"),
+            "mad4",
+            "n_outliers",
+            "max_dev2",
+        )
+    )

@@ -361,3 +361,47 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-driven iterative ops amortize this by doing work per round."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_REC_SPARK_SQL)
+
+
+@query(
+    "q_arrow_scalar_udf",
+    oracle="""
+    SELECT p_partkey,
+           CAST(
+             CASE
+               WHEN p_size % 2 = 0 THEN CAST(ROUND(p_retailprice * 100) AS BIGINT) * 3
+               ELSE CAST(ROUND(p_retailprice * 100) AS BIGINT) + 1000000
+             END AS BIGINT) AS adjusted_cents
+    FROM part
+    WHERE p_size >= 25
+    """,
+    tags=("python", "udf", "arrow"),
+)
+def q_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (4.x ``udf(..., useArrow=True)``)
+    — the modern replacement for pickled row-at-a-time UDFs: inputs
+    arrive as Arrow batches materialized to pandas Series, so the
+    Python boundary is paid per-BATCH, not per-row (the plan shows
+    ArrowEvalPython, never BatchEvalPython — asserted in
+    tests/test_plans.py). The UDF body is pure integer arithmetic on
+    pre-computed cents, so the oracle is an exact CASE expression.
+
+    Scale: still the slow path versus built-ins (data crosses the JVM
+    <-> Python boundary), but ~10-100x over pickled UDFs; use for
+    logic F.* genuinely can't express. The filter on p_size is applied
+    BEFORE the UDF column is consumed so pushdown still reaches the
+    scan — putting a UDF in the WHERE clause would fence it off."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType(), useArrow=True)
+    def adjust(cents, size):
+        # even sizes: bulk-rate triple; odd: flat 10k surcharge
+        return int(cents * 3) if size % 2 == 0 else int(cents + 1_000_000)
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return p.select(
+        "p_partkey",
+        adjust(
+            F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)"), F.col("p_size")
+        ).alias("adjusted_cents"),
+    )

@@ -142,3 +142,100 @@ def q_text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("nation_text")
     n.write.mode("overwrite").text(path)
     return spark.read.text(path)
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CASE WHEN year(o_orderdate) >= 1998
+                THEN o_orderpriority ELSE '<pre-evolution>' END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE year(o_orderdate) IN (1997, 1998)
+    GROUP BY 1, 2
+    """,
+    tags=("source", "parquet", "schema-evolution"),
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the READER (§2.1): an old parquet batch
+    (1997, without o_orderpriority) and a new batch (1998, with the
+    added column) land in the same dataset directory; a single
+    mergeSchema=true read reconciles them, with the old rows surfacing
+    NULL for the added column. The oracle recomputes the same answer
+    from the unevolved source table, so dropped/duplicated/misaligned
+    rows OR a wrong null-fill show up as a hash mismatch.
+
+    Scale: mergeSchema's cost is footer reconciliation at planning
+    time (per-file, driver-side) — row data is never rewritten; this
+    is exactly how a 100 TB append-only lake absorbs additive schema
+    change without a backfill. Writers that RENAME or RETYPE columns
+    still need a rewrite — mergeSchema only reconciles additive drift."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    root = _tmp("orders_evolving")
+    old = o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", "o_orderstatus", "cents"
+    )
+    new = o.filter(F.year("o_orderdate") == 1998).select(
+        "o_orderkey", "o_orderstatus", "cents", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{root}/batch=1997")
+    new.write.mode("overwrite").parquet(f"{root}/batch=1998")
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return back.groupBy(
+        "o_orderstatus",
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@query(
+    "q_small_files_control",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "parquet", "small-files"),
+)
+def q_small_files_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files control at WRITE time: upstream processing (here a
+    keyed 32-way repartition standing in for any shuffle stage) leaves
+    32 partitions, so a naive write emits 32 tiny files; coalesce(4)
+    merges them WITHOUT a new shuffle (coalesce only unions partitions;
+    repartition would pay a second full exchange to do the same). The
+    content round-trip is oracle-hashed and the file count is asserted
+    in tests/test_etl.py — both halves of "fewer files, same rows".
+
+    At 100 TB the knobs compose: coalesce-on-write bounds file COUNT,
+    spark.sql.files.maxRecordsPerFile bounds file SIZE, and the
+    after-the-fact compactor (q_compaction_bins) fixes tables that
+    were already written badly. Small files are a metadata-plane
+    killer at scale: a 100k-file table spends longer listing than
+    scanning."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmp("orders_coalesced")
+    (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .repartition(32, "o_custkey")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

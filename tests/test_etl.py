@@ -134,3 +134,17 @@ def test_idempotent_overwrite(spark, etl_out):
     process_log_data(spark, inp, outp)
     after = spark.read.parquet(f"{outp}/songplays").count()
     assert before == after
+
+
+def test_small_files_control_file_count(spark):
+    """coalesce(4) on write must produce exactly 4 data files."""
+    import glob
+
+    from data_lake_with_spark_and_aws_s3_spark.operators import sinks
+    from data_lake_with_spark_and_aws_s3_spark.registry import REGISTRY
+
+    REGISTRY["q_small_files_control"].fn(spark, "/root/testdata/sf0.01").collect()
+    roots = sorted(glob.glob(f"{sinks._SCRATCH}/orders_coalesced_*/orders_coalesced"))
+    assert roots, "sink did not write"
+    files = glob.glob(f"{roots[-1]}/part-*.parquet")
+    assert len(files) == 4, f"expected 4 coalesced files, found {len(files)}"

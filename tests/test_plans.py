@@ -436,3 +436,23 @@ def test_label_propagation_round_is_edge_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_arrow_udf_is_arrow_eval_with_pushdown(spark):
+    """useArrow=True must plan ArrowEvalPython (batch transfer), never
+    BatchEvalPython; the p_size filter must still reach the scan."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_arrow_scalar_udf"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert has_pushed_filter(df, "p_size"), "filter must not be fenced by the UDF"
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    """The per-group median/MAD stats tables are a handful of rows —
+    they must broadcast; the events table must never shuffle for the
+    final comparison join."""
+    df = REGISTRY["q_mad_outliers"].fn(spark, SF)
+    assert has_broadcast_join(df), "median/MAD stats must broadcast"
