@@ -499,3 +499,116 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
         )
     return dist
+
+
+@query(
+    "q_cluster_aware_split",
+    oracle=_JACCARD_EDGES_SQL
+    + """
+    , sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst, src FROM e
+      UNION
+      SELECT doc_id, doc_id FROM documents
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
+      ) SELECT * FROM r
+    ), clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id
+      FROM reach GROUP BY src
+    ), assigned AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN (((((CAST(0 AS BIGINT)) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS naive_split,
+             CASE WHEN (((((CAST(0 AS BIGINT)) * 16 + instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS cluster_split
+      FROM clusters
+    ), per_cluster AS (
+      SELECT cluster_id,
+             COUNT(*) AS sz,
+             COUNT(DISTINCT naive_split) AS naive_sides,
+             COUNT(DISTINCT cluster_split) AS cluster_sides
+      FROM assigned GROUP BY cluster_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM assigned) AS BIGINT) AS n_docs,
+      CAST((SELECT COUNT(*) FROM per_cluster) AS BIGINT) AS n_clusters,
+      CAST((SELECT COUNT(*) FROM per_cluster WHERE sz > 1) AS BIGINT)
+        AS n_multi_clusters,
+      CAST((SELECT COUNT(*) FROM per_cluster WHERE sz > 1 AND naive_sides > 1)
+        AS BIGINT) AS naive_leaky_clusters,
+      CAST((SELECT COUNT(*) FROM per_cluster WHERE cluster_sides > 1) AS BIGINT)
+        AS cluster_leaky_clusters,
+      CAST((SELECT COUNT(*) FROM assigned WHERE naive_split <> cluster_split)
+        AS BIGINT) AS n_docs_reassigned
+    """,
+    tags=("graph", "split", "leakage", "llm-pipeline"),
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split hygiene for training data: a naive per-document hash
+    split strands near-duplicates on BOTH sides of train/test (the
+    most common eval-leakage bug); hashing the CLUSTER id instead
+    moves every near-dup family to one side atomically. The report
+    quantifies the difference: clusters the naive split leaks across
+    the boundary, clusters the cluster-aware split leaks (structurally
+    zero — the split is a function of cluster_id), and how many docs
+    the fix reassigns.
+
+    Determinism: cluster ids come from q_dedup_clusters' connected
+    components (min-doc_id labels); both split assignments use the
+    engine-portable md5-hex-digit bucket from q_hash_split. All
+    outputs are exact counts.
+
+    Scale: the cluster labeling is the CC pass (O(|E|) per round,
+    near-dup diameters are tiny); everything after is two hash
+    aggregates over |docs| rows. The leakage report is the cheap
+    audit you run BEFORE burning GPU-hours on a contaminated eval."""
+    from .llm_pipeline import _hex_val_sql
+
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id",
+        "cluster_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hd"),
+        F.md5(F.col("cluster_id").cast("string")).alias("hc"),
+    )
+    bucket_doc = F.expr(_hex_val_sql("hd")) % 100
+    bucket_cl = F.expr(_hex_val_sql("hc")) % 100
+    assigned = clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket_doc < 90, "train").otherwise("test").alias("naive_split"),
+        F.when(bucket_cl < 90, "train").otherwise("test").alias("cluster_split"),
+    )
+    per_cluster = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("naive_split").alias("naive_sides"),
+        F.countDistinct("cluster_split").alias("cluster_sides"),
+    )
+    doc_stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("naive_split") != F.col("cluster_split")).cast("long")
+        ).alias("n_docs_reassigned"),
+    )
+    cl_stats = per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("sz") > 1).cast("long")).alias("n_multi_clusters"),
+        F.sum(((F.col("sz") > 1) & (F.col("naive_sides") > 1)).cast("long")).alias(
+            "naive_leaky_clusters"
+        ),
+        F.sum((F.col("cluster_sides") > 1).cast("long")).alias(
+            "cluster_leaky_clusters"
+        ),
+    )
+    return doc_stats.crossJoin(F.broadcast(cl_stats)).select(
+        "n_docs",
+        "n_clusters",
+        "n_multi_clusters",
+        "naive_leaky_clusters",
+        "cluster_leaky_clusters",
+        "n_docs_reassigned",
+    )

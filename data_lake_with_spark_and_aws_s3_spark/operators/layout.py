@@ -277,3 +277,68 @@ def money_sum_rebase(col, alias: str):
     from ..functions.numeric import money_sum
 
     return money_sum(col.cast("decimal(19,2)"), alias)
+
+
+@query(
+    "q_cached_reuse",
+    oracle="""
+    WITH mid AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS bucket_cents
+      FROM mid GROUP BY n_orders
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_customers FROM mid
+    )
+    SELECT h.n_orders, h.n_customers, h.bucket_cents,
+           CAST(h.n_customers AS DOUBLE) / CAST(t.total_customers AS DOUBLE)
+             AS customer_share
+    FROM hist h CROSS JOIN tot t
+    """,
+    tags=("execution", "cache", "reuse"),
+)
+def q_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midframe caching: the per-customer rollup feeds TWO downstream
+    consumers (an order-count histogram and a global customer total);
+    .cache() materializes it once so the expensive upstream — at 100 TB,
+    a multi-join pipeline — runs a single time and both consumers read
+    columnar in-memory batches (plan shows InMemoryTableScan on both
+    branches; asserted in tests/test_plans.py).
+
+    Without the cache Spark would recompute the rollup per branch
+    (AQE's ReusedExchange only kicks in when the subtrees are
+    byte-identical INSIDE one query execution — a .count() or a
+    second action gets nothing). Cache is the user-controlled reuse
+    knob: MEMORY_AND_DISK by default, spills instead of OOMing, and
+    evicts LRU — on a cluster you cache the frame you'll touch >= 2x
+    and unpersist when the fan-out completes.
+
+    Exactness: counts and cents are exact integers; customer_share is
+    one IEEE division of exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    mid = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+    )
+    mid = mid.cache()
+    hist = mid.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("bucket_cents"),
+    )
+    tot = mid.agg(F.count(F.lit(1)).alias("total_customers"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "n_orders",
+        "n_customers",
+        "bucket_cents",
+        (
+            F.col("n_customers").cast("double")
+            / F.col("total_customers").cast("double")
+        ).alias("customer_share"),
+    )

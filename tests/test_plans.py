@@ -456,3 +456,14 @@ def test_mad_outliers_broadcasts_stats(spark):
     final comparison join."""
     df = REGISTRY["q_mad_outliers"].fn(spark, SF)
     assert has_broadcast_join(df), "median/MAD stats must broadcast"
+
+
+def test_cached_reuse_reads_memory_twice(spark):
+    """Both consumers of the cached rollup must read InMemoryTableScan
+    (one materialization, two in-memory reads); the orders parquet
+    appears in the cached relation only."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_cached_reuse"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, "both branches must hit the cache"
