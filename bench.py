@@ -75,6 +75,12 @@ EXTENDED = [
     # in a clean session vs ~2-3x that here. Only the headline phase
     # (fresh JVM, first thing it runs) is comparable round-over-round.
     "q_duplicate_span_scrub",
+    # round 3, session 4: retrieval + communities flagships (index
+    # build + LM-filter + LPA are the distributed shapes; the other
+    # session-4 ops are layout/reader demos whose cost is write-bound)
+    "q_bm25_topk",
+    "q_bigram_lm_score",
+    "q_label_propagation",
 ]
 
 # Headline gets the stabler protocol (2 warm-ups, median of 5): it IS

@@ -154,3 +154,195 @@ def q_regr_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ok('b_varx', _VARX)} AS varx_ok",
         f"{_ok('b_covar', _COVAR)} AS covar_ok",
     )
+
+
+# Unit choices keep every hashed moment an exact int64 whose double
+# cast is also exact (< 2^53) at every shipped SF: quantities are raw
+# (<= 50), prices in whole DOLLARS (~1e5), discount/tax in basis
+# points (<= 1000). Worst case sxx = (1.1e5)^2 * 6e5 rows ~ 7.3e15,
+# under both 2^63 and 2^53. Cents would overflow 2^53 — documented
+# trade: dollar-rounding is part of the operator's contract.
+_CORR_COLS = (
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_usd", "CAST(ROUND(l_extendedprice) AS BIGINT)"),
+    ("disc_bp", "CAST(ROUND(l_discount * 10000) AS BIGINT)"),
+    ("tax_bp", "CAST(ROUND(l_tax * 10000) AS BIGINT)"),
+)
+_CORR_PAIRS = [
+    (a, b) for i, (a, _) in enumerate(_CORR_COLS) for b, _ in [c for c in _CORR_COLS[i + 1 :]]
+]
+
+
+def _corr_pair_sql(xa: str, xb: str, dialect: str) -> str:
+    """One SELECT computing exact pair moments + the builtin-vs-closed-
+    form corr agreement boolean (dialect-shared expression tree)."""
+    cols = dict(_CORR_COLS)
+    x, y = cols[xa], cols[xb]
+    return f"""
+      SELECT '{xa}~{xb}' AS pair,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({x}) AS BIGINT) AS sx,
+             CAST(SUM({y}) AS BIGINT) AS sy,
+             CAST(SUM(({x}) * ({x})) AS BIGINT) AS sxx,
+             CAST(SUM(({y}) * ({y})) AS BIGINT) AS syy,
+             CAST(SUM(({x}) * ({y})) AS BIGINT) AS sxy,
+             corr(CAST({y} AS DOUBLE), CAST({x} AS DOUBLE)) AS corr_b
+      FROM lineitem
+    """
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH pairs AS (
+    """
+    + "\n      UNION ALL\n".join(_corr_pair_sql(a, b, "duck") for a, b in _CORR_PAIRS)
+    + f"""
+    )
+    SELECT pair, n, sx, sy, sxx, syy, sxy,
+           {_ok(
+               "corr_b",
+               "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+               " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+               " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+           )} AS corr_ok
+    FROM pairs
+    """,
+    tags=("stats", "correlation", "one-pass"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation structure of 4 lineitem measures in
+    ONE scan: the 6 pair rows carry exact integer moments (n, Σx, Σy,
+    Σxx, Σyy, Σxy) — the complete sufficient statistics from which any
+    engine reconstructs every corr/covar/slope bit-exactly.
+
+    The map-side stack (explode of 6 pair structs) multiplies rows 6x
+    BEFORE one hash aggregate — at 100 TB you'd instead compute the 14
+    distinct moments in a single agg row and expand driver-side; the
+    stacked form is used here because it keeps the hashed surface
+    per-pair and engine-shared. Exactness: unit choices (dollars /
+    basis points) bound every moment under 2^53 so even the double
+    casts in the closed-form check are exact; the corr itself is
+    checked by a shared-tree tolerance boolean, never hashed raw
+    (stats.py header explains why raw float aggregates can't hash)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = dict(_CORR_COLS)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.expr(cols[a]).alias("x"),
+                F.expr(cols[b]).alias("y"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    stacked = li.select(F.explode(pair_structs).alias("p")).select("p.*")
+    m = stacked.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.expr("corr(CAST(y AS DOUBLE), CAST(x AS DOUBLE))").alias("corr_b"),
+    )
+    closed = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return m.select(
+        "pair", "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.expr(_ok("corr_b", closed)).alias("corr_ok"),
+    )
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY source),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.lang, o.source, o.obs,
+             CAST(ROUND(1000000 * (CAST(o.obs AS DOUBLE)
+                    - (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                      / CAST(n.n AS DOUBLE))
+                  * (CAST(o.obs AS DOUBLE)
+                    - (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                      / CAST(n.n AS DOUBLE))
+                  / ((CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                      / CAST(n.n AS DOUBLE))) AS BIGINT) AS contrib_micro
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT
+      CAST((SELECT n FROM n) AS BIGINT) AS n,
+      CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_langs,
+      CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_sources,
+      CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1)
+        AS BIGINT) AS dof,
+      CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro,
+      CAST(COUNT(*) AS BIGINT) AS n_observed_cells
+    FROM cells
+    """,
+    tags=("stats", "chi-square", "independence"),
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for the lang x source
+    contingency table — "is corpus composition balanced or do sources
+    specialize by language?", the screening test before stratified
+    rebalancing.
+
+    Exactness: observed counts and marginals are exact integers;
+    each cell's (o-e)^2/e is a shared-expression-tree double (e is a
+    single division of exactly-representable products) quantized to
+    integer MICRO units per cell before the order-independent integer
+    SUM — same treatment as q_entropy_profile's micro-nats.
+
+    Scale: one scan -> (lang, source) hash aggregate; marginals
+    re-aggregate the tiny cell table; the joins broadcast. The
+    statistic's cost is the contingency build, which is the cheapest
+    possible shuffle (|cells| == |langs x sources|)."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    o = o.cache()  # tiny; feeds marginals AND the cell join
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e_expr = (
+        "((CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)) / CAST(n AS DOUBLE))"
+    )
+    contrib = (
+        f"CAST(ROUND(1000000 * (CAST(obs AS DOUBLE) - {e_expr})"
+        f" * (CAST(obs AS DOUBLE) - {e_expr}) / {e_expr}) AS BIGINT)"
+    )
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select("lang", "source", "obs", F.expr(contrib).alias("contrib_micro"))
+    )
+    rt_n = rt.agg(F.count(F.lit(1)).alias("n_langs"))
+    ct_n = ct.agg(F.count(F.lit(1)).alias("n_sources"))
+    summary = cells.agg(
+        F.sum("contrib_micro").alias("chi2_micro"),
+        F.count(F.lit(1)).alias("n_observed_cells"),
+    )
+    return (
+        n.crossJoin(F.broadcast(rt_n))
+        .crossJoin(F.broadcast(ct_n))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "n",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+            "chi2_micro",
+            "n_observed_cells",
+        )
+    )

@@ -87,3 +87,76 @@ def test_attribution_credit_sums_and_touch_flags(spark):
     # touch positions are 1..n with no repeats
     assert (g["touch_pos"].max() == g["n_touches"].first()).all()
     assert (g["touch_pos"].nunique() == g["n_touches"].first()).all()
+
+
+def test_bigram_lm_probability_mass_bounded(spark):
+    """Add-one smoothing + truncating integer division: the observed
+    probability mass per context can never exceed 1e6 ppm, and every
+    per-doc mean lies in (0, 1e6]."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    d = load_table(spark, SF, "documents")
+    toks = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("pos", "w1"),
+        F.col("t"),
+    ).select("w1", F.expr("t[pos + 1]").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = bg.select("w1").unionAll(bg.select("w2")).distinct().count()
+    mass = (
+        c12.join(c1, "w1")
+        .select("w1", F.expr(f"(1000000 * (c12 + 1)) div (c1 + {v})").alias("p_ppm"))
+        .groupBy("w1")
+        .agg(F.sum("p_ppm").alias("mass"))
+        .toPandas()
+    )
+    assert (mass["mass"] <= 1_000_000).all(), "probability mass exceeds 1"
+    out = REGISTRY["q_bigram_lm_score"].fn(spark, SF).toPandas()
+    assert (out["mean_ppm"] > 0).all() and (out["mean_ppm"] <= 1_000_000).all()
+
+
+def test_bm25_ranks_contiguous_and_scores_positive(spark):
+    out = REGISTRY["q_bm25_topk"].fn(spark, SF).toPandas()
+    assert (out["score_mnats"] > 0).all(), "BM25 scores must be positive"
+    for qid, g in out.groupby("query_id"):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+        # scores non-increasing in rank order
+        s = g.sort_values("rnk")["score_mnats"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+
+
+def test_label_propagation_labels_are_member_ids(spark):
+    """Every community label must be a node id of the graph (labels
+    only ever propagate initial ids), and community sizes must
+    partition the node set."""
+    out = REGISTRY["q_label_propagation"].fn(spark, SF).toPandas()
+    nodes = set(out["part_id"])
+    assert set(out["community"]) <= nodes
+    sizes = out.groupby("community").size()
+    import pandas as pd
+
+    pd.testing.assert_series_equal(
+        out.groupby("community")["community_size"].first().astype("int64"),
+        sizes.astype("int64"),
+        check_names=False,
+    )
+    assert sizes.sum() == len(nodes)
+
+
+def test_chi_square_nonnegative_and_dof(spark):
+    row = REGISTRY["q_chi_square"].fn(spark, SF).collect()[0]
+    assert row.chi2_micro >= 0
+    assert row.dof == (row.n_langs - 1) * (row.n_sources - 1)
+    assert row.n_observed_cells <= row.n_langs * row.n_sources
+
+
+def test_mad_outliers_bounded_by_group_size(spark):
+    out = REGISTRY["q_mad_outliers"].fn(spark, SF).toPandas()
+    assert (out["n_outliers"] >= 0).all()
+    assert (out["n_outliers"] < out["n"]).all(), "MAD can't flag everything"
+    assert (out["mad4"] >= 0).all()

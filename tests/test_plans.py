@@ -258,6 +258,9 @@ _NLJ_ALLOWED = {
     "q_minhash_lsh",        # 1-row twin/precision/recall contract aggregates stitch
     "q_bm25_topk",          # broadcast 1-row corpus (n_docs, sum_dl) stats stitch
     "q_bigram_lm_score",    # broadcast 1-row vocabulary-size scalar stitch
+    "q_cluster_aware_split",  # broadcast 1-row doc-stats x cluster-stats stitch
+    "q_cached_reuse",       # broadcast 1-row customer-total scalar stitch
+    "q_chi_square",         # broadcast 1-row n / marginal-count stitches
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demo.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf"}
