@@ -66,7 +66,15 @@ FAMILIES = {
     "q_bpe_train": lambda spark, d: {},
     # NOT swept: q_bfs_hops — its input (orders x lineitem trade graph)
     # is symlinked to sf0.1 in the synthetic scale dirs, so a sweep
-    # would measure a flat curve and prove nothing.
+    # would measure a flat curve and prove nothing. Same for
+    # q_label_propagation (co-purchase edges come from lineitem).
+    # round 3, session 4 additions
+    "q_bm25_topk": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)
+    },
+    "q_bigram_lm_score": lambda spark, d: {
+        "bigrams": corpus_tokens(spark, d)  # bigrams = tokens - docs ~ tokens
+    },
 }
 
 
@@ -83,8 +91,25 @@ def gram_positions(spark, sf_dir):
 
 
 
+def corpus_tokens(spark, sf_dir):
+    """Token count = the shuffle currency of the tf/df and bigram
+    model builds."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    return d.select(F.size(toks).alias("n")).agg(F.sum("n")).collect()[0][0]
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        names = set(only[0].split(","))
+        unknown = names - set(FAMILIES)
+        if unknown:
+            raise SystemExit(f"--only names not in FAMILIES: {sorted(unknown)}")
+        for k in list(FAMILIES):
+            if k not in names:
+                del FAMILIES[k]
     dirs = [("1x", "/root/testdata/sf0.1"), ("3x", f"{REPO}/.scratch/sf3x")]
     if not quick:
         dirs.append(("10x", f"{REPO}/.scratch/sf10x"))
