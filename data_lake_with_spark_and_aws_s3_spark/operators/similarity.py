@@ -988,3 +988,184 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cosine") * 10000).cast("long").alias("cos_x10000"),
         )
     )
+
+
+_SEMDEDUP_TAU = 0.45  # sparse-regime threshold: on this isotropic corpus the
+# random-cosine tail grows ~quadratically with corpus size, and 0.35
+# percolated at sf0.1 (mean degree ~5, giant component, 84% removed);
+# 0.45 (~3.6 sigma) keeps the duplicate graph sparse at every shipped SF
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH hp AS (
+      SELECT j, d,
+             {_srp_hexval("md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR))")} AS c
+      FROM range(0, {_SRP_H}) t(j), range(0, 64) u(d)
+    ),
+    pos AS (
+      SELECT vec_id, d, {_QI.format(x="embedding[d + 1]")} AS qd
+      FROM embeddings, range(0, 64) u(d)
+    ),
+    dots AS (
+      SELECT vec_id, j, CAST(SUM(c * qd) AS BIGINT) AS dot
+      FROM pos JOIN hp USING (d) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sg
+      FROM dots GROUP BY 1
+    ),
+    bands AS (
+      SELECT vec_id, k,
+             (sg // (CAST(1 AS BIGINT) << CAST({_SRP_BITS} * k AS INTEGER)))
+               % {1 << _SRP_BITS} AS bv
+      FROM sig, range(0, {_SRP_NBANDS}) r(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+      WHERE a.vec_id < b.vec_id
+    ),
+    e AS (
+      SELECT cand.src, cand.dst
+      FROM cand
+      JOIN embeddings va ON va.vec_id = cand.src
+      JOIN embeddings vb ON vb.vec_id = cand.dst
+      WHERE CAST({_DOT_SQL.format(a="va.embedding", b="vb.embedding")} AS DOUBLE)
+            / (sqrt(CAST({_NORM2_SQL.format(a="va.embedding")} AS DOUBLE))
+               * sqrt(CAST({_NORM2_SQL.format(a="vb.embedding")} AS DOUBLE)))
+            >= {_SEMDEDUP_TAU}
+    ),
+    sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst, src FROM e
+      UNION
+      SELECT vec_id, vec_id FROM embeddings
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
+      ) SELECT * FROM r
+    ),
+    comp AS (
+      SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT vec_id, component,
+           vec_id = component AS kept,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
+    FROM comp
+    """,
+    tags=("similarity", "semdedup", "dedup", "lsh", "llm-pipeline"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication of an
+    embedding corpus — bucket vectors, verify high-cosine pairs inside
+    buckets only, grow transitive duplicate groups, keep one
+    representative per group. Blocking here is the md5-derived SRP
+    signature (engine-replayable, unlike a learned k-means codebook —
+    q_ann_ivf_kmeans shows that variant on a recall contract); the
+    paper's k-means blocking swaps in at the bucketer with the rest of
+    the pipeline unchanged.
+
+    Determinism: signatures/bands are exact integer ops; the verify
+    cosine divides exact int64 sums (identical IEEE doubles both
+    engines, same expression tree); components are min-id labels (CC);
+    kept = "is the component representative". Every vector emits a
+    row, so the operator stays non-vacuous even where a scale factor
+    has no qualifying pair.
+
+    Scale: band self-join confines the quadratic verify to bucket
+    interiors (O(sum of bucket^2), never corpus^2); the CC rounds are
+    O(|E|) with near-dup-tiny diameters. This is the 100 TB semantic-
+    dedup recipe: embed once, bucket, verify inside buckets, cluster,
+    keep representatives."""
+    from .graph import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hp = (
+        spark.range(_SRP_H * 64)
+        .select(
+            (F.col("id") / 64).cast("long").alias("j"),
+            (F.col("id") % 64).alias("d"),
+        )
+        .select(
+            "j",
+            "d",
+            F.expr(
+                _srp_hexval("md5(concat(cast(j as string), '_', cast(d as string)))")
+            ).alias("c"),
+        )
+    )
+    pos = e.select("vec_id", F.posexplode("embedding").alias("d", "val")).select(
+        "vec_id", "d", qint(F.col("val")).alias("qd")
+    )
+    dots = (
+        pos.join(F.broadcast(hp), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("c") * F.col("qd")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0))
+        ).alias("sg")
+    )
+    bands = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_NBANDS - 1))).alias("k"),
+        "sg",
+    ).select(
+        "vec_id",
+        "k",
+        (
+            F.expr(f"sg div shiftleft(cast(1 as bigint), cast({_SRP_BITS} * k as int))")
+            % (1 << _SRP_BITS)
+        ).alias("bv"),
+    )
+    a = bands.select(F.col("vec_id").alias("src"), "k", "bv")
+    b = bands.select(F.col("vec_id").alias("dst"), "k", "bv")
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    qe = e.select(
+        "vec_id",
+        F.transform("embedding", qint).alias("q"),
+        dot_int(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
+    va = qe.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("n2").alias("n2a"))
+    vb = qe.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("n2").alias("n2b"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    edges = (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .filter(
+            dot.cast("double")
+            / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double")))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("src", "dst")
+    )
+    comp = connected_components(edges, e.select(F.col("vec_id").alias("id")))
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("kept"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("comp_size"),
+    )
