@@ -229,3 +229,85 @@ def test_stream_static_join(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_session_windows_under_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state knob: session-window merging state held in the
+    RocksDB state store (spills to local disk, bounded heap) must
+    produce the exact same drained result as the default HDFS-backed
+    in-memory provider."""
+    from data_lake_with_spark_and_aws_s3_spark.streaming.twins import (
+        run_to_memory,
+        stream_events,
+        streaming_session_window,
+    )
+
+    def drain(name):
+        agg = streaming_session_window(stream_events(spark, sf_dir))
+        run_to_memory(agg, name, output_mode="complete")
+        return spark.table(name).toPandas().sort_values(
+            ["user_id", "session_start"]
+        ).reset_index(drop=True)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    rocks = drain_with_provider = None
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks = drain("rocksdb_sessions")
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
+    base = drain("default_provider_sessions")
+    assert len(rocks) > 0
+    assert base.equals(rocks), "RocksDB state store changed the session result"
+
+
+def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """Source-offset tracking across restarts: run 1 processes file A;
+    run 2 (same checkpoint) sees A+B in the directory but must emit
+    ONLY B — no reprocessing, no gaps."""
+    import glob
+
+    src = tmp_path / "landing"
+    tgt = tmp_path / "target"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", "event_type"
+    )
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    a.coalesce(1).write.mode("overwrite").parquet(str(src / "batch_a"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tgt))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_after_a = spark.read.parquet(str(tgt)).count()
+    assert n_after_a == a.count()
+    # restart with file B landed; A is still in the directory
+    b.coalesce(1).write.mode("overwrite").parquet(str(src / "batch_b"))
+    run_once()
+    out = spark.read.parquet(str(tgt))
+    assert out.count() == ev.count(), "rows lost or reprocessed across restart"
+    assert out.select("event_id").distinct().count() == ev.count(), (
+        "duplicate event_ids: file A was reprocessed after resume"
+    )
