@@ -217,3 +217,79 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.token FROM _udtf_docs, "
         "LATERAL tokenize_udtf(doc_id, text) t"
     )
+
+
+@query(
+    "q_python_udtf_analyze",
+    oracle="""
+    SELECT doc_id,
+           'n_tokens' AS stat, CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+    FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id, 'n_chars', CAST(length(text) AS BIGINT)
+    FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id, 'n_uniq', CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("python", "udtf", "polymorphic", "spark4"),
+)
+def q_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is decided
+    at plan time by the class's static analyze() from the call's
+    literal argument — here a stat list "n_tokens,n_chars,n_uniq"
+    chooses which per-document stats to emit, and analyze() both
+    validates it and fixes the (doc_id, stat, value) schema. This is
+    the 4.x contract for schema-flexible table functions (parsers that
+    emit different shapes per config) that q_python_udtf's static
+    returnType can't express.
+
+    The stats themselves are exact integers (token/char/distinct
+    counts), so the full fan-out is hashed against plain SQL. Same
+    performance rule as every UDTF: explode/HOFs win when they can
+    express it; the Python hop earns its cost only for genuinely
+    Python logic — the polymorphism is what's being exercised here."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class DocStats:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument,
+                    stats: AnalyzeArgument) -> AnalyzeResult:
+            allowed = {"n_tokens", "n_chars", "n_uniq"}
+            wanted = [s.strip() for s in str(stats.value).split(",")]
+            if not wanted or not set(wanted) <= allowed:
+                raise ValueError(f"stats must be a comma list from {sorted(allowed)}")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("doc_id", LongType()),
+                        StructField("stat", StringType()),
+                        StructField("value", LongType()),
+                    ]
+                )
+            )
+
+        def eval(self, doc_id, text, stats):
+            toks = text.split(" ")
+            table = {
+                "n_tokens": len(toks),
+                "n_chars": len(text),
+                "n_uniq": len(set(toks)),
+            }
+            for s in stats.split(","):
+                yield doc_id, s.strip(), table[s.strip()]
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_udtf_docs_poly")
+    spark.udtf.register("doc_stats_udtf", udtf(DocStats))
+    return spark.sql(
+        "SELECT t.doc_id, t.stat, t.value FROM _udtf_docs_poly, "
+        "LATERAL doc_stats_udtf(doc_id, text, 'n_tokens,n_chars,n_uniq') t"
+    )

@@ -262,8 +262,8 @@ _NLJ_ALLOWED = {
     "q_cached_reuse",       # broadcast 1-row customer-total scalar stitch
     "q_chi_square",         # broadcast 1-row n / marginal-count stitches
 }
-# Row-at-a-time Python is banned except the deliberate UDTF demo.
-_ROW_PYTHON_ALLOWED = {"q_python_udtf"}
+# Row-at-a-time Python is banned except the deliberate UDTF demos.
+_ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
 
 
 def test_registry_wide_plan_lint(spark):
