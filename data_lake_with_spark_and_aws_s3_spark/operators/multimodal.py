@@ -209,3 +209,94 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         "doc_id long, frame_idx long, byte_offset long, checksum long",
     )
+
+
+_RASTER_W = 16  # fake raster width (bytes per row)
+
+
+@query(
+    "q_multimodal_resize",
+    # ASCII payload => DuckDB's substr/ord mirror byte indexing. The
+    # resized raster keeps even rows x even cols (nearest-neighbor 2x
+    # downsample); its checksum is an exact integer byte sum.
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             CAST({_RASTER_W} AS BIGINT) AS in_w,
+             CAST(strlen(text) // {_RASTER_W} AS BIGINT) AS in_h
+      FROM documents
+      WHERE strlen(text) // {_RASTER_W} >= 2
+    ),
+    kept AS (
+      SELECT doc_id, in_w, in_h,
+             ord(substr(text, CAST(r * {_RASTER_W} + c + 1 AS INTEGER), 1)) AS b
+      FROM dims,
+           UNNEST(range(0, in_h)) t(r),
+           UNNEST(range(0, {_RASTER_W})) u(c)
+      WHERE r % 2 = 0 AND c % 2 = 0
+    )
+    SELECT doc_id, in_w, in_h,
+           CAST({_RASTER_W} // 2 AS BIGINT) AS out_w,
+           CAST((in_h + 1) // 2 AS BIGINT) AS out_h,
+           CAST(COUNT(*) AS BIGINT) AS out_bytes,
+           CAST(SUM(b) AS BIGINT) AS out_checksum
+    FROM kept
+    GROUP BY doc_id, in_w, in_h
+    """,
+    tags=("multimodal", "binary", "resize", "pandas-udf"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary rasters: each payload is read as a
+    16-byte-wide raster and 2x-downsampled nearest-neighbor (numpy
+    reshape + [::2, ::2] stride slice) inside Arrow-batched
+    mapInPandas — the per-batch vectorized shape a real image resize
+    (PIL/cv2 at the decode_image_stub boundary) drops into unchanged.
+    Output dims + byte count + checksum of the RESIZED raster are
+    hashed, so a stride/mis-shape bug changes the answer.
+
+    Scale: map-only (zero shuffle); blobs stream through Arrow batches
+    at constant memory; metadata-only readers never touch the bytes
+    (column pruning). The tail row fragment below in_w bytes is
+    dropped, exactly as a real decoder crops to full scanlines."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                in_h = len(buf) // _RASTER_W
+                if in_h < 2:
+                    continue
+                raster = buf[: in_h * _RASTER_W].reshape(in_h, _RASTER_W)
+                small = raster[::2, ::2]  # nearest-neighbor 2x downsample
+                rows.append(
+                    (
+                        int(doc_id),
+                        _RASTER_W,
+                        in_h,
+                        small.shape[1],
+                        small.shape[0],
+                        int(small.size),
+                        int(small.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h",
+                    "out_bytes", "out_checksum",
+                ],
+            )
+
+    return d.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, in_w long, in_h long, out_w long, out_h long, "
+            "out_bytes long, out_checksum long"
+        ),
+    )
