@@ -426,3 +426,83 @@ def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("sum_clnc_mnats div n_rows")
         ).alias("entropy_mnats"),
     )
+
+
+_PSI_BAND = 20000  # price band width (dollars) for the drift buckets
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(FLOOR(o_totalprice / {_PSI_BAND}.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(FLOOR(o_totalprice / {_PSI_BAND}.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1
+    ),
+    t AS (
+      SELECT (SELECT SUM(n_a) FROM a) AS tot_a, (SELECT SUM(n_b) FROM b) AS tot_b
+    )
+    SELECT a.bucket, a.n_a, b.n_b,
+           CAST(ROUND(1000000
+                * (CAST(a.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE)
+                   - CAST(b.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE))
+                * ln((CAST(a.n_a AS DOUBLE) * CAST(t.tot_b AS DOUBLE))
+                     / (CAST(b.n_b AS DOUBLE) * CAST(t.tot_a AS DOUBLE))))
+             AS BIGINT) AS contrib_micro
+    FROM a JOIN b USING (bucket) CROSS JOIN t
+    """,
+    tags=("quality", "drift", "psi", "monitoring"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods' order-price
+    distributions (1997 vs 1998) — the standard data-drift monitor a
+    production pipeline runs before trusting a new batch: per price
+    band, contribution (p_a - p_b) * ln(p_a / p_b), in integer MICRO
+    units. PSI > 0.25 conventionally flags a shifted distribution;
+    buckets observed in only one period are excluded by the inner join
+    (the caller sees them as missing bucket rows — at 100 TB you'd
+    smooth instead, same plan shape).
+
+    Exactness: shares are single IEEE divisions of exact counts; the
+    ln argument is arranged as ONE division of exact integer products
+    (n_a * tot_b) / (n_b * tot_a) — all < 2^53 at every shipped SF —
+    and each bucket's term is micro-quantized before any reader sums
+    them ([[oracle-exactness-playbook]]).
+
+    Scale: two filtered aggregates over the same scan + a tiny bucket
+    join; totals broadcast. Cost is one pass over each period
+    partition — the cheapest possible drift check."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(f"CAST(FLOOR(o_totalprice / {_PSI_BAND}.0) AS BIGINT)").alias("bucket")
+    a = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1998)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    tot = (
+        a.agg(F.sum("n_a").alias("tot_a"))
+        .crossJoin(b.agg(F.sum("n_b").alias("tot_b")))
+    )
+    contrib = (
+        "CAST(ROUND(1000000"
+        " * (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)"
+        "    - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))"
+        " * ln((CAST(n_a AS DOUBLE) * CAST(tot_b AS DOUBLE))"
+        "      / (CAST(n_b AS DOUBLE) * CAST(tot_a AS DOUBLE))))"
+        " AS BIGINT)"
+    )
+    return (
+        a.join(b, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", "n_a", "n_b", F.expr(contrib).alias("contrib_micro"))
+    )

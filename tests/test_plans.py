@@ -261,6 +261,7 @@ _NLJ_ALLOWED = {
     "q_cluster_aware_split",  # broadcast 1-row doc-stats x cluster-stats stitch
     "q_cached_reuse",       # broadcast 1-row customer-total scalar stitch
     "q_chi_square",         # broadcast 1-row n / marginal-count stitches
+    "q_psi_drift",          # broadcast 1-row period-total stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
