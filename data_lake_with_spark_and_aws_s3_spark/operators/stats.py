@@ -346,3 +346,145 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_observed_cells",
         )
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END AS in_b
+      FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+    ),
+    tot AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n_a, CAST(SUM(in_b) AS BIGINT) AS n_b
+      FROM pts
+    ),
+    grid AS (
+      SELECT x, CAST(SUM(SUM(in_a)) OVER (ORDER BY x) AS BIGINT) AS c_a,
+                CAST(SUM(SUM(in_b)) OVER (ORDER BY x) AS BIGINT) AS c_b
+      FROM pts GROUP BY x
+    ),
+    dev AS (
+      SELECT grid.x, ABS(grid.c_a * tot.n_b - grid.c_b * tot.n_a) AS cross_dev,
+             tot.n_a, tot.n_b
+      FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(cross_dev) AS BIGINT) AS max_cross_dev,
+           CAST(MAX(cross_dev) AS DOUBLE)
+             / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)) AS ks_d
+    FROM dev
+    """,
+    tags=("stats", "ks-test", "drift"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 1997 and
+    1998 order-price distributions — the nonparametric drift test
+    beside q_psi_drift (PSI needs bucketing; KS is bucket-free).
+
+    Exactness end-to-end: D = max_x |F_a(x) - F_b(x)| is computed as
+    the exact INTEGER max of |c_a * n_b - c_b * n_a| over the merged
+    support grid (cross-multiplication avoids per-point divisions
+    entirely); the reported ks_d is ONE division of that exact max.
+    c * n <= 1.5e5 * 1.5e5 at sf0.1 — far inside int64.
+
+    Scale: one scan -> per-value aggregate -> ONE cumulative window
+    over the merged grid (range-partitioned global sort, same cost
+    class as q_global_sort) -> scalar max. No bucketing parameter to
+    tune and no quadratic anything."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1997, 1998)
+    )
+    pts = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("x"),
+        F.when(F.year("o_orderdate") == 1997, 1).otherwise(0).alias("in_a"),
+        F.when(F.year("o_orderdate") == 1998, 1).otherwise(0).alias("in_b"),
+    )
+    per_x = pts.groupBy("x").agg(
+        F.sum("in_a").alias("da"), F.sum("in_b").alias("db")
+    )
+    from pyspark.sql import Window as W
+
+    cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid = per_x.select(
+        "x",
+        F.sum("da").over(cum).alias("c_a"),
+        F.sum("db").over(cum).alias("c_b"),
+    )
+    tot = pts.agg(F.sum("in_a").alias("n_a"), F.sum("in_b").alias("n_b"))
+    dev = grid.crossJoin(F.broadcast(tot)).select(
+        F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).alias(
+            "cross_dev"
+        ),
+        "n_a",
+        "n_b",
+    )
+    return dev.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("cross_dev").alias("max_cross_dev"),
+        (
+            F.max("cross_dev").cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double"))
+        ).alias("ks_d"),
+    )
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(i * cents) AS BIGINT) AS weighted_cents,
+           CAST(2 * SUM(i * cents) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
+    FROM ranked
+    """,
+    tags=("stats", "gini", "concentration", "analytics"),
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    "what share of spend sits with the whales", the skew diagnosis that
+    decides salting keys and cache tiers before it decides marketing.
+
+    Gini = (2 * sum(i * x_i) - (n+1) * sum(x_i)) / (n * sum(x_i)) over
+    ranks i of the ascending-sorted per-customer totals (tie order
+    pinned by customer key so both engines rank identically). All
+    sums are exact int64 (rank * cents <= 1.5e5 * ~1e8 at sf0.1, and
+    the sum stays < 2^63); the single closing division is the only
+    float. One aggregate, one ranking window, one reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted_cents"),
+        (
+            (2 * F.sum(F.col("i") * F.col("cents"))
+             - (F.max("n") + 1) * F.sum("cents")).cast("double")
+            / (F.max("n").cast("double") * F.sum("cents").cast("double"))
+        ).alias("gini"),
+    )
