@@ -251,7 +251,6 @@ def test_session_windows_under_rocksdb_state_store(spark, sf_dir):
 
     key = "spark.sql.streaming.stateStore.providerClass"
     default = spark.conf.get(key, None)
-    rocks = drain_with_provider = None
     try:
         spark.conf.set(
             key,
