@@ -391,10 +391,15 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely); the reported ks_d is ONE division of that exact max.
     c * n <= 1.5e5 * 1.5e5 at sf0.1 — far inside int64.
 
-    Scale: one scan -> per-value aggregate -> ONE cumulative window
-    over the merged grid (range-partitioned global sort, same cost
-    class as q_global_sort) -> scalar max. No bucketing parameter to
-    tune and no quadratic anything."""
+    Scale: one scan -> per-value aggregate -> cumulative counts via
+    the DISTRIBUTED two-phase form (q_global_row_number's pattern:
+    range-partition on x, per-partition local cumulative sums in
+    parallel, then per-partition totals -> broadcast offsets — never
+    the keyless single-task window Spark would otherwise plan)
+    -> scalar max. No bucketing parameter and no quadratic anything.
+    The sampled range boundaries are run-dependent but the OUTPUT is
+    not: x is unique after the group-by, so offsets + local cumsums
+    reproduce the global cumulative counts exactly."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.year("o_orderdate").isin(1997, 1998)
     )
@@ -408,11 +413,32 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
-    grid = per_x.select(
+    part = per_x.repartitionByRange(16, F.asc("x")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("pid").orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local = part.select(
         "x",
-        F.sum("da").over(cum).alias("c_a"),
-        F.sum("db").over(cum).alias("c_b"),
+        "pid",
+        F.sum("da").over(w_local).alias("la"),
+        F.sum("db").over(w_local).alias("lb"),
+    )
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)  # <= 16 rows
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.sum("da").alias("na"), F.sum("db").alias("nb"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("na").over(w_off), F.lit(0)).alias("off_a"),
+            F.coalesce(F.sum("nb").over(w_off), F.lit(0)).alias("off_b"),
+        )
+    )
+    grid = local.join(F.broadcast(offsets), "pid").select(
+        "x",
+        (F.col("off_a") + F.col("la")).alias("c_a"),
+        (F.col("off_b") + F.col("lb")).alias("c_b"),
     )
     tot = pts.agg(F.sum("in_a").alias("n_a"), F.sum("in_b").alias("n_b"))
     dev = grid.crossJoin(F.broadcast(tot)).select(
@@ -466,25 +492,39 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by customer key so both engines rank identically). All
     sums are exact int64 (rank * cents <= 1.5e5 * ~1e8 at sf0.1, and
     the sum stays < 2^63); the single closing division is the only
-    float. One aggregate, one ranking window, one reduce."""
+    float. Ranks come from the DISTRIBUTED two-phase global row number
+    (q_global_row_number's pattern — range partition, parallel local
+    ranks, broadcast offsets), never the keyless single-task window;
+    (cents, o_custkey) is unique so the ranks reproduce exactly."""
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
     )
     from pyspark.sql import Window as W
 
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    part = cust.repartitionByRange(
+        16, F.asc("cents"), F.asc("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = W.partitionBy("pid").orderBy("cents", "o_custkey")
+    local = part.withColumn("local_rn", F.row_number().over(w_local))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)  # <= 16 rows
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "cents", (F.col("offset") + F.col("local_rn")).alias("i")
     )
     return ranked.agg(
-        F.max("n").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
         F.sum(F.col("i") * F.col("cents")).alias("weighted_cents"),
         (
             (2 * F.sum(F.col("i") * F.col("cents"))
-             - (F.max("n") + 1) * F.sum("cents")).cast("double")
-            / (F.max("n").cast("double") * F.sum("cents").cast("double"))
+             - (F.count(F.lit(1)) + 1) * F.sum("cents")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("cents").cast("double"))
         ).alias("gini"),
     )

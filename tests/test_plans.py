@@ -471,3 +471,18 @@ def test_cached_reuse_reads_memory_twice(spark):
     df = REGISTRY["q_cached_reuse"].fn(spark, SF)
     plan = formatted_plan(df)
     assert plan.count("InMemoryTableScan") >= 2, "both branches must hit the cache"
+
+
+def test_ks_and_gini_use_range_partitioned_ranking(spark):
+    """KS cumulative counts and Gini ranks must use the two-phase
+    range-partition + broadcast-offsets form (q_global_row_number's
+    pattern) — the plan carries a rangepartitioning exchange, and the
+    only SinglePartition window is the <=16-row offsets table."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    for name in ("q_ks_test", "q_gini_revenue"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF))
+        assert "rangepartitioning" in plan.lower(), f"{name} lost the range phase"
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+            f"{name}: offsets must broadcast"
+        )
