@@ -262,6 +262,7 @@ _NLJ_ALLOWED = {
     "q_cached_reuse",       # broadcast 1-row customer-total scalar stitch
     "q_chi_square",         # broadcast 1-row n / marginal-count stitches
     "q_psi_drift",          # broadcast 1-row period-total stitch
+    "q_ks_test",            # broadcast 1-row (n_a, n_b) sample-total stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
