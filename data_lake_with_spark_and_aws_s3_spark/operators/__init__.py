@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     joins,
     layout,
     llm_pipeline,
+    ml_parity,
     modern,
     multimodal,
     neardup,

@@ -1,133 +1,133 @@
-"""pyspark.ml feature-pipeline parity (closes VERDICT r2 "What's
-missing #3"): the repo hand-rolls hashing-trick featurization
-(q_feature_hash), TF-IDF (q_tfidf_topterms), and MinHash-LSH
-(q_minhash_lsh / q_minhash_lsh_exact) because the hand-rolled forms are
-DuckDB-oracle-checkable where the ml classes are not. These tests prove
-the ml API path is available and AGREES with exact quantities the
-oracle-checked operators also compute, so a user of the reference's ml
-surface loses nothing by switching.
+"""Spark-vs-Spark cross-checks tying the pyspark.ml feature classes
+(operators/ml_parity.py) to this repo's exactly-oracle-checked
+hand-rolled equivalents.
 
-Registry note: these stay pytest-only on purpose — the registry is
-180/180 oracle-checked, and ml vector columns would be rejected by the
-driver's canonicalizer anyway (list cells).
+The registered queries hash only engine-portable surfaces (token
+counts, twin pair sets, invariant booleans) because murmur3 buckets
+and seeded minhash coefficients can't be replayed in DuckDB. These
+tests close the remaining gap INSIDE Spark: the ml vectors are checked
+bucket-for-bucket against an independent recomputation, the IDF
+weights against the closed form, and the MinHashLSH pair set against
+the md5-portable twin.
 """
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
-from data_lake_with_spark_and_aws_s3_spark import REGISTRY
-from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+from data_lake_with_spark_and_aws_s3_spark.operators.ml_parity import (
+    _token_df,
+    ml_hashing_tfidf,
+    ml_minhash_pairs,
+)
+from data_lake_with_spark_and_aws_s3_spark.operators.neardup import _ml_exact_pairs
 
-SF = "/root/testdata/sf0.001"
-SF_MID = "/root/testdata/sf0.01"
-DIM = 1 << 18
-
-
-def _tokens(spark, sf_dir, distinct=False):
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    if distinct:
-        toks = F.array_distinct(toks)
-    return d.select("doc_id", toks.alias("toks"))
+SF = "/root/testdata/sf0.01"
 
 
-def test_hashing_tf_matches_exact_token_mass(spark):
-    """HashingTF term-frequency vectors must conserve exact token
-    counts: sum(vector) == token count per doc (the same exact
-    quantity q_feature_hash's oracle checks via md5 buckets), and the
-    nonzero-bucket count equals the distinct-token count modulo the
-    rare in-doc murmur3 collision at 2^18 dims (<= 1% of docs)."""
+def _bucket_map(spark, toks_df):
+    """token -> HashingTF bucket, extracted THROUGH the ml path itself:
+    each distinct token becomes a one-token probe document whose single
+    nonzero vector index is that token's bucket. Collision-proof — the
+    mapping is whatever HashingTF actually computes."""
     from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
 
-    tok = _tokens(spark, SF_MID)
-    tf = HashingTF(inputCol="toks", outputCol="v", numFeatures=DIM).transform(tok)
-    rows = tf.select("doc_id", "toks", "v").collect()
-    assert rows
-    n_collided = 0
-    for r in rows:
-        n_tokens = len(r["toks"])
-        n_distinct = len(set(r["toks"]))
-        vec = r["v"]
-        assert sum(vec.values) == n_tokens, f"doc {r['doc_id']}: TF mass mismatch"
-        nnz = len(vec.indices)
-        assert nnz <= n_distinct
-        if nnz != n_distinct:
-            n_collided += 1
-            assert nnz >= n_distinct - 2, f"doc {r['doc_id']}: too many collisions"
-    assert n_collided <= max(1, len(rows) // 100), (
-        f"{n_collided}/{len(rows)} docs collided at {DIM} dims"
+    from data_lake_with_spark_and_aws_s3_spark.operators.ml_parity import _TFIDF_DIM
+
+    vocab = toks_df.select(F.explode("toks").alias("tok")).distinct()
+    probe = vocab.select("tok", F.array("tok").alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="vec", numFeatures=_TFIDF_DIM)
+    arr = vector_to_array(F.col("vec"))
+    # the probe vector has exactly one nonzero entry; its index is the bucket
+    return tf.transform(probe).select(
+        "tok",
+        F.array_position(arr, 1.0).cast("bigint").alias("bucket_1based"),
     )
 
 
-def test_idf_matches_closed_form(spark):
-    """ml IDF over HashingTF vectors must equal the closed form
-    log((N+1)/(df_b+1)) per bucket, where df_b is the bucket document
-    frequency computed independently DataFrame-side. Checks the model's
-    idf vector itself — no vector-column output needed."""
-    import math
+def test_hashingtf_counts_match_independent_recomputation(spark):
+    """For every (doc, bucket): the HashingTF vector count equals the
+    explode->map->groupBy recomputation through the extracted bucket
+    mapping. Exact equality, collisions included — mass can merge
+    across tokens but never drift."""
+    from pyspark.ml.functions import vector_to_array
 
-    from pyspark.ml.feature import IDF, HashingTF
+    toks = _token_df(spark, SF)
+    bmap = _bucket_map(spark, toks)
 
-    tok = _tokens(spark, SF)
-    tf = HashingTF(inputCol="toks", outputCol="v", numFeatures=DIM, binary=True)
-    tfd = tf.transform(tok)
-    model = IDF(inputCol="v", outputCol="w").fit(tfd)
-    n_docs = tok.count()
-    # independent df per bucket: explode distinct tokens -> HashingTF
-    # indices are murmur3-internal, so derive df from the vectors
-    df_b: dict[int, int] = {}
-    for r in tfd.select("v").collect():
-        for i in r["v"].indices:
-            df_b[int(i)] = df_b.get(int(i), 0) + 1
-    idf = model.idf.toArray()
-    for b, dfb in df_b.items():
-        expect = math.log((n_docs + 1) / (dfb + 1))
-        assert abs(idf[b] - expect) < 1e-9, f"bucket {b}: {idf[b]} != {expect}"
-    # buckets never hit must carry df=0 idf
-    zero = math.log(float(n_docs + 1))
-    untouched = next(i for i in range(DIM) if i not in df_b)
-    assert abs(idf[untouched] - zero) < 1e-9
-
-
-def test_minhash_lsh_approx_join_agrees_with_exact_jaccard(spark):
-    """MinHashLSH.approxSimilarityJoin at distance <= 0.4 (token-set
-    Jaccard >= 0.6) vs the oracle-checked blocked exact-Jaccard
-    operator (q_ngram_jaccard_pairs, same 0.6 threshold):
-
-    - the ml-reported distance must equal 1 - exact raw Jaccard on
-      every common pair (measured exactly 0 deviation: at 2^18 dims the
-      binary vectors are collision-free on this corpus);
-    - recall over the blocked truth >= 0.9 (measured 0.965-0.971 at
-      both small SFs; approxSimilarityJoin verifies true distance on
-      candidates, so precision is exact by construction)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    tok = _tokens(spark, SF, distinct=True)
-    tf = (
-        HashingTF(inputCol="toks", outputCol="v", numFeatures=DIM, binary=True)
-        .transform(tok)
-        .select("doc_id", "v")
+    expected = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(bmap), "tok")
+        .groupBy("doc_id", (F.col("bucket_1based") - 1).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
-    model = MinHashLSH(inputCol="v", outputCol="h", numHashTables=5, seed=42).fit(tf)
-    pairs = (
-        model.approxSimilarityJoin(tf, tf, 0.4, distCol="dist")
-        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            "dist",
+
+    out = ml_hashing_tfidf(spark, SF)
+    arr = vector_to_array(F.col("tf_vec"))
+    actual = (
+        out.select(
+            "doc_id",
+            F.posexplode(arr).alias("bucket", "cnt"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+    mism = (
+        actual.exceptAll(expected.select("doc_id", "bucket", "cnt")).count()
+        + expected.select("doc_id", "bucket", "cnt").exceptAll(actual).count()
+    )
+    assert mism == 0, f"HashingTF vectors drift from recomputation ({mism} rows)"
+
+
+def test_ml_idf_matches_closed_form(spark):
+    """Implied IDF weight (tfidf/tf on any nonzero entry) equals
+    ln((N+1)/(df+1)) with df counted from the vectors themselves."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = ml_hashing_tfidf(spark, SF).cache()
+    n_docs = out.count()
+    tf_arr = vector_to_array(F.col("tf_vec"))
+    idf_arr = vector_to_array(F.col("tfidf_vec"))
+    entries = (
+        out.select("doc_id", F.posexplode(tf_arr).alias("bucket", "tf"))
+        .filter(F.col("tf") != 0)
+        .join(
+            out.select(
+                "doc_id", F.posexplode(idf_arr).alias("bucket", "tfidf")
+            ),
+            ["doc_id", "bucket"],
         )
     )
-    found = {(r.doc_a, r.doc_b): r.dist for r in pairs.collect()}
-    truth = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in REGISTRY["q_ngram_jaccard_pairs"].fn(spark, SF).collect()
-    }
-    common = set(found) & set(truth)
-    assert len(common) >= 0.9 * len(truth), (
-        f"ml LSH recall {len(common)}/{len(truth)} below 0.9"
+    df_per_bucket = entries.groupBy("bucket").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.max(F.col("tfidf") / F.col("tf")).alias("idf_hi"),
+        F.min(F.col("tfidf") / F.col("tf")).alias("idf_lo"),
     )
-    for p in common:
-        assert abs((1.0 - found[p]) - truth[p]) < 1e-9, f"distance drift on {p}"
+    rows = df_per_bucket.collect()  # <= vocabulary size (~tens of buckets)
+    assert rows, "no active buckets"
+    for r in rows:
+        want = math.log((n_docs + 1) / (r.df + 1))
+        assert abs(r.idf_hi - want) < 1e-9 and abs(r.idf_lo - want) < 1e-9, (
+            f"bucket {r.bucket}: implied idf [{r.idf_lo}, {r.idf_hi}] "
+            f"!= ln(({n_docs}+1)/({r.df}+1)) = {want}"
+        )
+    out.unpersist()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", SF])
+def test_ml_minhash_recovers_twin_pairs(spark, sf_dir):
+    """approxSimilarityJoin at Jaccard distance 0.5 must recover the
+    md5-portable twin's near-dup pairs (>= 90% contract floor; expected
+    100% — P(miss) <= 0.5^16 per pair)."""
+    twin = _ml_exact_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_twin = twin.count()
+    if n_twin == 0:
+        pytest.skip("no twin pairs at this sf")
+    ml = ml_minhash_pairs(spark, sf_dir)
+    n_common = twin.join(ml, ["doc_a", "doc_b"]).count()
+    assert n_common * 10 >= n_twin * 9, (
+        f"ml MinHashLSH recall {n_common}/{n_twin} below the 90% floor"
+    )
