@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     combined,
     communities,
     corpus,
+    curation,
     dedup,
     events,
     fuzzy,

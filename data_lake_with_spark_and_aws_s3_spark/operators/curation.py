@@ -1,0 +1,420 @@
+"""Published-method corpus-curation operators: the Gopher quality-rule
+battery, soft-dedup down-weighting, DSIR-style discriminative n-gram
+data selection, and per-source marginal-novelty attribution.
+
+These are the document-level *selection* passes a training-data
+pipeline runs between raw ingestion and tokenization — complementing
+the repo's dedup (operators/neardup.py, operators/corpus.py), LM
+quality gates (operators/retrieval.py), and mixture/quota samplers
+(operators/llm_pipeline.py).
+
+Methods re-expressed from public papers:
+- Gopher rules: Rae et al. 2021 ("Scaling Language Models..."),
+  Appendix A quality heuristics. Bounds adapted to this corpus's
+  short synthetic documents where noted; every rule is exact integer
+  cross-multiplication, no floats in a predicate.
+- Soft dedup: down-weight-instead-of-drop (the SlimPajama /
+  deduplicate-then-reweight idea): weight = 1/multiplicity so each
+  distinct text contributes unit mass however often it was crawled.
+- DSIR: Xie et al. 2023 ("Data Selection for Language Models via
+  Importance Resampling") — importance weight = log p_target(x) -
+  log p_raw(x) under cheap hashed n-gram LMs. Here the two bigram
+  models are add-one-smoothed counts; per-bigram log terms are
+  quantized to integer micro-nats BEFORE the order-independent sum
+  (same libm-drift treatment as q_entropy_profile / q_psi_drift).
+- Novelty attribution: the marginal-value-of-data curve (how many
+  8-grams does each source contribute FIRST?) used when deciding
+  which sources to keep crawling.
+
+Scale notes (100 TB): every operator is explode -> keyed hash
+aggregate -> keyed equi-join; shuffle volume is bounded by token /
+gram counts with map-side partial aggregation, never by |docs|^2.
+Model/stat tables (bigram counts, source order) broadcast. The only
+windows are per-key; there is no global single-partition stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+from .text import _SW_SQL, _STOPWORDS, tokens
+
+# --- Gopher quality-rule battery -------------------------------------
+
+# Rae et al. bounds, adapted where the synthetic corpus sits outside
+# the web-scale envelope: word-count lower bound 10 (paper: 50 — the
+# fixtures cap near 100 words, so 50 would veto half the corpus for
+# length alone and hide failures of the OTHER rules); the rest are the
+# published constants: mean word length in [3, 10], >= 2 distinct
+# stopwords, >= 80% alphabetic words, most-frequent token <= 30%.
+_G_MIN_WORDS, _G_MAX_WORDS = 10, 100_000
+_G_MWL_LO, _G_MWL_HI = 3, 10
+_G_MIN_STOP = 2
+# alpha ratio >= 0.8  <=>  5 * n_alpha_words >= 4 * n_words
+# top token share <= 0.3  <=>  10 * max_tf <= 3 * n_words
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT CASE WHEN tok IN ({_SW_SQL}) THEN tok END)
+                  AS BIGINT) AS n_stop_distinct,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alpha_words
+      FROM tok GROUP BY doc_id
+    ),
+    top_tf AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_tf FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_words,
+           (p.n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS word_count_ok,
+           (p.n_chars >= {_G_MWL_LO} * p.n_words
+            AND p.n_chars <= {_G_MWL_HI} * p.n_words) AS mean_word_len_ok,
+           (p.n_stop_distinct >= {_G_MIN_STOP}) AS stopword_ok,
+           (5 * p.n_alpha_words >= 4 * p.n_words) AS alpha_ratio_ok,
+           (10 * t.max_tf <= 3 * p.n_words) AS top_token_ok,
+           ((p.n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+            AND p.n_chars >= {_G_MWL_LO} * p.n_words
+            AND p.n_chars <= {_G_MWL_HI} * p.n_words
+            AND p.n_stop_distinct >= {_G_MIN_STOP}
+            AND 5 * p.n_alpha_words >= 4 * p.n_words
+            AND 10 * t.max_tf <= 3 * p.n_words) AS keep
+    FROM per_doc p JOIN top_tf t ON p.doc_id = t.doc_id
+    """,
+    tags=("curation", "quality", "gopher", "llm-pipeline"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021, App. A):
+    per-document booleans for word count, mean word length, distinct
+    stopwords, alphabetic-word ratio, and most-frequent-token share,
+    plus the conjunctive keep flag.
+
+    Every predicate is an integer cross-multiplication (5*alpha >=
+    4*words, 10*max_tf <= 3*words, ...) — no ratio is ever a float,
+    so Spark and DuckDB agree bit-for-bit at any scale factor.
+
+    Plan: the HOF features are map-side on the scan; only the
+    most-frequent-token rule needs a (doc, token) aggregate — one
+    shuffle keyed by doc_id with map-side combine, then an equi-join
+    back (both sides already hashed on doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_words = F.size(toks).cast("long")
+    n_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        n_alpha.alias("n_alpha_words"),
+    )
+    top_tf = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_tf"))
+    )
+    j = feats.join(top_tf, "doc_id")
+    word_count_ok = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+    mwl_ok = (F.col("n_chars") >= _G_MWL_LO * F.col("n_words")) & (
+        F.col("n_chars") <= _G_MWL_HI * F.col("n_words")
+    )
+    stop_ok = F.col("n_stop_distinct") >= _G_MIN_STOP
+    alpha_ok = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    top_ok = 10 * F.col("max_tf") <= 3 * F.col("n_words")
+    return j.select(
+        "doc_id",
+        "n_words",
+        word_count_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        stop_ok.alias("stopword_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        top_ok.alias("top_token_ok"),
+        (word_count_ok & mwl_ok & stop_ok & alpha_ok & top_ok).alias("keep"),
+    )
+
+
+# --- Soft dedup: down-weight instead of drop -------------------------
+
+@query(
+    "q_soft_dedup_weight",
+    oracle="""
+    WITH grp AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS multiplicity,
+             CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS canonical_id
+      FROM documents
+    )
+    SELECT doc_id, multiplicity,
+           CAST(1000000 // multiplicity AS BIGINT) AS weight_ppm,
+           (doc_id = canonical_id) AS is_canonical
+    FROM grp
+    """,
+    tags=("curation", "dedup", "soft-dedup", "llm-pipeline"),
+)
+def q_soft_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates
+    (q_dedup_md5), keep every row but assign a sampling weight of
+    1/multiplicity ppm so each distinct text contributes unit mass to
+    training however many times it was crawled — the
+    down-weight-don't-discard variant used when duplication count is
+    itself a signal. is_canonical marks the min-doc_id representative
+    (the row q_dedup_md5 would have kept).
+
+    Plan: one digest window partitioned by md5(text) — a keyed
+    shuffle identical in shape to the hard-dedup groupBy; weight is a
+    truncating integer division (exact both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("multiplicity"),
+        F.count(F.lit(1)).over(w).cast("long").alias("_m"),
+        F.min("doc_id").over(w).alias("_canon"),
+    ).select(
+        "doc_id",
+        "multiplicity",
+        F.expr("CAST(1000000 div _m AS BIGINT)").alias("weight_ppm"),
+        (F.col("doc_id") == F.col("_canon")).alias("is_canonical"),
+    )
+
+
+# --- DSIR-style discriminative bigram selection ----------------------
+
+# Target domain: the non-English slice (the minority class — selecting
+# FOR it is the interesting direction; selecting for the majority is
+# nearly a no-op). Raw model: the whole corpus.
+_DSIR_TARGET_SQL = "lang <> 'en'"
+
+
+def _r6(x: str) -> str:
+    """round(1e6 * ln(x)) — micro-nat quantization of a log over an
+    exact integer argument (identical spelling both dialects)."""
+    return f"CAST(ROUND(1000000 * LN({x})) AS BIGINT)"
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang,
+             array_to_string(list_slice(toks, i, i + 1), ' ') AS bg
+      FROM (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t
+      )
+    ),
+    tgt AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS ct FROM big
+      WHERE {_DSIR_TARGET_SQL} GROUP BY bg
+    ),
+    raw AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS cr FROM big GROUP BY bg
+    ),
+    consts AS (
+      SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN {_DSIR_TARGET_SQL} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS tr
+      FROM big
+    ),
+    wtab AS (
+      SELECT raw.bg,
+             {_r6("COALESCE(tgt.ct, 0) + 1")} - {_r6("raw.cr + 1")}
+               + {_r6("consts.tr + consts.v")} - {_r6("consts.tt + consts.v")}
+               AS w_micro
+      FROM raw LEFT JOIN tgt ON raw.bg = tgt.bg CROSS JOIN consts
+    )
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(wtab.w_micro) AS BIGINT) AS score_micronat,
+           (SUM(wtab.w_micro) > 0) AS selected
+    FROM big JOIN wtab ON big.bg = wtab.bg
+    GROUP BY big.doc_id
+    """,
+    tags=("curation", "dsir", "importance-sampling", "llm-pipeline"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): importance weight
+    of a document = log p_target(doc) - log p_raw(doc) under two
+    cheap add-one-smoothed bigram models (target = the non-English
+    slice, raw = the full corpus); documents whose weight is positive
+    look more like the target domain than like the crawl average and
+    get selected.
+
+    Exactness: each model's log term is LN over an EXACT integer
+    ((count+1), (total+V)), quantized to micro-nats per bigram before
+    the order-independent integer sum — the shared-integer-argument
+    treatment of q_entropy_profile / q_psi_drift, so libm agreement
+    is on identical doubles. The two (total+V) normalizers fold into
+    one global constant added per bigram occurrence.
+
+    Plan: bigram explode is map-side; the two model tables are
+    (bigram -> count) hash aggregates with map-side combine; scoring
+    is one equi-join keyed on bigram (shuffle ~ bigram occurrences,
+    never |docs|^2) and one per-doc aggregate. The 3-scalar constants
+    row broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    # guard: F.sequence with start > stop DESCENDS — a <2-token doc
+    # must be filtered out, not fed a negative stop
+    big = d.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ).alias("bg"),
+    )
+    is_tgt = F.expr(_DSIR_TARGET_SQL)
+    raw = big.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(is_tgt.cast("long")).alias("ct"),
+    )
+    consts = big.agg(
+        F.countDistinct("bg").alias("v"),
+        F.sum(is_tgt.cast("long")).alias("tt"),
+        F.count(F.lit(1)).alias("tr"),
+    )
+
+    def r6(col):
+        return F.round(1_000_000 * F.ln(col)).cast("long")
+
+    wtab = raw.crossJoin(F.broadcast(consts)).select(
+        "bg",
+        (
+            r6(F.col("ct") + 1)
+            - r6(F.col("cr") + 1)
+            + r6(F.col("tr") + F.col("v"))
+            - r6(F.col("tt") + F.col("v"))
+        ).alias("w_micro"),
+    )
+    return (
+        big.join(wtab, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w_micro").alias("score_micronat"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "score_micronat",
+            (F.col("score_micronat") > 0).alias("selected"),
+        )
+    )
+
+
+# --- Per-source marginal novelty -------------------------------------
+
+_NOV_N = 8  # token n-gram width, matching the decontamination family
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(toks, i, i + {_NOV_N - 1}), ' ') AS g
+      FROM (
+        SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - {_NOV_N - 1})) AS i
+        FROM t
+      )
+    ),
+    first_src AS (
+      SELECT g, MIN(source) AS novel_src FROM grams GROUP BY g
+    )
+    SELECT grams.source,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_occurrences,
+           CAST(COUNT(DISTINCT CASE WHEN first_src.novel_src = grams.source
+                                    THEN grams.g END) AS BIGINT) AS n_novel_grams,
+           CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_distinct_grams
+    FROM grams JOIN first_src ON grams.g = first_src.g
+    GROUP BY grams.source
+    """,
+    tags=("curation", "novelty", "ngram", "llm-pipeline"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty attribution: for each source, how many of the
+    corpus's distinct {_NOV_N}-grams does it own FIRST (ownership =
+    lexicographically smallest source name containing the gram — a
+    deterministic stand-in for crawl order)? The curve of novel grams
+    per source is the keep-crawling-this-source signal; a source whose
+    grams are all owned elsewhere adds volume, not content.
+
+    Plan: gram explode map-side (array slice HOF, no self-joins);
+    gram -> min(source) hash aggregate (map-side combine bounds the
+    shuffle by |distinct grams|); one equi-join back on gram; final
+    per-source aggregate. The DuckDB oracle builds the same grams via
+    positional self-joins — quadratic-free (equi on doc_id, i+k)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    # same descending-sequence guard as q_dsir_select
+    grams = d.filter(F.size(toks) >= _NOV_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _NOV_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + k + 1) for k in range(_NOV_N)],
+                ),
+            )
+        ).alias("g"),
+    )
+    first_src = grams.groupBy("g").agg(F.min("source").alias("novel_src"))
+    return (
+        grams.join(first_src, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_occurrences"),
+            F.countDistinct(
+                F.when(F.col("novel_src") == F.col("source"), F.col("g"))
+            ).alias("n_novel_grams"),
+            F.countDistinct("g").alias("n_distinct_grams"),
+        )
+    )

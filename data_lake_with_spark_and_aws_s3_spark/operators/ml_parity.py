@@ -125,19 +125,37 @@ def q_ml_hashing_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH.approxSimilarityJoin over binary token-set vectors:
-    candidate pairs at Jaccard distance <= 0.5 (similarity >= 0.5),
-    deduplicated to doc_a < doc_b. approxSimilarityJoin post-filters
-    candidates by the EXACT vector Jaccard distance, so the output is
-    the exact >= 0.5 pair set in feature space minus any LSH misses
-    (P(miss) <= 0.5^{tables} per pair)."""
+    """MinHashLSH.approxSimilarityJoin over binary 4-gram-shingle
+    vectors — the SAME set universe as the md5-portable twin
+    (operators/neardup.py), so the recall contract compares like with
+    like. Candidate pairs at Jaccard distance <= 0.5 (similarity >=
+    0.5), deduplicated to doc_a < doc_b. approxSimilarityJoin
+    post-filters candidates by the EXACT vector Jaccard distance, so
+    the output is the exact >= 0.5 pair set in feature space minus
+    any LSH misses (P(miss) <= 0.5^{tables} per pair).
+
+    Shingles, not unigram tokens, on purpose: this corpus's WORD
+    vocabulary is ~40 strings, so a unigram minhash concentrates on a
+    handful of min values and the per-table bucket join degenerates
+    toward all-pairs (measured: >7 min at sf0.1). The ~|postings|
+    shingle universe spreads the minhash, keeping the join
+    O(n * tables) — the same reason every neardup operator here
+    shingles first."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = _token_df(spark, sf_dir).withColumn("toks", F.array_distinct("toks"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    )
+    sets = d.select("doc_id", shingles.alias("toks")).filter(F.size("toks") > 0)
     tf = HashingTF(
         inputCol="toks", outputCol="vec", numFeatures=_MH_DIM, binary=True
     )
-    feats = tf.transform(toks).select("doc_id", "vec")
+    feats = tf.transform(sets).select("doc_id", "vec")
     model = MinHashLSH(
         inputCol="vec", outputCol="sig", numHashTables=_MH_TABLES, seed=42
     ).fit(feats)
