@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     curation,
     dedup,
     events,
+    funnels,
     fuzzy,
     graph,
     insights,

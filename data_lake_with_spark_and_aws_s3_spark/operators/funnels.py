@@ -1,0 +1,210 @@
+"""Behavioral analytics over the event stream, plus a privacy audit:
+ordered funnel conversion, retention cohorts, and k-anonymity — the
+three product-analytics queries every events warehouse serves daily,
+expressed with the single-exchange window discipline the rest of the
+events family uses (operators/events.py, operators/insights.py).
+
+Scale notes (100 TB of events):
+- Funnel: all three step resolutions are windows over the SAME
+  partitionBy(user_id) — one exchange total; Spark chains the Window
+  operators on one sort. The final step->count rollup is a 3-row
+  stack aggregate.
+- Cohorts: one user window (first-seen), then a (cohort, offset)
+  hash aggregate; shuffle bounded by |users| + |cohort cells| after
+  map-side combine.
+- k-anonymity: a plain QI-tuple hash aggregate — group sizes ARE the
+  audit; no row-level reshuffle.
+Conversion ratios are truncating integer-ppm divisions of exact
+counts (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+      FROM events GROUP BY user_id
+    ),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS fc
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > fv.fv
+      GROUP BY e.user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS fp
+      FROM events e JOIN fc ON fc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fc.fc
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM fv WHERE fv IS NOT NULL) AS BIGINT) AS n_view,
+             CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_click,
+             CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_purchase
+    )
+    SELECT '1_view' AS step, n_view AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_from_prev_ppm FROM counts
+    UNION ALL
+    SELECT '2_click', n_click,
+           CAST(CASE WHEN n_view = 0 THEN 0
+                     ELSE 1000000 * n_click // n_view END AS BIGINT) FROM counts
+    UNION ALL
+    SELECT '3_purchase', n_purchase,
+           CAST(CASE WHEN n_click = 0 THEN 0
+                     ELSE 1000000 * n_purchase // n_click END AS BIGINT) FROM counts
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view -> click -> purchase: a user
+    reaches a step only with an event of that type STRICTLY AFTER
+    their first event of the previous step (the classic "did the
+    click follow the view" ordering constraint, not mere presence).
+
+    Single-exchange plan: the three first-reach timestamps are
+    windows over one partitionBy(user_id) — the second window's
+    predicate consumes the first's output column, so Spark chains all
+    three Window operators on a single sort after one exchange. The
+    per-user frame then collapses to three (step, n_users,
+    conversion-ppm) rows; conversions are truncating integer
+    divisions of exact user counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    step = F.col("event_type")
+    with_fv = e.withColumn(
+        "fv", F.min(F.when(step == "view", F.col("ts"))).over(w)
+    )
+    with_fc = with_fv.withColumn(
+        "fc",
+        F.min(
+            F.when((step == "click") & (F.col("ts") > F.col("fv")), F.col("ts"))
+        ).over(w),
+    )
+    with_fp = with_fc.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (step == "purchase") & (F.col("ts") > F.col("fc")), F.col("ts")
+            )
+        ).over(w),
+    )
+    per_user = with_fp.groupBy("user_id").agg(
+        F.max("fv").alias("fv"), F.max("fc").alias("fc"), F.max("fp").alias("fp")
+    )
+    counts = per_user.agg(
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_click"),
+        F.count("fp").alias("n_purchase"),
+    )
+    return counts.select(
+        F.expr(
+            """stack(3,
+                 '1_view', n_view, CAST(1000000 AS BIGINT),
+                 '2_click', n_click,
+                 CAST(CASE WHEN n_view = 0 THEN 0
+                           ELSE 1000000 * n_click div n_view END AS BIGINT),
+                 '3_purchase', n_purchase,
+                 CAST(CASE WHEN n_click = 0 THEN 0
+                           ELSE 1000000 * n_purchase div n_click END AS BIGINT)
+               ) AS (step, n_users, conv_from_prev_ppm)"""
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS act_week
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, act_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "retention", "cohort", "analytics"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen ISO week,
+    counted in each subsequent week they were active — the
+    triangle-shaped table behind every retention curve.
+
+    week_offset is an exact integer: date_trunc('week') aligns both
+    timestamps to Mondays, so the day difference is divisible by 7 in
+    both engines. Plan: one user window for the cohort week (single
+    exchange), a distinct over (user, cohort, week) — same user_id
+    key, AQE-coalesced — then the tiny (cohort x offset) aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        e.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("act_week"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        "cohort_week",
+        F.expr("CAST(datediff(act_week, cohort_week) div 7 AS BIGINT)").alias(
+            "week_offset"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_K_ANON = 5
+_QI_BUCKET = 100  # n_chars bucket width for the quasi-identifier
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // {_QI_BUCKET} AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           (COUNT(*) < {_K_ANON}) AS violates_k
+    FROM documents
+    GROUP BY lang, source, size_bucket
+    """,
+    tags=("privacy", "k-anonymity", "quality", "llm-pipeline"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang,
+    source, bucketed length): any combination shared by fewer than
+    k=5 documents re-identifies — those groups are the ones a
+    release would have to suppress or generalize. Complements the
+    row-level PII redaction pass (operators/llm_pipeline.py): that
+    removes direct identifiers, this measures the indirect ones.
+
+    Plan: one hash aggregate on the QI tuple (map-side combine);
+    group sizes ARE the audit — no row-level data leaves the
+    executors."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang",
+        "source",
+        F.expr(f"CAST(n_chars div {_QI_BUCKET} AS BIGINT)").alias("size_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        (F.count(F.lit(1)) < _K_ANON).alias("violates_k"),
+    )

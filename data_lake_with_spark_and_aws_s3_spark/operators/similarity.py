@@ -1169,3 +1169,162 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("component"))
         .alias("comp_size"),
     )
+
+
+# --- Matryoshka truncation ablation ----------------------------------
+
+_MRL_DIMS = 16   # truncated prefix width (of 64)
+_MRL_K = 10      # recall@k
+_MRL_NQ = 10     # query batch: vec_id < 10
+
+
+def _mrl_dot_sql(a: str, b: str, dims: int) -> str:
+    """Scaled-integer dot product over the first `dims` entries —
+    _DOT_SQL hardcodes range(1, 65); the truncated arm indexes past a
+    16-element slice and NULLs out without this."""
+    return (
+        f"list_reduce(list_transform(range(1, {dims + 1}), i -> "
+        + _QI.format(x=f"{a}[i]")
+        + " * "
+        + _QI.format(x=f"{b}[i]")
+        + "), (s, x) -> s + x)"
+    )
+
+
+def _mrl_topk_sql(emb: str, dims: int, k: int) -> str:
+    """DuckDB top-k ranking subquery over a given embedding slice
+    expression (full or truncated), shared by both arms."""
+    return f"""
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(CAST({_mrl_dot_sql(f"q.{emb}", f"v.{emb}", dims)} AS DOUBLE)
+                       / (sqrt(CAST({_NORM2_SQL.format(a=f"q.{emb}")} AS DOUBLE))
+                          * sqrt(CAST({_NORM2_SQL.format(a=f"v.{emb}")} AS DOUBLE))), 6)
+                   DESC, v.vec_id) AS rn
+        FROM mrl_v q JOIN mrl_v v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id < {_MRL_NQ})
+      WHERE rn <= {k}
+    """
+
+
+@query(
+    "q_mrl_truncation_recall",
+    oracle=f"""
+    WITH mrl_v AS (
+      SELECT vec_id, embedding,
+             list_slice(embedding, 1, {_MRL_DIMS}) AS trunc
+      FROM embeddings
+    ),
+    full_k AS ({_mrl_topk_sql("embedding", 64, _MRL_K)}),
+    trunc_k AS ({_mrl_topk_sql("trunc", _MRL_DIMS, _MRL_K)})
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST({_MRL_K} AS BIGINT) AS k,
+           CAST(1000000 * COUNT(t.neighbor_id) // {_MRL_K} AS BIGINT)
+             AS recall_ppm
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "mrl", "ablation", "llm-pipeline"),
+)
+def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation ablation (Kusupati et al. 2022):
+    recall@10 of cosine ranking using only the first 16 of 64
+    embedding dims against the full-dim ranking, per query — the
+    measurement behind "can we store/search the short prefix and
+    rerank with the full vector later".
+
+    Both arms use the scaled-integer dot products and ROUNDED cosine
+    + vec_id tie-break of q_cosine_topk, so the two rankings (and
+    hence the overlap counts) are bit-identical across engines.
+
+    Plan: the query batch broadcasts against the corpus once with
+    BOTH the full and truncated products computed in the same
+    projection — one scoring pass, two per-query top-k windows over
+    the same (query_id) partitioning, one overlap join on
+    (query, neighbor). At 100 TB the corpus side streams exactly as
+    in q_cosine_topk; truncation costs nothing extra."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _MRL_DIMS).alias("trunc"),
+    )
+    v = v.select(
+        "vec_id",
+        "embedding",
+        "trunc",
+        dot_int(F.col("embedding"), F.col("embedding")).alias("n2_full"),
+        dot_int(F.col("trunc"), F.col("trunc")).alias("n2_trunc"),
+    )
+    q = v.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_full"),
+        F.col("trunc").alias("q_trunc"),
+        F.col("n2_full").alias("qn2_full"),
+        F.col("n2_trunc").alias("qn2_trunc"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_expr(
+                    dot_int(F.col("q_full"), F.col("embedding")),
+                    F.col("qn2_full"),
+                    F.col("n2_full"),
+                ),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                cosine_expr(
+                    dot_int(F.col("q_trunc"), F.col("trunc")),
+                    F.col("qn2_trunc"),
+                    F.col("n2_trunc"),
+                ),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "neighbor_id"
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), "neighbor_id"
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_trunc).alias("rn_trunc"),
+    )
+    full_k = ranked.filter(F.col("rn_full") <= _MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_k = ranked.filter(F.col("rn_trunc") <= _MRL_K).select(
+        F.col("query_id").alias("t_query"),
+        F.col("neighbor_id").alias("t_neighbor"),
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (F.col("query_id") == F.col("t_query"))
+            & (F.col("neighbor_id") == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("t_neighbor").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.lit(_MRL_K).cast("long").alias("k"),
+            F.expr(f"CAST(1000000 * n_overlap div {_MRL_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -265,6 +265,7 @@ _NLJ_ALLOWED = {
     "q_ks_test",            # broadcast 1-row (n_a, n_b) sample-total stitch
     "q_ml_minhash_lsh",     # 1-row twin/recall contract aggregates stitch
     "q_dsir_select",        # broadcast 1-row (V, T_t, T_r) model-constants stitch
+    "q_mrl_truncation_recall",  # broadcast query batch (q_cosine_topk pattern)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
