@@ -457,9 +457,9 @@ def q_streaming_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow emits exactly the batch join's row set — hash-equal
     to the plain SQL join the oracle runs. The append-mode memory
     sink therefore makes the real streaming EXECUTION value-checked,
-    not just equivalence-tested (outer stream-stream joins, whose
-    NULL-padding does wait on the watermark, are exercised in
-    tests/test_streaming.py).
+    not just equivalence-tested (the OUTER variant, whose
+    NULL-padding does wait on the watermark, is executed and
+    oracle-checked as q_streaming_left_outer_exec).
 
     Scale posture: state per user_id bounded by watermark + 5-minute
     join horizon on each side; shuffle.partitions sizes the join
@@ -470,6 +470,57 @@ def q_streaming_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = streaming_event_time_join(stream_events(spark, sf_dir), window_minutes=5)
     run_to_memory(joined, "q_streaming_join_exec_sink", output_mode="append")
     return spark.table("q_streaming_join_exec_sink")
+
+
+@query(
+    "q_streaming_left_outer_exec",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user,
+           CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') AS p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') AS c
+      ON c.user_id = p.user_id
+     AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "executed-stream"),
+)
+def q_streaming_left_outer_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed stream-stream LEFT OUTER join on the oracle surface —
+    the hard half of streaming joins: unmatched left rows must emit
+    NULL-padded, but only once the watermark proves no match can
+    still arrive, so the output depends on watermark PROGRESS, not
+    just on the data. A naive bounded drain never emits the tail (the
+    final watermark stops at max(ts) - delay); this query drains
+    through stream_events_with_wm_sentinel, whose future-stamped
+    sentinel batch plus availableNow's closing no-data micro-batch
+    push the watermark past every real row — the bounded-replay
+    analog of kafka heartbeat punctuation. The drained append-mode
+    sink is then hash-equal to the batch LEFT JOIN the oracle runs
+    (every purchase row present; ~99% carry NULL click columns at
+    sf0.01's event density).
+
+    Scale posture: same bounded state as the inner join
+    (q_streaming_join_exec) — watermark + 5-minute horizon per side;
+    the outer-emission bookkeeping adds no state, only an eviction
+    trigger. Watermark is applied BEFORE the type filters so the
+    sentinel advances it on both join inputs."""
+    from ..streaming import (
+        run_to_memory,
+        stream_events_with_wm_sentinel,
+        streaming_left_outer_join,
+    )
+
+    joined = streaming_left_outer_join(
+        stream_events_with_wm_sentinel(spark, sf_dir), window_minutes=5
+    )
+    run_to_memory(joined, "q_streaming_left_outer_exec_sink", output_mode="append")
+    # sentinel rows are filtered HERE, batch-side: an in-stream filter
+    # on p_user would be pushed down to the scans and starve the
+    # watermark of the sentinel rows (see streaming_left_outer_join)
+    return spark.table("q_streaming_left_outer_exec_sink").filter(
+        F.col("p_user") != -1
+    )
 
 
 @query(

@@ -217,3 +217,122 @@ def run_foreach_batch_upsert(agg: DataFrame, target_dir: str, key: str) -> None:
         .start()
         .awaitTermination()
     )
+
+
+_SENTINEL_STAGED: dict[str, str] = {}
+
+
+def stream_events_with_wm_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events PLUS a watermark-advance sentinel file:
+    one purchase and one click for the nonexistent user -1, stamped
+    max(ts) + 1 hour, written as a SECOND (newer-mtime) file in the
+    staged source dir with maxFilesPerTrigger=1.
+
+    Why: outer stream-stream join results only emit when the
+    watermark passes the join horizon, and a bounded drain's final
+    watermark stops at max(ts) - delay — the tail's NULL rows would
+    never appear. The sentinel batch pushes the watermark past every
+    real row (the file source processes files oldest-mtime-first, so
+    the sentinel lands AFTER the data batch and late-drops nothing),
+    and availableNow's closing no-data micro-batch evicts the
+    remaining state. Consumers filter user_id == -1 back out. This is
+    the bounded-replay analog of the heartbeat/punctuation events a
+    production pipeline feeds kafka for exactly this reason."""
+    import datetime
+    import os
+
+    from ..session import apply_runtime_confs
+    from ..sources.loader import normalize_timestamps
+
+    apply_runtime_confs(spark)
+    src = f"{sf_dir}/events.parquet"
+    if src not in _SENTINEL_STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        staged = tempfile.mkdtemp(prefix="stream_events_wm_")
+        atexit.register(shutil.rmtree, staged, True)
+        os.symlink(src, os.path.join(staged, "events.parquet"))
+        raw_schema = spark.read.parquet(src).schema
+        max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+        # TWO staggered sentinel batches, not one: state eviction in
+        # batch N uses the watermark computed at the END of batch N-1,
+        # and availableNow terminates without a closing no-data batch —
+        # so with a single sentinel, rows within the watermark delay of
+        # max(ts) would never see an eviction pass whose watermark
+        # clears them (observed: the one unmatched purchase at exactly
+        # max(ts) at sf0.001). Sentinel #2's batch evicts with
+        # sentinel #1's watermark, which is already past every real row.
+        import glob
+        import time
+
+        # Sentinels must be PLAIN FILES beside the data symlink (a
+        # write.parquet() output DIRECTORY is invisible to the file
+        # stream source), with mtimes just after the data file's (an
+        # exotic far-future mtime would age the real data file out via
+        # the source's maxFileAge window).
+        for k in (1, 2):
+            sent_ts = max_ts + datetime.timedelta(hours=k)
+            sent = spark.createDataFrame(
+                [
+                    (-(2 * k - 1), sent_ts, -1, "purchase", 0.0, "{}"),
+                    (-(2 * k), sent_ts, -1, "click", 0.0, "{}"),
+                ],
+                schema=raw_schema,
+            )
+            tmp_out = os.path.join(staged, f"_build_sentinel_{k}")
+            sent.coalesce(1).write.parquet(tmp_out)
+            (part,) = glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+            dest = os.path.join(staged, f"zz_wm_sentinel_{k}.parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            newer = time.time() + 10 * k
+            os.utime(dest, (newer, newer))
+        _SENTINEL_STAGED[src] = staged
+    raw = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("path", _SENTINEL_STAGED[src])
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load()
+    )
+    return normalize_timestamps(raw)
+
+
+def streaming_left_outer_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Stream-stream LEFT OUTER event-time join: every purchase
+    emits; ones with no same-user click in the preceding window emit
+    with NULL click columns once the watermark passes their horizon.
+    The watermark is applied BEFORE the type filters so sentinel rows
+    (any type) advance it.
+
+    Deliberately NO sentinel filter inside the streaming query: a
+    post-join `p_user != -1` gets pushed down to both scans (join
+    constraint inference), which prunes the sentinel rows at the
+    parquet source — they then never reach the watermark operator and
+    the watermark never advances past the real data (observed: the
+    outer tail silently vanished). Callers filter user_id == -1 rows
+    AFTER the sink instead."""
+    wm = events.withWatermark("ts", "10 minutes")
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
