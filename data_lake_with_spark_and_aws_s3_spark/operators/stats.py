@@ -528,3 +528,259 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.sum("cents").cast("double"))
         ).alias("gini"),
     )
+
+
+# --- Cohen's kappa (label agreement) ---------------------------------
+
+_KAPPA_ORACLE_TEMPLATE = """
+    WITH pred AS (
+      SELECT lang AS truth,
+             CASE
+               WHEN greatest({en}, {es}, {de}, {fr}) = 0 THEN 'unknown'
+               WHEN {en} >= greatest({es}, {de}, {fr}) THEN 'en'
+               WHEN {es} >= greatest({de}, {fr}) THEN 'es'
+               WHEN {de} >= {fr} THEN 'de'
+               ELSE 'fr'
+             END AS predicted
+      FROM documents
+    ),
+    cells AS (
+      SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY truth, predicted
+    ),
+    marg AS (
+      SELECT COALESCE(r.truth, c.predicted) AS label,
+             COALESCE(r.rn, 0) AS rn, COALESCE(c.cn, 0) AS cn
+      FROM (SELECT truth, SUM(n) AS rn FROM cells GROUP BY truth) r
+      FULL JOIN (SELECT predicted, SUM(n) AS cn FROM cells GROUP BY predicted) c
+        ON c.predicted = r.truth
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN truth = predicted THEN n ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cells
+    ),
+    chance AS (
+      SELECT CAST(SUM(rn * cn) AS BIGINT) AS sum_rc FROM marg
+    )
+    SELECT tot.n_total, tot.n_agree, chance.sum_rc,
+           CAST(tot.n_total * tot.n_agree - chance.sum_rc AS BIGINT) AS kappa_num,
+           CAST(tot.n_total * tot.n_total - chance.sum_rc AS BIGINT) AS kappa_den,
+           CAST(tot.n_total * tot.n_agree - chance.sum_rc AS DOUBLE)
+             / (tot.n_total * tot.n_total - chance.sum_rc) AS kappa
+    FROM tot, chance
+"""
+
+
+def _kappa_oracle() -> str:
+    """The predicted-language CASE reuses q_language_id's marker
+    counts verbatim (text._marker_count_sql), so the two oracles can
+    never silently diverge on the classifier definition."""
+    from .text import _marker_count_sql
+
+    return _KAPPA_ORACLE_TEMPLATE.format(
+        **{lang: _marker_count_sql(lang) for lang in ("en", "es", "de", "fr")}
+    )
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=_kappa_oracle(),
+    tags=("stats", "kappa", "agreement", "llm-pipeline"),
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the corpus's labeled language and the
+    marker-word language-ID prediction (q_language_id's classifier) —
+    the chance-corrected agreement score used to audit annotation /
+    weak-label quality before training on it.
+
+    Exact-rational form: kappa = (po - pe) / (1 - pe) multiplied
+    through by N^2 gives (N*sum_diag - sum_k r_k*c_k) /
+    (N^2 - sum_k r_k*c_k) — numerator and denominator are exact
+    int64 under the driver hash; the reported kappa is their single
+    division. Plan: the confusion matrix is one map-side-combined
+    hash aggregate over |langs|^2 cells; marginals and the final
+    scalar stitch operate on that tiny table."""
+    from .text import _LANG_MARKERS, _marker_count_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    s = {lang: _marker_count_spark(lang) for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(F.greatest(s["en"], s["es"], s["de"], s["fr"]) == 0, "unknown")
+        .when(s["en"] >= F.greatest(s["es"], s["de"], s["fr"]), "en")
+        .when(s["es"] >= F.greatest(s["de"], s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    cells = (
+        d.select(F.col("lang").alias("truth"), predicted.alias("predicted"))
+        .groupBy("truth", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = cells.localCheckpoint()  # tiny; feeds marginals + totals
+    rows = cells.groupBy("truth").agg(F.sum("n").alias("rn"))
+    cols = cells.groupBy("predicted").agg(F.sum("n").alias("cn"))
+    marg = rows.join(
+        cols, rows.truth == cols.predicted, "full_outer"
+    ).select(
+        F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("truth") == F.col("predicted"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    chance = marg.agg(F.sum(F.col("rn") * F.col("cn")).alias("sum_rc"))
+    return (
+        tot.crossJoin(F.broadcast(chance))
+        .select(
+            "n_total",
+            "n_agree",
+            "sum_rc",
+            (F.col("n_total") * F.col("n_agree") - F.col("sum_rc")).alias("kappa_num"),
+            (F.col("n_total") * F.col("n_total") - F.col("sum_rc")).alias("kappa_den"),
+            (
+                (F.col("n_total") * F.col("n_agree") - F.col("sum_rc")).cast("double")
+                / (F.col("n_total") * F.col("n_total") - F.col("sum_rc"))
+            ).alias("kappa"),
+        )
+    )
+
+
+# --- Poisson bootstrap (distributed resampling) ----------------------
+
+_BOOT_B = 32  # resample count
+# Inverse-CDF thresholds for Poisson(lambda=1) on a 16-bit md5-uniform
+# grid: count(i, b) = #{k : u >= T_k}, u ~ U[0, 65536). 16 bits keep
+# the threshold rounding bias at ~8e-6 (statistically invisible) and
+# the hash work tractable: each row needs only FOUR md5 digests —
+# resample b reads the 4-hex-digit window (b % 8) of digest (b div 8)
+# — instead of 32 full hashes (the 12-digit/32-hash first cut cost the
+# DuckDB oracle 104 s at sf0.1; this layout runs in seconds). Exact
+# integer literals, identical in both dialects.
+_BOOT_SCALE = 16**4
+_BOOT_CDF = (
+    0.3678794411714423,  # P(X <= 0)
+    0.7357588823428846,
+    0.9197087233787257,
+    0.9810118370906394,
+    0.9963401531726563,
+    0.9994058151824183,  # P(X <= 5); tail beyond truncated (6e-4 mass)
+)
+_BOOT_T = tuple(round(c * _BOOT_SCALE) for c in _BOOT_CDF)
+
+
+def _boot_count_sql(u: str) -> str:
+    """Poisson(1) variate from a uniform integer — valid in both
+    dialects: the count is how many CDF thresholds the uniform
+    clears."""
+    terms = " + ".join(
+        f"(CASE WHEN ({u}) >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_T
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+def _boot_digest_sql(key: str, d: int) -> str:
+    # STRING is the type-name spelling BOTH dialects accept (Spark has
+    # no bare VARCHAR; DuckDB aliases STRING -> VARCHAR)
+    return f"md5(CAST({key} AS STRING) || '#{d}')"
+
+
+def _boot_u_sql(b: str) -> str:
+    """16-bit uniform for resample `b` from the 4 per-row digests
+    (columns d0..d3): window (b % 8) of digest (b div 8)."""
+    from .llm_pipeline import _hex_val_sql
+
+    digest = (
+        f"(CASE WHEN ({b}) < 8 THEN d0 WHEN ({b}) < 16 THEN d1 "
+        f"WHEN ({b}) < 24 THEN d2 ELSE d3 END)"
+    )
+    window = f"substr({digest}, (({b}) % 8) * 4 + 1, 4)"
+    return _hex_val_sql(window, 4)
+
+
+@query(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             {_boot_digest_sql("o_orderkey", 0)} AS d0,
+             {_boot_digest_sql("o_orderkey", 1)} AS d1,
+             {_boot_digest_sql("o_orderkey", 2)} AS d2,
+             {_boot_digest_sql("o_orderkey", 3)} AS d3
+      FROM orders
+    ),
+    draws AS (
+      SELECT g.b,
+             {_boot_count_sql(_boot_u_sql("g.b"))} AS cnt,
+             cents
+      FROM hashed CROSS JOIN generate_series(0, {_BOOT_B - 1}) AS g(b)
+    )
+    SELECT CAST(b AS BIGINT) AS resample_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_sampled,
+           CAST(SUM(cnt * cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(cnt * cents) AS DOUBLE) / SUM(cnt) AS mean_cents
+    FROM draws GROUP BY b
+    """,
+    tags=("stats", "bootstrap", "resampling"),
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., the streaming/distributed
+    bootstrap): instead of drawing N rows with replacement — which
+    needs global coordination — each row enters resample b with an
+    independent Poisson(1) multiplicity, derived here from an
+    md5-uniform so the resamples are deterministic and
+    engine-portable. The per-resample means' spread IS the sampling
+    distribution of the mean; no step touches more than one row at a
+    time until the 32-group aggregate.
+
+    Exactness: multiplicities are exact integer inverse-CDF lookups
+    (six 16-bit threshold literals; truncation tail mass 6e-4, bias
+    from threshold rounding ~8e-6); per-resample sums are exact int64
+    in cents; the reported mean is the single division of two hashed
+    integers.
+
+    Plan: 4 md5 digests per row (each resample reads a 4-hex-digit
+    window — see _BOOT_SCALE comment), explode x32 map-side; ONE hash
+    aggregate with map-side combine collapses to 32 rows regardless
+    of input size — the shuffle carries 32 x n_partitions partial
+    rows. This is the pattern for putting error bars on any 100 TB
+    point estimate in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    hashed = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        *[
+            F.expr(_boot_digest_sql("o_orderkey", d)).alias(f"d{d}")
+            for d in range(4)
+        ],
+    )
+    draws = hashed.select(
+        "cents",
+        "d0",
+        "d1",
+        "d2",
+        "d3",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.expr(_boot_count_sql(_boot_u_sql("b"))).alias("cnt"),
+    )
+    return (
+        draws.groupBy(F.col("b").cast("long").alias("resample_id"))
+        .agg(
+            F.sum("cnt").alias("n_sampled"),
+            F.sum(F.col("cnt") * F.col("cents")).alias("sum_cents"),
+        )
+        .select(
+            "resample_id",
+            "n_sampled",
+            "sum_cents",
+            (F.col("sum_cents").cast("double") / F.col("n_sampled")).alias(
+                "mean_cents"
+            ),
+        )
+    )

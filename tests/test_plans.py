@@ -266,6 +266,7 @@ _NLJ_ALLOWED = {
     "q_ml_minhash_lsh",     # 1-row twin/recall contract aggregates stitch
     "q_dsir_select",        # broadcast 1-row (V, T_t, T_r) model-constants stitch
     "q_mrl_truncation_recall",  # broadcast query batch (q_cosine_topk pattern)
+    "q_cohens_kappa",       # broadcast 1-row chance-agreement scalar stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
