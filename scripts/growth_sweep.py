@@ -75,6 +75,22 @@ FAMILIES = {
     "q_bigram_lm_score": lambda spark, d: {
         "bigrams": corpus_tokens(spark, d)  # bigrams = tokens - docs ~ tokens
     },
+    # round 3, session 5 additions
+    "q_dsir_select": lambda spark, d: {
+        "bigrams": corpus_tokens(spark, d)  # scoring join carries O(bigrams)
+    },
+    "q_ngram_novelty": lambda spark, d: {
+        "gram_positions": gram_positions(spark, d)
+    },
+    "q_gopher_rules": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)  # (doc,token) agg currency
+    },
+    # q_ml_minhash_lsh: approxSimilarityJoin explodes numHashTables
+    # rows per doc before the bucket join — same O(n*tables) currency
+    # as q_minhash_lsh's band rows
+    "q_ml_minhash_lsh": lambda spark, d: {
+        "hash_rows": load_table(spark, d, "documents").count() * 16
+    },
 }
 
 
