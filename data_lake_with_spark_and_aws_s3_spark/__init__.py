@@ -53,7 +53,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # covered in-prefix and stay pytest-parity-checked)
     "q_duplicate_span_scrub",
     "q_contamination_report",
-    "q_data_card",
+    # round-3 session-5: the curation-family representative (Gopher
+    # rule battery) takes q_data_card's slot — the data card is a
+    # composite of metrics whose components are all prefix-covered,
+    # and it stays pytest-parity-checked
+    "q_gopher_rules",
     # round-3 session-4 flagships (displaced q_string_funcs,
     # q_csv_sink_roundtrip, q_sliding_window, q_distinct_rows — each a
     # SECOND representative of a §2 row still covered in-prefix; all
