@@ -42,6 +42,7 @@ from . import (  # noqa: F401
     retrieval,
     sampling,
     scalars,
+    scan_efficiency,
     scalars2,
     sinks,
     sketches,

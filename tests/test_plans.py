@@ -491,3 +491,13 @@ def test_ks_and_gini_use_range_partitioned_ranking(spark):
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
             f"{name}: offsets must broadcast"
         )
+
+
+def test_agg_pushdown_served_from_footers(spark):
+    """q_agg_pushdown_stats must show PushedAggregation on a V2
+    BatchScan — the whole point is that MIN/MAX/COUNT come from
+    parquet footers, not a row scan. (formatted_plan hides the scan's
+    pushed-aggregate annotation, so inspect executedPlan directly.)"""
+    df = REGISTRY["q_agg_pushdown_stats"].fn(spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation:" in s and "BatchScan" in s
