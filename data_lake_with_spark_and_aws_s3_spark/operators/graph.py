@@ -612,3 +612,84 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_leaky_clusters",
         "n_docs_reassigned",
     )
+
+
+@query(
+    "q_cluster_representative",
+    oracle="""
+    WITH clusters AS (
+    """
+    + _JACCARD_EDGES_SQL
+    + """
+    , sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst, src FROM e
+      UNION
+      SELECT doc_id, doc_id FROM documents
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
+      ) SELECT * FROM r
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id,
+             CASE WHEN len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+                       >= 10 THEN 1 ELSE 0 END AS len_ok,
+             d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY len_ok DESC, n_chars DESC, doc_id)
+            = 1) AS is_representative
+    FROM scored
+    """,
+    tags=("graph", "dedup", "clusters", "curation", "llm-pipeline"),
+)
+def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-BEST dedup: near-dup clusters (q_dedup_clusters'
+    edges + components, reused verbatim) with the representative
+    chosen by QUALITY — word-count rule pass first, then longest,
+    then doc_id — instead of the min-id convention. This is the
+    selection step real pipelines run after clustering: dropping
+    every non-canonical row keeps the best version of each duplicated
+    document, not the one that happened to crawl first.
+
+    The quality key is all-integer (rule flag, n_chars, doc_id), so
+    the argmax is deterministic and engine-identical; cluster sizes
+    ride the same window partitioning.
+
+    Plan: the cluster labels come from the iterative min-label CC
+    (diameter-bounded rounds); scoring joins labels back to the doc
+    table on doc_id and runs ONE window over cluster_id — shuffle
+    bounded by |docs|, no pairwise stage beyond the blocked edge
+    build."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    scored = clusters.join(
+        d.select(
+            "doc_id",
+            (F.size(toks) >= 10).cast("int").alias("len_ok"),
+            "n_chars",
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    w_rank = w.orderBy(
+        F.desc("len_ok"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.row_number().over(w_rank) == 1).alias("is_representative"),
+    )
