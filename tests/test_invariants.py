@@ -160,3 +160,54 @@ def test_mad_outliers_bounded_by_group_size(spark):
     assert (out["n_outliers"] >= 0).all()
     assert (out["n_outliers"] < out["n"]).all(), "MAD can't flag everything"
     assert (out["mad4"] >= 0).all()
+
+
+def test_poisson_bootstrap_is_calibrated(spark):
+    """Structural sanity beyond cross-engine agreement: the resample
+    means must scatter AROUND the true corpus mean (|bias| within 4
+    bootstrap standard errors) and each resample's size must be near
+    N (Poisson(1) thinning preserves expected mass; 6 sigma bound)."""
+    import math
+
+    out = REGISTRY["q_poisson_bootstrap"].fn(spark, SF).toPandas()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    true_mean = (o["o_totalprice"] * 100).round().mean()
+    n = len(o)
+    assert len(out) == 32
+    # resample sizes ~ Poisson(N): sd = sqrt(N)
+    assert ((out["n_sampled"] - n).abs() <= 6 * math.sqrt(n)).all(), (
+        f"resample sizes off: {sorted(out['n_sampled'])[:3]}... vs N={n}"
+    )
+    boot_mean = out["mean_cents"].mean()
+    boot_se = out["mean_cents"].std() / math.sqrt(len(out))
+    assert abs(boot_mean - true_mean) <= 4 * max(boot_se, 1.0), (
+        f"bootstrap mean {boot_mean} vs true {true_mean} (se {boot_se})"
+    )
+
+
+def test_soft_dedup_consistent_with_hard_dedup(spark):
+    """The soft-dedup canonical set must be EXACTLY the rows the hard
+    md5 dedup keeps, and each group's weights must sum to ~1e6 ppm
+    (unit mass per distinct text, up to truncation): the two dedup
+    modes are views of the same grouping."""
+    soft = REGISTRY["q_soft_dedup_weight"].fn(spark, SF).toPandas()
+    n_groups = int(soft["is_canonical"].sum())
+    # weight_ppm * multiplicity within truncation of 1e6 per group
+    per_row_mass = soft["weight_ppm"] * soft["multiplicity"]
+    assert ((1_000_000 - per_row_mass) < soft["multiplicity"]).all()
+    assert ((per_row_mass <= 1_000_000)).all()
+    hard = REGISTRY["q_dedup_md5"].fn(spark, SF).toPandas()
+    assert n_groups == len(hard), (
+        f"soft-dedup canonicals {n_groups} != hard-dedup survivors {len(hard)}"
+    )
+
+
+def test_cluster_representative_covers_every_cluster_once(spark):
+    """Exactly one representative per cluster; representatives'
+    quality key dominates their cluster (no member passes the length
+    rule when the representative fails it AND is longer)."""
+    out = REGISTRY["q_cluster_representative"].fn(spark, SF).toPandas()
+    per = out.groupby("cluster_id")["is_representative"].sum()
+    assert (per == 1).all(), "cluster without exactly one representative"
+    sizes = out.groupby("cluster_id").size()
+    assert (out.groupby("cluster_id")["cluster_size"].first() == sizes).all()

@@ -501,3 +501,40 @@ def test_agg_pushdown_served_from_footers(spark):
     df = REGISTRY["q_agg_pushdown_stats"].fn(spark, SF)
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregation:" in s and "BatchScan" in s
+
+
+def test_session5_operator_exchange_budgets(spark):
+    """Shuffle budgets for the session-5 operators, pinning each
+    docstring's plan claim (counts include BroadcastExchange — the
+    broadcast of a vocab/stat side is part of the budget):
+
+    - funnel: one user_id window exchange + the 1-row global collapse
+    - cohorts: user window + (cohort, offset) aggregate
+    - k-anonymity / soft-dedup / bootstrap: a single keyed shuffle
+    - OOV: vocab distinct + vocab broadcast + lang aggregate
+    - gopher: (doc,tok) aggregate + doc aggregate + join broadcast
+    - CDC chunking: doc window + (doc,chunk) agg + digest df agg +
+      final doc agg (the digest join side broadcasts at this scale)
+    """
+    budgets = {
+        "q_event_funnel": 2,
+        "q_retention_cohorts": 2,
+        "q_k_anonymity": 1,
+        "q_soft_dedup_weight": 1,
+        "q_poisson_bootstrap": 1,
+        "q_vocab_oov_rate": 3,
+        "q_gopher_rules": 3,
+        "q_cdc_chunking": 4,
+    }
+    bad = {}
+    for name, budget in budgets.items():
+        n = count_exchanges(REGISTRY[name].fn(spark, SF))
+        if n > budget:
+            bad[name] = (n, budget)
+    assert not bad, f"exchange budget exceeded (got, budget): {bad}"
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark):
+    """The training vocabulary (bounded by |vocab|) must broadcast —
+    a shuffled join would re-shuffle every corpus token at 100 TB."""
+    assert has_broadcast_join(REGISTRY["q_vocab_oov_rate"].fn(spark, SF))
