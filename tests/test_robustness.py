@@ -64,3 +64,34 @@ def test_observe_metrics_free_data_quality_counters(spark, sf_dir):
     assert metrics["n_rows"] == sum(result.values())
     assert metrics["n_bad_discount"] == li.filter(F.col("l_discount") > 0.1).count()
     assert metrics["min_shipdate"] == li.agg(F.min("l_shipdate")).collect()[0][0]
+
+
+def test_results_identical_under_forced_spill(spark, sf_dir):
+    """Spill-path correctness: at 100 TB the window buffers, external
+    sorters, and sort-merge-join buffers WILL spill — the answers must
+    not change when they do. Re-run three shuffle-heavy queries on a
+    session clone with every spill threshold forced to a few rows and
+    compare canonical results against the normal session."""
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+    from data_lake_with_spark_and_aws_s3_spark.session import apply_runtime_confs
+
+    def canon(df):
+        pdf = df.toPandas()
+        cols = sorted(pdf.columns)
+        return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+    spill = spark.newSession()
+    apply_runtime_confs(spill)
+    spill.conf.set("spark.sql.windowExec.buffer.spill.threshold", "7")
+    spill.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "7")
+    spill.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "7")
+    spill.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "7")
+    spill.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2"
+    )
+
+    for name in ("q_window_rank", "q1_pricing_summary", "q_collect_set_types"):
+        spec = REGISTRY[name]
+        a = canon(spec.fn(spark, sf_dir))
+        b = canon(spec.fn(spill, sf_dir))
+        assert a.equals(b), f"{name}: results drift under forced spilling"
