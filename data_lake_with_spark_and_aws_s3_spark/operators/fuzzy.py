@@ -19,7 +19,7 @@ oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -76,5 +76,133 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - dist
                 / F.greatest(F.length("a.name"), F.length("b.name")).cast("long")
             ).alias("similarity"),
+        )
+    )
+
+
+# --- Entity-resolution capstone: golden record (survivorship) --------
+
+@query(
+    "q_golden_record",
+    oracle=f"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    ),
+    e AS (
+      SELECT a.name AS src, b.name AS dst
+      FROM names a
+      JOIN names b ON a.block = b.block AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= {MAX_DIST}
+    ),
+    sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst, src FROM e
+      UNION
+      SELECT name, name FROM names
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
+      ) SELECT * FROM r
+    ),
+    clusters AS (
+      SELECT src AS name, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    members AS (
+      SELECT c.cluster_id, p.p_partkey, p.p_name, p.p_brand, p.p_retailprice
+      FROM part p JOIN clusters c ON c.name = p.p_name
+    ),
+    brand_votes AS (
+      SELECT cluster_id, p_brand, COUNT(*) AS votes,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY COUNT(*) DESC, p_brand) AS rk
+      FROM members GROUP BY cluster_id, p_brand
+    )
+    ,
+    agg AS (
+      SELECT cluster_id,
+             CAST(MIN(p_partkey) AS BIGINT) AS golden_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_name_variants,
+             CAST(MAX(p_retailprice) AS DOUBLE) AS golden_price
+      FROM members GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.golden_partkey, a.n_members, a.n_name_variants,
+           b.p_brand AS golden_brand, a.golden_price
+    FROM agg a JOIN brand_votes b
+      ON b.cluster_id = a.cluster_id AND b.rk = 1
+    """,
+    tags=("record-linkage", "entity-resolution", "golden-record", "capstone"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution capstone — the MDM golden-record pipeline:
+    fuzzy name pairs (q_fuzzy_join's blocked levenshtein, reused
+    verbatim) grown to transitive entity clusters, then SURVIVORSHIP
+    rules pick each entity's canonical attributes: plurality-vote
+    brand (deterministic (votes DESC, brand) tie-break), earliest
+    partkey as the surviving id, max observed price. Pairs alone
+    under-merge (A~B, B~C); the closure is what makes the entity.
+
+    Plan: blocked candidate pairs (equi-join on the block key) ->
+    iterative min-label components (diameter-bounded) -> one
+    members join on name -> two small keyed aggregates (votes,
+    survivorship). Nothing is pairwise outside the bounded blocks.
+    Oracle: same pipeline with a recursive-CTE closure."""
+    from .graph import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    ).distinct()
+    a = names.select(F.col("name").alias("src"), "block")
+    b = names.select(F.col("name").alias("dst"), F.col("block").alias("b2"))
+    pairs = (
+        a.join(b, (F.col("block") == F.col("b2")) & (F.col("src") < F.col("dst")))
+        .filter(F.levenshtein("src", "dst") <= MAX_DIST)
+        .select("src", "dst")
+    )
+    vertices = names.select(F.col("name").alias("id"))
+    cc = connected_components(pairs, vertices)
+    clusters = cc.select(F.col("id").alias("p_name"), F.col("component").alias("cluster_id"))
+    members = p.join(clusters, "p_name").select(
+        "cluster_id", "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    votes = (
+        members.groupBy("cluster_id", "p_brand")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("votes"), F.asc("p_brand")
+                )
+            ),
+        )
+    )
+    golden_brand = votes.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("p_brand").alias("golden_brand")
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min("p_partkey").alias("golden_partkey"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("p_name").alias("n_name_variants"),
+            F.max("p_retailprice").alias("golden_price"),
+        )
+        .join(golden_brand, "cluster_id")
+        .select(
+            "cluster_id",
+            "golden_partkey",
+            "n_members",
+            "n_name_variants",
+            "golden_brand",
+            "golden_price",
         )
     )
