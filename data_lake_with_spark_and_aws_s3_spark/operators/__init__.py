@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     communities,
     corpus,
     curation,
+    dataloader,
     dedup,
     events,
     funnels,
