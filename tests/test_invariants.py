@@ -211,3 +211,31 @@ def test_cluster_representative_covers_every_cluster_once(spark):
     assert (per == 1).all(), "cluster without exactly one representative"
     sizes = out.groupby("cluster_id").size()
     assert (out.groupby("cluster_id")["cluster_size"].first() == sizes).all()
+
+
+def test_epoch_shuffle_positions_contiguous_and_orders_differ(spark):
+    """Positions form 1..n_shard per (epoch, shard) with every doc
+    appearing exactly once per epoch; and the two epochs' orders
+    genuinely differ (the point of re-shuffling)."""
+    out = REGISTRY["q_epoch_shuffle"].fn(spark, SF).toPandas()
+    n_docs = out["doc_id"].nunique()
+    for (_e, _s), g in out.groupby(["epoch", "shard"]):
+        assert sorted(g["position"]) == list(range(1, len(g) + 1))
+    per_epoch = out.groupby("epoch")["doc_id"].count()
+    assert (per_epoch == n_docs).all()
+    e0 = out[out.epoch == 0].set_index("doc_id")[["shard", "position"]]
+    e1 = out[out.epoch == 1].set_index("doc_id")[["shard", "position"]]
+    assert not e0.join(e1, lsuffix="_0", rsuffix="_1").pipe(
+        lambda j: ((j.shard_0 == j.shard_1) & (j.position_0 == j.position_1)).all()
+    ), "epoch 1 replayed epoch 0's order"
+
+
+def test_length_batches_are_bounded_and_padding_nonneg(spark):
+    """No batch exceeds the configured size; padding is nonnegative
+    and zero for each batch's longest doc."""
+    out = REGISTRY["q_length_grouped_batches"].fn(spark, SF).toPandas()
+    sizes = out.groupby(["band", "batch_in_band"]).size()
+    assert (sizes <= 16).all()
+    assert (out["padding_tokens"] >= 0).all()
+    zmax = out.groupby(["band", "batch_in_band"])["padding_tokens"].min()
+    assert (zmax == 0).all()
