@@ -140,3 +140,147 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         F.count(F.lit(1)).over(Window.partitionBy("label")).alias("community_size"),
     )
+
+
+_MODULARITY_GRAPH_SQL = f"""
+    WITH pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    ew AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb
+      HAVING COUNT(*) >= {_MIN_COPURCHASE}
+    ),
+    e AS (
+      SELECT pa AS src, pb AS dst FROM ew
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM ew
+    ),
+    lab0 AS (
+      SELECT DISTINCT src AS v, src AS label FROM e
+    ),
+    {_lpa_round_sql("lab0", "lab1")},
+    {_lpa_round_sql("lab1", "lab2")}
+"""
+
+
+@query(
+    "q_modularity",
+    oracle=_MODULARITY_GRAPH_SQL
+    + """
+    , m_scalar AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ew
+    ),
+    deg AS (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+    ),
+    intra AS (
+      SELECT la.label AS community, CAST(COUNT(*) / 2 AS BIGINT) AS e_c
+      FROM e
+      JOIN lab2 la ON la.v = e.src
+      JOIN lab2 lb ON lb.v = e.dst
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ),
+    comm AS (
+      SELECT l.label AS community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      FROM lab2 l JOIN deg ON deg.v = l.v
+      GROUP BY l.label
+    )
+    SELECT comm.community, comm.n_nodes, comm.degree_sum,
+           CAST(COALESCE(intra.e_c, 0) AS BIGINT) AS intra_edges,
+           m_scalar.m,
+           CAST(4 * m_scalar.m * COALESCE(intra.e_c, 0)
+                - comm.degree_sum * comm.degree_sum AS BIGINT) AS contrib_num
+    FROM comm
+    LEFT JOIN intra ON intra.community = comm.community
+    CROSS JOIN m_scalar
+    """,
+    tags=("graph", "communities", "modularity", "stats"),
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score
+    that says whether the detected communities are denser than chance:
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ]. Reported per community in EXACT
+    integers: contrib_num = 4*m*e_c - d_c^2, so Q = sum(contrib_num)
+    / (4*m^2) with one division left to the reader — nothing floats,
+    nothing quantizes.
+
+    The community labels replay q_label_propagation's two synchronous
+    rounds exactly (same tie-breaks); intra-community edges come from
+    one label-keyed self-annotation of the edge list (two equi-joins,
+    never pairwise in anything but the bounded basket build); the
+    1-row m scalar broadcasts (NLJ-allowlisted)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_COPURCHASE)
+        .select("pa", "pb")
+    )
+    ew = ew.localCheckpoint(eager=True)  # feeds edges, m, and the LPA rounds
+    e = ew.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        ew.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    labels = e.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    argmax = Window.partitionBy("v").orderBy(F.desc("c"), "label")
+    for _ in range(_ROUNDS):
+        cnt = (
+            e.join(labels, e.dst == labels.v)
+            .groupBy(F.col("src").alias("v2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.select(F.col("v2").alias("v"), "label", "c")
+            .withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+    labels = labels.localCheckpoint(eager=True)  # feeds deg join AND intra join
+    m_scalar = ew.agg(F.count(F.lit(1)).alias("m"))
+    deg = e.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    la = labels.select(F.col("v").alias("src"), F.col("label").alias("l_src"))
+    lb = labels.select(F.col("v").alias("dst"), F.col("label").alias("l_dst"))
+    intra = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("community"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("e_c"))
+    )
+    comm = (
+        labels.join(deg, labels.v == deg.v)
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_scalar))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("intra_edges"),
+            "m",
+            (
+                4 * F.col("m") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long").alias("contrib_num"),
+        )
+    )

@@ -267,6 +267,7 @@ _NLJ_ALLOWED = {
     "q_dsir_select",        # broadcast 1-row (V, T_t, T_r) model-constants stitch
     "q_mrl_truncation_recall",  # broadcast query batch (q_cosine_topk pattern)
     "q_cohens_kappa",       # broadcast 1-row chance-agreement scalar stitch
+    "q_modularity",         # broadcast 1-row edge-count (m) scalar stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
