@@ -208,3 +208,119 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_n"),
         (F.count(F.lit(1)) < _K_ANON).alias("violates_k"),
     )
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    SELECT lang,
+           CAST(n_chars // {_QI_BUCKET} AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS l_distinct,
+           (COUNT(DISTINCT source) < 3) AS violates_l3
+    FROM documents
+    GROUP BY lang, size_bucket
+    """,
+    tags=("privacy", "l-diversity", "quality", "llm-pipeline"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a QI
+    group can be large (k-safe) yet still leak if everyone in it
+    shares the same SENSITIVE value. Here the sensitive attribute is
+    `source`; a (lang, size-bucket) group with fewer than l=3
+    distinct sources lets an attacker who can place a document in the
+    group infer its provenance. One hash aggregate; the distinct
+    count is the audit."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang",
+        F.expr(f"CAST(n_chars div {_QI_BUCKET} AS BIGINT)").alias("size_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct("source").alias("l_distinct"),
+        (F.countDistinct("source") < 3).alias("violates_l3"),
+    )
+
+
+# Seeded Laplace mechanism: u from a 16-bit md5 window; |u - 0.5|
+# maps to an ODD numerator over 2^16, so ln(1 - 2|u-0.5|) =
+# ln(odd) - ln(65536) — both logs over exact integers, micro-nat
+# quantized (the q_entropy_profile treatment). Scale b = 1/eps.
+_DP_EPS_INV = 1  # b = 1/eps = 1 (eps = 1)
+
+
+@query(
+    "q_dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n_true,
+             (((CAST(0 AS BIGINT) * 16
+                + instr('0123456789abcdef', substr(md5(event_type || '#dp'), 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(event_type || '#dp'), 2, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(event_type || '#dp'), 3, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(event_type || '#dp'), 4, 1)) - 1
+               AS u16
+      FROM counts
+    ),
+    lap AS (
+      SELECT event_type, n_true, u16,
+             CASE WHEN u16 >= 32768 THEN 1 ELSE -1 END AS sgn,
+             CASE WHEN u16 >= 32768 THEN 2 * u16 - 65535
+                  ELSE 65535 - 2 * u16 END AS odd_num
+      FROM u
+    )
+    SELECT event_type, n_true,
+           CAST(sgn * (CAST(ROUND(1000000 * LN(65536)) AS BIGINT)
+                       - CAST(ROUND(1000000 * LN(odd_num)) AS BIGINT))
+                AS BIGINT) AS noise_micro,
+           CAST(n_true + sgn * (CAST(ROUND(1000000 * LN(65536)) AS BIGINT)
+                       - CAST(ROUND(1000000 * LN(odd_num)) AS BIGINT)) / 1000000
+                AS DOUBLE) AS noisy_count
+    FROM lap
+    """,
+    tags=("privacy", "differential-privacy", "laplace"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism demo (eps = 1): per-event-type counts plus
+    inverse-CDF Laplace noise — noise = -b * sign(u - 1/2) *
+    ln(1 - 2|u - 1/2|) — with the uniform drawn from an md5 window so
+    the whole mechanism is deterministic and engine-portable. The
+    |u - 1/2| arm is arranged as an ODD integer over 2^16, so both
+    logs take exact-integer arguments and quantize to micro-nats the
+    same way in both engines (q_entropy_profile treatment).
+
+    Honesty note: a SEEDED mechanism is a demonstration of the
+    arithmetic and the plan shape, not a privacy guarantee — real DP
+    needs fresh randomness per release (swap the md5 uniform for an
+    RNG and drop n_true from the output). The exercise here is that
+    the noise pipeline itself distributes: one tiny aggregate, noise
+    applied map-side to the aggregate rows.
+
+    Plan: one hash aggregate to |event_type| rows; the noise math is
+    per-row expression work on that tiny table."""
+    from .llm_pipeline import _hex_val_sql
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    u16 = _hex_val_sql("md5(event_type || '#dp')", 4)
+    sgn = f"(CASE WHEN ({u16}) >= 32768 THEN 1 ELSE -1 END)"
+    odd = (
+        f"(CASE WHEN ({u16}) >= 32768 THEN 2 * ({u16}) - 65535 "
+        f"ELSE 65535 - 2 * ({u16}) END)"
+    )
+    noise = (
+        f"CAST({sgn} * (CAST(ROUND(1000000 * LN(65536)) AS BIGINT)"
+        f" - CAST(ROUND(1000000 * LN({odd})) AS BIGINT)) AS BIGINT)"
+    )
+    return counts.select(
+        "event_type",
+        "n_true",
+        F.expr(noise).alias("noise_micro"),
+        F.expr(
+            f"CAST(n_true + ({noise}) / 1000000 AS DOUBLE)"
+        ).alias("noisy_count"),
+    )
