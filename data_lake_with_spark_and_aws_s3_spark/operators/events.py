@@ -524,6 +524,101 @@ def q_streaming_left_outer_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_full_outer_exec",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id,
+           p.user_id AS p_user, c.user_id AS c_user,
+           CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') AS p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') AS c
+      ON c.user_id = p.user_id
+     AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "executed-stream"),
+)
+def q_streaming_full_outer_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed stream-stream FULL OUTER join — both sides' unmatched
+    rows emit NULL-padded on watermark passage, with asymmetric
+    eviction horizons (left clears at wm > p_ts; right at wm > c_ts +
+    join window). Drained via the same watermark-punctuation source as
+    q_streaming_left_outer_exec; sentinel rows (user -1 on either
+    side) are filtered batch-side AFTER the sink for the same
+    pushdown-starvation reason documented there. Hash-equal to the
+    batch FULL JOIN tri-scale — at this event density most rows are
+    one-sided NULL pads, exercising both emission paths hard."""
+    from ..streaming import (
+        run_to_memory,
+        stream_events_with_wm_sentinel,
+        streaming_full_outer_join,
+    )
+
+    joined = streaming_full_outer_join(
+        stream_events_with_wm_sentinel(spark, sf_dir), window_minutes=5
+    )
+    run_to_memory(joined, "q_streaming_full_outer_exec_sink", output_mode="append")
+    out = spark.table("q_streaming_full_outer_exec_sink")
+    return out.filter(
+        (F.col("p_user").isNull() | (F.col("p_user") != -1))
+        & (F.col("c_user").isNull() | (F.col("c_user") != -1))
+    )
+
+
+@query(
+    "q_streaming_chained_stateful_exec",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS hour_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY hour_ts, event_type
+    """,
+    tags=("streaming", "chained-stateful", "dedup", "tumbling", "executed-stream"),
+)
+def q_streaming_chained_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators (Spark 4.x): keyed dedup
+    state feeding tumbling-window aggregation state inside ONE query
+    — the at-least-once-source -> exactly-once-metrics topology that
+    needed two jobs and an intermediate topic before multi-stateful
+    support. Input is the sentinel source DOUBLED (every event
+    arrives twice); dropDuplicatesWithinWatermark collapses the
+    duplicates, the hourly aggregate counts the survivors, and append
+    mode emits each window once its end passes the watermark —
+    sentinel batch #3 is what closes the final real hour (see
+    stream_events_with_wm_sentinel).
+
+    The sentinel hours land PAST every real hour, so the batch-side
+    guard filters on hour_ts <= trunc(max real ts) — computed from
+    the batch table, keeping the stream free of pushdown-prone
+    sentinel predicates. Hash-equal to the plain batch hourly count
+    tri-scale."""
+    from ..streaming import (
+        run_to_memory,
+        stream_events_with_wm_sentinel,
+        streaming_dedup_then_tumbling,
+    )
+
+    doubled = stream_events_with_wm_sentinel(spark, sf_dir).unionByName(
+        stream_events_with_wm_sentinel(spark, sf_dir)
+    )
+    agg = streaming_dedup_then_tumbling(doubled)
+    run_to_memory(
+        agg, "q_streaming_chained_stateful_exec_sink", output_mode="append"
+    )
+    out = spark.table("q_streaming_chained_stateful_exec_sink")
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_trunc("hour", F.max("ts")).alias("_mx"))
+    )
+    return (
+        out.join(F.broadcast(mx))
+        .filter(F.col("hour_ts") <= F.col("_mx"))
+        .select("hour_ts", "event_type", "n_events")
+    )
+
+
+@query(
     "q_streaming_dedup_exec",
     oracle="""
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,

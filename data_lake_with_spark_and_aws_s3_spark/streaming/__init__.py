@@ -5,7 +5,9 @@ from .twins import (  # noqa: F401
     streaming_dedup,
     run_foreach_batch_upsert,
     streaming_event_time_join,
+    streaming_full_outer_join,
     streaming_left_outer_join,
+    streaming_dedup_then_tumbling,
     streaming_session_window,
     streaming_tumbling,
 )

@@ -256,14 +256,18 @@ def stream_events_with_wm_sentinel(spark: SparkSession, sf_dir: str) -> DataFram
         os.symlink(src, os.path.join(staged, "events.parquet"))
         raw_schema = spark.read.parquet(src).schema
         max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-        # TWO staggered sentinel batches, not one: state eviction in
+        # THREE staggered sentinel batches, not one: state eviction in
         # batch N uses the watermark computed at the END of batch N-1,
         # and availableNow terminates without a closing no-data batch —
         # so with a single sentinel, rows within the watermark delay of
         # max(ts) would never see an eviction pass whose watermark
         # clears them (observed: the one unmatched purchase at exactly
         # max(ts) at sf0.001). Sentinel #2's batch evicts with
-        # sentinel #1's watermark, which is already past every real row.
+        # sentinel #1's watermark (past every real ROW); sentinel #3's
+        # batch evicts with #2's (past every real WINDOW END — a
+        # window-agg consumer's last hour bucket closes at
+        # trunc(max)+1h, which #1's max+50min misses whenever max sits
+        # in the first 10 minutes of its hour).
         import glob
         import time
 
@@ -272,7 +276,7 @@ def stream_events_with_wm_sentinel(spark: SparkSession, sf_dir: str) -> DataFram
         # stream source), with mtimes just after the data file's (an
         # exotic far-future mtime would age the real data file out via
         # the source's maxFileAge window).
-        for k in (1, 2):
+        for k in (1, 2, 3):
             sent_ts = max_ts + datetime.timedelta(hours=k)
             sent = spark.createDataFrame(
                 [
@@ -336,3 +340,49 @@ def streaming_left_outer_join(events: DataFrame, window_minutes: int = 5) -> Dat
         ),
         "leftOuter",
     ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
+
+
+def streaming_full_outer_join(events: DataFrame, window_minutes: int = 5) -> DataFrame:
+    """Stream-stream FULL OUTER event-time join: unmatched rows on
+    EITHER side emit NULL-padded once the watermark clears their
+    horizon (left: wm > p_ts; right: wm > c_ts + window). Same
+    no-sentinel-filter-in-stream rule as streaming_left_outer_join."""
+    wm = events.withWatermark("ts", "10 minutes")
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "fullOuter",
+    ).select("p_id", "c_id", "p_user", "c_user", "p_ts", "c_ts")
+
+
+def streaming_dedup_then_tumbling(events: DataFrame) -> DataFrame:
+    """CHAINED stateful operators (Spark 4.x): keyed dedup state
+    feeding hourly tumbling-window aggregation state in ONE streaming
+    query — the at-least-once-source -> exactly-once-metrics
+    topology. Append mode: a window emits only when the watermark
+    passes its end."""
+    dd = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        dd.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_ts"), "event_type", "n_events"
+        )
+    )
