@@ -700,3 +700,65 @@ def q_streaming_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="upsert_exec_") + "/target"
     run_foreach_batch_upsert(agg, target, "event_type")
     return spark.read.parquet(target)
+
+
+@query(
+    "q_out_of_order_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_max_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN us < prior_max_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(COALESCE(MAX(CASE WHEN us < prior_max_us
+                                  THEN prior_max_us - us END), 0) AS BIGINT)
+             AS max_disorder_us,
+           CAST(COALESCE(SUM(CASE WHEN us < prior_max_us
+                                  THEN prior_max_us - us ELSE 0 END), 0) AS BIGINT)
+             AS total_disorder_us
+    FROM seq GROUP BY event_type
+    """,
+    tags=("events", "watermark", "out-of-order", "streaming"),
+)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SETS a watermark
+    delay instead of guessing it: replay each event type in arrival
+    order (event_id as the generation sequence) and measure how far
+    each event's time lags the running maximum. max_disorder_us is
+    the smallest watermark delay that would have dropped nothing;
+    n_out_of_order / total_disorder_us quantify how much the source
+    actually reorders. All exact integers (microsecond epochs).
+
+    Plan: one running-max window keyed by event_type + the same-keyed
+    aggregate — Spark chains both on a single exchange."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "event_type",
+        us.alias("us"),
+        F.max(us).over(w).alias("prior_max_us"),
+    )
+    late = F.col("us") < F.col("prior_max_us")
+    disorder = F.col("prior_max_us") - F.col("us")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("long")).alias("n_out_of_order"),
+        F.coalesce(F.max(F.when(late, disorder)), F.lit(0)).alias(
+            "max_disorder_us"
+        ),
+        F.coalesce(F.sum(F.when(late, disorder).otherwise(0)), F.lit(0)).alias(
+            "total_disorder_us"
+        ),
+    )

@@ -333,6 +333,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    forward: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts on the same key. No native Spark operator
@@ -375,10 +376,14 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         )
     )
-    # right rows sort before left rows at equal ts => "<=" semantics
+    # right rows sort before left rows at equal ts (side 0 first), in
+    # BOTH directions: ascending traversal carries the latest right_ts
+    # <= left_ts ("backward", the default); descending traversal
+    # carries the earliest right_ts >= left_ts ("forward").
+    order = [F.col("_ts").desc() if forward else F.col("_ts").asc(), F.col("_side")]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -426,4 +431,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
         value_cols=["click_value"],
+    ).select("event_id", "user_id", "ts", "value", "click_value")
+
+
+@query(
+    "q_asof_join_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    nxt AS (
+      SELECT p.event_id, MIN(c.ts) AS next_ts
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value
+    FROM purchases p
+    LEFT JOIN nxt ON nxt.event_id = p.event_id
+    LEFT JOIN clicks c
+      ON c.user_id = p.user_id AND c.ts = nxt.next_ts
+    """,
+    tags=("join", "asof", "forward"),
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every purchase, the value of the user's
+    NEXT click at-or-after it (NULL if none) — the look-ahead twin of
+    q_asof_join, used for time-to-next-action and label-horizon
+    joins. Same union+window mechanics with the traversal reversed
+    (see asof_join's `forward` flag); still one keyed shuffle,
+    no per-group Pandas. The oracle takes the min-future-click route
+    (DuckDB's native ASOF is backward-only)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value"], forward=True,
     ).select("event_id", "user_id", "ts", "value", "click_value")
