@@ -243,6 +243,7 @@ def test_attribution_equijoins_on_user(spark):
 
 _NLJ_ALLOWED = {
     "q_late_data_filter",   # broadcast 1-row max-ts watermark scalar
+    "q_streaming_chained_stateful_exec",  # broadcast 1-row max-hour sentinel guard
     "q_cross_join",         # guarded 5x3 demonstration
     "q_mixture_sample",     # broadcast 1-row corpus total
     "q11_important_parts",  # broadcast 1-row grand total
