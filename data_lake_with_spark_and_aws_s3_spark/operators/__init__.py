@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     multimodal,
     neardup,
     pagerank,
+    pca,
     pivots,
     quality,
     relational,
