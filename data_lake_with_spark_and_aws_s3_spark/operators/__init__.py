@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     aggregates,
     analytics,
     cdc,
+    classify,
     clustering,
     combined,
     communities,
@@ -39,6 +40,7 @@ from . import (  # noqa: F401
     pca,
     pivots,
     quality,
+    ranking,
     relational,
     relational2,
     retrieval,

@@ -1,0 +1,536 @@
+"""Rank-statistics family — Mann-Whitney AUC and Spearman rank
+correlation, the two evaluation primitives every data-quality /
+classifier-calibration pipeline leans on.
+
+Cross-engine exactness: both statistics are functions of AVERAGE ranks,
+which are half-integers under ties — so everything here works on
+DOUBLED ranks, which are exact BIGINTs (a tied group occupying
+positions c+1..c+t has average rank (2c+t+1)/2, i.e. doubled rank
+2c+t+1). The hashed surface is the doubled-rank sums / exact integer
+moments plus truncating-integer-division ppm scores (Spark `div` and
+DuckDB `//` both truncate toward zero; all operands here are
+non-negative anyway). Where a float builtin exists (corr), each engine
+checks its OWN builtin against the closed form from the exact moments
+and hashes only the agreement boolean (the stats.py pattern).
+
+Scale shape: ranks are derived from the VALUE HISTOGRAM, not from a
+global sort of the data — one hash aggregate builds per-value counts
+(|distinct values| rows, bounded by the value domain, not the corpus),
+a cumulative window over that small histogram assigns doubled ranks,
+and a broadcast-sized join maps them back. No global data sort, no
+single-partition window over raw rows: at 100 TB the histogram of
+document lengths is still thousands of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_TOL = 1e-9
+
+
+@query(
+    "q_auc_mann_whitney",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS x, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars, lang
+    ),
+    sc AS (
+      SELECT x, CAST(SUM(cnt) AS BIGINT) AS tot FROM h GROUP BY x
+    ),
+    rk AS (
+      SELECT x,
+             2 * CAST(COALESCE(SUM(tot) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + tot + 1 AS r2
+      FROM sc
+    ),
+    per_lang AS (
+      SELECT h.lang,
+             CAST(SUM(h.cnt) AS BIGINT) AS n_pos,
+             CAST(SUM(h.cnt * rk.r2) AS BIGINT) AS r2_pos
+      FROM h JOIN rk USING (x)
+      GROUP BY h.lang
+    )
+    SELECT lang, n_pos,
+           CAST(SUM(n_pos) OVER () - n_pos AS BIGINT) AS n_neg,
+           r2_pos,
+           CASE WHEN SUM(n_pos) OVER () - n_pos = 0 THEN NULL
+                ELSE CAST((1000000 * (r2_pos - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * (SUM(n_pos) OVER () - n_pos))
+                     AS BIGINT)
+           END AS auc_ppm
+    FROM per_lang
+    """,
+    tags=("stats", "ranking", "auc", "evaluation", "llm-pipeline"),
+)
+def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest AUC of document length as a language detector, per
+    language: does n_chars separate lang=L docs from the rest? AUC is
+    computed exactly via the Mann-Whitney U statistic with tie-corrected
+    average ranks — doubled ranks keep every quantity a BIGINT, and
+    auc_ppm is a truncating integer division, so the full surface
+    hashes. Ranks come from the n_chars histogram (one hash aggregate +
+    a window over |distinct lengths| rows), never a global data sort;
+    the per-language reduction is a second small aggregate. The OVER ()
+    total runs on the 5-row per-language frame."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("n_chars").alias("x"), "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sc = h.groupBy("x").agg(F.sum("cnt").alias("tot"))
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    rk = sc.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("tot").over(w_cum), F.lit(0))
+            + F.col("tot")
+            + 1
+        ).alias("r2"),
+    )
+    per_lang = (
+        h.join(rk, "x")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_pos"),
+            F.sum(F.col("cnt") * F.col("r2")).alias("r2_pos"),
+        )
+    )
+    w_all = Window.partitionBy()
+    n_neg = (F.sum("n_pos").over(w_all) - F.col("n_pos")).alias("n_neg")
+    return per_lang.select(
+        "lang",
+        "n_pos",
+        n_neg,
+        "r2_pos",
+        F.when(F.sum("n_pos").over(w_all) - F.col("n_pos") == 0, None)
+        .otherwise(
+            F.expr(
+                "(1000000 * (r2_pos - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * (sum(n_pos) OVER () - n_pos))"
+            )
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+_SPEARMAN_CORR = "((n_d * sxy_d - sx_d * sy_d) / sqrt((n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d)))"
+
+
+@query(
+    "q_spearman_corr",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS y
+      FROM documents
+    ),
+    hx AS (
+      SELECT lang, x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY lang, x
+    ),
+    rx AS (
+      SELECT lang, x,
+             2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + cnt + 1 AS rx2
+      FROM hx
+    ),
+    hy AS (
+      SELECT lang, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY lang, y
+    ),
+    ry AS (
+      SELECT lang, y,
+             2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + cnt + 1 AS ry2
+      FROM hy
+    ),
+    ranked AS (
+      SELECT base.lang, rx.rx2, ry.ry2
+      FROM base
+      JOIN rx ON rx.lang = base.lang AND rx.x = base.x
+      JOIN ry ON ry.lang = base.lang AND ry.y = base.y
+    ),
+    m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+             corr(CAST(rx2 AS DOUBLE), CAST(ry2 AS DOUBLE)) AS b_corr
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n, sx, sy, sxx, syy, sxy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+           CAST(n * syy - sy * sy AS BIGINT) AS deny,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN TRUE
+                ELSE abs(b_corr - {_SPEARMAN_CORR})
+                     <= {_TOL} * (1.0 + abs({_SPEARMAN_CORR}))
+           END AS corr_ok
+    FROM (
+      SELECT *,
+             CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sxx AS DOUBLE) AS sxx_d,
+             CAST(syy AS DOUBLE) AS syy_d, CAST(sxy AS DOUBLE) AS sxy_d
+      FROM m
+    )
+    """,
+    tags=("stats", "ranking", "spearman", "correlation"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation between document length
+    (n_chars) and token count — monotone-association diagnostics over a
+    corpus. Tie-corrected average ranks are carried as exact doubled
+    BIGINTs built from per-language value histograms (hash aggregate +
+    cumulative window over histogram rows, broadcast-sized join back);
+    the hashed surface is the exact integer rank moments and the
+    Pearson-on-ranks numerator/denominators, plus a boolean proving
+    each engine's own corr() builtin matches the closed form from
+    those moments (floats themselves never enter the hash — the
+    stats.py pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
+        ).alias("y"),
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        h = base.groupBy("lang", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "lang",
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    ranked = (
+        base.join(rank_map("x", "rx2"), ["lang", "x"])
+        .join(rank_map("y", "ry2"), ["lang", "y"])
+        .select("lang", "rx2", "ry2")
+    )
+    m = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.corr(
+            F.col("rx2").cast("double"), F.col("ry2").cast("double")
+        ).alias("b_corr"),
+    )
+    md = m.withColumns(
+        {
+            "n_d": F.col("n").cast("double"),
+            "sx_d": F.col("sx").cast("double"),
+            "sy_d": F.col("sy").cast("double"),
+            "sxx_d": F.col("sxx").cast("double"),
+            "syy_d": F.col("syy").cast("double"),
+            "sxy_d": F.col("sxy").cast("double"),
+        }
+    )
+    return md.select(
+        "lang",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("deny"),
+        F.expr(
+            f"CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"
+            f" THEN TRUE ELSE abs(b_corr - {_SPEARMAN_CORR})"
+            f" <= {_TOL} * (1.0 + abs({_SPEARMAN_CORR})) END"
+        ).alias("corr_ok"),
+    )
+
+
+_ZIPF_SLOPE = "((n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d))"
+
+
+@query(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''
+      GROUP BY t
+    ),
+    rk AS (
+      SELECT term, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS rnk
+      FROM tf
+    ),
+    q AS (
+      SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM rk
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS b_slope
+      FROM q
+    ),
+    d AS (
+      SELECT *,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      FROM m
+    )
+    SELECT n, sx, sy,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((1000000 * abs(num)) // den) AS BIGINT) AS slope_ppm,
+           abs(b_slope - {_ZIPF_SLOPE}) <= {_TOL} * (1.0 + abs({_ZIPF_SLOPE}))
+             AS slope_ok
+    FROM (
+      SELECT *,
+             CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sxx AS DOUBLE) AS sxx_d,
+             CAST(sxy AS DOUBLE) AS sxy_d
+      FROM d
+    )
+    """,
+    tags=("stats", "ranking", "zipf", "text", "llm-pipeline"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) — the one-number corpus-health check
+    (natural text sits near -1; a slope collapsing toward 0 flags
+    boilerplate / template floods). The ln values are quantized to
+    integer micro-nats per DISTINCT term (the BM25 idf precedent —
+    one rounding per vocabulary entry, never per occurrence); the
+    second moments exceed BIGINT (micro-nat squared x vocab), so they
+    accumulate exactly in DECIMAL(38,0) on the Spark side and HUGEINT
+    in the oracle, staying OUT of the hash (the stats.py syy
+    precedent). The hashed surface is n/sx/sy, slope_ppm — computed
+    with sign split out so the truncating integer division (Spark
+    decimal `div`, DuckDB HUGEINT `//`, verified to agree) runs on
+    positive operands — and the boolean proving each engine's own
+    regr_slope matches the closed form from its exact moments.
+
+    Scale: one tf hash aggregate over the token scan (map-side
+    partials), then a rank window and the moment aggregate over
+    |vocabulary| rows — domain-bounded, not corpus-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rk = tf.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "term"))
+        .cast("long"),
+    )
+    q = rk.select(
+        F.expr(
+            "CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("y")
+        ).alias("sxy"),
+        F.expr("regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE))").alias(
+            "b_slope"
+        ),
+    )
+    d2 = m.withColumns(
+        {
+            "num": F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxy"
+                " - CAST(sx AS DECIMAL(38,0)) * sy"
+            ),
+            "den": F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxx"
+                " - CAST(sx AS DECIMAL(38,0)) * sx"
+            ),
+            "n_d": F.col("n").cast("double"),
+            "sx_d": F.col("sx").cast("double"),
+            "sy_d": F.col("sy").cast("double"),
+            "sxx_d": F.col("sxx").cast("double"),
+            "sxy_d": F.col("sxy").cast("double"),
+        }
+    )
+    return d2.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * ((CAST(1000000 AS DECIMAL(38,0)) * abs(num)) div den)"
+            " AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            f"abs(b_slope - {_ZIPF_SLOPE})"
+            f" <= {_TOL} * (1.0 + abs({_ZIPF_SLOPE}))"
+        ).alias("slope_ok"),
+    )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH gh AS MATERIALIZED (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    gc AS MATERIALIZED (
+      SELECT v,
+             CAST((1000000 * SUM(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  // (SELECT SUM(cnt) FROM gh) AS BIGINT) AS gppm
+      FROM gh
+    ),
+    sh AS MATERIALIZED (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    st AS MATERIALIZED (
+      SELECT source, v,
+             CAST((1000000 * SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  // (SUM(cnt) OVER (PARTITION BY source)) AS BIGINT)
+               AS cdf_ppm
+      FROM sh
+    )
+    SELECT source, CAST(v AS BIGINT) AS v, cdf_ppm,
+           CAST((SELECT MIN(gc.v) FROM gc WHERE gc.gppm >= st.cdf_ppm)
+                AS BIGINT) AS v_norm
+    FROM st
+    """,
+    tags=("quality", "ranking", "calibration", "llm-pipeline"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length: every
+    source's length distribution is mapped onto the GLOBAL empirical
+    distribution (the batch-effect correction used to make per-source
+    quality scores comparable before mixing). For each (source,
+    length): its within-source inclusive-CDF in ppm (truncating
+    integer division), and v_norm = the smallest global length whose
+    global CDF ppm reaches it.
+
+    The lookup is a forward as-of on the CDF axis — NOT a theta join:
+    source targets and global steps are unioned, sorted once by
+    (ppm, tag, v), and the first following global value is carried
+    back (the joins.py union+window as-of mechanics). Both CDFs are
+    step functions over VALUE HISTOGRAMS, so every window here runs
+    over domain-bounded rows (distinct lengths), not the corpus; at
+    100 TB the histograms are still thousands of rows while the
+    corpus scan that builds them stays a map-side-partial aggregate.
+    The oracle takes the equivalent correlated-MIN route."""
+    d = load_table(spark, sf_dir, "documents")
+    total = F.lit(1_000_000)
+
+    gh = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_g = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    gc = gh.select(
+        "v",
+        F.expr(
+            "CAST((1000000 * sum(cnt) OVER (ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            " div (sum(cnt) OVER ()) AS BIGINT)"
+        ).alias("gppm"),
+    )
+
+    sh = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = sh.select(
+        "source",
+        "v",
+        F.expr(
+            "CAST((1000000 * sum(cnt) OVER (PARTITION BY source ORDER BY v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            " div (sum(cnt) OVER (PARTITION BY source)) AS BIGINT)"
+        ).alias("cdf_ppm"),
+    )
+
+    # Forward as-of on the ppm axis: queries (tag 0) before globals
+    # (tag 1) at equal ppm so an exact CDF hit matches; among equal
+    # gppm steps the smallest global v wins (mirrors the oracle MIN).
+    queries_side = st.select(
+        F.col("cdf_ppm").alias("ppm"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("gv"),
+        "source",
+        F.col("v").cast("long").alias("v"),
+        "cdf_ppm",
+    )
+    global_side = gc.select(
+        F.col("gppm").alias("ppm"),
+        F.lit(1).alias("tag"),
+        F.col("v").cast("long").alias("gv"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("long").alias("cdf_ppm"),
+    )
+    w_fwd = Window.orderBy("ppm", "tag", "gv").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return (
+        queries_side.unionByName(global_side)
+        .withColumn(
+            "v_norm", F.first("gv", ignorenulls=True).over(w_fwd)
+        )
+        .filter(F.col("tag") == 0)
+        .select("source", "v", "cdf_ppm", "v_norm")
+    )

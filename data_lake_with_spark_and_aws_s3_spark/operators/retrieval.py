@@ -61,10 +61,12 @@ def _bm25_queries_sql() -> str:
     return f"(VALUES {vals}) AS q(query_id, query_text)"
 
 
-@query(
-    "q_bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+# Shared oracle CTE chain: corpus inverted statistics -> per-(query,
+# doc) integer micro-nat BM25 scores. Reused verbatim by q_bm25_topk
+# and the RRF fusion query so both rank the SAME exactly-checked
+# score surface.
+_BM25_CTES = f"""
+    tok AS (
       SELECT doc_id, t AS term
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       WHERE t <> ''
@@ -116,7 +118,13 @@ def _bm25_queries_sql() -> str:
              CAST(SUM(term_score_mnats) AS BIGINT) AS score_mnats,
              CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       FROM scored_terms GROUP BY query_id, doc_id
-    )
+    )"""
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc_id, score_mnats, n_terms_hit,
            CAST(rnk AS BIGINT) AS rnk
     FROM (
@@ -147,6 +155,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting join, so the only real shuffle is the tf/df build keyed by
     term — proportional to the index, not to |docs| x |queries|. The
     final top-k is a per-query window over only the matched docs."""
+    doc_scores, _dl = _bm25_doc_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_mnats"), "doc_id")
+    return (
+        doc_scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _BM25_K)
+        .select("query_id", "doc_id", "score_mnats", "n_terms_hit", "rnk")
+    )
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
+    """(doc_scores, dl): per-(query, doc) exact integer micro-nat BM25
+    scores plus the doc-length table — the Spark face of _BM25_CTES."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
@@ -198,11 +218,92 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_score_mnats").alias("score_mnats"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_mnats"), "doc_id")
+    return doc_scores, dl
+
+
+_RRF_K = 60       # the canonical RRF damping constant
+_RRF_TOPK = 10    # fused results per query
+_RRF_SCALE = 1_000_000  # integer reciprocal-rank resolution
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+      SELECT ds.query_id, ds.doc_id,
+             CAST(row_number() OVER (PARTITION BY ds.query_id
+                    ORDER BY ds.score_mnats DESC, ds.doc_id) AS BIGINT)
+               AS rank_bm25,
+             CAST(row_number() OVER (PARTITION BY ds.query_id
+                    ORDER BY ds.n_terms_hit DESC, dl.dl, ds.doc_id) AS BIGINT)
+               AS rank_cov
+      FROM doc_scores ds JOIN dl ON dl.doc_id = ds.doc_id
+    ),
+    fused AS (
+      SELECT query_id, doc_id, rank_bm25, rank_cov,
+             CAST({_RRF_SCALE} // ({_RRF_K} + rank_bm25)
+                  + {_RRF_SCALE} // ({_RRF_K} + rank_cov) AS BIGINT)
+               AS rrf_micro
+      FROM ranked
+    )
+    SELECT query_id, doc_id, rank_bm25, rank_cov, rrf_micro,
+           CAST(fused_rnk AS BIGINT) AS fused_rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micro DESC, doc_id) AS fused_rnk
+      FROM fused)
+    WHERE fused_rnk <= {_RRF_TOPK}
+    """,
+    tags=("retrieval", "rrf", "hybrid", "fusion", "llm-pipeline"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval arms — the standard
+    hybrid-search combiner (Cormack et al. 2009): arm 1 ranks by the
+    exactly-checked BM25 micro-nat score, arm 2 by query-term coverage
+    (terms hit desc, shorter docs first). Fused score is
+    sum over arms of SCALE div (60 + rank) — a truncating integer
+    division both engines compute identically, so ranks, fused scores,
+    and the final top-10 all hash exactly.
+
+    Scale: both rank windows and the fused window partition by
+    query_id over only the candidate docs that matched >=1 query term
+    (the doc_scores posting join's output, not the corpus); the three
+    windows share one query_id-keyed exchange. The dl join adds one
+    doc_id-keyed shuffle of the candidate set."""
+    doc_scores, dl = _bm25_doc_scores(spark, sf_dir)
+    cand = doc_scores.join(dl, "doc_id")
+    w_bm25 = Window.partitionBy("query_id").orderBy(
+        F.desc("score_mnats"), "doc_id"
+    )
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.desc("n_terms_hit"), "dl", "doc_id"
+    )
+    ranked = cand.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_bm25).cast("long").alias("rank_bm25"),
+        F.row_number().over(w_cov).cast("long").alias("rank_cov"),
+    )
+    fused = ranked.withColumn(
+        "rrf_micro",
+        F.expr(
+            f"CAST({_RRF_SCALE} div ({_RRF_K} + rank_bm25)"
+            f" + {_RRF_SCALE} div ({_RRF_K} + rank_cov) AS BIGINT)"
+        ),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), "doc_id"
+    )
     return (
-        doc_scores.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _BM25_K)
-        .select("query_id", "doc_id", "score_mnats", "n_terms_hit", "rnk")
+        fused.withColumn(
+            "fused_rnk", F.row_number().over(w_fused).cast("long")
+        )
+        .filter(F.col("fused_rnk") <= _RRF_TOPK)
+        .select(
+            "query_id", "doc_id", "rank_bm25", "rank_cov",
+            "rrf_micro", "fused_rnk",
+        )
     )
 
 

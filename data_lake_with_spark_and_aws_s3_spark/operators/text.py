@@ -389,3 +389,75 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matches"))
         .select("doc_id", "term_1", "term_2", "n_matches")
     )
+
+
+@query(
+    "q_term_burstiness",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY doc_id, t
+    ),
+    m AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf_total,
+             SUM(CAST(tf AS HUGEINT) * tf) AS ss
+      FROM tf GROUP BY term
+    )
+    SELECT term, df, tf_total,
+           CAST((1000000 * CAST(tf_total AS HUGEINT)) // df AS BIGINT)
+             AS burst_ppm,
+           CAST((1000000 * (CAST(df AS HUGEINT) * ss
+                            - CAST(tf_total AS HUGEINT) * tf_total))
+                // (CAST(df AS HUGEINT) * tf_total) AS BIGINT) AS d_ppm
+    FROM m
+    WHERE df >= 5
+    """,
+    tags=("text", "burstiness", "term-stats", "llm-pipeline"),
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness census (Church-Gale): for every vocabulary
+    term with df >= 5, its mean occurrences per containing document
+    (burst_ppm) and its dispersion index var/mean over those documents
+    (d_ppm) — the signal separating topical words (bursty) from
+    function words (evenly spread), used to pick content-bearing
+    features and to flag template floods. Both ratios are truncating
+    integer divisions of exact cross-multiplied moments; the second
+    moment accumulates in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so
+    no corpus size overflows it, and only BIGINT-safe ratios are
+    hashed.
+
+    Scale: one (doc, term) hash aggregate over the token scan, then a
+    term-keyed aggregate over the tf table — both with map-side
+    partials; output is vocabulary-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    m = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.sum(F.col("tf").cast("decimal(38,0)") * F.col("tf")).alias("ss"),
+    )
+    return m.filter(F.col("df") >= 5).select(
+        "term",
+        "df",
+        "tf_total",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * tf_total) div df"
+            " AS BIGINT)"
+        ).alias("burst_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(df AS DECIMAL(38,0)) * ss"
+            "    - CAST(tf_total AS DECIMAL(38,0)) * tf_total))"
+            " div (CAST(df AS DECIMAL(38,0)) * tf_total) AS BIGINT)"
+        ).alias("d_ppm"),
+    )

@@ -269,6 +269,8 @@ _NLJ_ALLOWED = {
     "q_mrl_truncation_recall",  # broadcast query batch (q_cosine_topk pattern)
     "q_cohens_kappa",       # broadcast 1-row chance-agreement scalar stitch
     "q_modularity",         # broadcast 1-row edge-count (m) scalar stitch
+    "q_rrf_fusion",         # inherits q_bm25_topk's 1-row corpus-stats stitch
+    "q_naive_bayes_langid",  # broadcast 1-row vocabulary-size scalar stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
