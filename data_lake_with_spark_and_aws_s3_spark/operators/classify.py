@@ -37,10 +37,11 @@ from ..sources.loader import load_table
 _LANGS = ("de", "en", "es", "fr", "zh")
 
 
-@query(
-    "q_naive_bayes_langid",
-    oracle="""
-    WITH tok AS MATERIALIZED (
+# Shared oracle CTE chain: tokenize -> train (totals, vocab, smoothed
+# model deltas, priors) -> score -> argmax prediction per document.
+# Reused verbatim by the confusion-matrix and precision/recall queries.
+_NB_CTES = """
+    tok AS MATERIALIZED (
       SELECT doc_id, lang AS lang_true, t AS term
       FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
             FROM documents)
@@ -103,16 +104,25 @@ _LANGS = ("de", "en", "es", "fr", "zh")
       JOIN u USING (lang)
       LEFT JOIN matched m ON m.doc_id = g.doc_id AND m.lang = g.lang
     ),
-    pred AS (
-      SELECT lang_true, lang AS lang_pred, score,
+    ranked AS MATERIALIZED (
+      SELECT doc_id, lang_true, lang AS lang_pred, score,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, lang) AS r
       FROM scores
-    )
+    ),
+    pred AS MATERIALIZED (
+      SELECT doc_id, lang_true, lang_pred, score FROM ranked WHERE r = 1
+    )"""
+
+
+@query(
+    "q_naive_bayes_langid",
+    oracle=f"""
+    WITH {_NB_CTES}
     SELECT lang_true, lang_pred,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(score) AS BIGINT) AS sum_score
-    FROM pred WHERE r = 1
+    FROM pred
     GROUP BY lang_true, lang_pred
     """,
     tags=("classify", "naive-bayes", "language-id", "text", "llm-pipeline"),
@@ -127,6 +137,16 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (map-side — no doc x lang join). The only nested-loop is the
     broadcast 1-row vocabulary-size scalar stitched onto the 5-row
     per-language totals."""
+    pred = _nb_predictions(spark, sf_dir)
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").alias("sum_score"),
+    )
+
+
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NB argmax prediction (doc_id, lang_true, lang_pred,
+    score) — the Spark face of _NB_CTES' `pred`."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -203,12 +223,112 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
-    pred = scores.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") == 1
+    return (
+        scores.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id", "lang_true", F.col("lang").alias("lang_pred"), "score"
+        )
     )
-    return pred.groupBy(
-        "lang_true", F.col("lang").alias("lang_pred")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("score").alias("sum_score"),
+
+
+@query(
+    "q_precision_recall_f1",
+    oracle=f"""
+    WITH {_NB_CTES},
+    cm AS MATERIALIZED (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_true, lang_pred
+    ),
+    per_class AS (
+      SELECT cls, CAST(SUM(tp) AS BIGINT) AS tp,
+             CAST(SUM(fp) AS BIGINT) AS fp, CAST(SUM(fn) AS BIGINT) AS fn
+      FROM (
+        SELECT lang_pred AS cls,
+               CASE WHEN lang_true = lang_pred THEN n ELSE 0 END AS tp,
+               CASE WHEN lang_true <> lang_pred THEN n ELSE 0 END AS fp,
+               0 AS fn
+        FROM cm
+        UNION ALL
+        SELECT lang_true AS cls, 0, 0,
+               CASE WHEN lang_true <> lang_pred THEN n ELSE 0 END
+        FROM cm
+      )
+      GROUP BY cls
+    )
+    SELECT cls AS lang, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST((1000000 * tp) // (tp + fp) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
+           END AS f1_ppm
+    FROM per_class
+    """,
+    tags=("classify", "evaluation", "precision-recall", "llm-pipeline"),
+)
+def q_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the Naive Bayes language
+    classifier, in exact integer ppm: tp/fp/fn come from the shared
+    prediction pipeline's confusion matrix, and every ratio — including
+    F1 = 2tp/(2tp+fp+fn), which needs no float harmonic mean in this
+    form — is a truncating integer division with zero-denominator
+    guards. A class never predicted (or never present) yields NULL for
+    the undefined ratio instead of a fabricated 0.
+
+    Scale: everything after the classifier is arithmetic on the
+    |langs|^2-cell confusion matrix; the union+regroup per-class
+    reduction touches at most 2 * |langs|^2 tiny rows."""
+    cm = (
+        _nb_predictions(spark, sf_dir)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tp_fp = cm.select(
+        F.col("lang_pred").alias("cls"),
+        F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("tp"),
+        F.when(F.col("lang_true") != F.col("lang_pred"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("fp"),
+        F.lit(0).cast("long").alias("fn"),
+    )
+    fn_side = cm.select(
+        F.col("lang_true").alias("cls"),
+        F.lit(0).cast("long").alias("tp"),
+        F.lit(0).cast("long").alias("fp"),
+        F.when(F.col("lang_true") != F.col("lang_pred"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("fn"),
+    )
+    per_class = (
+        tp_fp.unionByName(fn_side)
+        .groupBy("cls")
+        .agg(
+            F.sum("tp").alias("tp"),
+            F.sum("fp").alias("fp"),
+            F.sum("fn").alias("fn"),
+        )
+    )
+    return per_class.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, None)
+        .otherwise(F.expr("(1000000 * tp) div (tp + fp)"))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("tp") + F.col("fn") == 0, None)
+        .otherwise(F.expr("(1000000 * tp) div (tp + fn)"))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, None)
+        .otherwise(F.expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+        .cast("long")
+        .alias("f1_ppm"),
     )

@@ -147,3 +147,133 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign(e, centroids).select(
         "vec_id", "cluster_id", "dist"
     )
+
+
+# --- k-center greedy (farthest-first) coreset selection ---------------
+# The diversity-selection counterpart of Lloyd above: instead of
+# refining k means, greedily pick the point FARTHEST from everything
+# chosen so far (Gonzalez 1985, the 2-approximation for the k-center
+# objective) — the standard "diverse subset / coreset" primitive in
+# training-data curation. Same execution envelope as k-means: centers
+# are O(K) driver literals, every corpus pass is map-only + one
+# TakeOrdered argmax, nothing else moves.
+
+_KC_K = 8
+_KC_Q = 10_000  # float -> int grid (similarity.py convention)
+
+_KC_QI = f"CAST(ROUND(CAST({{x}} AS DOUBLE) * {_KC_Q}, 0) AS BIGINT)"
+_KC_D2_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (s, x) -> s + x)"
+)
+
+
+def _kc_d2(vec: Column, center: list[int]) -> Column:
+    """Exact int64 squared L2 distance to a literal quantized center,
+    left-fold order (mirrors list_reduce)."""
+    c = F.array(*[F.lit(int(x)).cast("long") for x in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _kcenter_oracle() -> str:
+    steps = []
+    for k in range(2, _KC_K + 1):
+        d2 = _KC_D2_SQL.format(a="d.q", b=f"c{k}.q")
+        steps.append(
+            f"""
+    c{k} AS MATERIALIZED (
+      SELECT vec_id AS cid, q FROM d{k - 1}
+      ORDER BY md DESC, vec_id LIMIT 1
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT vec_id, label, q,
+             CASE WHEN nd < md THEN nd ELSE md END AS md,
+             CASE WHEN nd < md THEN cid ELSE ncid END AS ncid
+      FROM (SELECT d.*, c{k}.cid, {d2} AS nd FROM d{k - 1} d, c{k})
+    )"""
+        )
+    d2_first = _KC_D2_SQL.format(a="qe.q", b="c1.q")
+    return f"""
+    WITH qe AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> {_KC_QI.format(x="x")}) AS q
+      FROM embeddings
+    ),
+    c1 AS MATERIALIZED (
+      SELECT vec_id AS cid, q FROM qe ORDER BY vec_id LIMIT 1
+    ),
+    d1 AS MATERIALIZED (
+      SELECT qe.vec_id, qe.label, qe.q,
+             {d2_first} AS md, c1.cid AS ncid
+      FROM qe, c1
+    ),
+    {",".join(steps)}
+    SELECT vec_id, label, ncid AS center_id, md AS min_dist2
+    FROM d{_KC_K}
+    """
+
+
+@query(
+    "q_kcenter_select",
+    oracle=_kcenter_oracle(),
+    tags=("clustering", "coreset", "diversity", "iterative", "llm-pipeline"),
+)
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-first) selection of 8 maximally
+    diverse embeddings, then every vector labeled with its nearest
+    selected center and exact distance — the coverage assignment whose
+    max is the k-center radius. Distances are exact int64 on the
+    quantized grid, so the argmax at every greedy step is deterministic
+    (DESC distance, then vec_id), and the final assignment breaks ties
+    toward the EARLIEST-chosen center via the same strict-improvement
+    chain in both engines.
+
+    Scale: per greedy step one map-only corpus pass (distances to <=K
+    broadcast-literal centers inside codegen) + a TakeOrdered argmax
+    collecting ONE row; final assignment is another map-only pass.
+    Driver state is O(K * dim) literals — the kmeans/clustering.py
+    envelope; no pairwise joins anywhere."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> {_KC_QI.format(x='x')})"
+        ).alias("q"),
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[tuple[int, list[int]]] = [
+        (int(seed["vec_id"]), [int(x) for x in seed["q"]])
+    ]
+    for _ in range(2, _KC_K + 1):
+        md = F.least(*[_kc_d2(F.col("q"), c[1]) for c in centers]) if len(
+            centers
+        ) > 1 else _kc_d2(F.col("q"), centers[0][1])
+        nxt = (
+            e.select("vec_id", "q", md.alias("md"))
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(nxt["vec_id"]), [int(x) for x in nxt["q"]]))
+
+    # Final assignment: strict-improvement fold in selection order —
+    # ties keep the earliest center, mirroring the oracle's CASE chain.
+    md_col = _kc_d2(F.col("q"), centers[0][1])
+    ncid_col = F.lit(centers[0][0]).cast("long")
+    for cid, cq in centers[1:]:
+        nd = _kc_d2(F.col("q"), cq)
+        ncid_col = F.when(nd < md_col, F.lit(cid).cast("long")).otherwise(
+            ncid_col
+        )
+        md_col = F.least(nd, md_col)
+    return e.select(
+        "vec_id",
+        "label",
+        ncid_col.alias("center_id"),
+        md_col.alias("min_dist2"),
+    )

@@ -534,3 +534,99 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tag") == 0)
         .select("source", "v", "cdf_ppm", "v_norm")
     )
+
+
+_VG_BUCKETS = 64  # growth-curve checkpoints over the doc_id domain
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM tok),
+    bt AS MATERIALIZED (
+      SELECT (doc_id * {_VG_BUCKETS}) // ((SELECT mx FROM mx) + 1)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1
+    ),
+    fo AS MATERIALIZED (
+      SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM tok GROUP BY term
+    ),
+    bn AS MATERIALIZED (
+      SELECT (first_doc * {_VG_BUCKETS}) // ((SELECT mx FROM mx) + 1)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM fo GROUP BY 1
+    )
+    SELECT CAST(bt.bucket AS BIGINT) AS bucket,
+           bt.n_tokens,
+           CAST(COALESCE(bn.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(SUM(bt.n_tokens) OVER (ORDER BY bt.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(bn.new_terms, 0)) OVER (ORDER BY bt.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM bt LEFT JOIN bn ON bn.bucket = bt.bucket
+    """,
+    tags=("text", "vocab-growth", "heaps", "llm-pipeline"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law diagnostic): cumulative
+    distinct-term count vs cumulative token count at 64 checkpoints
+    across the corpus in doc_id order — the curve whose flattening
+    tells you when more data stops buying new vocabulary. Each term
+    contributes at its FIRST document (min(doc_id) — one aggregate),
+    so "cumulative distinct" never needs a running set: it is the
+    prefix sum of first-occurrence counts per bucket.
+
+    Scale: buckets come from range-partitioning the doc_id domain with
+    a broadcast max scalar (map-side arithmetic — no ntile over the
+    corpus); the two cumulative windows run over 64 rows. The
+    first-occurrence aggregate is the only vocabulary-sized shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    mx = tok.agg(F.max("doc_id").cast("long").alias("mx"))
+    tok_b = tok.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(doc_id * {_VG_BUCKETS}) div (mx + 1)").alias("bucket"),
+        "doc_id",
+        "term",
+    )
+    bt = tok_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    fo = tok.groupBy("term").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    bn = (
+        fo.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"(first_doc * {_VG_BUCKETS}) div (mx + 1)").alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        bt.join(bn, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+        .withColumns(
+            {
+                "cum_tokens": F.sum("n_tokens").over(w_cum),
+                "cum_vocab": F.sum("new_terms").over(w_cum),
+            }
+        )
+    )

@@ -271,6 +271,8 @@ _NLJ_ALLOWED = {
     "q_modularity",         # broadcast 1-row edge-count (m) scalar stitch
     "q_rrf_fusion",         # inherits q_bm25_topk's 1-row corpus-stats stitch
     "q_naive_bayes_langid",  # broadcast 1-row vocabulary-size scalar stitch
+    "q_precision_recall_f1",  # inherits the NB vocabulary-size scalar stitch
+    "q_vocab_growth",       # broadcast 1-row max-doc-id bucketing scalar
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
