@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     joins,
     layout,
     llm_pipeline,
+    markov,
     ml_parity,
     modern,
     multimodal,

@@ -418,3 +418,121 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").alias("n_distinct_grams"),
         )
     )
+
+
+# Exact integer sqrt: FLOOR(SQRT(n)) from the correctly-rounded double
+# sqrt can be off by one at worst; one CASE correction pins it in both
+# engines (dialect-shared SQL).
+def _isqrt_sql(n: str) -> str:
+    s0 = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= {n} THEN {s0} + 1"
+        f" WHEN {s0} * {s0} > {n} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+@query(
+    "q_temperature_mixture",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, {_isqrt_sql("n_docs")} AS w
+      FROM src
+    )
+    SELECT source, n_docs, w,
+           CAST((1000000 * n_docs) // (SUM(n_docs) OVER ()) AS BIGINT)
+             AS raw_ppm,
+           CAST((1000000 * w) // (SUM(w) OVER ()) AS BIGINT)
+             AS quota_ppm
+    FROM w
+    """,
+    tags=("curation", "mixture", "temperature", "llm-pipeline"),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) mixture quotas per source: the
+    standard up-weighting of small sources when mixing corpora —
+    sampling weight proportional to sqrt(n_s) instead of n_s. sqrt is
+    the EXACT integer square root (floor-sqrt from the double sqrt
+    with a one-step CASE correction, identical in both engines), so
+    raw and temperature shares are both truncating integer ppm and the
+    whole surface hashes.
+
+    Scale: one source-keyed count aggregate; everything after runs on
+    the |sources|-row table (OVER () totals included)."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = src.withColumn("w", F.expr(_isqrt_sql("n_docs")))
+    return w.select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(
+            "CAST((1000000 * n_docs) div (sum(n_docs) OVER ()) AS BIGINT)"
+        ).alias("raw_ppm"),
+        F.expr(
+            "CAST((1000000 * w) div (sum(w) OVER ()) AS BIGINT)"
+        ).alias("quota_ppm"),
+    )
+
+
+@query(
+    "q_post_stratification",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    lm AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total,
+             CAST(SUM(SUM(n)) OVER () AS BIGINT) AS grand_total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_langs
+      FROM cell GROUP BY lang
+    )
+    SELECT cell.lang, cell.source, cell.n, lm.lang_total,
+           CAST((1000000 * lm.grand_total)
+                // (lm.n_langs * lm.lang_total) AS BIGINT) AS weight_ppm,
+           CAST(cell.n * ((1000000 * lm.grand_total)
+                // (lm.n_langs * lm.lang_total)) AS BIGINT)
+             AS weighted_microdocs
+    FROM cell JOIN lm USING (lang)
+    """,
+    tags=("curation", "reweighting", "post-stratification", "llm-pipeline"),
+)
+def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification reweighting of the (lang, source) grid to a
+    UNIFORM language target: every document in language L carries
+    weight target_share / actual_share = grand_total / (n_langs *
+    lang_total), held as truncating integer ppm, plus each cell's
+    resulting weighted mass in exact micro-docs — the standard
+    marginal-correction step before mixing or evaluating a skewed
+    corpus.
+
+    Scale: one (lang, source) hash aggregate; the marginal windows run
+    on the |langs| x |sources| grid, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    lm = cell.groupBy("lang").agg(F.sum("n").alias("lang_total")).select(
+        "lang",
+        "lang_total",
+        F.expr("CAST(sum(lang_total) OVER () AS BIGINT)").alias(
+            "grand_total"
+        ),
+        F.expr("CAST(count(*) OVER () AS BIGINT)").alias("n_langs"),
+    )
+    return cell.join(F.broadcast(lm), "lang").select(
+        "lang",
+        "source",
+        "n",
+        "lang_total",
+        F.expr(
+            "CAST((1000000 * grand_total) div (n_langs * lang_total)"
+            " AS BIGINT)"
+        ).alias("weight_ppm"),
+        F.expr(
+            "CAST(n * ((1000000 * grand_total) div (n_langs * lang_total))"
+            " AS BIGINT)"
+        ).alias("weighted_microdocs"),
+    )

@@ -1,0 +1,125 @@
+"""User-behavior Markov chain over the event stream: the empirical
+event-type transition matrix and its stationary distribution — the
+classic "where do users end up" model behind next-action prediction
+and funnel leak analysis.
+
+Exactness: transition counts are exact; row-normalized probabilities
+are truncating integer ppm; and the stationary distribution comes from
+a FIXED-iteration integer power method on the ppm matrix (v' [j] =
+sum_i v[i] * p_ppm(i->j) div 1e6, all operands positive, truncation
+identical in Spark/DuckDB/Python). The |states|^2 = 25-cell matrix is
+an O(1) driver collect (the clustering.py / pca.py constant-state
+precedent); the oracle replays the identical recurrence as a CTE
+chain over the same 25-row table.
+
+Scale: transitions come from ONE lag window per user (the shuffle is
+the user_id keying, shared with every sessionize op); the matrix and
+everything after it is constant-size regardless of corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+_MK_ITERS = 10
+_MK_ONE = 1_000_000
+
+
+def _mk_oracle() -> str:
+    steps = []
+    for k in range(1, _MK_ITERS + 1):
+        steps.append(
+            f"""
+    v{k} AS MATERIALIZED (
+      SELECT p.next_st AS st,
+             CAST(SUM(v.w * p.p_ppm) AS BIGINT) // {_MK_ONE} AS w
+      FROM p JOIN v{k - 1} v ON v.st = p.prev_st
+      GROUP BY p.next_st
+    )"""
+        )
+    return f"""
+    WITH tr AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    cm AS MATERIALIZED (
+      SELECT prev AS prev_st, event_type AS next_st,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    p AS MATERIALIZED (
+      SELECT prev_st, next_st, n,
+             CAST(({_MK_ONE} * n)
+                  // (SUM(n) OVER (PARTITION BY prev_st)) AS BIGINT)
+               AS p_ppm
+      FROM cm
+    ),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT prev_st AS st, CAST({_MK_ONE} AS BIGINT) AS w
+      FROM cm
+    ),
+    {",".join(steps)}
+    SELECT p.prev_st, p.next_st, p.n, p.p_ppm,
+           CAST(v.w AS BIGINT) AS stat_next_w
+    FROM p JOIN v{_MK_ITERS} v ON v.st = p.next_st
+    """
+
+
+@query(
+    "q_markov_chain",
+    oracle=_mk_oracle(),
+    tags=("events", "markov", "stochastic", "iterative"),
+)
+def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (per-row exact counts + truncating
+    ppm probabilities) with each cell annotated by the stationary
+    weight of its destination state after 10 fixed integer power
+    iterations. The 25-cell matrix collects to the driver (O(1)
+    state), iterates in exact integer arithmetic, and re-enters the
+    plan as a broadcast literal map — the oracle runs the identical
+    recurrence as a CTE chain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cm = tr.groupBy(
+        F.col("prev").alias("prev_st"),
+        F.col("event_type").alias("next_st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p = cm.select(
+        "prev_st",
+        "next_st",
+        "n",
+        F.expr(
+            f"CAST(({_MK_ONE} * n)"
+            f" div (sum(n) OVER (PARTITION BY prev_st)) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+
+    cells = p.collect()  # |states|^2 <= 25 rows — O(1) driver state
+    states = sorted({r["prev_st"] for r in cells})
+    pm = {(r["prev_st"], r["next_st"]): int(r["p_ppm"]) for r in cells}
+    v = {s: _MK_ONE for s in states}
+    for _ in range(_MK_ITERS):
+        # all operands positive: Python // == Spark div == DuckDB //
+        nxt: dict[str, int] = {}
+        for (i, j), pp in pm.items():
+            if i not in v:  # mirrors the oracle's inner-join drop
+                continue
+            nxt[j] = nxt.get(j, 0) + v[i] * pp
+        v = {j: wsum // _MK_ONE for j, wsum in nxt.items()}
+
+    stat = F.create_map(
+        *[x for s, wv in sorted(v.items()) for x in (F.lit(s), F.lit(wv))]
+    )
+    return p.withColumn(
+        "stat_next_w", F.element_at(stat, F.col("next_st")).cast("long")
+    )
