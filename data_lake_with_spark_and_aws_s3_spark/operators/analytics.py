@@ -284,3 +284,135 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dev2",
         )
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH su AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS t_ev
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT user_id, MAX(ts) AS t_last FROM events GROUP BY user_id
+    ),
+    dur AS MATERIALIZED (
+      SELECT su.user_id,
+             CASE WHEN pu.t_ev IS NOT NULL
+                  THEN CAST(date_diff('day', su.t0, pu.t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('day', su.t0, ls.t_last) AS BIGINT)
+             END AS d_days,
+             CASE WHEN pu.t_ev IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM su
+      LEFT JOIN pu ON pu.user_id = su.user_id
+      JOIN last_seen ls ON ls.user_id = su.user_id
+    ),
+    h AS MATERIALIZED (
+      SELECT d_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM dur GROUP BY d_days
+    ),
+    risk AS MATERIALIZED (
+      SELECT d_days, d,
+             CAST(SUM(n_all) OVER (ORDER BY d_days DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM h
+    ),
+    steps AS (
+      SELECT d_days, d, n_risk,
+             CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS step_mnats
+      FROM risk WHERE d > 0 AND n_risk > d
+    )
+    SELECT d_days, n_risk, d,
+           step_mnats,
+           CAST(SUM(step_mnats) OVER (ORDER BY d_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS km_mnats
+    FROM steps
+    """,
+    tags=("analytics", "survival", "kaplan-meier", "events"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-purchase survival curve with right
+    censoring: per signup user, days from first signup to first
+    subsequent purchase (censored at their last observed event), then
+    the KM estimator over the duration HISTOGRAM — n_risk is a suffix
+    sum, each death-day contributes ln((n-d)/n) quantized once per
+    step to micro-nats, and the curve is the exact cumulative integer
+    sum of those steps (log-space survival, order-independent; exp is
+    the caller's presentation concern). Steps where everyone at risk
+    dies are excluded (S hits exact 0; ln undefined) — identically in
+    both engines.
+
+    Scale: three user-keyed aggregates (signup, first purchase, last
+    seen — all map-side partial), then every window runs over the
+    duration histogram (<= distinct days), not the user table."""
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_ev"))
+    )
+    ls = e.groupBy("user_id").agg(F.max("ts").alias("t_last"))
+    dur = (
+        su.join(pu, "user_id", "left")
+        .join(ls, "user_id")
+        .select(
+            F.when(
+                F.col("t_ev").isNotNull(),
+                F.datediff(F.col("t_ev"), F.col("t0")),
+            )
+            .otherwise(F.datediff(F.col("t_last"), F.col("t0")))
+            .cast("long")
+            .alias("d_days"),
+            F.when(F.col("t_ev").isNotNull(), 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    h = dur.groupBy("d_days").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("ev").alias("d")
+    )
+    w_risk = Window.orderBy(F.desc("d_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = h.select(
+        "d_days",
+        "d",
+        F.sum("n_all").over(w_risk).alias("n_risk"),
+    )
+    steps = risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "d_days",
+        "d",
+        "n_risk",
+        F.expr(
+            "CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)"
+            " / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("step_mnats"),
+    )
+    w_cum = Window.orderBy("d_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return steps.select(
+        "d_days",
+        "n_risk",
+        "d",
+        "step_mnats",
+        F.sum("step_mnats").over(w_cum).cast("long").alias("km_mnats"),
+    )

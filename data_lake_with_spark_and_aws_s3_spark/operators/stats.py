@@ -784,3 +784,81 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Exact integer sqrt over DECIMAL(38,0)/HUGEINT operands: the double
+# sqrt's floor can be off by one even when the radicand exceeds 2^53
+# (absolute sqrt error stays << 1 up to ~1e30); one CASE correction
+# with exact wide-integer comparisons pins it in both dialects.
+def _isqrt_wide_sql(n: str, wide_cast: str) -> str:
+    s0 = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    s0w = f"CAST({s0} AS {wide_cast})"
+    return (
+        f"(CASE WHEN ({s0w} + 1) * ({s0w} + 1) <= {n} THEN {s0} + 1"
+        f" WHEN {s0w} * {s0w} > {n} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+@query(
+    "q_rate_wilson_ci",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n, k,
+             CAST(n AS HUGEINT) * (CAST(k AS HUGEINT) * (n - k) + n)
+               AS rad
+      FROM r
+    )
+    SELECT event_type, n, k,
+           CAST((1000000 * k) // n AS BIGINT) AS rate_ppm,
+           CAST((1000000 * (k + 2)) // (n + 4) AS BIGINT) AS center_ppm,
+           CAST((2000000 * {_isqrt_wide_sql("rad", "HUGEINT")})
+                // (CAST(n AS HUGEINT) * (n + 4)) AS BIGINT) AS hw_ppm
+    FROM w
+    """,
+    tags=("stats", "confidence-interval", "wilson", "events"),
+)
+def q_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (z = 2, ~95%) for the per-event-type rate
+    of high-value events — the rate-plus-uncertainty primitive behind
+    every monitored conversion metric. With z = 2 the whole interval
+    is integer-exact: center = (k+2)/(n+4) in truncating ppm, and the
+    half-width 2/(n+4) * sqrt((k(n-k)+n)/n) rationalizes to
+    2e6 * isqrt(n*(k(n-k)+n)) / (n*(n+4)) — the radicand is ~n^3/4 so
+    it lives in DECIMAL(38,0)/HUGEINT, and isqrt is the exact integer
+    square root (floored double sqrt + one-step correction with
+    wide-integer comparisons, identical in both engines).
+
+    Scale: one hash aggregate per event type; everything after is
+    per-group scalar arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    r = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 500, 1).otherwise(0)).alias("k"),
+    )
+    w = r.withColumn(
+        "rad",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * (CAST(k AS DECIMAL(38,0)) * (n - k) + n)"
+        ),
+    )
+    return w.select(
+        "event_type",
+        "n",
+        "k",
+        F.expr("CAST((1000000 * k) div n AS BIGINT)").alias("rate_ppm"),
+        F.expr("CAST((1000000 * (k + 2)) div (n + 4) AS BIGINT)").alias(
+            "center_ppm"
+        ),
+        F.expr(
+            f"CAST((CAST(2000000 AS DECIMAL(38,0))"
+            f" * {_isqrt_wide_sql('rad', 'DECIMAL(38,0)')})"
+            f" div (CAST(n AS DECIMAL(38,0)) * (n + 4)) AS BIGINT)"
+        ).alias("hw_ppm"),
+    )
