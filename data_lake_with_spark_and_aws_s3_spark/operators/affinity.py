@@ -269,3 +269,146 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_ASSORT_CORR = (
+    "((n_d * sxy_d - sx_d * sy_d) / "
+    "sqrt((n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d)))"
+)
+
+
+@query(
+    "q_degree_assortativity",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT pa, pb FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT pa AS v FROM edges UNION ALL SELECT pb AS v FROM edges
+      ) GROUP BY v
+    ),
+    de AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM edges JOIN deg da ON da.v = edges.pa
+                 JOIN deg db ON db.v = edges.pb
+      UNION ALL
+      SELECT db.d, da.d
+      FROM edges JOIN deg da ON da.v = edges.pa
+                 JOIN deg db ON db.v = edges.pb
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(du) AS BIGINT) AS sx,
+             CAST(SUM(dv) AS BIGINT) AS sy,
+             CAST(SUM(du * du) AS BIGINT) AS sxx,
+             CAST(SUM(dv * dv) AS BIGINT) AS syy,
+             CAST(SUM(du * dv) AS BIGINT) AS sxy,
+             corr(CAST(du AS DOUBLE), CAST(dv AS DOUBLE)) AS b_corr
+      FROM de
+    )
+    SELECT n, sx, sy, sxx, syy, sxy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN TRUE
+                ELSE abs(b_corr - {_ASSORT_CORR})
+                     <= 0.000000001 * (1.0 + abs({_ASSORT_CORR}))
+           END AS corr_ok
+    FROM (
+      SELECT *,
+             CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sxx AS DOUBLE) AS sxx_d,
+             CAST(syy AS DOUBLE) AS syy_d, CAST(sxy AS DOUBLE) AS sxy_d
+      FROM m
+    )
+    """,
+    tags=("graph", "affinity", "assortativity", "stats"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: Pearson
+    correlation of endpoint degrees over all edges (both orientations,
+    the standard symmetric treatment) — positive means hubs connect to
+    hubs. The hashed surface is the exact BIGINT degree moments and
+    the closed-form numerator/denominator, plus the per-engine boolean
+    proving the corr() builtin matches the closed form (the stats.py
+    pattern; the float r itself never enters the hash).
+
+    Scale: edge build is the triangles op's orderkey-keyed self-join +
+    distinct; degrees are one aggregate over 2|E| endpoint rows; the
+    moment pass is a single reduction over 2|E| rows. Nothing is
+    quadratic in nodes."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds deg + two join branches
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("du"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("dv"))
+    joined = edges.join(da, "pa").join(db, "pb").select("du", "dv")
+    de = joined.unionAll(
+        joined.select(F.col("dv").alias("du"), F.col("du").alias("dv"))
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).alias("syy"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.corr(
+            F.col("du").cast("double"), F.col("dv").cast("double")
+        ).alias("b_corr"),
+    )
+    md = m.withColumns(
+        {
+            "n_d": F.col("n").cast("double"),
+            "sx_d": F.col("sx").cast("double"),
+            "sy_d": F.col("sy").cast("double"),
+            "sxx_d": F.col("sxx").cast("double"),
+            "syy_d": F.col("syy").cast("double"),
+            "sxy_d": F.col("sxy").cast("double"),
+        }
+    )
+    return md.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("denx"),
+        F.expr(
+            f"CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"
+            f" THEN TRUE ELSE abs(b_corr - {_ASSORT_CORR})"
+            f" <= 0.000000001 * (1.0 + abs({_ASSORT_CORR})) END"
+        ).alias("corr_ok"),
+    )

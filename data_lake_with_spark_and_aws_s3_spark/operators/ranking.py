@@ -630,3 +630,175 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     )
+
+
+@query(
+    "q_roc_youden",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS x,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT x,
+             CAST(SUM(pos) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p_total,
+             CAST(SUM(neg) OVER () AS BIGINT) AS n_total
+      FROM h
+    ),
+    j AS (
+      SELECT x AS threshold, tp, fp,
+             CAST((1000000 * tp) // p_total AS BIGINT) AS tpr_ppm,
+             CAST((1000000 * fp) // n_total AS BIGINT) AS fpr_ppm,
+             CAST((1000000 * tp) // p_total
+                  - (1000000 * fp) // n_total AS BIGINT) AS j_ppm
+      FROM c
+    )
+    SELECT threshold, tp, fp, tpr_ppm, fpr_ppm, j_ppm,
+           row_number() OVER (ORDER BY j_ppm DESC, threshold) = 1
+             AS is_best
+    FROM j
+    """,
+    tags=("stats", "ranking", "roc", "evaluation", "llm-pipeline"),
+)
+def q_roc_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROC operating-point table for "n_chars >= t predicts
+    lang = en", one row per candidate threshold: exact tp/fp from
+    suffix sums over the score HISTOGRAM, truncating-ppm TPR/FPR, the
+    Youden J statistic (TPR - FPR), and a deterministic best-threshold
+    flag (max J, smallest threshold on ties) — threshold selection as
+    a relational operator instead of a driver-side sweep.
+
+    Scale: one histogram aggregate (map-side partials), then every
+    window — suffix sums, totals, the argmax rank — runs over
+    |distinct scores| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg"),
+    )
+    w_suf = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = h.select(
+        "x",
+        F.sum("pos").over(w_suf).alias("tp"),
+        F.sum("neg").over(w_suf).alias("fp"),
+        F.sum("pos").over(w_all).alias("p_total"),
+        F.sum("neg").over(w_all).alias("n_total"),
+    )
+    j = c.select(
+        F.col("x").alias("threshold"),
+        "tp",
+        "fp",
+        F.expr("CAST((1000000 * tp) div p_total AS BIGINT)").alias(
+            "tpr_ppm"
+        ),
+        F.expr("CAST((1000000 * fp) div n_total AS BIGINT)").alias(
+            "fpr_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * tp) div p_total"
+            " - (1000000 * fp) div n_total AS BIGINT)"
+        ).alias("j_ppm"),
+    )
+    w_best = Window.orderBy(F.desc("j_ppm"), "threshold")
+    return j.withColumn(
+        "is_best", F.row_number().over(w_best) == 1
+    )
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS resp
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT x, cnt, resp,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+             CAST(SUM(resp) OVER () AS BIGINT) AS total_resp
+      FROM h
+    ),
+    dec AS (
+      SELECT (cum_before * 10) // total AS decile, cnt, resp,
+             total, total_resp
+      FROM c
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(resp) AS BIGINT) AS responders,
+           CAST((1000000 * SUM(resp)) // SUM(cnt) AS BIGINT) AS rate_ppm,
+           CAST((1000000 * SUM(resp) * MIN(total))
+                // (SUM(cnt) * MIN(total_resp)) AS BIGINT) AS lift_ppm
+    FROM dec
+    GROUP BY decile
+    """,
+    tags=("stats", "ranking", "lift", "evaluation"),
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the same score/response pair: documents
+    ranked by n_chars descending are dealt into 10 score bands (a
+    value's band comes from its cumulative position in the HISTOGRAM —
+    ties share a band deterministically), and each band reports its
+    response rate and lift over the base rate as exact cross-
+    multiplied ppm — the gains-chart primitive behind "how much better
+    is the top 10% than average".
+
+    Scale: one histogram aggregate; banding and the final 10-row
+    reduction run over |distinct scores| rows. Note ties can make
+    bands uneven — that is the deterministic, engine-agnostic choice
+    (per-doc ntile would tie-break arbitrarily)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("resp"),
+    )
+    w_before = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    c = h.select(
+        "x",
+        "cnt",
+        "resp",
+        F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias(
+            "cum_before"
+        ),
+        F.sum("cnt").over(w_all).alias("total"),
+        F.sum("resp").over(w_all).alias("total_resp"),
+    )
+    dec = c.select(
+        F.expr("(cum_before * 10) div total").alias("decile"),
+        "cnt",
+        "resp",
+        "total",
+        "total_resp",
+    )
+    return dec.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.sum("cnt").alias("n"),
+        F.sum("resp").alias("responders"),
+        F.expr(
+            "CAST((1000000 * sum(resp)) div sum(cnt) AS BIGINT)"
+        ).alias("rate_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(resp) * min(total))"
+            " div (sum(cnt) * min(total_resp)) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -461,3 +461,88 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(df AS DECIMAL(38,0)) * tf_total) AS BIGINT)"
         ).alias("d_ppm"),
     )
+
+
+@query(
+    "q_source_vocab_overlap",
+    oracle="""
+    WITH vt AS MATERIALIZED (
+      SELECT DISTINCT source, t AS term
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    vs AS MATERIALIZED (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM vt
+      GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vt a JOIN vt b
+        ON b.term = a.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s1, s2, n_common,
+           va.vocab AS vocab_1, vb.vocab AS vocab_2,
+           CAST((1000000 * n_common)
+                // (va.vocab + vb.vocab - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN vs va ON va.source = inter.s1
+    JOIN vs vb ON vb.source = inter.s2
+    """,
+    tags=("text", "vocab-overlap", "corpus-similarity", "llm-pipeline"),
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard matrix between sources — the
+    corpus-vs-corpus similarity screen used to spot mirrored dumps
+    before document-level dedup. Intersections come from the inverted
+    (term -> sources) index: the self-join is keyed on term and each
+    posting holds at most |sources| entries, so the pair fan-out is
+    bounded by |sources|^2 per term, never |docs|^2. Jaccard uses
+    inclusion-exclusion over exact distinct-vocab counts, in
+    truncating ppm.
+
+    Scale: one distinct (source, term) aggregate (map-side partials),
+    a term-keyed bounded self-join, and |sources|^2/2 output rows."""
+    d = load_table(spark, sf_dir, "documents")
+    vt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    vs = vt.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = vt.alias("a"), vt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.term") == F.col("a.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    va = vs.select(
+        F.col("source").alias("s1"), F.col("vocab").alias("vocab_1")
+    )
+    vb = vs.select(
+        F.col("source").alias("s2"), F.col("vocab").alias("vocab_2")
+    )
+    return (
+        inter.join(F.broadcast(va), "s1")
+        .join(F.broadcast(vb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "vocab_1",
+            "vocab_2",
+            F.expr(
+                "CAST((1000000 * n_common)"
+                " div (vocab_1 + vocab_2 - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
