@@ -412,3 +412,107 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" <= 0.000000001 * (1.0 + abs({_ASSORT_CORR})) END"
         ).alias("corr_ok"),
     )
+
+
+@query(
+    "q_adamic_adar",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT pa, pb FROM pairs
+    ),
+    nbrs AS MATERIALIZED (
+      SELECT pa AS v, pb AS w FROM edges
+      UNION ALL
+      SELECT pb AS v, pa AS w FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS dw,
+             CAST(ROUND(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)))
+                  AS BIGINT) AS invln_micro
+      FROM nbrs GROUP BY w
+    ),
+    cand AS (
+      SELECT a.v AS pa, b.v AS pb,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(deg.invln_micro) AS BIGINT) AS aa_micro
+      FROM nbrs a
+      JOIN nbrs b ON b.w = a.w AND a.v < b.v
+      JOIN deg ON deg.w = a.w
+      GROUP BY a.v, b.v
+    )
+    SELECT cand.pa, cand.pb, cn, aa_micro
+    FROM cand
+    ANTI JOIN edges ON edges.pa = cand.pa AND edges.pb = cand.pb
+    WHERE cn >= 2
+    ORDER BY aa_micro DESC, pa, pb
+    LIMIT 100
+    """,
+    tags=("graph", "affinity", "link-prediction", "adamic-adar"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph: for
+    every NON-adjacent pair sharing >= 2 neighbors, score
+    sum_w 1/ln(deg(w)) over the common neighbors w (rare shared
+    neighbors count more than hubs), and return the top 100 predicted
+    edges. The per-neighbor weight is quantized ONCE to micro units
+    (round(1e6/ln(deg)) — the Kaplan-Meier micro-nat pattern), so the
+    score is an exact BIGINT sum and the (aa_micro DESC, pa, pb)
+    order is total and engine-agnostic.
+
+    Scale: candidate pairs come from the neighbor-list self-join keyed
+    on the shared neighbor w — fan-out sum_w deg(w)^2, the standard
+    common-neighbor bound (at 100 TB, cap or sample super-hub
+    neighbor lists first: a hub's 1/ln(deg) contribution is near-zero
+    anyway). Existing edges leave via a key-wise anti-join; the top-k
+    is TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    la, lb = li.alias("la"), li.alias("lb")
+    edges = (
+        la.join(
+            lb,
+            (F.col("lb.l_orderkey") == F.col("la.l_orderkey"))
+            & (F.col("la.l_partkey") < F.col("lb.l_partkey")),
+        )
+        .select(
+            F.col("la.l_partkey").alias("pa"),
+            F.col("lb.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds nbrs twice + the anti-join
+    )
+    nbrs = edges.select(
+        F.col("pa").alias("v"), F.col("pb").alias("w")
+    ).unionAll(edges.select(F.col("pb").alias("v"), F.col("pa").alias("w")))
+    deg = nbrs.groupBy("w").agg(
+        F.count(F.lit(1)).alias("dw"),
+        F.expr(
+            "CAST(ROUND(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("invln_micro"),
+    )
+    a, b = nbrs.alias("a"), nbrs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.w") == F.col("a.w")) & (F.col("a.v") < F.col("b.v")),
+        )
+        .join(deg.alias("deg"), F.col("deg.w") == F.col("a.w"))
+        .groupBy(F.col("a.v").alias("pa"), F.col("b.v").alias("pb"))
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("invln_micro").alias("aa_micro"),
+        )
+    )
+    return (
+        cand.join(edges, ["pa", "pb"], "left_anti")
+        .filter(F.col("cn") >= 2)
+        .orderBy(F.desc("aa_micro"), "pa", "pb")
+        .limit(100)
+    )

@@ -802,3 +802,286 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (sum(cnt) * min(total_resp)) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+from .stats import _isqrt_wide_sql  # exact wide-integer square root
+
+
+@query(
+    "q_kendall_tau_b",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT CAST(SUM(CASE WHEN b.d > a.d THEN a.cnt * b.cnt ELSE 0 END)
+                  AS BIGINT) AS c_pairs,
+             CAST(SUM(CASE WHEN b.d < a.d THEN a.cnt * b.cnt ELSE 0 END)
+                  AS BIGINT) AS d_pairs
+      FROM cells a JOIN cells b ON b.q > a.q
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST((SUM(cnt) * (SUM(cnt) - 1)) // 2 AS BIGINT) AS n0
+      FROM cells
+    ),
+    tx AS (
+      SELECT CAST(SUM((nq * (nq - 1)) // 2) AS BIGINT) AS n1
+      FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS nq FROM cells GROUP BY q)
+    ),
+    ty AS (
+      SELECT CAST(SUM((nd * (nd - 1)) // 2) AS BIGINT) AS n2
+      FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS nd FROM cells GROUP BY d)
+    ),
+    z AS (
+      SELECT n, n0, n1, n2, c_pairs, d_pairs,
+             CAST(c_pairs - d_pairs AS BIGINT) AS num,
+             CAST(n0 - n1 AS HUGEINT) * CAST(n0 - n2 AS HUGEINT) AS den2
+      FROM pr, tot, tx, ty
+    )
+    SELECT n, n0, n1, n2, c_pairs, d_pairs, num,
+           CAST(n0 - n1 AS BIGINT) AS denx,
+           CAST(n0 - n2 AS BIGINT) AS deny,
+           CAST((1000000 * num) // {_isqrt_wide_sql("den2", "HUGEINT")}
+                AS BIGINT) AS tau_ppm
+    FROM z
+    """,
+    tags=("stats", "ranking", "kendall", "correlation"),
+)
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between l_quantity and
+    l_discount, computed WITHOUT enumerating row pairs: the data
+    collapses to its 2-D VALUE-HISTOGRAM (|Q| x |D| cells — bounded by
+    the value domains, independent of row count), concordant and
+    discordant pair counts come from one dominance self-join over the
+    cells, and tie corrections from the two marginal histograms. The
+    tau denominator sqrt((n0-n1)(n0-n2)) is evaluated with the exact
+    wide-integer isqrt (stats.py), so tau_ppm is reproducible bit-
+    for-bit across engines; every hashed column is an exact BIGINT.
+
+    Scale: one hash aggregate builds the cells; the dominance join is
+    |cells|^2 on a broadcast-sized table (50 x 11 here; the technique
+    holds whenever the value domains are bounded — for continuous
+    values, pre-bucket). The O(n^2) pair enumeration this replaces is
+    the plan that dies at 100x."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds the dominance join + three reductions
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pr = (
+        a.join(F.broadcast(b), F.col("b.q") > F.col("a.q"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.d") > F.col("a.d"),
+                    F.col("a.cnt") * F.col("b.cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("c_pairs"),
+            F.sum(
+                F.when(
+                    F.col("b.d") < F.col("a.d"),
+                    F.col("a.cnt") * F.col("b.cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("d_pairs"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.expr("CAST((SUM(cnt) * (SUM(cnt) - 1)) div 2 AS BIGINT)").alias(
+            "n0"
+        ),
+    )
+    tx = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").alias("nq"))
+        .agg(
+            F.expr("CAST(SUM((nq * (nq - 1)) div 2) AS BIGINT)").alias("n1")
+        )
+    )
+    ty = (
+        cells.groupBy("d")
+        .agg(F.sum("cnt").alias("nd"))
+        .agg(
+            F.expr("CAST(SUM((nd * (nd - 1)) div 2) AS BIGINT)").alias("n2")
+        )
+    )
+    z = (
+        pr.join(F.broadcast(tot))
+        .join(F.broadcast(tx))
+        .join(F.broadcast(ty))
+        .withColumn("num", F.expr("CAST(c_pairs - d_pairs AS BIGINT)"))
+        .withColumn(
+            "den2",
+            F.expr(
+                "CAST(n0 - n1 AS DECIMAL(38,0))"
+                " * CAST(n0 - n2 AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    return z.select(
+        "n",
+        "n0",
+        "n1",
+        "n2",
+        "c_pairs",
+        "d_pairs",
+        "num",
+        F.expr("CAST(n0 - n1 AS BIGINT)").alias("denx"),
+        F.expr("CAST(n0 - n2 AS BIGINT)").alias("deny"),
+        F.expr(
+            f"CAST((1000000 * num)"
+            f" div {_isqrt_wide_sql('den2', 'DECIMAL(38,0)')} AS BIGINT)"
+        ).alias("tau_ppm"),
+    )
+
+
+@query(
+    "q_brier_decomposition",
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST((1000000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+                  // COUNT(*) AS BIGINT) AS p_ppm
+      FROM documents GROUP BY source
+    ),
+    h AS (
+      SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    band AS MATERIALIZED (
+      SELECT x,
+             (CAST(COALESCE(SUM(cnt) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) * 10)
+               // CAST(SUM(cnt) OVER () AS BIGINT) AS decile
+      FROM h
+    ),
+    scored AS (
+      SELECT band.decile, src.p_ppm,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d
+      JOIN band ON band.x = d.n_chars
+      JOIN src ON src.source = d.source
+    ),
+    per_bin AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(p_ppm) AS BIGINT) AS s_sum,
+             CAST(SUM((p_ppm - 1000000 * y) * (p_ppm - 1000000 * y))
+                  AS BIGINT) AS bs_num
+      FROM scored GROUP BY decile
+    ),
+    g AS (
+      SELECT *,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+             CAST(SUM(pos) OVER () AS BIGINT) AS pos_total,
+             CAST(SUM(bs_num) OVER () AS BIGINT) AS bs_total
+      FROM per_bin
+    )
+    SELECT decile, n, pos, s_sum,
+           CAST((CAST(s_sum - 1000000 * pos AS HUGEINT)
+                 * (s_sum - 1000000 * pos)) // n AS BIGINT) AS rel_pp,
+           CAST((1000000000000 * CAST(pos * n_total - pos_total * n
+                                      AS HUGEINT)
+                 * (pos * n_total - pos_total * n))
+                // (CAST(n AS HUGEINT) * n_total * n_total)
+                AS BIGINT) AS res_pp,
+           CAST(bs_total // n_total AS BIGINT) AS bs_pp,
+           CAST((1000000000000 * CAST(pos_total AS HUGEINT)
+                 * (n_total - pos_total))
+                // (CAST(n_total AS HUGEINT) * n_total) AS BIGINT) AS unc_pp
+    FROM g
+    """,
+    tags=("stats", "ranking", "calibration", "brier", "evaluation"),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for a by-source rate
+    model predicting lang = en, evaluated in n_chars decile bands:
+    per-bin reliability n_k*(p_bar_k - o_bar_k)^2 and resolution
+    n_k*(o_bar_k - o_bar)^2, plus the global Brier mean and the
+    uncertainty term o_bar*(1 - o_bar) — the calibration primitive
+    behind "is this quality score a usable probability". Every term
+    is cross-multiplied into exact integers (pp = ppm^2 units,
+    truncating wide-decimal division), so the hash is drift-free.
+
+    Scale: the model table (per-source rate) and band map (distinct
+    score values) are broadcast-sized; one scan scores and bins every
+    document, one hash aggregate produces the 10 bins; global terms
+    come from a window over those 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("p_ppm")
+    )
+    h = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_all = Window.partitionBy()
+    band = h.select(
+        "x",
+        F.expr(
+            "CAST((COALESCE(SUM(cnt) OVER (ORDER BY x DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)"
+            " div (SUM(cnt) OVER ()) AS BIGINT)"
+        ).alias("decile"),
+    )
+    scored = (
+        d.select("n_chars", "source", "lang")
+        .join(F.broadcast(band), F.col("n_chars") == F.col("x"))
+        .join(F.broadcast(src), "source")
+        .select(
+            "decile",
+            "p_ppm",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+    per_bin = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("p_ppm").alias("s_sum"),
+        F.sum(
+            (F.col("p_ppm") - 1000000 * F.col("y"))
+            * (F.col("p_ppm") - 1000000 * F.col("y"))
+        ).alias("bs_num"),
+    )
+    g = per_bin.select(
+        "*",
+        F.sum("n").over(w_all).alias("n_total"),
+        F.sum("pos").over(w_all).alias("pos_total"),
+        F.sum("bs_num").over(w_all).alias("bs_total"),
+    )
+    return g.select(
+        "decile",
+        "n",
+        "pos",
+        "s_sum",
+        F.expr(
+            "CAST((CAST(s_sum - 1000000 * pos AS DECIMAL(38,0))"
+            " * (s_sum - 1000000 * pos)) div n AS BIGINT)"
+        ).alias("rel_pp"),
+        F.expr(
+            "CAST((1000000000000 * CAST(pos * n_total - pos_total * n"
+            " AS DECIMAL(38,0))"
+            " * (pos * n_total - pos_total * n))"
+            " div (CAST(n AS DECIMAL(38,0)) * n_total * n_total)"
+            " AS BIGINT)"
+        ).alias("res_pp"),
+        F.expr("CAST(bs_total div n_total AS BIGINT)").alias("bs_pp"),
+        F.expr(
+            "CAST((1000000000000 * CAST(pos_total AS DECIMAL(38,0))"
+            " * (n_total - pos_total))"
+            " div (CAST(n_total AS DECIMAL(38,0)) * n_total) AS BIGINT)"
+        ).alias("unc_pp"),
+    )

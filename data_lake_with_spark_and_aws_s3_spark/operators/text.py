@@ -546,3 +546,159 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+from .stats import _isqrt_wide_sql  # exact wide-integer square root
+
+
+@query(
+    "q_source_tv_distance",
+    oracle=f"""
+    WITH tf AS MATERIALIZED (
+      SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY source, t
+    ),
+    tot AS MATERIALIZED (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS tf_total,
+             CAST(SUM(tf * tf) AS BIGINT) AS sq_total
+      FROM tf GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(ABS(a.tf * tb.tf_total - b.tf * ta.tf_total))
+                  AS BIGINT) AS s_absdiff,
+             CAST(SUM(a.tf * tb.tf_total) AS BIGINT) AS s_a,
+             CAST(SUM(b.tf * ta.tf_total) AS BIGINT) AS s_b,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a
+      JOIN tf b ON b.term = a.term AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY a.source, b.source
+    ),
+    z AS (
+      SELECT s1, s2, n_common, dot,
+             ta.tf_total AS tf_total_1, tb.tf_total AS tf_total_2,
+             s_absdiff + (ta.tf_total * tb.tf_total - s_a)
+                       + (ta.tf_total * tb.tf_total - s_b) AS num,
+             CAST(ta.sq_total AS HUGEINT) * tb.sq_total AS nrm2
+      FROM common
+      JOIN tot ta ON ta.source = common.s1
+      JOIN tot tb ON tb.source = common.s2
+    )
+    SELECT s1, s2, n_common, CAST(num AS BIGINT) AS num, dot,
+           tf_total_1, tf_total_2,
+           CAST((1000000 * CAST(num AS HUGEINT))
+                // (2 * CAST(tf_total_1 AS HUGEINT) * tf_total_2)
+                AS BIGINT) AS tv_ppm,
+           CAST((1000000 * CAST(dot AS HUGEINT))
+                // {_isqrt_wide_sql("nrm2", "HUGEINT")}
+                AS BIGINT) AS cos_ppm
+    FROM z
+    """,
+    tags=("text", "tv-distance", "corpus-similarity", "llm-pipeline"),
+)
+def q_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vs-source term-DISTRIBUTION distances — total
+    variation and cosine over term-frequency vectors — the frequency-
+    weighted companion to q_source_vocab_overlap's set Jaccard (two
+    mirrors share vocabulary; only distributional distance separates
+    "same topic" from "same dump"). TV is exact rational arithmetic:
+    sum|a_i/A - b_i/B| cross-multiplies to sum|a_i*B - b_i*A|/(AB),
+    and the terms missing from one side fold in via inclusion-
+    exclusion (sum_all a_i*B = AB), so only the COMMON-term join is
+    ever materialized. Cosine hashes the exact integer dot product
+    and uses the exact wide-integer isqrt for the ppm score.
+
+    Scale: one tf aggregate (map-side partials), a term-keyed self-
+    join whose fan-out per term is bounded by |sources|, broadcast
+    per-source totals, |sources|^2/2 output rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("tf").alias("tf_total"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sq_total"),
+    )
+    ta = tot.select(
+        F.col("source").alias("s1"),
+        F.col("tf_total").alias("tf_total_1"),
+        F.col("sq_total").alias("sq_total_1"),
+    )
+    tb = tot.select(
+        F.col("source").alias("s2"),
+        F.col("tf_total").alias("tf_total_2"),
+        F.col("sq_total").alias("sq_total_2"),
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("b.term") == F.col("a.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            F.col("a.tf").alias("atf"),
+            F.col("b.tf").alias("btf"),
+        )
+        .join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.abs(
+                    F.col("atf") * F.col("tf_total_2")
+                    - F.col("btf") * F.col("tf_total_1")
+                )
+            ).alias("s_absdiff"),
+            F.sum(F.col("atf") * F.col("tf_total_2")).alias("s_a"),
+            F.sum(F.col("btf") * F.col("tf_total_1")).alias("s_b"),
+            F.sum(F.col("atf") * F.col("btf")).alias("dot"),
+        )
+    )
+    z = (
+        common.join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .withColumn(
+            "num",
+            F.col("s_absdiff")
+            + (F.col("tf_total_1") * F.col("tf_total_2") - F.col("s_a"))
+            + (F.col("tf_total_1") * F.col("tf_total_2") - F.col("s_b")),
+        )
+        .withColumn(
+            "nrm2",
+            F.expr(
+                "CAST(sq_total_1 AS DECIMAL(38,0)) * sq_total_2"
+            ),
+        )
+    )
+    return z.select(
+        "s1",
+        "s2",
+        "n_common",
+        F.col("num").cast("long").alias("num"),
+        "dot",
+        "tf_total_1",
+        "tf_total_2",
+        F.expr(
+            "CAST((1000000 * CAST(num AS DECIMAL(38,0)))"
+            " div (2 * CAST(tf_total_1 AS DECIMAL(38,0)) * tf_total_2)"
+            " AS BIGINT)"
+        ).alias("tv_ppm"),
+        F.expr(
+            f"CAST((1000000 * CAST(dot AS DECIMAL(38,0)))"
+            f" div {_isqrt_wide_sql('nrm2', 'DECIMAL(38,0)')}"
+            f" AS BIGINT)"
+        ).alias("cos_ppm"),
+    )

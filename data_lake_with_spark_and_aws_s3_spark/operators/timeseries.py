@@ -357,3 +357,88 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_milli",
         (F.col("det_milli") - F.col("seasonal_milli")).alias("residual_milli"),
     )
+
+
+@query(
+    "q_holt_forecast",
+    oracle="""
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS rn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), r AS (
+      SELECT event_type, rn, y, y AS l, CAST(0 AS BIGINT) AS b
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.y,
+             (s.y + r.l + r.b) // 2,
+             (((s.y + r.l + r.b) // 2) - r.l + r.b) // 2
+      FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, rn, y,
+           CAST(l AS BIGINT) AS level,
+           CAST(b AS BIGINT) AS trend,
+           CAST(l + 7 * b AS BIGINT) AS fc7
+    FROM r
+    """,
+    tags=("timeseries", "forecast", "recurrence", "stateful", "udf"),
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha = beta = 1/2) over the per-type daily event-count series,
+    with a 7-step-ahead linear forecast from every fitted point. Like
+    q_ewma_recurrence this is the operator class SQL windows cannot
+    express (state depends on previous OUTPUT): the coupled integer
+    recurrence l_t = (y_t + l + b) div 2, b_t = (l_t - l + b) div 2
+    runs in grouped applyInPandas, and the oracle replays it with a
+    DuckDB recursive CTE — truncating integer halving makes every
+    step bit-exact across engines (div matches // toward-zero; the
+    Python side truncates explicitly since trend can go negative).
+
+    Scale: the daily aggregate is one hash shuffle; the recurrence
+    then runs over |types| x |days| rows (tiny), one ordered group
+    per pandas batch with O(1) state — chunk by time and carry (l, b)
+    if a single series ever outgrows a batch."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def tdiv2(t: int) -> int:
+        return t // 2 if t >= 0 else -((-t) // 2)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        l = b = None
+        levels, trends = [], []
+        for y in pdf["y"].to_numpy():
+            y = int(y)
+            if l is None:
+                l, b = y, 0
+            else:
+                l_new = tdiv2(y + l + b)
+                b = tdiv2(l_new - l + b)
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "rn": range(1, len(levels) + 1),
+                "y": pdf["y"].to_numpy(),
+                "level": levels,
+                "trend": trends,
+                "fc7": [lv + 7 * tr for lv, tr in zip(levels, trends)],
+            }
+        )
+
+    return s.groupBy("event_type").applyInPandas(
+        holt,
+        schema="event_type string, rn long, y long, level long,"
+        " trend long, fc7 long",
+    )

@@ -273,6 +273,8 @@ _NLJ_ALLOWED = {
     "q_naive_bayes_langid",  # broadcast 1-row vocabulary-size scalar stitch
     "q_precision_recall_f1",  # inherits the NB vocabulary-size scalar stitch
     "q_vocab_growth",       # broadcast 1-row max-doc-id bucketing scalar
+    "q_kendall_tau_b",      # value-domain cell dominance join (|Q|x|D| cells,
+                            # data-size independent) + 1-row scalar stitches
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
