@@ -506,3 +506,72 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("bucket", "n_a", "n_b", F.expr(contrib).alias("contrib_micro"))
     )
+
+
+@query(
+    "q_benford_digits",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(LEFT(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT digit, obs,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n,
+             CAST(ROUND(1000000 * ln(1.0 + 1.0 / digit) / ln(10.0))
+                  AS BIGINT) AS exp_ppm
+      FROM obs
+    )
+    SELECT digit, obs, exp_ppm,
+           CAST((1000000 * obs) // n AS BIGINT) AS obs_ppm,
+           CAST((CAST(1000000 * obs - exp_ppm * n AS HUGEINT)
+                 * (1000000 * obs - exp_ppm * n))
+                // (CAST(exp_ppm AS HUGEINT) * n * 1000000)
+                AS BIGINT) AS chi_term_micro
+    FROM g
+    """,
+    tags=("quality", "benford", "distribution-test", "dq"),
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic fabricated-data / unit-mixup detector: observed leading-
+    digit counts vs the log-law expectation P(d) = log10(1 + 1/d),
+    with a per-digit Pearson chi-square contribution. The digit comes
+    from the cent-scaled integer's decimal string (identical in both
+    engines — no float log tricks), the expectation is quantized once
+    to ppm, and the chi term is cross-multiplied into exact integers:
+    (1e6*obs - exp_ppm*n)^2 / (exp_ppm * n * 1e6) in truncating
+    micro-counts.
+
+    Scale: one 9-row hash aggregate over the scan; everything after
+    is per-digit scalar arithmetic and a window over 9 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.expr(
+            "CAST(LEFT(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1) AS BIGINT)"
+        ).alias("digit")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    g = obs.select(
+        "digit",
+        "obs",
+        F.expr("CAST(SUM(obs) OVER () AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(ROUND(1000000 * ln(1.0 + 1.0 / digit) / ln(10.0))"
+            " AS BIGINT)"
+        ).alias("exp_ppm"),
+    )
+    return g.select(
+        "digit",
+        "obs",
+        "exp_ppm",
+        F.expr("CAST((1000000 * obs) div n AS BIGINT)").alias("obs_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 * obs - exp_ppm * n AS DECIMAL(38,0))"
+            " * (1000000 * obs - exp_ppm * n))"
+            " div (CAST(exp_ppm AS DECIMAL(38,0)) * n * 1000000)"
+            " AS BIGINT)"
+        ).alias("chi_term_micro"),
+    )

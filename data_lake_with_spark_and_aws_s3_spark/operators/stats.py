@@ -862,3 +862,151 @@ def q_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (CAST(n AS DECIMAL(38,0)) * (n + 4)) AS BIGINT)"
         ).alias("hw_ppm"),
     )
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, n_ij,
+             CAST(SUM(n_ij) OVER (PARTITION BY lang) AS BIGINT) AS r_i,
+             CAST(SUM(n_ij) OVER (PARTITION BY source) AS BIGINT) AS c_j,
+             CAST(SUM(n_ij) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    t AS (
+      SELECT lang, source, n_ij, r_i, c_j,
+             n_ij * CAST(ROUND(1000000 * ln(
+                 (CAST(n_ij AS DOUBLE) * n) / (CAST(r_i AS DOUBLE) * c_j)
+             )) AS BIGINT) AS term_micro
+      FROM m
+    )
+    SELECT lang, source, n_ij, r_i, c_j, term_micro,
+           CAST(SUM(term_micro) OVER () AS BIGINT) AS mi_total_micro
+    FROM t
+    """,
+    tags=("stats", "mutual-information", "association", "llm-pipeline"),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between lang and source — the association
+    strength behind "does source determine language" (feature-
+    selection / leakage screening). Each cell contributes
+    n_ij * ln(n_ij*N / (r_i*c_j)); the log of the exact rational is
+    quantized ONCE per cell to micro-nats (the Kaplan-Meier pattern),
+    so the per-cell term and the windowed total are exact BIGINTs and
+    the hash carries the full MI surface, margins included.
+
+    Scale: one (lang, source) hash aggregate; margins and the total
+    are windows over the |langs| x |sources| cell table (bounded by
+    the category domains, not the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    m = cells.select(
+        "lang",
+        "source",
+        "n_ij",
+        F.expr(
+            "CAST(SUM(n_ij) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("r_i"),
+        F.expr(
+            "CAST(SUM(n_ij) OVER (PARTITION BY source) AS BIGINT)"
+        ).alias("c_j"),
+        F.expr("CAST(SUM(n_ij) OVER () AS BIGINT)").alias("n"),
+    )
+    t = m.select(
+        "lang",
+        "source",
+        "n_ij",
+        "r_i",
+        "c_j",
+        F.expr(
+            "n_ij * CAST(ROUND(1000000 * ln("
+            "(CAST(n_ij AS DOUBLE) * n) / (CAST(r_i AS DOUBLE) * c_j)"
+            ")) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return t.select(
+        "*",
+        F.expr("CAST(SUM(term_micro) OVER () AS BIGINT)").alias(
+            "mi_total_micro"
+        ),
+    )
+
+
+@query(
+    "q_two_proportion_ztest",
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM documents GROUP BY source
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2,
+           CAST((1000000 * (a.n + b.n)
+                 * CAST(a.k * b.n - b.k * a.n AS HUGEINT)
+                 * (a.k * b.n - b.k * a.n))
+                // (CAST(a.n AS HUGEINT) * b.n * (a.k + b.k)
+                    * (a.n + b.n - a.k - b.k))
+                AS BIGINT) AS z2_micro,
+           CAST((1000000 * (a.n + b.n)
+                 * CAST(a.k * b.n - b.k * a.n AS HUGEINT)
+                 * (a.k * b.n - b.k * a.n))
+                // (CAST(a.n AS HUGEINT) * b.n * (a.k + b.k)
+                    * (a.n + b.n - a.k - b.k))
+                AS BIGINT) >= 3841459 AS significant
+    FROM src a JOIN src b ON a.source < b.source
+    WHERE a.k + b.k > 0 AND a.k + b.k < a.n + b.n
+    """,
+    tags=("stats", "hypothesis-test", "ab-test", "proportions"),
+)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise pooled two-proportion z-test across sources for the
+    lang = en rate — the A/B-comparison primitive ("is source X's
+    English share really different from Y's"). z^2 rationalizes
+    completely: N*(k1*n2 - k2*n1)^2 / (n1*n2*K*(N-K)) with
+    K = k1+k2, N = n1+n2 — so z2_micro is one exact truncating wide-
+    integer division, and significance at alpha = 0.05 is the integer
+    comparison z2_micro >= 3841459 (chi-square_1 critical value in
+    micro units). Degenerate pooled rates (0 or 1) are excluded.
+
+    Scale: one per-source hash aggregate; the pair grid is
+    |sources|^2/2 rows over a broadcast-sized table."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("k"),
+    )
+    a, b = src.alias("a"), src.alias("b")
+    z2 = (
+        "CAST((1000000 * (a.n + b.n)"
+        " * CAST(a.k * b.n - b.k * a.n AS DECIMAL(38,0))"
+        " * (a.k * b.n - b.k * a.n))"
+        " div (CAST(a.n AS DECIMAL(38,0)) * b.n * (a.k + b.k)"
+        " * (a.n + b.n - a.k - b.k)) AS BIGINT)"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .filter(
+            (F.col("a.k") + F.col("b.k") > 0)
+            & (F.col("a.k") + F.col("b.k") < F.col("a.n") + F.col("b.n"))
+        )
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            F.col("a.n").alias("n1"),
+            F.col("a.k").alias("k1"),
+            F.col("b.n").alias("n2"),
+            F.col("b.k").alias("k2"),
+            F.expr(z2).alias("z2_micro"),
+            F.expr(f"{z2} >= 3841459").alias("significant"),
+        )
+    )

@@ -702,3 +702,90 @@ def q_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS BIGINT)"
         ).alias("cos_ppm"),
     )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH tf AS MATERIALIZED (
+      SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''
+      GROUP BY t
+    ),
+    tot AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS mass,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM tf
+    ),
+    ranked AS (
+      SELECT tf,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT)
+               AS rn
+      FROM tf
+    ),
+    grid AS (
+      SELECT k FROM (VALUES (10), (100), (1000), (10000)) g(k)
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COALESCE(SUM(CASE WHEN rn <= k THEN tf END), 0)
+                AS BIGINT) AS top_mass,
+           tot.mass AS total_mass, tot.vocab,
+           CAST((1000000 * COALESCE(SUM(CASE WHEN rn <= k THEN tf END), 0))
+                // tot.mass AS BIGINT) AS coverage_ppm
+    FROM grid, ranked, tot
+    GROUP BY k, tot.mass, tot.vocab
+    """,
+    tags=("text", "vocab-coverage", "tokenizer", "llm-pipeline"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage curve of the top-k vocabulary (k = 10,
+    100, 1k, 10k) — the tokenizer-design primitive behind "how big a
+    vocab do we need": what fraction of all token occurrences the k
+    most frequent terms cover, in truncating ppm. Rank ties break on
+    the term string, so the curve is deterministic in both engines.
+
+    Scale: one term-frequency aggregate; the top-10k slice is
+    TakeOrderedAndProject (never a global sort of the vocabulary),
+    the rank window then runs over a CONSTANT k_max rows, and the
+    corpus totals are one scalar aggregate broadcast back (the 1-row
+    stitch pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = tf.agg(
+        F.sum("tf").alias("total_mass"), F.count(F.lit(1)).alias("vocab")
+    )
+    topk = tf.orderBy(F.desc("tf"), "term").limit(10000)
+    ranked = topk.select(
+        "tf",
+        F.expr(
+            "CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT)"
+        ).alias("rn"),
+    )
+    grid = spark.createDataFrame([(10,), (100,), (1000,), (10000,)], "k long")
+    return (
+        F.broadcast(grid)
+        .crossJoin(ranked)
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= F.col("k"), F.col("tf"))),
+                F.lit(0),
+            ).alias("top_mass")
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "k",
+            "top_mass",
+            "total_mass",
+            "vocab",
+            F.expr(
+                "CAST((1000000 * top_mass) div total_mass AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

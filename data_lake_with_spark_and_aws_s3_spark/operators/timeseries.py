@@ -442,3 +442,91 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, rn long, y long, level long,"
         " trend long, fc7 long",
     )
+
+
+@query(
+    "q_cusum_drift",
+    oracle="""
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS rn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    k AS MATERIALIZED (
+      SELECT event_type,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS target
+      FROM s GROUP BY event_type
+    ),
+    r AS (
+      SELECT s.event_type, rn, y,
+             GREATEST(CAST(0 AS BIGINT), y - k.target) AS cpos,
+             GREATEST(CAST(0 AS BIGINT), k.target - y) AS cneg
+      FROM s JOIN k ON k.event_type = s.event_type WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.y,
+             GREATEST(CAST(0 AS BIGINT), r.cpos + s.y - k.target),
+             GREATEST(CAST(0 AS BIGINT), r.cneg + k.target - s.y)
+      FROM s
+      JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      JOIN k ON k.event_type = s.event_type
+    )
+    SELECT r.event_type, rn, y, cpos, cneg,
+           k.target,
+           cpos > 3 * k.target OR cneg > 3 * k.target AS alarm
+    FROM r JOIN k ON k.event_type = r.event_type
+    """,
+    tags=("timeseries", "changepoint", "cusum", "recurrence", "stateful"),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector over the per-type daily event-
+    count series: c+_t = max(0, c+ + y_t - target) accumulates
+    upward drift, c-_t the downward mirror, alarm when either exceeds
+    3x the per-type mean target — the changepoint primitive behind
+    "did this source's volume shift". The target is the truncating
+    integer mean, so the whole recurrence is exact BIGINT and the
+    oracle replays it with a recursive CTE (max(0, .) carries state
+    through GREATEST — still bit-exact).
+
+    Scale: q_holt_forecast economics — one daily hash aggregate, the
+    recurrence runs over |types| x |days| rows with O(1) state."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"].to_numpy()]
+        target = sum(ys) // len(ys)
+        cp = cn = 0
+        cps, cns = [], []
+        for y in ys:
+            cp = max(0, cp + y - target)
+            cn = max(0, cn + target - y)
+            cps.append(cp)
+            cns.append(cn)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "rn": range(1, len(ys) + 1),
+                "y": ys,
+                "cpos": cps,
+                "cneg": cns,
+                "target": target,
+                "alarm": [
+                    c1 > 3 * target or c2 > 3 * target
+                    for c1, c2 in zip(cps, cns)
+                ],
+            }
+        )
+
+    return s.groupBy("event_type").applyInPandas(
+        cusum,
+        schema="event_type string, rn long, y long, cpos long,"
+        " cneg long, target long, alarm boolean",
+    )

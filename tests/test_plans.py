@@ -275,6 +275,9 @@ _NLJ_ALLOWED = {
     "q_vocab_growth",       # broadcast 1-row max-doc-id bucketing scalar
     "q_kendall_tau_b",      # value-domain cell dominance join (|Q|x|D| cells,
                             # data-size independent) + 1-row scalar stitches
+    "q_two_proportion_ztest",  # |sources|^2 pair grid on broadcast-sized stats
+    "q_vocab_coverage",     # constant 4-row k-grid x top-k slice
+                            # + broadcast 1-row corpus-totals stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
