@@ -324,3 +324,88 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(n_true + ({noise}) / 1000000 AS DOUBLE)"
         ).alias("noisy_count"),
     )
+
+
+@query(
+    "q_window_funnel",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS t2, MIN(fv.t1) AS t1
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > fv.t1
+        AND e.ts <= fv.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN fc ON fc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fc.t2
+        AND e.ts <= fc.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS step1_users,
+           CAST(COUNT(fc.t2) AS BIGINT) AS step2_users,
+           CAST(COUNT(fp.t3) AS BIGINT) AS step3_users,
+           CAST((1000000 * COUNT(fp.t3)) // COUNT(*) AS BIGINT)
+             AS conv_ppm
+    FROM fv
+    LEFT JOIN fc ON fc.user_id = fv.user_id
+    LEFT JOIN fp ON fp.user_id = fv.user_id
+    """,
+    tags=("funnel", "events", "window-funnel", "conversion"),
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED funnel (ClickHouse windowFunnel semantics):
+    view -> click -> purchase must all land within 7 days of the
+    user's first view, each step strictly after the previous step's
+    first qualifying hit. Complements q_event_funnel (unbounded) —
+    the bounded window is what real conversion SLAs measure. Step
+    resolution is a chain of per-user MIN aggregates with the window
+    predicate folded into each step's filter; the result is one row
+    of exact step counts and truncating-ppm conversion.
+
+    Scale: every aggregate and join hashes on user_id — one shuffle
+    key end to end, AQE coalesces the chain; no windows over raw
+    events, no self-join beyond the keyed step probes."""
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        fv.join(fc.select("user_id", "t2"), "user_id", "left")
+        .join(fp, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("step1_users"),
+            F.count("t2").alias("step2_users"),
+            F.count("t3").alias("step3_users"),
+            F.expr(
+                "CAST((1000000 * COUNT(t3)) div COUNT(*) AS BIGINT)"
+            ).alias("conv_ppm"),
+        )
+    )

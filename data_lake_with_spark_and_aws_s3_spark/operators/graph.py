@@ -693,3 +693,107 @@ def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.row_number().over(w_rank) == 1).alias("is_representative"),
     )
+
+
+@query(
+    "q_kcore_peel",
+    oracle="""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    k1 AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT pa AS v FROM e0 UNION ALL SELECT pb AS v FROM e0
+      ) GROUP BY v HAVING COUNT(*) >= 3
+    ),
+    e1 AS MATERIALIZED (
+      SELECT pa, pb FROM e0
+      WHERE pa IN (SELECT v FROM k1) AND pb IN (SELECT v FROM k1)
+    ),
+    k2 AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT pa AS v FROM e1 UNION ALL SELECT pb AS v FROM e1
+      ) GROUP BY v HAVING COUNT(*) >= 3
+    ),
+    e2 AS MATERIALIZED (
+      SELECT pa, pb FROM e1
+      WHERE pa IN (SELECT v FROM k2) AND pb IN (SELECT v FROM k2)
+    ),
+    k3 AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT pa AS v FROM e2 UNION ALL SELECT pb AS v FROM e2
+      ) GROUP BY v HAVING COUNT(*) >= 3
+    ),
+    e3 AS MATERIALIZED (
+      SELECT pa, pb FROM e2
+      WHERE pa IN (SELECT v FROM k3) AND pb IN (SELECT v FROM k3)
+    ),
+    k4 AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT pa AS v FROM e3 UNION ALL SELECT pb AS v FROM e3
+      ) GROUP BY v HAVING COUNT(*) >= 3
+    ),
+    e4 AS MATERIALIZED (
+      SELECT pa, pb FROM e3
+      WHERE pa IN (SELECT v FROM k4) AND pb IN (SELECT v FROM k4)
+    )
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (
+      SELECT pa AS v FROM e4 UNION ALL SELECT pb AS v FROM e4
+    ) GROUP BY v
+    """,
+    tags=("graph", "kcore", "iterative", "peeling"),
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 3) of the part co-purchase graph by
+    iterative peeling, statically unrolled to 4 rounds: each round
+    drops nodes whose CURRENT degree is below k and the edges touching
+    them, which can push other nodes below k — the standard dense-
+    subgraph / spam-cluster extractor. Both engines run the identical
+    4-round peel (the oracle is the same chained computation as
+    CTEs), so the surviving (node, degree) table hashes exactly; a
+    fixed unroll keeps the plan static — at 100 TB run the same body
+    in a driver loop with a convergence fingerprint like
+    q_dedup_clusters (graph.py) and localCheckpoint per round to cut
+    lineage.
+
+    Scale: each round is one degree aggregate over 2|E| endpoint rows
+    plus two semi-joins keyed on the node id — no all-pairs, no
+    materialized neighborhoods; the edge set only shrinks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    la, lb = li.alias("la"), li.alias("lb")
+    edges = (
+        la.join(
+            lb,
+            (F.col("lb.l_orderkey") == F.col("la.l_orderkey"))
+            & (F.col("la.l_partkey") < F.col("lb.l_partkey")),
+        )
+        .select(
+            F.col("la.l_partkey").alias("pa"),
+            F.col("lb.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .localCheckpoint()  # root of the peel; each round reuses it
+    )
+    for _ in range(4):
+        keep = (
+            edges.select(F.col("pa").alias("v"))
+            .unionAll(edges.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("v")
+        )
+        edges = edges.join(
+            keep.select(F.col("v").alias("pa")), "pa", "left_semi"
+        ).join(keep.select(F.col("v").alias("pb")), "pb", "left_semi")
+    return (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

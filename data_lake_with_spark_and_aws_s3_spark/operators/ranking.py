@@ -1085,3 +1085,105 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n_total AS DECIMAL(38,0)) * n_total) AS BIGINT)"
         ).alias("unc_pp"),
     )
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+      FROM documents GROUP BY n_chars
+    ),
+    binned AS MATERIALIZED (
+      SELECT CAST(((x - MIN(x) OVER ()) * 32)
+                  // (MAX(x) OVER () - MIN(x) OVER () + 1) AS BIGINT)
+               AS bin,
+             cnt, pos
+      FROM h
+    ),
+    bins AS MATERIALIZED (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    ),
+    pre AS MATERIALIZED (
+      SELECT bin, n, pos,
+             CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+             CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos
+      FROM bins
+    ),
+    m AS (
+      SELECT a.bin,
+             CAST(MIN((1000000 * (b.cum_pos - a.cum_pos + a.pos))
+                      // (b.cum_n - a.cum_n + a.n)) AS BIGINT) AS m_j
+      FROM pre a JOIN pre b ON b.bin >= a.bin
+      GROUP BY a.bin
+    )
+    SELECT bins.bin, bins.n, bins.pos,
+           CAST((1000000 * bins.pos) // bins.n AS BIGINT) AS raw_ppm,
+           CAST(MAX(m.m_j) OVER (ORDER BY bins.bin) AS BIGINT) AS iso_ppm
+    FROM bins JOIN m ON m.bin = bins.bin
+    """,
+    tags=("ranking", "calibration", "isotonic", "pav"),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the lang = en
+    rate against the n_chars score, over 32 equal-width score bins —
+    what pool-adjacent-violators produces, computed via PAV's minimax
+    characterization iso_i = max_{j<=i} min_{k>=i..} pooled-rate(j,k),
+    which IS expressible declaratively: pooled interval rates from
+    prefix sums, a bounded interval self-join for the inner min, a
+    running max for the outer. Rates are quantized once per interval
+    to truncating ppm, so both engines compute the identical integer
+    minimax and the fitted curve is monotone by construction.
+
+    Scale: the histogram aggregate is the only pass over data; the
+    interval join is |bins|^2 = 1024 rows on a broadcast-sized table
+    (bin count is a constant of the operator, not of the data)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    binned = h.select(
+        F.expr(
+            "CAST(((x - MIN(x) OVER ()) * 32)"
+            " div (MAX(x) OVER () - MIN(x) OVER () + 1) AS BIGINT)"
+        ).alias("bin"),
+        "cnt",
+        "pos",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("pos")
+    )
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT)").alias("cum_n"),
+        F.expr("CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT)").alias(
+            "cum_pos"
+        ),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    m = (
+        a.join(F.broadcast(b), F.col("b.bin") >= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(
+            F.expr(
+                "CAST(MIN((1000000 * (b.cum_pos - a.cum_pos + a.pos))"
+                " div (b.cum_n - a.cum_n + a.n)) AS BIGINT)"
+            ).alias("m_j")
+        )
+    )
+    return bins.join(m, "bin").select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("CAST((1000000 * pos) div n AS BIGINT)").alias("raw_ppm"),
+        F.expr(
+            "CAST(MAX(m_j) OVER (ORDER BY bin) AS BIGINT)"
+        ).alias("iso_ppm"),
+    )

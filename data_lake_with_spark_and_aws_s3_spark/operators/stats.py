@@ -25,7 +25,7 @@ distribute, made visible and exactly checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1008,5 +1008,114 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.k").alias("k2"),
             F.expr(z2).alias("z2_micro"),
             F.expr(f"{z2} >= 3841459").alias("significant"),
+        )
+    )
+
+
+@query(
+    "q_wasserstein_1d",
+    oracle="""
+    WITH h AS MATERIALIZED (
+      SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    support AS MATERIALIZED (
+      SELECT x,
+             LEAD(x) OVER (ORDER BY x) - x AS dx
+      FROM (SELECT DISTINCT x FROM h)
+    ),
+    srcs AS MATERIALIZED (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM h
+      GROUP BY source
+    ),
+    dense AS MATERIALIZED (
+      SELECT s.source, g.x, g.dx, s.total,
+             CAST(SUM(COALESCE(h.cnt, 0)) OVER (
+                 PARTITION BY s.source ORDER BY g.x) AS BIGINT) AS cdf
+      FROM srcs s
+      CROSS JOIN support g
+      LEFT JOIN h ON h.source = s.source AND h.x = g.x
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           a.total AS n1, b.total AS n2,
+           CAST(SUM(a.dx * ABS(a.cdf * b.total - b.cdf * a.total))
+                AS BIGINT) AS num,
+           CAST(SUM(a.dx * ABS(a.cdf * b.total - b.cdf * a.total))
+                // (a.total * b.total) AS BIGINT) AS w1_chars
+    FROM dense a
+    JOIN dense b ON b.x = a.x AND a.source < b.source
+    WHERE a.dx IS NOT NULL
+    GROUP BY a.source, b.source, a.total, b.total
+    """,
+    tags=("stats", "wasserstein", "distribution-distance", "llm-pipeline"),
+)
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1-D Wasserstein-1 (earth mover's) distance between
+    source document-length distributions — the drift metric that,
+    unlike KS (q_ks_test) or TV, weights HOW FAR mass must move. On
+    the real line W1 integrates |CDF_a - CDF_b|, which over a
+    discrete support grid is sum dx * |F_a*n_b - F_b*n_a| / (n_a*n_b)
+    — exact cross-multiplied integers end to end; w1_chars is the
+    truncating distance in characters.
+
+    Scale: CDFs come from per-source cumulative windows over the
+    |sources| x |support| dense grid (bounded by the value domain —
+    pre-bucket a continuous measure first); the pair term is one
+    equi-join on the grid point. Nothing touches |docs|^2."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    support = (
+        h.select("x")
+        .distinct()
+        .select(
+            "x",
+            (F.lead("x").over(Window.orderBy("x")) - F.col("x")).alias(
+                "dx"
+            ),
+        )
+    )
+    srcs = h.groupBy("source").agg(F.sum("cnt").alias("total"))
+    dense = (
+        F.broadcast(srcs)
+        .crossJoin(F.broadcast(support))
+        .join(h, ["source", "x"], "left")
+        .select(
+            "source",
+            "x",
+            "dx",
+            "total",
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .over(Window.partitionBy("source").orderBy("x"))
+            .alias("cdf"),
+        )
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.x") == F.col("a.x"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .filter(F.col("a.dx").isNotNull())
+        .groupBy(
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            F.col("a.total").alias("n1"),
+            F.col("b.total").alias("n2"),
+        )
+        .agg(
+            F.sum(
+                F.col("a.dx")
+                * F.abs(
+                    F.col("a.cdf") * F.col("b.total")
+                    - F.col("b.cdf") * F.col("a.total")
+                )
+            ).alias("num"),
+            F.expr(
+                "CAST(SUM(a.dx * ABS(a.cdf * b.total - b.cdf * a.total))"
+                " div (FIRST(a.total) * FIRST(b.total)) AS BIGINT)"
+            ).alias("w1_chars"),
         )
     )

@@ -530,3 +530,69 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, rn long, y long, cpos long,"
         " cneg long, target long, alarm boolean",
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v_cents, t_next - t_us AS dt_us
+      FROM e WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           CAST(SUM(v_cents * dt_us) AS BIGINT) AS weighted_sum,
+           CAST(SUM(v_cents * dt_us) // NULLIF(SUM(dt_us), 0) AS BIGINT)
+             AS twap_cents
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    """,
+    tags=("timeseries", "twap", "window", "events"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of the event value per user — the
+    step-function integral divided by the observed span, the metric
+    that survives irregular sampling where a plain mean does not.
+    Each observation is held until the next one (LOCF segments from a
+    lead window); cent-scaled values x microsecond durations keep the
+    integral an exact BIGINT, and the final division is truncating.
+
+    Scale: one user_id shuffle feeds BOTH the lead window and the
+    aggregate (same-key discipline as the interval-union sweep); no
+    self-join, no second exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.select(
+            "user_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v_cents"),
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            F.lead(F.unix_micros(F.col("ts"))).over(w).alias("t_next"),
+        )
+        .filter(F.col("t_next").isNotNull())
+        .select(
+            "user_id", "v_cents", (F.col("t_next") - F.col("t_us")).alias("dt_us")
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_us").alias("span_us"),
+            F.sum(F.col("v_cents") * F.col("dt_us")).alias("weighted_sum"),
+            F.expr(
+                "CAST(SUM(v_cents * dt_us) div NULLIF(SUM(dt_us), 0) AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+        .filter(F.col("span_us") > 0)
+    )

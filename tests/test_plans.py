@@ -278,6 +278,9 @@ _NLJ_ALLOWED = {
     "q_two_proportion_ztest",  # |sources|^2 pair grid on broadcast-sized stats
     "q_vocab_coverage",     # constant 4-row k-grid x top-k slice
                             # + broadcast 1-row corpus-totals stitch
+    "q_wasserstein_1d",     # |sources| x |support| dense CDF grid
+                            # (bounded value domains, broadcast-sized)
+    "q_isotonic_calibration",  # |bins|^2 interval grid (constant 32 bins)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
