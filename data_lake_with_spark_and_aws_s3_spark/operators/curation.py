@@ -536,3 +536,165 @@ def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("weighted_microdocs"),
     )
+
+
+@query(
+    "q_submodular_coverage",
+    oracle="""
+    WITH ds AS MATERIALIZED (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(toks) - 3, 0)),
+                 i -> array_to_string(toks[i+1:i+4], ' ')))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 4
+      )
+    ),
+    g1 AS (
+      SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds 
+      
+      GROUP BY ds.doc_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c1 AS MATERIALIZED (
+      SELECT DISTINCT sh FROM ds
+      WHERE doc_id IN (SELECT doc_id FROM s1)
+    ),
+    g2 AS (
+      SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds ANTI JOIN c1 ON c1.sh = ds.sh
+      WHERE ds.doc_id NOT IN (SELECT doc_id FROM s1)
+      GROUP BY ds.doc_id
+    ),
+    s2 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c2 AS MATERIALIZED (
+      SELECT sh FROM c1
+      UNION
+      SELECT sh FROM ds WHERE doc_id IN (SELECT doc_id FROM s2)
+    ),
+    g3 AS (
+      SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds ANTI JOIN c2 ON c2.sh = ds.sh
+      WHERE ds.doc_id NOT IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2)
+      GROUP BY ds.doc_id
+    ),
+    s3 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c3 AS MATERIALIZED (
+      SELECT sh FROM c2
+      UNION
+      SELECT sh FROM ds WHERE doc_id IN (SELECT doc_id FROM s3)
+    ),
+    g4 AS (
+      SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds ANTI JOIN c3 ON c3.sh = ds.sh
+      WHERE ds.doc_id NOT IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
+      GROUP BY ds.doc_id
+    ),
+    s4 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g4 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c4 AS MATERIALIZED (
+      SELECT sh FROM c3
+      UNION
+      SELECT sh FROM ds WHERE doc_id IN (SELECT doc_id FROM s4)
+    ),
+    g5 AS (
+      SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM ds ANTI JOIN c4 ON c4.sh = ds.sh
+      WHERE ds.doc_id NOT IN (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM s4)
+      GROUP BY ds.doc_id
+    ),
+    s5 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g5 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c5 AS MATERIALIZED (
+      SELECT sh FROM c4
+      UNION
+      SELECT sh FROM ds WHERE doc_id IN (SELECT doc_id FROM s5)
+    )
+    SELECT CAST(1 AS BIGINT) AS step, doc_id, gain, (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS covered_total FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS step, doc_id, gain, (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS covered_total FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT) AS step, doc_id, gain, (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) AS covered_total FROM s3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT) AS step, doc_id, gain, (SELECT CAST(COUNT(*) AS BIGINT) FROM c4) AS covered_total FROM s4
+    UNION ALL
+    SELECT CAST(5 AS BIGINT) AS step, doc_id, gain, (SELECT CAST(COUNT(*) AS BIGINT) FROM c5) AS covered_total FROM s5
+    """,
+    tags=("curation", "submodular", "coverage", "data-selection"),
+)
+def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular max-coverage selection, k = 5: pick the
+    document covering the most 4-gram shingles, remove its shingles,
+    repeat — the (1 - 1/e)-approximate coreset selector behind
+    diversity-first data curation (complement of q_kcenter_select's
+    geometric coverage). Ties break on doc_id, so the greedy
+    trajectory (step, doc, marginal gain, cumulative coverage) is
+    deterministic and hash-checked against the identical chained
+    computation in the oracle.
+
+    Scale: each round is one anti-join of the shingle table against
+    the covered set (equi on shingle) + one gain aggregate + a
+    TakeOrdered(1) — all keyed shuffles over a set that only shrinks;
+    localCheckpoint pins each round's covered set so round plans stay
+    O(1) deep. k is a constant of the operator."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4))
+        )
+    )
+    ds = (
+        d.filter(F.size(toks) >= 4)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+        .localCheckpoint()  # root of every greedy round
+    )
+    covered = None
+    selected_ids = None
+    out = []
+    for step in range(1, 5 + 1):
+        pool = ds if covered is None else ds.join(covered, "sh", "left_anti")
+        if selected_ids is not None:
+            pool = pool.join(selected_ids, "doc_id", "left_anti")
+        gains = pool.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        sel = (
+            gains.orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        sel_ids = sel.select("doc_id")
+        selected_ids = (
+            sel_ids if selected_ids is None
+            else selected_ids.unionAll(sel_ids).localCheckpoint()
+        )
+        new_cov = ds.join(sel_ids, "doc_id", "left_semi").select("sh")
+        covered = (
+            new_cov if covered is None
+            else covered.unionAll(new_cov)
+        ).distinct().localCheckpoint()
+        cov_n = covered.agg(
+            F.count(F.lit(1)).alias("covered_total")
+        )
+        out.append(
+            sel.withColumn("step", F.lit(step).cast("long")).crossJoin(
+                F.broadcast(cov_n)
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.select("step", "doc_id", "gain", "covered_total")

@@ -206,3 +206,98 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_price",
         )
     )
+
+
+@query(
+    "q_sorted_neighborhood",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lower(substr(text, 1, 16)) AS k
+      FROM documents
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, k,
+             CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn
+      FROM keyed
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+    FROM ranked a JOIN ranked b
+      ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+    WHERE levenshtein(a.k, b.k) <= 6
+    """,
+    tags=("dedup", "blocking", "sorted-neighborhood", "record-linkage"),
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the classic record-linkage
+    candidate generator that LSH complements: sort by a blocking key
+    (here the lowercased 16-char text prefix), slide a window of 3,
+    and emit rank-adjacent pairs whose keys are within levenshtein 6.
+    Candidates are O(w*N), not O(N^2), and both engines agree exactly
+    (ROW_NUMBER over the unique (key, doc_id) order; levenshtein is
+    the standard DP metric in both).
+
+    Scale: global ranks use the q_global_row_number decomposition
+    (range repartition + per-partition row_number + tiny offset
+    broadcast — no single-task window); adjacency then joins on the
+    rn-div-4 bucket (each left row probes 2 buckets) with the rank
+    residual, the same bucket-equi shape as the range join — never a
+    rank-cross product. Edit distance runs only on the 3N surviving
+    candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.lower(F.substring("text", 1, 16)).alias("k")
+    )
+    ranged = keyed.repartitionByRange(16, F.asc("k"), F.asc("doc_id"))
+    part = ranged.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(F.asc("k"), F.asc("doc_id"))
+    local = part.withColumn("local_rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "k",
+            (F.col("offset") + F.col("local_rn")).cast("bigint").alias("rn"),
+        )
+        .localCheckpoint()  # feeds both sides of the adjacency join
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("d1"),
+        F.col("k").alias("k1"),
+        F.col("rn").alias("rn1"),
+        F.explode(
+            F.array(
+                (F.col("rn") / 4).cast("long"),
+                (F.col("rn") / 4).cast("long") + 1,
+            )
+        ).alias("probe"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("d2"),
+        F.col("k").alias("k2"),
+        F.col("rn").alias("rn2"),
+        (F.col("rn") / 4).cast("long").alias("bucket"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("rn2") >= F.col("rn1") + 1)
+            & (F.col("rn2") <= F.col("rn1") + 3),
+        )
+        .filter(F.levenshtein("k1", "k2") <= 6)
+        .select(
+            "d1",
+            "d2",
+            (F.col("rn2") - F.col("rn1")).alias("gap"),
+            F.levenshtein("k1", "k2").cast("long").alias("lev"),
+        )
+    )

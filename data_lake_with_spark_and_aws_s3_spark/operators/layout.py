@@ -342,3 +342,151 @@ def q_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_customers").cast("double")
         ).alias("customer_share"),
     )
+
+
+from .llm_pipeline import _hex_val_sql
+
+def _ring_pos(strtype: str) -> str:
+    return _hex_val_sql(
+        f"md5('ring:' || CAST(shard AS {strtype}) || ':'"
+        f" || CAST(replica AS {strtype}))",
+        8,
+    )
+
+
+def _key_pos(strtype: str) -> str:
+    return _hex_val_sql(f"md5(CAST(user_id AS {strtype}))", 8)
+
+
+_RING_POS = _ring_pos("VARCHAR")
+_KEY_POS = _key_pos("VARCHAR")
+
+
+@query(
+    "q_consistent_resharding",
+    oracle=f"""
+    WITH vn AS MATERIALIZED (
+      SELECT s.range AS shard, r.range AS replica,
+             CAST({_RING_POS} AS BIGINT) AS pos
+      FROM range(0, 10) s, range(0, 8) r
+    ),
+    keys AS MATERIALIZED (
+      SELECT user_id, CAST({_KEY_POS} AS BIGINT) AS h
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    succ AS (
+      SELECT k.user_id, k.h,
+             COALESCE(MIN(CASE WHEN vn.shard < 8 AND vn.pos >= k.h
+                                THEN vn.pos END),
+                      MIN(CASE WHEN vn.shard < 8 THEN vn.pos END))
+               AS old_pos,
+             COALESCE(MIN(CASE WHEN vn.pos >= k.h THEN vn.pos END),
+                      MIN(vn.pos)) AS new_pos
+      FROM keys k CROSS JOIN vn
+      GROUP BY k.user_id, k.h
+    ),
+    assigned AS (
+      SELECT succ.user_id, succ.h,
+             MIN(o.shard) AS old_shard, MIN(n.shard) AS new_shard
+      FROM succ
+      JOIN vn o ON o.pos = succ.old_pos AND o.shard < 8
+      JOIN vn n ON n.pos = succ.new_pos
+      GROUP BY succ.user_id, succ.h
+    ),
+    cells AS (
+      SELECT CAST(old_shard AS BIGINT) AS old_shard,
+             CAST(new_shard AS BIGINT) AS new_shard,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN h % 8 <> h % 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mod_moved
+      FROM assigned GROUP BY old_shard, new_shard
+    )
+    SELECT old_shard, new_shard, n_keys,
+           CAST(SUM(n_keys) OVER () AS BIGINT) AS total_keys,
+           CAST((1000000 * SUM(CASE WHEN old_shard <> new_shard
+                                    THEN n_keys ELSE 0 END) OVER ())
+                // SUM(n_keys) OVER () AS BIGINT) AS ring_moved_ppm,
+           CAST((1000000 * SUM(mod_moved) OVER ())
+                // SUM(n_keys) OVER () AS BIGINT) AS mod_moved_ppm
+    FROM cells
+    """,
+    tags=("layout", "consistent-hashing", "resharding", "partitioning"),
+)
+def q_consistent_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring resharding audit: assign every user key to
+    a shard on an 8-shard ring (8 virtual nodes per shard, md5
+    positions) and on the grown 10-shard ring, then measure how much
+    data actually moves — versus the naive h mod N scheme, where
+    nearly everything moves. This is the partition-planning math a
+    100 TB store runs before adding capacity; with consistent hashing
+    the moved fraction should be ~2/10 while mod-resharding moves
+    ~90%. All positions are integer md5 prefixes (the q_hash_split
+    pattern), so both engines compute the identical ring.
+
+    Scale: the ring (80 vnodes) is a broadcast constant; the
+    successor lookup is one bounded NLJ pass over distinct keys
+    (80 comparisons per key, no shuffle), and the movement matrix is
+    a <= |shards|^2 aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    vn = spark.createDataFrame(
+        [(s, r) for s in range(10) for r in range(8)],
+        "shard long, replica long",
+    ).select("shard", "replica", F.expr(f"CAST({_ring_pos('STRING')} AS BIGINT)").alias("pos"))
+    keys = (
+        e.select("user_id")
+        .distinct()
+        .select("user_id", F.expr(f"CAST({_key_pos('STRING')} AS BIGINT)").alias("h"))
+    )
+    succ = (
+        keys.crossJoin(F.broadcast(vn))
+        .groupBy("user_id", "h")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("shard") < 8) & (F.col("pos") >= F.col("h")),
+                        F.col("pos"),
+                    )
+                ),
+                F.min(F.when(F.col("shard") < 8, F.col("pos"))),
+            ).alias("old_pos"),
+            F.coalesce(
+                F.min(F.when(F.col("pos") >= F.col("h"), F.col("pos"))),
+                F.min("pos"),
+            ).alias("new_pos"),
+        )
+    )
+    o = vn.filter(F.col("shard") < 8).select(
+        F.col("pos").alias("old_pos"), F.col("shard").alias("o_shard")
+    )
+    n = vn.select(F.col("pos").alias("new_pos"), F.col("shard").alias("n_shard"))
+    assigned = (
+        succ.join(F.broadcast(o), "old_pos")
+        .join(F.broadcast(n), "new_pos")
+        .groupBy("user_id", "h")
+        .agg(
+            F.min("o_shard").alias("old_shard"),
+            F.min("n_shard").alias("new_shard"),
+        )
+    )
+    cells = assigned.groupBy("old_shard", "new_shard").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(F.col("h") % 8 != F.col("h") % 10, 1).otherwise(0)
+        ).alias("mod_moved"),
+    )
+    return cells.select(
+        "old_shard",
+        "new_shard",
+        "n_keys",
+        F.expr("CAST(SUM(n_keys) OVER () AS BIGINT)").alias("total_keys"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN old_shard <> new_shard"
+            " THEN n_keys ELSE 0 END) OVER ())"
+            " div SUM(n_keys) OVER () AS BIGINT)"
+        ).alias("ring_moved_ppm"),
+        F.expr(
+            "CAST((1000000 * SUM(mod_moved) OVER ())"
+            " div SUM(n_keys) OVER () AS BIGINT)"
+        ).alias("mod_moved_ppm"),
+    )

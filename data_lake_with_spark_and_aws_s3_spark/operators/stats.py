@@ -1119,3 +1119,82 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_chars"),
         )
     )
+
+
+@query(
+    "q_hill_tail_index",
+    oracle="""
+    WITH topk AS MATERIALIZED (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS rn
+      FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT 501
+    ),
+    cut AS (
+      SELECT x AS xk1 FROM topk WHERE rn = 501
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           MIN(cut.xk1) AS x_kplus1,
+           CAST(SUM(CAST(ROUND(1000000 * ln(CAST(topk.x AS DOUBLE)
+                                            / cut.xk1))
+                         AS BIGINT)) AS BIGINT) AS sum_micro_nats,
+           CAST(SUM(CAST(ROUND(1000000 * ln(CAST(topk.x AS DOUBLE)
+                                            / cut.xk1))
+                         AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS hill_gamma_micro,
+           CAST((CAST(1000000 AS HUGEINT) * 1000000 * COUNT(*))
+                // NULLIF(SUM(CAST(ROUND(1000000
+                      * ln(CAST(topk.x AS DOUBLE) / cut.xk1))
+                      AS BIGINT)), 0) AS BIGINT) AS alpha_micro
+    FROM topk, cut
+    WHERE topk.rn <= 500
+    """,
+    tags=("stats", "heavy-tail", "hill-estimator", "llm-pipeline"),
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index over the top
+    k = 500 order statistics: gamma = (1/k) sum ln(x_i / x_{k+1}),
+    alpha = 1/gamma — the heavy-tail diagnostic that says whether
+    length outliers follow a power law (pairs with q_zipf_slope's
+    frequency-side law). Each log ratio is quantized once to
+    micro-nats (identical doubles in both engines), so the sum,
+    gamma, and alpha are exact truncating-integer arithmetic.
+
+    Scale: the only data pass is TakeOrderedAndProject for the top
+    k+1 rows (ties at the cutoff share a value, so the multiset of
+    contributions is order-independent); everything downstream runs
+    on k rows plus a broadcast 1-row cutoff stitch."""
+    d = load_table(spark, sf_dir, "documents")
+    topk = (
+        d.select(F.col("n_chars").cast("long").alias("x"), "doc_id")
+        .orderBy(F.desc("x"), "doc_id")
+        .limit(501)
+        .select(
+            "x",
+            F.expr(
+                "CAST(ROW_NUMBER() OVER (ORDER BY x DESC, doc_id)"
+                " AS BIGINT)"
+            ).alias("rn"),
+        )
+        .localCheckpoint()  # feeds the cutoff row and the top-k body
+    )
+    cut = topk.filter(F.col("rn") == 501).select(
+        F.col("x").alias("xk1")
+    )
+    body = topk.filter(F.col("rn") <= 500).join(F.broadcast(cut))
+    micro = (
+        "CAST(ROUND(1000000 * ln(CAST(x AS DOUBLE) / xk1)) AS BIGINT)"
+    )
+    return body.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("xk1").alias("x_kplus1"),
+        F.expr(f"CAST(SUM({micro}) AS BIGINT)").alias("sum_micro_nats"),
+        F.expr(f"CAST(SUM({micro}) div COUNT(*) AS BIGINT)").alias(
+            "hill_gamma_micro"
+        ),
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * 1000000 * COUNT(*))"
+            f" div NULLIF(SUM({micro}), 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )

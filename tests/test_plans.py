@@ -281,6 +281,9 @@ _NLJ_ALLOWED = {
     "q_wasserstein_1d",     # |sources| x |support| dense CDF grid
                             # (bounded value domains, broadcast-sized)
     "q_isotonic_calibration",  # |bins|^2 interval grid (constant 32 bins)
+    "q_hill_tail_index",    # broadcast 1-row order-statistic cutoff stitch
+    "q_consistent_resharding",  # keys x 80-vnode broadcast ring lookup
+    "q_submodular_coverage",  # per-round broadcast 1-row coverage-count stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
