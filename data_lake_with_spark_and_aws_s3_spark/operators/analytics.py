@@ -416,3 +416,77 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step_mnats",
         F.sum("step_mnats").over(w_cum).cast("long").alias("km_mnats"),
     )
+
+
+@query(
+    "q_hierarchical_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY region) AS BIGINT)
+             AS region_cents,
+           CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents,
+           CAST((1000000 * rev_cents)
+                // SUM(rev_cents) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region_ppm,
+           CAST((1000000 * SUM(rev_cents) OVER (PARTITION BY region))
+                // SUM(rev_cents) OVER () AS BIGINT)
+             AS region_share_ppm
+    FROM rev
+    """,
+    tags=("analytics", "hierarchy", "share", "windows"),
+)
+def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level share-of-parent rollup — nation revenue as a share of
+    its region, region as a share of the world — the drill-down ratio
+    every BI hierarchy renders. Cent-scaled sums keep revenue exact;
+    shares are truncating ppm over window totals at each level.
+
+    Scale: one star join (dimensions broadcast) + one (region, nation)
+    aggregate; both share windows run over the ~25-row grouped frame,
+    never the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev_cents")
+        )
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "rev_cents",
+        F.expr(
+            "CAST(SUM(rev_cents) OVER (PARTITION BY region) AS BIGINT)"
+        ).alias("region_cents"),
+        F.expr("CAST(SUM(rev_cents) OVER () AS BIGINT)").alias(
+            "total_cents"
+        ),
+        F.expr(
+            "CAST((1000000 * rev_cents)"
+            " div SUM(rev_cents) OVER (PARTITION BY region) AS BIGINT)"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "CAST((1000000 * SUM(rev_cents) OVER (PARTITION BY region))"
+            " div SUM(rev_cents) OVER () AS BIGINT)"
+        ).alias("region_share_ppm"),
+    )

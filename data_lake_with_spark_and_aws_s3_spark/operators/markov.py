@@ -123,3 +123,137 @@ def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.withColumn(
         "stat_next_w", F.element_at(stat, F.col("next_st")).cast("long")
     )
+
+
+def _absorb_oracle() -> str:
+    return f"""
+    WITH tr AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    cm AS MATERIALIZED (
+      SELECT prev AS prev_st, event_type AS next_st,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    p0 AS (
+      SELECT prev_st, next_st,
+             CAST(({_MK_ONE} * n)
+                  // (SUM(n) OVER (PARTITION BY prev_st)) AS BIGINT)
+               AS p_ppm
+      FROM cm
+    ),
+    p AS MATERIALIZED (
+      SELECT prev_st, next_st, p_ppm FROM p0
+      WHERE prev_st <> 'purchase'
+      UNION ALL
+      SELECT 'purchase', 'purchase', CAST({_MK_ONE} AS BIGINT)
+    ),
+    a2 AS MATERIALIZED (
+      SELECT a.prev_st, b.next_st,
+             CAST(SUM(a.p_ppm * b.p_ppm) // {_MK_ONE} AS BIGINT) AS p_ppm
+      FROM p a JOIN p b ON b.prev_st = a.next_st
+      GROUP BY a.prev_st, b.next_st
+    ),
+    a4 AS MATERIALIZED (
+      SELECT a.prev_st, b.next_st,
+             CAST(SUM(a.p_ppm * b.p_ppm) // {_MK_ONE} AS BIGINT) AS p_ppm
+      FROM a2 a JOIN a2 b ON b.prev_st = a.next_st
+      GROUP BY a.prev_st, b.next_st
+    ),
+    states AS (SELECT DISTINCT prev_st AS st FROM p)
+    SELECT states.st AS start_state,
+           CAST(COALESCE(t2.p_ppm, 0) AS BIGINT) AS absorb2_ppm,
+           CAST(COALESCE(t4.p_ppm, 0) AS BIGINT) AS absorb4_ppm
+    FROM states
+    LEFT JOIN a2 t2 ON t2.prev_st = states.st AND t2.next_st = 'purchase'
+    LEFT JOIN a4 t4 ON t4.prev_st = states.st AND t4.next_st = 'purchase'
+    """
+
+
+@query(
+    "q_markov_absorption",
+    oracle=_absorb_oracle(),
+    tags=("events", "markov", "absorption", "iterative"),
+)
+def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption probability into 'purchase' within 2 and 4 steps
+    from every start state, with purchase made absorbing — the
+    "how close is each behavior state to converting" read of the
+    q_markov_chain matrix. A^2 and A^4 come from ppm matrix-matrix
+    products (sum of ppm*ppm then one truncating div per cell), so
+    every power is an exact integer matrix identical across engines
+    — iterative linear algebra as two keyed self-joins of a
+    |states|^2 table, the repeated-squaring trick that reaches step
+    2^k in k joins.
+
+    Scale: the only data pass is the lag-window transition count
+    (user_id shuffle); every matrix op is constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cm = tr.groupBy(
+        F.col("prev").alias("prev_st"),
+        F.col("event_type").alias("next_st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p0 = cm.select(
+        "prev_st",
+        "next_st",
+        F.expr(
+            f"CAST(({_MK_ONE} * n)"
+            " div (SUM(n) OVER (PARTITION BY prev_st)) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    ident = spark.createDataFrame(
+        [("purchase", "purchase", _MK_ONE)],
+        "prev_st string, next_st string, p_ppm long",
+    )
+    p = (
+        p0.filter(F.col("prev_st") != "purchase")
+        .unionAll(ident)
+        .localCheckpoint()  # constant-size matrix reused by both squarings
+    )
+
+    def matmul(x: DataFrame, y: DataFrame) -> DataFrame:
+        a, b = x.alias("a"), y.alias("b")
+        return (
+            a.join(b, F.col("b.prev_st") == F.col("a.next_st"))
+            .groupBy(
+                F.col("a.prev_st").alias("prev_st"),
+                F.col("b.next_st").alias("next_st"),
+            )
+            .agg(
+                F.expr(
+                    f"CAST(SUM(a.p_ppm * b.p_ppm) div {_MK_ONE}"
+                    " AS BIGINT)"
+                ).alias("p_ppm")
+            )
+        )
+
+    a2 = matmul(p, p).localCheckpoint()
+    a4 = matmul(a2, a2)
+    states = p.select(F.col("prev_st").alias("st")).distinct()
+    t2 = a2.filter(F.col("next_st") == "purchase").select(
+        F.col("prev_st").alias("st"), F.col("p_ppm").alias("p2")
+    )
+    t4 = a4.filter(F.col("next_st") == "purchase").select(
+        F.col("prev_st").alias("st"), F.col("p_ppm").alias("p4")
+    )
+    return (
+        states.join(t2, "st", "left")
+        .join(t4, "st", "left")
+        .select(
+            F.col("st").alias("start_state"),
+            F.coalesce(F.col("p2"), F.lit(0)).cast("long").alias(
+                "absorb2_ppm"
+            ),
+            F.coalesce(F.col("p4"), F.lit(0)).cast("long").alias(
+                "absorb4_ppm"
+            ),
+        )
+    )

@@ -115,3 +115,106 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         money_sum(F.col("price"), "revenue"),
     )
+
+
+def _skew_audit_sql(table: str, key: str, label: str) -> str:
+    """One key's skew profile (dialect-shared): frequency table ->
+    histogram of frequencies -> exact p99 order statistic by rank."""
+    return f"""
+      SELECT '{label}' AS key_name,
+             CAST(SUM(f * cnt_keys) AS BIGINT) AS n_rows,
+             CAST(SUM(cnt_keys) AS BIGINT) AS n_keys,
+             CAST(MAX(f) AS BIGINT) AS max_freq,
+             CAST((1000000 * MAX(f)) // SUM(f * cnt_keys) AS BIGINT)
+               AS top1_share_ppm,
+             CAST((1000000 * MAX(f) * SUM(cnt_keys))
+                  // SUM(f * cnt_keys) AS BIGINT)
+               AS skew_ratio_ppm,
+             CAST(MIN(CASE WHEN cum_keys * 100 >= 99 * n_keys_t
+                           THEN f END) AS BIGINT) AS p99_freq
+      FROM (
+        SELECT f, cnt_keys,
+               SUM(cnt_keys) OVER (ORDER BY f) AS cum_keys,
+               SUM(cnt_keys) OVER () AS n_keys_t
+        FROM (
+          SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt_keys
+          FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS f
+                FROM {table} GROUP BY {key})
+          GROUP BY f
+        )
+      ) t CROSS JOIN (SELECT 1) one
+      GROUP BY key_name
+    """
+
+
+@query(
+    "q_join_key_skew_audit",
+    oracle=f"""
+    {_skew_audit_sql("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+    UNION ALL
+    {_skew_audit_sql("events", "user_id", "events.user_id")}
+    UNION ALL
+    {_skew_audit_sql("documents", "source", "documents.source")}
+    """,
+    tags=("skew", "audit", "planning", "scale"),
+)
+def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit across three prospective shuffle keys —
+    the pre-flight report that decides whether a join needs salting,
+    AQE skew splits, or a broadcast: rows, distinct keys, the hottest
+    key's frequency and row share, skew ratio (max/mean in ppm), and
+    the exact p99 key frequency from the histogram-of-frequencies
+    (rank order statistic — never a global sort of keys).
+
+    Scale: per key, one hash aggregate to frequencies, one to the
+    frequency histogram (|distinct freqs| rows — tiny), windows over
+    that histogram only. Hot partitions show up here before they
+    melt an executor; this operator IS the planning step the salted
+    join (q_salted_join_agg) consumes."""
+    outs = []
+    for table, key, label in [
+        ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        ("events", "user_id", "events.user_id"),
+        ("documents", "source", "documents.source"),
+    ]:
+        t = load_table(spark, sf_dir, table)
+        freqs = t.groupBy(key).agg(F.count(F.lit(1)).alias("f"))
+        hist = freqs.groupBy("f").agg(
+            F.count(F.lit(1)).alias("cnt_keys")
+        )
+        prof = hist.select(
+            "f",
+            "cnt_keys",
+            F.expr("SUM(cnt_keys) OVER (ORDER BY f)").alias("cum_keys"),
+            F.expr("SUM(cnt_keys) OVER ()").alias("n_keys_t"),
+            (F.col("f") * F.col("cnt_keys")).alias("rows_at_f"),
+        ).agg(
+            F.lit(label).alias("key_name"),
+            F.sum("rows_at_f").alias("n_rows"),
+            F.sum("cnt_keys").alias("n_keys"),
+            F.max("f").alias("max_freq"),
+            F.expr(
+                "CAST((1000000 * MAX(f)) div SUM(f * cnt_keys) AS BIGINT)"
+            ).alias("top1_share_ppm"),
+            F.expr(
+                "CAST((1000000 * MAX(f) * SUM(cnt_keys))"
+                " div SUM(f * cnt_keys) AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum_keys * 100 >= 99 * n_keys_t"
+                " THEN f END) AS BIGINT)"
+            ).alias("p99_freq"),
+        )
+        outs.append(prof)
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionAll(df)
+    return res.select(
+        "key_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_freq").cast("long").alias("max_freq"),
+        "top1_share_ppm",
+        "skew_ratio_ppm",
+        "p99_freq",
+    )

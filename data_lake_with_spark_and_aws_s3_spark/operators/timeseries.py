@@ -596,3 +596,123 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+@query(
+    "q_sax_symbols",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM events
+    ),
+    segs AS MATERIALIZED (
+      SELECT user_id, ((rn - 1) * 8) // n AS seg,
+             CAST(SUM(v_cents) // COUNT(*) AS BIGINT) AS m_cents,
+             MIN(n) AS n_events
+      FROM seq GROUP BY user_id, ((rn - 1) * 8) // n
+    ),
+    hist AS (
+      SELECT m_cents, CAST(COUNT(*) AS BIGINT) AS c FROM segs
+      GROUP BY m_cents
+    ),
+    cum AS (
+      SELECT m_cents, SUM(c) OVER (ORDER BY m_cents) AS cum_c,
+             SUM(c) OVER () AS m_total
+      FROM hist
+    ),
+    bp AS MATERIALIZED (
+      SELECT MIN(CASE WHEN 4 * cum_c >= m_total THEN m_cents END) AS b25,
+             MIN(CASE WHEN 2 * cum_c >= m_total THEN m_cents END) AS b50,
+             MIN(CASE WHEN 4 * cum_c >= 3 * m_total THEN m_cents END)
+               AS b75
+      FROM cum
+    )
+    SELECT user_id, MIN(n_events) AS n_events,
+           string_agg(CASE WHEN m_cents < bp.b25 THEN 'a'
+                           WHEN m_cents < bp.b50 THEN 'b'
+                           WHEN m_cents < bp.b75 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax
+    FROM segs CROSS JOIN bp
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "sax", "symbolization", "mining"),
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each user's event-value series: piecewise
+    aggregate approximation into 8 equal-count segments (integer
+    position arithmetic), then each segment mean quantized to a 4-
+    letter alphabet at the corpus quartiles — the time-series-mining
+    transform that turns numeric series into strings so motif/dedup
+    machinery (LSH, n-gram joins) can run on behavior. Segment means
+    are truncating cent integers, quartile breakpoints are exact
+    order statistics from the mean histogram (rank trick, no sort of
+    the data), and the symbol string aggregates in explicit seg
+    order — deterministic everywhere.
+
+    Scale: one user_id shuffle for the windows + segment aggregate;
+    the breakpoint table is a broadcast 1-row stitch; symbols
+    re-aggregate on the same user_id key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    seq = e.select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v_cents"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    )
+    segs = (
+        seq.groupBy(
+            "user_id",
+            F.expr("((rn - 1) * 8) div n").alias("seg"),
+        )
+        .agg(
+            F.expr("CAST(SUM(v_cents) div COUNT(*) AS BIGINT)").alias(
+                "m_cents"
+            ),
+            F.min("n").alias("n_events"),
+        )
+        .localCheckpoint()  # feeds the histogram AND the symbol pass
+    )
+    hist = segs.groupBy("m_cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "m_cents",
+        F.expr("SUM(c) OVER (ORDER BY m_cents)").alias("cum_c"),
+        F.expr("SUM(c) OVER ()").alias("m_total"),
+    )
+    bp = cum.agg(
+        F.expr(
+            "MIN(CASE WHEN 4 * cum_c >= m_total THEN m_cents END)"
+        ).alias("b25"),
+        F.expr(
+            "MIN(CASE WHEN 2 * cum_c >= m_total THEN m_cents END)"
+        ).alias("b50"),
+        F.expr(
+            "MIN(CASE WHEN 4 * cum_c >= 3 * m_total THEN m_cents END)"
+        ).alias("b75"),
+    )
+    sym = F.when(F.col("m_cents") < F.col("b25"), "a").when(
+        F.col("m_cents") < F.col("b50"), "b"
+    ).when(F.col("m_cents") < F.col("b75"), "c").otherwise("d")
+    return (
+        segs.crossJoin(F.broadcast(bp))
+        .select("user_id", "seg", "n_events", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.min("n_events").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("seg", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax"),
+        )
+    )

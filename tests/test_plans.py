@@ -284,6 +284,7 @@ _NLJ_ALLOWED = {
     "q_hill_tail_index",    # broadcast 1-row order-statistic cutoff stitch
     "q_consistent_resharding",  # keys x 80-vnode broadcast ring lookup
     "q_submodular_coverage",  # per-round broadcast 1-row coverage-count stitch
+    "q_sax_symbols",        # broadcast 1-row quartile-breakpoint stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
