@@ -490,3 +490,103 @@ def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(rev_cents) OVER () AS BIGINT)"
         ).alias("region_share_ppm"),
     )
+
+
+@query(
+    "q_fiscal_calendar",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    dim AS MATERIALIZED (
+      SELECT d,
+             CASE WHEN month(d) >= 2 THEN year(d) + 1 ELSE year(d) END
+               AS fiscal_year,
+             ((month(d) + 10) % 12) // 3 + 1 AS fiscal_quarter
+      FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+              AS d FROM bounds)
+    ),
+    days AS (
+      SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
+             CAST(fiscal_quarter AS BIGINT) AS fiscal_quarter,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dim GROUP BY 1, 2
+    ),
+    rev AS (
+      SELECT dim.fiscal_year, dim.fiscal_quarter,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN dim ON dim.d = CAST(o.o_orderdate AS DATE)
+      GROUP BY 1, 2
+    )
+    SELECT days.fiscal_year, days.fiscal_quarter, days.n_days,
+           CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(rev.rev_cents, 0) AS BIGINT) AS rev_cents
+    FROM days
+    LEFT JOIN rev ON rev.fiscal_year = days.fiscal_year
+                 AND rev.fiscal_quarter = days.fiscal_quarter
+    """,
+    tags=("analytics", "calendar", "fiscal", "date-dimension"),
+)
+def q_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated fiscal date dimension (FY starts in February) joined
+    to order revenue by fiscal quarter — the calendar-conformance
+    pattern every finance-facing mart needs: the dimension is
+    GENERATED executor-side over the fact date span (sequence
+    explode, the q_gap_fill precedent — never a driver loop), fiscal
+    attributes are pure month arithmetic, and quarters with zero
+    orders still appear with their true day counts.
+
+    Scale: the dimension is |days| rows (tiny, broadcast); facts
+    join it on the date key and aggregate once; day counting is an
+    aggregate over the dimension alone."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    dim = bounds.select(
+        F.explode(
+            F.expr("sequence(d0, d1, INTERVAL 1 DAY)")
+        ).alias("d")
+    ).select(
+        "d",
+        F.expr(
+            "CASE WHEN month(d) >= 2 THEN year(d) + 1 ELSE year(d) END"
+        )
+        .cast("long")
+        .alias("fiscal_year"),
+        F.expr("((month(d) + 10) % 12) div 3 + 1")
+        .cast("long")
+        .alias("fiscal_quarter"),
+    )
+    days = dim.groupBy("fiscal_year", "fiscal_quarter").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    rev = (
+        o.join(
+            F.broadcast(dim),
+            F.col("d") == F.col("o_orderdate").cast("date"),
+        )
+        .groupBy("fiscal_year", "fiscal_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev_cents"),
+        )
+    )
+    return days.join(rev, ["fiscal_year", "fiscal_quarter"], "left").select(
+        "fiscal_year",
+        "fiscal_quarter",
+        "n_days",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias(
+            "n_orders"
+        ),
+        F.coalesce(F.col("rev_cents"), F.lit(0)).cast("long").alias(
+            "rev_cents"
+        ),
+    )

@@ -428,3 +428,95 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_segment",
         "new_segment",
     )
+
+
+@query(
+    "q_late_arriving_dim",
+    oracle="""
+    WITH dim_v1 AS MATERIALIZED (
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_custkey % 10 <> 3
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    staged AS MATERIALIZED (
+      SELECT f.o_orderkey, f.o_custkey, f.cents,
+             d.c_custkey IS NOT NULL AS matched_v1
+      FROM facts f LEFT JOIN dim_v1 d ON d.c_custkey = f.o_custkey
+    ),
+    resolved AS (
+      SELECT s.*, c.c_custkey IS NOT NULL AS matched_v2
+      FROM staged s LEFT JOIN customer c ON c.c_custkey = s.o_custkey
+    )
+    SELECT CASE WHEN matched_v1 THEN 'matched_initial'
+                WHEN matched_v2 THEN 'inferred_then_resolved'
+                ELSE 'still_unknown' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM resolved
+    GROUP BY 1
+    """,
+    tags=("cdc", "late-arriving-dimension", "warehouse", "scd"),
+)
+def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension reconciliation — the warehouse pattern
+    for facts that reference dimension members not yet loaded: join
+    against the v1 dimension snapshot (simulated: every custkey % 10
+    = 3 member is 'late'), stage unmatched facts as inferred members,
+    then re-resolve against the complete dimension and report each
+    fact's lifecycle (matched initially / inferred then resolved /
+    still unknown) with exact order and revenue accounting. The
+    inferred-member flow is the MERGE-family complement of
+    q_merge_upsert: never drop a fact, never double-count one.
+
+    Scale: two broadcast dimension probes against the fact scan and
+    one status aggregate — the fact table is read once, dimensions
+    are the small side both times."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dim_v1 = c.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey", "c_nationkey"
+    )
+    facts = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    staged = facts.join(
+        F.broadcast(dim_v1), F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.col("c_custkey").isNotNull().alias("matched_v1"),
+    )
+    resolved = staged.join(
+        F.broadcast(c.select("c_custkey")),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    ).select(
+        "o_custkey",
+        "cents",
+        "matched_v1",
+        F.col("c_custkey").isNotNull().alias("matched_v2"),
+    )
+    return (
+        resolved.select(
+            F.when(F.col("matched_v1"), "matched_initial")
+            .when(F.col("matched_v2"), "inferred_then_resolved")
+            .otherwise("still_unknown")
+            .alias("status"),
+            "o_custkey",
+            "cents",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )

@@ -1328,3 +1328,95 @@ def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_knn_graph",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, embedding,
+             {_NORM2_SQL.format(a="embedding")} AS norm2
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+             ROUND(CAST({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                        AS DOUBLE)
+                   / (sqrt(CAST(a.norm2 AS DOUBLE))
+                      * sqrt(CAST(b.norm2 AS DOUBLE))), 6) AS cosine
+      FROM v a JOIN v b ON b.label = a.label AND b.vec_id <> a.vec_id
+    ),
+    knn AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT src, dst, label, cosine,
+               CAST(row_number() OVER (PARTITION BY src
+                     ORDER BY cosine DESC, dst) AS BIGINT) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    )
+    SELECT k.src, k.dst, k.label, k.rank, k.cosine,
+           r.src IS NOT NULL AS mutual
+    FROM knn k
+    LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src
+    """,
+    tags=("similarity", "knn-graph", "embedding", "llm-pipeline"),
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k = 3) over the embedding corpus,
+    label-blocked, with the mutual-kNN flag — the substrate SemDeDup-
+    style clustering, manifold estimation, and outlier pruning all
+    start from. Scoring is the exact scaled-int dot/norm machinery
+    (similarity.qint), ranked on the 6-dp-rounded cosine with dst
+    tie-break so both engines produce the identical edge list;
+    mutuality is one self-join of the kNN edges on the reversed pair.
+
+    Scale: candidates are BLOCKED (label cells here; IVF cells or LSH
+    buckets for unlabeled corpora — q_ann_ivf shows the swap), so the
+    score fan-out is sum of block sizes squared, never corpus^2; the
+    top-k window partitions by src inside each block, and the mutual
+    join is keyed on the edge pair."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot_int(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    scored = a.join(
+        b,
+        (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.col("a.label").alias("label"),
+        F.round(
+            cosine_expr(
+                dot_int(F.col("a.embedding"), F.col("b.embedding")),
+                F.col("a.norm2"),
+                F.col("b.norm2"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .localCheckpoint()  # feeds both sides of the mutuality join
+    )
+    r = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    rdf = r.withColumn("is_mutual", F.lit(True))
+    return (
+        knn.join(
+            rdf.select("src", "dst", "is_mutual"), ["src", "dst"], "left"
+        )
+        .select(
+            "src",
+            "dst",
+            "label",
+            "rank",
+            "cosine",
+            F.coalesce(F.col("is_mutual"), F.lit(False)).alias("mutual"),
+        )
+    )
