@@ -91,7 +91,43 @@ FAMILIES = {
     "q_ml_minhash_lsh": lambda spark, d: {
         "hash_rows": load_table(spark, d, "documents").count() * 16
     },
+    # round 3, session 7 additions (document-driven; lineitem-driven
+    # ops like q_adamic_adar / q_kcore_peel are NOT swept — their edge
+    # input is symlinked to sf0.1 in the synthetic dirs, the q_bfs_hops
+    # caveat above)
+    "q_submodular_coverage": lambda spark, d: {
+        "shingle_rows": shingle_stats(spark, d)
+    },
+    "q_sorted_neighborhood": lambda spark, d: {
+        "candidate_pairs": load_table(spark, d, "documents").count() * 3
+    },
+    "q_source_tv_distance": lambda spark, d: {
+        "posting_rows": tf_posting_rows(spark, d)
+    },
+    "q_wasserstein_1d": lambda spark, d: {
+        "grid_rows": support_grid_rows(spark, d)
+    },
 }
+
+
+def tf_posting_rows(spark, sf_dir):
+    """Distinct (source, term) rows = the pair join's posting currency."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .count()
+        .count()
+    )
+
+
+def support_grid_rows(spark, sf_dir):
+    """|sources| x |distinct n_chars| dense CDF grid size."""
+    d = load_table(spark, sf_dir, "documents")
+    ns = d.select("n_chars").distinct().count()
+    srcs = d.select("source").distinct().count()
+    return ns * srcs
 
 
 def gram_positions(spark, sf_dir):
