@@ -590,3 +590,66 @@ def q_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         ),
     )
+
+
+@query(
+    "q_topn_plus_other",
+    oracle="""
+    WITH agg AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n_docs DESC, source) AS BIGINT) AS rnk
+      FROM agg
+    )
+    SELECT lang,
+           CASE WHEN rnk <= 3 THEN source ELSE '(other)' END AS source,
+           CAST(MIN(CASE WHEN rnk <= 3 THEN rnk ELSE 4 END) AS BIGINT)
+             AS display_rank,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS chars,
+           CAST(COUNT(*) AS BIGINT) AS n_sources_in_bucket
+    FROM ranked
+    GROUP BY lang, CASE WHEN rnk <= 3 THEN source ELSE '(other)' END
+    """,
+    tags=("analytics", "topn-other", "bi", "rollup"),
+)
+def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 sources per language with everything else rolled into an
+    '(other)' bucket — the BI idiom every pie chart and legend uses:
+    the long tail never disappears, it aggregates, so totals still
+    reconcile. Ranking ties break on the source name; the bucket
+    re-aggregation preserves exact doc and char counts.
+
+    Scale: one (lang, source) hash aggregate (bounded cells), a rank
+    window partitioned by lang over those cells, and one re-aggregate
+    — nothing touches raw rows twice."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), "source")
+    ranked = agg.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.groupBy(
+            "lang",
+            F.when(F.col("rnk") <= 3, F.col("source"))
+            .otherwise("(other)")
+            .alias("source"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("rnk") <= 3, F.col("rnk")).otherwise(4)
+            ).alias("display_rank"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("chars").alias("chars"),
+            F.count(F.lit(1)).alias("n_sources_in_bucket"),
+        )
+    )

@@ -286,3 +286,95 @@ def q_frequent_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@query(
+    "q_position_bias_coec",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS pos
+      FROM events
+    ),
+    capped AS MATERIALIZED (
+      SELECT user_id, event_type,
+             CASE WHEN pos > 10 THEN 10 ELSE pos END AS pos
+      FROM ranked
+    ),
+    prior AS MATERIALIZED (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST((1000000 * SUM(CASE WHEN event_type = 'click'
+                                      THEN 1 ELSE 0 END))
+                  // COUNT(*) AS BIGINT) AS ctr_ppm
+      FROM capped GROUP BY pos
+    ),
+    per_user AS (
+      SELECT c.user_id,
+             CAST(SUM(CASE WHEN c.event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks,
+             CAST(SUM(p.ctr_ppm) AS BIGINT) AS expected_micro
+      FROM capped c JOIN prior p ON p.pos = c.pos
+      GROUP BY c.user_id
+    )
+    SELECT user_id, clicks, expected_micro,
+           CAST((1000000 * clicks * 1000000) // NULLIF(expected_micro, 0)
+                AS BIGINT) AS coec_ppm
+    FROM per_user
+    """,
+    tags=("insights", "position-bias", "coec", "evaluation"),
+)
+def q_position_bias_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks-over-expected-clicks (COEC) per user — the position-
+    bias-corrected engagement metric: each impression's expected
+    clicks is the POSITION prior (global CTR at that within-session
+    rank, capped at 10), and a user's COEC is actual clicks over the
+    sum of priors, so users who click from deep positions score above
+    1. The prior is truncating ppm per position; expectations
+    accumulate those exact integers, and COEC is one cross-multiplied
+    division — fully hashable, no floats.
+
+    Scale: one user_id window pass ranks impressions; the prior is a
+    10-row broadcast; the per-user reduction reuses the same user_id
+    key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = e.select(
+        "user_id",
+        "event_type",
+        F.least(F.row_number().over(w).cast("long"), F.lit(10)).alias(
+            "pos"
+        ),
+    )
+    prior = capped.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks_at"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN event_type = 'click'"
+            " THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("ctr_ppm"),
+    )
+    per_user = (
+        capped.join(F.broadcast(prior.select("pos", "ctr_ppm")), "pos")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.sum("ctr_ppm").alias("expected_micro"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "clicks",
+        "expected_micro",
+        F.expr(
+            "CAST((1000000 * clicks * 1000000)"
+            " div NULLIF(expected_micro, 0) AS BIGINT)"
+        ).alias("coec_ppm"),
+    )

@@ -1198,3 +1198,144 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div NULLIF(SUM({micro}), 0) AS BIGINT)"
         ).alias("alpha_micro"),
     )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN r.r_name = 'EUROPE' THEN 'treat'
+                  ELSE 'control' END AS grp,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1998-07-01'
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    cells AS MATERIALIZED (
+      SELECT grp, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+      FROM labeled GROUP BY grp, period
+    )
+    SELECT grp, period, n, cents, mean_cents,
+           CAST(SUM(CASE WHEN grp = 'treat' AND period = 'post'
+                         THEN mean_cents
+                         WHEN grp = 'treat' AND period = 'pre'
+                         THEN -mean_cents
+                         WHEN grp = 'control' AND period = 'post'
+                         THEN -mean_cents
+                         ELSE mean_cents END) OVER () AS BIGINT)
+             AS did_cents
+    FROM cells
+    """,
+    tags=("stats", "causal", "diff-in-diff", "ab-test"),
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of order value: treatment
+    group = customers of EUROPE, cutover 1998-07-01 — the 2x2
+    pre/post x treat/control table with the DiD estimator
+    (T_post - T_pre) - (C_post - C_pre) over truncating-integer cell
+    means, the minimum viable causal read of a rollout when
+    randomization wasn't available. All four cells are hashed with
+    exact counts and cent sums; the estimator is a window sum over
+    the 4-row frame, so the whole causal surface is integer-exact.
+
+    Scale: one broadcast star join + one 4-cell aggregate; the
+    estimator never touches raw rows again."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.when(F.col("r_name") == "EUROPE", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(
+                F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    cells = labeled.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+        F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )
+    return cells.select(
+        "grp",
+        "period",
+        "n",
+        "cents",
+        "mean_cents",
+        F.expr(
+            "CAST(SUM(CASE WHEN grp = 'treat' AND period = 'post'"
+            " THEN mean_cents"
+            " WHEN grp = 'treat' AND period = 'pre' THEN -mean_cents"
+            " WHEN grp = 'control' AND period = 'post' THEN -mean_cents"
+            " ELSE mean_cents END) OVER () AS BIGINT)"
+        ).alias("did_cents"),
+    )
+
+
+@query(
+    "q_overdispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(y) AS BIGINT) AS total,
+           CAST(SUM(y * y) AS BIGINT) AS sum_sq,
+           CAST((1000000 * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)))
+                // (NULLIF(COUNT(*) - 1, 0) * SUM(y)) AS BIGINT)
+             AS dispersion_ppm,
+           (1000000 * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)))
+                // (NULLIF(COUNT(*) - 1, 0) * SUM(y)) > 1500000
+             AS overdispersed
+    FROM daily GROUP BY event_type
+    """,
+    tags=("stats", "overdispersion", "count-data", "timeseries"),
+)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type — the Poisson sanity check behind alerting
+    thresholds and negative-binomial model selection: D = s^2/ybar,
+    rationalized to n*(n*Syy - Sy^2) / ((n-1) * n * Sy) and reduced
+    to one truncating ppm division over exact BIGINT moments, with a
+    1.5x flag for clear overdispersion. No floats anywhere.
+
+    Scale: one daily hash aggregate, one per-type moment reduction —
+    both map-side-combinable."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    disp = (
+        "(1000000 * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)))"
+        " div (NULLIF(COUNT(*) - 1, 0) * SUM(y))"
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("total"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_sq"),
+        F.expr(f"CAST({disp} AS BIGINT)").alias("dispersion_ppm"),
+        F.expr(f"{disp} > 1500000").alias("overdispersed"),
+    )
