@@ -394,3 +394,69 @@ def q_exact_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mo, "event_type").select(
         "event_type", "n", "median_value", "mode_user", "mode_count"
     )
+
+
+@query(
+    "q_weighted_percentile",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS MATERIALIZED (
+      SELECT q, w,
+             CAST(SUM(w) OVER (ORDER BY q) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER () AS BIGINT) AS tw
+      FROM h
+    )
+    SELECT pct,
+           MIN(CASE WHEN 100 * cw >= pct * tw THEN q END) AS value,
+           MIN(tw) AS total_weight_cents
+    FROM cum
+    CROSS JOIN (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS pct)
+    GROUP BY pct
+    """,
+    tags=("agg", "weighted-percentile", "order-statistics"),
+)
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED percentiles of order quantity (P25..P99):
+    "the quantity below which X% of revenue sits" — the
+    dollar-weighted order statistic plain percentile can't answer.
+    Same rank trick as the exact-median family, but the cumulative
+    axis is cent-weighted mass: one value histogram with weight sums,
+    a cumulative window over |distinct quantities| rows, and each
+    percentile is the first value whose cumulative weight crosses
+    pct% of total (exact integer cross-multiplication, no
+    interpolation ambiguity).
+
+    Scale: one hash aggregate over the scan; everything after runs
+    on the bounded value domain; the percentile grid is a constant
+    5-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+        ).alias("w")
+    )
+    cum = h.select(
+        "q",
+        "w",
+        F.expr("CAST(SUM(w) OVER (ORDER BY q) AS BIGINT)").alias("cw"),
+        F.expr("CAST(SUM(w) OVER () AS BIGINT)").alias("tw"),
+    )
+    grid = spark.createDataFrame(
+        [(25,), (50,), (75,), (90,), (99,)], "pct long"
+    )
+    return (
+        F.broadcast(grid)
+        .crossJoin(cum)
+        .groupBy("pct")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN 100 * cw >= pct * tw THEN q END)"
+            ).alias("value"),
+            F.min("tw").alias("total_weight_cents"),
+        )
+    )

@@ -716,3 +716,92 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sax"),
         )
     )
+
+
+@query(
+    "q_binseg_split",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    pre AS MATERIALIZED (
+      SELECT x, y,
+             CAST(SUM(y) OVER (ORDER BY x) AS BIGINT) AS cy,
+             CAST(SUM(y) OVER () AS BIGINT) AS ty,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT x AS split_x, cy, ty, n,
+             CAST((1000000 * (CAST(cy AS HUGEINT) * cy * (n - x)
+                              + CAST(ty - cy AS HUGEINT) * (ty - cy) * x))
+                  // (CAST(x AS HUGEINT) * (n - x)) AS BIGINT) AS gain_micro
+      FROM pre WHERE x < n
+    )
+    SELECT split_x,
+           CAST(cy AS BIGINT) AS sum_left,
+           CAST(ty - cy AS BIGINT) AS sum_right,
+           CAST(cy // split_x AS BIGINT) AS mean_left,
+           CAST((ty - cy) // (n - split_x) AS BIGINT) AS mean_right,
+           gain_micro
+    FROM scored
+    ORDER BY gain_micro DESC, split_x
+    LIMIT 1
+    """,
+    tags=("timeseries", "changepoint", "binary-segmentation"),
+)
+def q_binseg_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint by binary segmentation (first split): the
+    day k that maximizes the between-segment sum-of-squares
+    Sy_left^2/n_left + Sy_right^2/n_right of the daily count series —
+    the batch complement of the online q_cusum_drift. Prefix sums
+    give every candidate's score in one window pass; the objective
+    rationalizes to one truncating micro division per candidate
+    (common denominator x*(n-x)), so the argmax and both segment
+    means are exact integers, tie-broken on the split index.
+
+    Scale: one daily aggregate, one prefix-sum window over |days|
+    rows, TakeOrdered(1) for the argmax — recurse on the winning
+    halves for the full binseg tree, same cost shape per level."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    daily = daily.withColumn(
+        "x", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+    pre = daily.select(
+        "x",
+        "y",
+        F.expr("CAST(SUM(y) OVER (ORDER BY x) AS BIGINT)").alias("cy"),
+        F.expr("CAST(SUM(y) OVER () AS BIGINT)").alias("ty"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n"),
+    )
+    scored = pre.filter(F.col("x") < F.col("n")).select(
+        F.col("x").alias("split_x"),
+        "cy",
+        "ty",
+        "n",
+        F.expr(
+            "CAST((1000000 * (CAST(cy AS DECIMAL(38,0)) * cy * (n - x)"
+            " + CAST(ty - cy AS DECIMAL(38,0)) * (ty - cy) * x))"
+            " div (CAST(x AS DECIMAL(38,0)) * (n - x)) AS BIGINT)"
+        ).alias("gain_micro"),
+    )
+    return (
+        scored.select(
+            "split_x",
+            F.col("cy").alias("sum_left"),
+            (F.col("ty") - F.col("cy")).alias("sum_right"),
+            F.expr("CAST(cy div split_x AS BIGINT)").alias("mean_left"),
+            F.expr(
+                "CAST((ty - cy) div (n - split_x) AS BIGINT)"
+            ).alias("mean_right"),
+            "gain_micro",
+        )
+        .orderBy(F.desc("gain_micro"), "split_x")
+        .limit(1)
+    )

@@ -248,3 +248,82 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 20 == 0)
         .select("event_type", "ts", "event_id", "users_trailing_1h")
     )
+
+
+@query(
+    "q_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT event_type, day, x, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, x, y, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((1000000 * (n * sxy - sx * sy))
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+             AS slope_micro
+    FROM m
+    """,
+    tags=("window", "rolling-regression", "trend", "timeseries"),
+)
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling OLS slope of the daily event-count series per
+    type — the local-trend detector dashboards draw as "momentum":
+    regression moments (n, Sx, Sy, Sxx, Sxy) accumulate inside ONE
+    rows-frame window, the slope numerator/denominator are exact
+    BIGINTs, and slope_micro is a truncating division — a full
+    regression per row without any self-join or UDF.
+
+    Scale: the daily aggregate is one hash shuffle; all five moment
+    windows share a single (event_type, x) sort — one window pass
+    over |types| x |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    daily = daily.withColumn("x", F.row_number().over(w_rn).cast("long"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    m = daily.select(
+        "event_type",
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        "x",
+        "y",
+        "n",
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy))"
+            " div NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("slope_micro"),
+    )

@@ -285,6 +285,7 @@ _NLJ_ALLOWED = {
     "q_consistent_resharding",  # keys x 80-vnode broadcast ring lookup
     "q_submodular_coverage",  # per-round broadcast 1-row coverage-count stitch
     "q_sax_symbols",        # broadcast 1-row quartile-breakpoint stitch
+    "q_weighted_percentile",  # constant 5-row percentile grid x histogram
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
