@@ -653,3 +653,93 @@ def q_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sources_in_bucket"),
         )
     )
+
+
+@query(
+    "q_greedy_allocation",
+    oracle="""
+    WITH supply AS MATERIALIZED (
+      SELECT l_partkey,
+             CAST((CAST(SUM(l_quantity) AS BIGINT) * 60) // 100 AS BIGINT) AS cap
+      FROM lineitem GROUP BY l_partkey
+    ),
+    demand AS (
+      SELECT l.l_partkey, l.l_orderkey,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)) OVER (
+                 PARTITION BY l.l_partkey
+                 ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS taken_before
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT d.l_partkey, d.l_orderkey, d.qty,
+           CAST(LEAST(d.qty,
+                      GREATEST(CAST(0 AS BIGINT),
+                               s.cap - d.taken_before)) AS BIGINT)
+             AS allocated,
+           d.qty = LEAST(d.qty,
+                         GREATEST(CAST(0 AS BIGINT),
+                                  s.cap - d.taken_before)) AS fully_filled
+    FROM demand d JOIN supply s ON s.l_partkey = d.l_partkey
+    WHERE d.qty > LEAST(d.qty,
+                        GREATEST(CAST(0 AS BIGINT),
+                                 s.cap - d.taken_before))
+    """,
+    tags=("analytics", "allocation", "inventory", "windows"),
+)
+def q_greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy priority-ordered inventory allocation: each part's
+    supply cap (60% of historical demand, the shortage scenario) is
+    handed out in order-date priority; a line gets
+    min(demand, max(0, cap - cumulative_taken_before)) — the
+    fill-or-kill waterfall every order-promising system runs. The
+    "sequential" handout is ONE prefix-sum window per part (no loop,
+    no recursion: allocation depends on the running sum of demand,
+    not on previous allocations, because the cap is per-part). Output
+    is the shortage report: every short-shipped line, exact.
+
+    Scale: one orders join for priority, one (partkey)-keyed window,
+    one broadcast-sized supply join — all on the same part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    supply = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST((CAST(SUM(l_quantity) AS BIGINT) * 60) div 100 AS BIGINT)"
+        ).alias("cap")
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("o_orderdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    demand = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .withColumn(
+            "taken_before",
+            F.coalesce(F.sum("qty").over(w), F.lit(0)).cast("long"),
+        )
+    )
+    alloc = F.least(
+        F.col("qty"),
+        F.greatest(F.lit(0).cast("long"), F.col("cap") - F.col("taken_before")),
+    )
+    return (
+        demand.join(supply, "l_partkey")
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "qty",
+            alloc.alias("allocated"),
+            (F.col("qty") == alloc).alias("fully_filled"),
+        )
+        .filter(F.col("qty") > F.col("allocated"))
+    )

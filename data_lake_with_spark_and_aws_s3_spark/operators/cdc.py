@@ -520,3 +520,69 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("rev_cents"),
         )
     )
+
+
+@query(
+    "q_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          MIN(CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS days_to_first_ship,
+           CAST(date_diff('day', MIN(CAST(l.l_shipdate AS DATE)),
+                          MAX(CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS ship_span_days,
+           CAST(SUM(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final,
+           COUNT(*) = SUM(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0
+                          END) AS fully_final
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    tags=("cdc", "accumulating-snapshot", "warehouse", "milestones"),
+)
+def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact build: one row per order carrying
+    its milestone lags — days from order to first shipment, the
+    shipping span across lines, and line-status completeness — the
+    Kimball pattern for processes with multiple dated milestones
+    (each reload UPDATES the row as milestones land; q_merge_upsert
+    is the reload mechanism, this is the fact shape). Day lags are
+    integer date arithmetic, identical in both engines.
+
+    Scale: one orderkey-keyed join + aggregate — the natural
+    co-partitioned pair (same key both sides), so AQE plans a single
+    shuffle each; no windows, no second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("days_to_first_ship"),
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            )
+            .cast("long")
+            .alias("ship_span_days"),
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+            ).alias("n_final"),
+            (
+                F.count(F.lit(1))
+                == F.sum(
+                    F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+                )
+            ).alias("fully_final"),
+        )
+        .drop("o_orderdate")
+    )

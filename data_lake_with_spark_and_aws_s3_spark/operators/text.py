@@ -789,3 +789,71 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "q_readability",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS words,
+             CAST(GREATEST(len(regexp_extract_all(text, '\\.')), 1)
+                  AS BIGINT) AS sents,
+             CAST(GREATEST(len(regexp_extract_all(lower(text),
+                                                  '[aeiou]+')), 1)
+                  AS BIGINT) AS vgroups
+      FROM documents
+    )
+    SELECT doc_id, lang, words, sents, vgroups,
+           CAST(206835 - (1015 * words) // NULLIF(sents, 0)
+                       - (84600 * vgroups) // NULLIF(words, 0)
+                AS BIGINT) AS flesch_milli
+    FROM counts
+    WHERE words > 0
+    """,
+    tags=("text", "readability", "quality", "llm-pipeline"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability proxy per document: words, sentences
+    (period count, floored at 1), and vowel-group "syllables" feed
+    206.835 - 1.015*(w/s) - 84.6*(syl/w), carried in milli units
+    with truncating divisions — the reading-ease screen that
+    complements q_quality_score's surface ratios in a curation
+    stack. All three counts are exact integers from the same regex
+    semantics in both engines; no floats anywhere.
+
+    Scale: pure per-row map work (split/regexp inside codegen), no
+    shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        )
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.size(F.expr(r"regexp_extract_all(text, '\\.', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sents"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("vgroups"),
+    )
+    return counts.filter(F.col("words") > 0).select(
+        "doc_id",
+        "lang",
+        "words",
+        "sents",
+        "vgroups",
+        F.expr(
+            "CAST(206835 - (1015 * words) div NULLIF(sents, 0)"
+            " - (84600 * vgroups) div NULLIF(words, 0) AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
