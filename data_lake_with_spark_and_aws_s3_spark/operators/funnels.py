@@ -409,3 +409,117 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_ppm"),
         )
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH active AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+      FROM events
+    ),
+    bounds AS (
+      SELECT CAST(MAX(w) AS BIGINT) AS max_w FROM active
+    ),
+    seq AS MATERIALIZED (
+      SELECT user_id, w,
+             MIN(w) OVER (PARTITION BY user_id) AS first_w,
+             LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+             LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+      FROM active
+    ),
+    states AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN w = first_w THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN w > first_w AND
+                                (prev_w IS NULL OR prev_w < w - 1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM seq GROUP BY w
+    ),
+    churn AS (
+      SELECT seq.w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM seq CROSS JOIN bounds
+      WHERE (next_w IS NULL AND seq.w < bounds.max_w)
+         OR next_w > seq.w + 1
+      GROUP BY seq.w + 1
+    )
+    SELECT states.w, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(churn.n_churned, 0) AS BIGINT) AS n_churned
+    FROM states LEFT JOIN churn ON churn.w = states.w
+    """,
+    tags=("funnel", "growth-accounting", "retention", "events"),
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every product-analytics review's
+    first table: per week, how many active users are NEW (first-ever
+    week), RETAINED (also active the prior week), RESURRECTED (back
+    after a gap), and how many CHURNED into this week (active before,
+    not now; both gap churns and final drop-offs before the corpus
+    edge count). States come from first/lag/lead windows over the
+    distinct (user, week) activity table; identities hold by
+    construction (new + retained + resurrected = weekly active).
+
+    Scale: one distinct aggregate keyed on user, one user-partitioned
+    window pass, two small weekly aggregates; the corpus-edge week is
+    a broadcast 1-row stitch."""
+    e = load_table(spark, sf_dir, "events")
+    active = (
+        e.select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(ts) div 604800000000 AS BIGINT)"
+            ).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds windows + the corpus-edge scalar
+    )
+    bounds = active.agg(F.max("w").alias("max_w"))
+    uw = Window.partitionBy("user_id")
+    uwo = uw.orderBy("w")
+    seq = active.select(
+        "user_id",
+        "w",
+        F.min("w").over(uw).alias("first_w"),
+        F.lag("w").over(uwo).alias("prev_w"),
+        F.lead("w").over(uwo).alias("next_w"),
+    )
+    states = seq.groupBy("w").agg(
+        F.sum(F.when(F.col("w") == F.col("first_w"), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("prev_w") == F.col("w") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("w") > F.col("first_w"))
+                & (
+                    F.col("prev_w").isNull()
+                    | (F.col("prev_w") < F.col("w") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("next_w").isNull() & (F.col("w") < F.col("max_w")))
+            | (F.col("next_w") > F.col("w") + 1)
+        )
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return states.join(churn, "w", "left").select(
+        "w",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias(
+            "n_churned"
+        ),
+    )

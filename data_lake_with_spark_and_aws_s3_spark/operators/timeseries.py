@@ -805,3 +805,86 @@ def q_binseg_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gain_micro"), "split_x")
         .limit(1)
     )
+
+
+@query(
+    "q_autocorrelation",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (
+      SELECT lag FROM (SELECT CAST(unnest([1, 2, 7]) AS BIGINT) AS lag)
+    ),
+    paired AS (
+      SELECT a.event_type, l.lag, a.y AS y0, b.y AS y1
+      FROM daily a
+      JOIN lags l ON TRUE
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.x = a.x + l.lag
+    )
+    SELECT event_type, lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y0) AS BIGINT) AS s0,
+           CAST(SUM(y1) AS BIGINT) AS s1,
+           CAST(SUM(y0 * y0) AS BIGINT) AS s00,
+           CAST(SUM(y1 * y1) AS BIGINT) AS s11,
+           CAST(SUM(y0 * y1) AS BIGINT) AS s01,
+           CAST(COUNT(*) * SUM(y0 * y1) - SUM(y0) * SUM(y1) AS BIGINT)
+             AS num
+    FROM paired
+    GROUP BY event_type, lag
+    """,
+    tags=("timeseries", "autocorrelation", "seasonality"),
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation moments of the daily count series at
+    lags 1, 2, and 7 — the periodicity probe that finds weekly
+    seasonality before a decomposition is fitted. The hashed surface
+    is the exact paired moments (n, sums, cross-products) and the
+    correlation numerator per (type, lag); the lagged pairing is an
+    EQUI-join on (type, x + lag) — no window spill, no self-range
+    scan — and the lag grid is a constant 3-row broadcast.
+
+    Scale: one daily aggregate; the pair join fans each series row
+    out 3x (|lags|), then one moment reduction per (type, lag)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("x"),
+    )
+    lags = spark.createDataFrame([(1,), (2,), (7,)], "lag long")
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", F.col("y").alias("y0"), (F.col("x") + F.col("lag")).alias("xt"), "lag"
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("y").alias("y1"),
+        F.col("x").alias("xb"),
+    )
+    paired = a.join(
+        b,
+        (F.col("et_b") == F.col("event_type")) & (F.col("xb") == F.col("xt")),
+    )
+    return paired.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y0").alias("s0"),
+        F.sum("y1").alias("s1"),
+        F.sum(F.col("y0") * F.col("y0")).alias("s00"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("y0") * F.col("y1")).alias("s01"),
+        F.expr(
+            "CAST(COUNT(*) * SUM(y0 * y1) - SUM(y0) * SUM(y1) AS BIGINT)"
+        ).alias("num"),
+    )

@@ -327,3 +327,71 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
         ).alias("slope_micro"),
     )
+
+
+@query(
+    "q_lag_features",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, x, y,
+           LAG(y, 1) OVER w AS lag1,
+           LAG(y, 7) OVER w AS lag7,
+           CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sum7,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY x
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n7,
+           CAST((1000000 * (y - LAG(y, 1) OVER w))
+                // NULLIF(LAG(y, 1) OVER w, 0) AS BIGINT)
+             AS pct_change_ppm
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY x)
+    """,
+    tags=("window", "feature-engineering", "lags", "ml-features"),
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature matrix per (type, day): lag-1 and lag-7
+    values, trailing-7 sum and count (the exact-integer face of a
+    moving average), and day-over-day percent change in truncating
+    ppm — the standard supervised-learning feature block, generated
+    in one window pass with no self-joins. NULLs at series edges are
+    the honest contract (a model pipeline drops or imputes them
+    downstream).
+
+    Scale: one daily aggregate; all five features share the single
+    (event_type, x) window sort."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "event_type",
+        "x",
+        "y",
+        F.lag("y", 1).over(w).alias("lag1"),
+        F.lag("y", 7).over(w).alias("lag7"),
+        F.sum("y").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
+        F.expr(
+            "CAST((1000000 * (y - LAG(y, 1) OVER (PARTITION BY event_type"
+            " ORDER BY x))) div NULLIF(LAG(y, 1) OVER (PARTITION BY"
+            " event_type ORDER BY x), 0) AS BIGINT)"
+        ).alias("pct_change_ppm"),
+    )

@@ -286,6 +286,8 @@ _NLJ_ALLOWED = {
     "q_submodular_coverage",  # per-round broadcast 1-row coverage-count stitch
     "q_sax_symbols",        # broadcast 1-row quartile-breakpoint stitch
     "q_weighted_percentile",  # constant 5-row percentile grid x histogram
+    "q_autocorrelation",    # constant 3-row lag grid x daily series
+    "q_growth_accounting",  # broadcast 1-row corpus-edge week stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
