@@ -743,3 +743,96 @@ def q_greedy_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("qty") > F.col("allocated"))
     )
+
+
+@query(
+    "q_mix_shift_decomposition",
+    oracle="""
+    WITH lines AS (
+      SELECT CASE WHEN o.o_orderdate >= TIMESTAMP '1998-07-01'
+                  THEN 1 ELSE 0 END AS period,
+             l.l_returnflag AS bucket,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    cells AS MATERIALIZED (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN period = 0 THEN qty ELSE 0 END)
+                  AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN period = 1 THEN qty ELSE 0 END)
+                  AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN period = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN period = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS r1
+      FROM lines GROUP BY bucket
+    )
+    SELECT bucket, q0, q1, r0, r1,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           CAST((q1 - q0) * (r0 // NULLIF(q0, 0)) AS BIGINT)
+             AS volume_effect_cents,
+           CAST(q0 * (r1 // NULLIF(q1, 0) - r0 // NULLIF(q0, 0))
+                AS BIGINT) AS price_effect_cents,
+           CAST((r1 - r0) - (q1 - q0) * (r0 // NULLIF(q0, 0))
+                - q0 * (r1 // NULLIF(q1, 0) - r0 // NULLIF(q0, 0))
+                AS BIGINT) AS cross_effect_cents
+    FROM cells
+    """,
+    tags=("analytics", "mix-shift", "price-volume", "finance"),
+)
+def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix decomposition of revenue change across the
+    1998-07-01 cutover, by return-flag bucket — the finance bridge
+    that explains WHY revenue moved: volume effect (quantity change
+    at old unit price), price effect (unit-price change on old
+    volume), and the interaction remainder, reconciling exactly to
+    the total delta by construction. Unit prices are truncating
+    cent-per-unit integers, so every effect column is exact and the
+    identity delta = volume + price + cross holds bit-for-bit.
+
+    Scale: one orders join for the period flag, one bucket aggregate;
+    the decomposition is per-bucket scalar arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lines = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("period"),
+        F.col("l_returnflag").alias("bucket"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cells = lines.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("qty")).otherwise(0)).alias("q0"),
+        F.sum(F.when(F.col("period") == 1, F.col("qty")).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("period") == 0, F.col("cents")).otherwise(0)).alias("r0"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0)).alias("r1"),
+    )
+    return cells.select(
+        "bucket",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        F.expr("CAST(r1 - r0 AS BIGINT)").alias("delta_cents"),
+        F.expr(
+            "CAST((q1 - q0) * (r0 div NULLIF(q0, 0)) AS BIGINT)"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            "CAST(q0 * (r1 div NULLIF(q1, 0) - r0 div NULLIF(q0, 0))"
+            " AS BIGINT)"
+        ).alias("price_effect_cents"),
+        F.expr(
+            "CAST((r1 - r0) - (q1 - q0) * (r0 div NULLIF(q0, 0))"
+            " - q0 * (r1 div NULLIF(q1, 0) - r0 div NULLIF(q0, 0))"
+            " AS BIGINT)"
+        ).alias("cross_effect_cents"),
+    )

@@ -1339,3 +1339,104 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({disp} AS BIGINT)").alias("dispersion_ppm"),
         F.expr(f"{disp} > 1500000").alias("overdispersed"),
     )
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN r.r_name = 'EUROPE' THEN 'treat'
+                  ELSE 'control' END AS grp,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    m AS MATERIALIZED (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM labeled GROUP BY grp
+    ),
+    w AS (
+      SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+             b.n AS n2, b.s AS s2, b.ss AS ss2
+      FROM m a JOIN m b
+        ON a.grp = 'treat' AND b.grp = 'control'
+    )
+    SELECT n1, s1, n2, s2,
+           CAST(s1 // n1 - s2 // n2 AS BIGINT) AS mean_diff_cents,
+           CAST((1000000 * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                         * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1))
+                // (CAST(n1 AS HUGEINT) * n1 * n2 * n2 *
+                    ((n1 * ss1 - CAST(s1 AS HUGEINT) * s1)
+                       // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+                     + (n2 * ss2 - CAST(s2 AS HUGEINT) * s2)
+                       // (CAST(n2 AS HUGEINT) * n2 * (n2 - 1))))
+                AS BIGINT) AS t2_micro
+    FROM w
+    """,
+    tags=("stats", "hypothesis-test", "welch", "ab-test"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t^2 for order value, EUROPE vs rest — the unequal-
+    variance two-sample test that pairs with q_two_proportion_ztest's
+    rate comparison: t^2 = (m1-m2)^2 / (s1^2/n1 + s2^2/n2). The
+    variance-over-n terms are truncating wide-integer divisions of
+    exact cent moments (quantized once each, like the ppm matrix
+    powers), so t2_micro is bit-identical across engines; the exact
+    moment sums themselves are also hashed.
+
+    Scale: one broadcast star join, one 2-group moment aggregate;
+    the test statistic is scalar arithmetic on 2 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.when(F.col("r_name") == "EUROPE", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    m = labeled.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("ss"),
+    )
+    a = m.filter(F.col("grp") == "treat").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    b = m.filter(F.col("grp") == "control").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("ss").alias("ss2")
+    )
+    w = a.join(F.broadcast(b))
+    return w.select(
+        "n1",
+        "s1",
+        "n2",
+        "s2",
+        F.expr("CAST(s1 div n1 - s2 div n2 AS BIGINT)").alias(
+            "mean_diff_cents"
+        ),
+        F.expr(
+            "CAST((1000000 * (CAST(s1 AS DECIMAL(38,0)) * n2"
+            " - CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " * (CAST(s1 AS DECIMAL(38,0)) * n2"
+            " - CAST(s2 AS DECIMAL(38,0)) * n1))"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n1 * n2 * n2 *"
+            " ((n1 * ss1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1))"
+            " + (n2 * ss2 - CAST(s2 AS DECIMAL(38,0)) * s2)"
+            " div (CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1))))"
+            " AS BIGINT)"
+        ).alias("t2_micro"),
+    )

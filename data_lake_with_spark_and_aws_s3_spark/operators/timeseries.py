@@ -888,3 +888,79 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COUNT(*) * SUM(y0 * y1) - SUM(y0) * SUM(y1) AS BIGINT)"
         ).alias("num"),
     )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT event_type, t,
+             CAST(SUM(delta) OVER (PARTITION BY event_type
+                   ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(MAX(running) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN running = mx THEN t END) AS BIGINT)
+             AS first_peak_us
+    FROM (SELECT *, MAX(running) OVER (PARTITION BY event_type) AS mx
+          FROM sweep)
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "sweep-line", "concurrency", "events"),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — how many 30-minute activity
+    intervals overlap at the busiest instant, and when that first
+    happens: the +1/-1 sweep-line (the capacity-planning read of the
+    q_interval_union machinery). Ends sort before starts at the same
+    microsecond (delta ascending), so touching intervals don't
+    double-count; the running sum, its max, and the first argmax
+    timestamp are all exact integers.
+
+    Scale: one event_type-partitioned sort window over 2N boundary
+    points — the same single-shuffle sweep discipline as interval
+    union; no self-join, no O(n^2) overlap test."""
+    e = load_table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    iv = e.select("event_type", s.alias("s"), (s + 1_800_000_000).alias("e"))
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.select(
+        "event_type",
+        "t",
+        F.sum("delta").over(w).cast("long").alias("running"),
+    )
+    wm = Window.partitionBy("event_type")
+    return (
+        sweep.withColumn("mx", F.max("running").over(wm))
+        .groupBy("event_type")
+        .agg(
+            F.max("running").alias("peak"),
+            F.min(
+                F.when(F.col("running") == F.col("mx"), F.col("t"))
+            ).alias("first_peak_us"),
+        )
+    )

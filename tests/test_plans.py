@@ -288,6 +288,7 @@ _NLJ_ALLOWED = {
     "q_weighted_percentile",  # constant 5-row percentile grid x histogram
     "q_autocorrelation",    # constant 3-row lag grid x daily series
     "q_growth_accounting",  # broadcast 1-row corpus-edge week stitch
+    "q_welch_ttest",        # broadcast 1-row group-moments stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
