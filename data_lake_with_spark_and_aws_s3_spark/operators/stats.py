@@ -1440,3 +1440,108 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("t2_micro"),
     )
+
+
+@query(
+    "q_quantile_treatment_effect",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN r.r_name = 'EUROPE' THEN 'treat'
+                  ELSE 'control' END AS grp,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    h AS (
+      SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM labeled GROUP BY grp, cents
+    ),
+    cum AS MATERIALIZED (
+      SELECT grp, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY cents)
+                  AS BIGINT) AS cw,
+             CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM h
+    ),
+    qs AS (
+      SELECT grp, pct,
+             MIN(CASE WHEN 10 * cw >= pct * tw THEN cents END) AS v
+      FROM cum
+      CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT)
+                    AS pct)
+      GROUP BY grp, pct
+    )
+    SELECT t.pct AS decile,
+           t.v AS treat_cents, c.v AS control_cents,
+           CAST(t.v - c.v AS BIGINT) AS qte_cents
+    FROM qs t JOIN qs c
+      ON c.pct = t.pct AND t.grp = 'treat' AND c.grp = 'control'
+    """,
+    tags=("stats", "causal", "quantile-treatment-effect", "ab-test"),
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for order value, EUROPE vs rest:
+    the per-decile difference of exact order statistics — where in
+    the distribution the effect lives (a mean shift from whales looks
+    nothing like a broad shift; Welch's t alone can't tell them
+    apart). Each group's deciles come from the cent-histogram rank
+    trick (no sort of raw rows), so every QTE value is an exact
+    integer difference.
+
+    Scale: one star join + per-group value histogram; the decile
+    grid is a constant 9-row broadcast; everything after the
+    histogram runs on |distinct cents| rows per group."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.when(F.col("r_name") == "EUROPE", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    h = labeled.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = h.select(
+        "grp",
+        "cents",
+        F.expr(
+            "CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY cents)"
+            " AS BIGINT)"
+        ).alias("cw"),
+        F.expr(
+            "CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT)"
+        ).alias("tw"),
+    )
+    grid = spark.createDataFrame([(i,) for i in range(1, 10)], "pct long")
+    qs = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("grp", "pct")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN 10 * cw >= pct * tw THEN cents END)"
+            ).alias("v")
+        )
+        .localCheckpoint()  # both sides of the treat/control stitch
+    )
+    t = qs.filter(F.col("grp") == "treat").select(
+        F.col("pct").alias("decile"), F.col("v").alias("treat_cents")
+    )
+    ctl = qs.filter(F.col("grp") == "control").select(
+        F.col("pct").alias("decile"), F.col("v").alias("control_cents")
+    )
+    return t.join(ctl, "decile").select(
+        "decile",
+        "treat_cents",
+        "control_cents",
+        (F.col("treat_cents") - F.col("control_cents")).alias("qte_cents"),
+    )
