@@ -29,7 +29,7 @@ single-window greedy first-fit that never moves data twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -489,4 +489,347 @@ def q_consistent_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * SUM(mod_moved) OVER ())"
             " div SUM(n_keys) OVER () AS BIGINT)"
         ).alias("mod_moved_ppm"),
+    )
+
+
+@query(
+    "q_storage_tiering",
+    oracle="""
+    WITH p AS (
+      SELECT (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mkey,
+             CAST(LENGTH(o_orderpriority) + 64 AS BIGINT) AS est_bytes
+      FROM orders
+    ),
+    parts AS (
+      SELECT mkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(est_bytes) AS BIGINT) AS bytes
+      FROM p GROUP BY mkey
+    ),
+    mx AS (SELECT MAX(mkey) AS maxm FROM parts),
+    tiered AS (
+      SELECT CASE WHEN maxm - mkey < 3 THEN 'hot'
+                  WHEN maxm - mkey < 12 THEN 'warm'
+                  ELSE 'cold' END AS tier,
+             n_rows, bytes
+      FROM parts CROSS JOIN mx
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(CASE tier WHEN 'hot' THEN 3 WHEN 'warm' THEN 2 ELSE 1 END
+                AS BIGINT) AS replicas,
+           CAST(SUM(bytes) * (CASE tier WHEN 'hot' THEN 3
+                                        WHEN 'warm' THEN 2
+                                        ELSE 1 END)
+                AS BIGINT) AS replicated_bytes
+    FROM tiered GROUP BY tier
+    """,
+    tags=("layout", "storage-tiering", "lifecycle", "maintenance"),
+)
+def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-tiering plan over monthly partitions of orders — the
+    lifecycle policy a 100 TB lakehouse runs nightly (S3
+    Standard -> IA -> Glacier, or hot-SSD -> HDD -> object store):
+    partitions are aged by month-distance from the newest partition,
+    classed hot (<3 months, 3x replication), warm (<12, 2x) or cold
+    (1x), and the per-tier partition/row/byte accounting (byte proxy:
+    priority-string length + 64 fixed overhead per row) prices the plan.
+
+    Scale: the per-partition rollup is one hash agg keyed by month
+    (map-side partials; ~84 groups regardless of table size), the
+    newest-month lookup is a broadcast 1-row scalar stitch against
+    those 84 rows (allowlisted), and the tier rollup touches only
+    partition metadata — the pattern stays O(partitions), never
+    re-scanning data, exactly how table-format metadata tables
+    (Iceberg `partitions`, Delta add-file stats) drive tiering."""
+    o = load_table(spark, sf_dir, "orders")
+    p = o.select(
+        F.expr(
+            "(year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE)) - 1)"
+        ).alias("mkey"),
+        F.expr("CAST(LENGTH(o_orderpriority) + 64 AS BIGINT)").alias("est_bytes"),
+    )
+    parts = p.groupBy("mkey").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("est_bytes").alias("bytes")
+    )
+    mx = parts.agg(F.max("mkey").alias("maxm"))
+    tiered = parts.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("maxm") - F.col("mkey") < 3, "hot")
+        .when(F.col("maxm") - F.col("mkey") < 12, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        "n_rows",
+        "bytes",
+    )
+    per_tier = tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+    return per_tier.select(
+        "tier",
+        "n_partitions",
+        "total_rows",
+        "total_bytes",
+        F.expr(
+            "CAST(CASE tier WHEN 'hot' THEN 3 WHEN 'warm' THEN 2"
+            " ELSE 1 END AS BIGINT)"
+        ).alias("replicas"),
+        F.expr(
+            "CAST(total_bytes * (CASE tier WHEN 'hot' THEN 3"
+            " WHEN 'warm' THEN 2 ELSE 1 END) AS BIGINT)"
+        ).alias("replicated_bytes"),
+    )
+
+
+@query(
+    "q_partition_prune_audit",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ),
+    scanned AS (
+      SELECT (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mkey,
+             (EXTRACT(YEAR FROM maxd - INTERVAL 100 DAY) * 12
+              + EXTRACT(MONTH FROM maxd - INTERVAL 100 DAY) - 1)
+               AS cutoff_mkey,
+             CASE WHEN CAST(o_orderdate AS DATE) >= maxd - INTERVAL 100 DAY
+                  THEN 1 ELSE 0 END AS matches
+      FROM orders CROSS JOIN mx
+    ),
+    parts AS (
+      SELECT mkey, MAX(cutoff_mkey) AS cutoff_mkey,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(matches) AS BIGINT) AS n_match
+      FROM scanned GROUP BY mkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions_total,
+           CAST(COUNT(*) FILTER (WHERE mkey >= cutoff_mkey) AS BIGINT)
+             AS n_partitions_scanned,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(n_rows) FILTER (WHERE mkey >= cutoff_mkey) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+           CAST((1000000 * (COUNT(*) - COUNT(*) FILTER (WHERE mkey >= cutoff_mkey)))
+                // COUNT(*) AS BIGINT) AS partitions_pruned_ppm,
+           CAST((1000000 * SUM(n_rows) FILTER (WHERE mkey >= cutoff_mkey))
+                // SUM(n_match) AS BIGINT) AS read_amplification_ppm
+    FROM parts
+    """,
+    tags=("layout", "partition-pruning", "audit", "data-skipping"),
+)
+def q_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning effectiveness audit for a month-partitioned
+    orders table under a trailing-100-day predicate: how many monthly
+    partitions a pruning reader opens, what fraction of the table that
+    prunes away, and the read amplification (rows scanned / rows
+    actually matching — >1 because the window starts mid-month). This
+    is the audit that decides whether a table's partition grain fits
+    its query pattern; amplification near 1e6 ppm says the grain is
+    right, large values say repartition finer or Z-order within
+    partitions (q_zorder_zonemap).
+
+    Scale: the newest-date lookup is a broadcast 1-row scalar stitch
+    onto the scan (the q_late_data_filter watermark pattern,
+    allowlisted); everything else is one hash agg to ~84 partition
+    rows and a constant-size final rollup. Exact integers only."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.expr("MAX(CAST(o_orderdate AS DATE))").alias("maxd"))
+    scanned = o.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "(year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE)) - 1)"
+        ).alias("mkey"),
+        F.expr(
+            "(year(maxd - INTERVAL 100 DAY) * 12"
+            " + month(maxd - INTERVAL 100 DAY) - 1)"
+        ).alias("cutoff_mkey"),
+        F.expr(
+            "CASE WHEN CAST(o_orderdate AS DATE) >= maxd - INTERVAL 100 DAY"
+            " THEN 1 ELSE 0 END"
+        ).alias("matches"),
+    )
+    parts = scanned.groupBy("mkey").agg(
+        F.max("cutoff_mkey").alias("cutoff_mkey"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("matches").alias("n_match"),
+    )
+    return parts.agg(
+        F.count(F.lit(1)).alias("n_partitions_total"),
+        F.sum(F.expr("CASE WHEN mkey >= cutoff_mkey THEN 1 ELSE 0 END"))
+        .alias("n_partitions_scanned"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(
+            F.expr("CASE WHEN mkey >= cutoff_mkey THEN n_rows ELSE 0 END")
+        ).alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matching"),
+    ).select(
+        "n_partitions_total",
+        "n_partitions_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matching",
+        F.expr(
+            "CAST((1000000 * (n_partitions_total - n_partitions_scanned))"
+            " div n_partitions_total AS BIGINT)"
+        ).alias("partitions_pruned_ppm"),
+        F.expr(
+            "CAST((1000000 * rows_scanned) div rows_matching AS BIGINT)"
+        ).alias("read_amplification_ppm"),
+    )
+
+
+@query(
+    "q_encoding_audit",
+    oracle="""
+    WITH vals AS (
+      SELECT col_name, val, o_orderkey,
+             (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS mkey
+      FROM (
+        SELECT o_orderkey, o_orderdate,
+               'o_orderstatus' AS col_name, o_orderstatus AS val
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderdate, 'o_orderpriority', o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderdate, 'o_orderdate',
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderdate, 'o_custkey',
+               CAST(o_custkey AS VARCHAR)
+        FROM orders
+      )
+    ),
+    runs AS (
+      SELECT col_name,
+             CASE WHEN LAG(val) OVER (PARTITION BY col_name, mkey
+                                      ORDER BY o_orderkey) IS NULL
+                       OR val <> LAG(val) OVER (PARTITION BY col_name, mkey
+                                                ORDER BY o_orderkey)
+                  THEN 1 ELSE 0 END AS run_start
+      FROM vals
+    ),
+    base AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(SUM(LENGTH(val)) AS BIGINT) AS raw_bytes,
+             CAST(MAX(LENGTH(val)) AS BIGINT) AS max_len
+      FROM vals GROUP BY col_name
+    ),
+    dict_side AS (
+      SELECT col_name, CAST(SUM(l) AS BIGINT) AS distinct_bytes
+      FROM (SELECT col_name, val, MAX(LENGTH(val)) AS l
+            FROM vals GROUP BY col_name, val)
+      GROUP BY col_name
+    ),
+    run_tot AS (
+      SELECT col_name, CAST(SUM(run_start) AS BIGINT) AS n_runs
+      FROM runs GROUP BY col_name
+    )
+    SELECT b.col_name, b.n, b.n_distinct, b.raw_bytes,
+           CAST(d.distinct_bytes + 2 * b.n AS BIGINT) AS dict_bytes,
+           r.n_runs,
+           CAST(r.n_runs * (b.max_len + 4) AS BIGINT) AS rle_bytes,
+           CASE WHEN d.distinct_bytes + 2 * b.n <= b.raw_bytes
+                     AND d.distinct_bytes + 2 * b.n
+                           <= r.n_runs * (b.max_len + 4)
+                THEN 'dict'
+                WHEN r.n_runs * (b.max_len + 4) <= b.raw_bytes THEN 'rle'
+                ELSE 'plain' END AS best_encoding
+    FROM base b
+    JOIN dict_side d ON d.col_name = b.col_name
+    JOIN run_tot r ON r.col_name = b.col_name
+    """,
+    tags=("layout", "encoding", "compression", "audit"),
+)
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding audit — the decision parquet writers make per
+    column chunk, surfaced as a query: for four representative orders
+    columns, estimate plain bytes (sum of value lengths), dictionary
+    bytes (distinct-value bytes + 2-byte codes) and RLE bytes (runs
+    within each month partition ordered by o_orderkey, times
+    max_len + 4 run headers), then pick the cheapest. Low-cardinality
+    status/priority columns should land 'dict', the high-cardinality
+    custkey 'plain' — the audit quantifies by how much, which is what
+    you need before forcing encodings or re-sorting for run locality.
+
+    Scale: one unpivot scan (map-side union), run detection under a
+    (column, month)-partitioned window (parallel, never a global
+    sort), and three hash aggs joined on 4 rows. All exact integers;
+    run order is pinned by the unique o_orderkey so lag() is
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        "o_orderkey",
+        F.expr(
+            "(year(CAST(o_orderdate AS DATE)) * 12"
+            " + month(CAST(o_orderdate AS DATE)) - 1)"
+        ).alias("mkey"),
+        F.expr(
+            "stack(4,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING),"
+            " 'o_custkey', CAST(o_custkey AS STRING)"
+            ") AS (col_name, val)"
+        ),
+    )
+    w = Window.partitionBy("col_name", "mkey").orderBy("o_orderkey")
+    runs = vals.select(
+        "col_name",
+        F.when(
+            F.lag("val").over(w).isNull()
+            | (F.col("val") != F.lag("val").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    base = vals.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.sum(F.length("val")).alias("raw_bytes"),
+        F.max(F.length("val")).alias("max_len"),
+    )
+    dict_side = (
+        vals.groupBy("col_name", "val")
+        .agg(F.max(F.length("val")).alias("l"))
+        .groupBy("col_name")
+        .agg(F.sum("l").alias("distinct_bytes"))
+    )
+    run_tot = runs.groupBy("col_name").agg(
+        F.sum("run_start").alias("n_runs")
+    )
+    return (
+        base.join(dict_side, "col_name")
+        .join(run_tot, "col_name")
+        .select(
+            "col_name",
+            "n",
+            "n_distinct",
+            "raw_bytes",
+            F.expr("CAST(distinct_bytes + 2 * n AS BIGINT)").alias(
+                "dict_bytes"
+            ),
+            "n_runs",
+            F.expr("CAST(n_runs * (max_len + 4) AS BIGINT)").alias(
+                "rle_bytes"
+            ),
+            F.expr(
+                "CASE WHEN distinct_bytes + 2 * n <= raw_bytes"
+                " AND distinct_bytes + 2 * n <= n_runs * (max_len + 4)"
+                " THEN 'dict'"
+                " WHEN n_runs * (max_len + 4) <= raw_bytes THEN 'rle'"
+                " ELSE 'plain' END"
+            ).alias("best_encoding"),
+        )
     )

@@ -575,3 +575,99 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("chi_term_micro"),
     )
+
+
+@query(
+    "q_equi_depth_stats",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY cents
+    ),
+    cum AS MATERIALIZED (
+      SELECT cents, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cw,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tw
+      FROM h
+    ),
+    bounds AS (
+      SELECT pct AS bucket,
+             MIN(CASE WHEN 8 * cw >= pct * tw THEN cents END) AS upper_cents
+      FROM cum
+      CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5,6,7,8]) AS BIGINT) AS pct)
+      GROUP BY pct
+    ),
+    assigned AS (
+      SELECT c.cents, MAX(c.cnt) AS cnt, MIN(b.bucket) AS bucket
+      FROM cum c JOIN bounds b ON c.cents <= b.upper_cents
+      GROUP BY c.cents
+    )
+    SELECT a.bucket,
+           CAST(b.upper_cents AS BIGINT) AS upper_cents,
+           CAST(SUM(a.cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS ndv
+    FROM assigned a JOIN bounds b ON b.bucket = a.bucket
+    GROUP BY a.bucket, b.upper_cents
+    """,
+    tags=("quality", "cbo-stats", "equi-depth-histogram", "profiling"),
+)
+def q_equi_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of o_totalprice — what ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS builds for the cost-based
+    optimizer: 8 buckets whose upper boundaries are exact order
+    statistics from the cent-histogram rank trick (no sort of raw
+    rows), with per-bucket row count and NDV. Equi-depth (not
+    equi-width, q_histogram) is what selectivity estimation needs:
+    every bucket carries ~1/8 of the mass, so a range predicate's
+    selectivity reads off bucket fractions.
+
+    Scale: the rank trick runs on the |distinct cents| histogram,
+    not the raw table; the boundary grid is a constant 8-row
+    broadcast (allowlisted). The one running-sum window over the
+    value histogram is the same shape every CBO stats build pays;
+    at 100 TB you'd pre-shard it two-level (per-range partials, then
+    merge), which composes from this exact plan."""
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            )
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = h.select(
+        "cents",
+        "cnt",
+        F.expr("CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT)").alias("cw"),
+        F.expr("CAST(SUM(cnt) OVER () AS BIGINT)").alias("tw"),
+    ).localCheckpoint()
+    grid = spark.createDataFrame([(i,) for i in range(1, 9)], "bucket long")
+    bounds = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("bucket")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN 8 * cw >= bucket * tw THEN cents END)"
+            ).alias("upper_cents")
+        )
+    )
+    assigned = (
+        cum.join(
+            F.broadcast(bounds),
+            F.col("cents") <= F.col("upper_cents"),
+        )
+        .groupBy("cents")
+        .agg(F.max("cnt").alias("cnt"), F.min("bucket").alias("bucket"))
+    )
+    return (
+        assigned.join(F.broadcast(bounds), "bucket")
+        .groupBy("bucket", "upper_cents")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("ndv"),
+        )
+        .select("bucket", "upper_cents", "n_rows", "ndv")
+    )

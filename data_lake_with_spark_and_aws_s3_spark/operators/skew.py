@@ -218,3 +218,81 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skew_ratio_ppm",
         "p99_freq",
     )
+
+
+def _join_card_sql_duck(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}.{key}' AS join_key,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST((SUM(cnt) * SUM(cnt)) // COUNT(*) AS BIGINT) AS est_rows,
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS actual_rows,
+             CAST((1000000 * (SUM(CAST(cnt AS HUGEINT) * cnt)
+                              - (SUM(cnt) * SUM(cnt)) // COUNT(*)))
+                  // SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT)
+               AS underestimate_ppm
+      FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY {key})
+    """
+
+
+@query(
+    "q_join_cardinality_estimate",
+    oracle=" UNION ALL ".join(
+        _join_card_sql_duck(t, k)
+        for t, k in [
+            ("orders", "o_custkey"),
+            ("lineitem", "l_orderkey"),
+            ("events", "user_id"),
+        ]
+    ),
+    tags=("skew", "cbo", "join-cardinality", "planning"),
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality: the textbook distinct-count estimate
+    |T|^2 / ndv(key) versus the exact answer sum_k n(k)^2, per
+    candidate join key — the error every cost-based optimizer makes
+    when key frequencies are non-uniform (Cauchy-Schwarz guarantees
+    the estimate only UNDER-counts, reported as underestimate_ppm).
+    A key whose ppm is large joins bigger than the planner thinks:
+    that is exactly where a broadcast-vs-shuffle decision or an AQE
+    skew split goes wrong, and this audit finds it from one
+    frequency aggregate per table, never materializing any join.
+
+    Scale: one groupBy per table collapsing to |distinct key| rows
+    with map-side partials, then a 1-row moment rollup; the three
+    audits union. Pairs with q_join_key_skew_audit's per-key view."""
+    frames = []
+    for table, key in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ]:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        frames.append(
+            per_key.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).alias(
+                    "sum_sq"
+                ),
+            ).select(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                "n_rows",
+                "n_distinct",
+                F.expr(
+                    "CAST((n_rows * n_rows) div n_distinct AS BIGINT)"
+                ).alias("est_rows"),
+                F.expr("CAST(sum_sq AS BIGINT)").alias("actual_rows"),
+                F.expr(
+                    "CAST((1000000 * (sum_sq"
+                    " - (n_rows * n_rows) div n_distinct))"
+                    " div sum_sq AS BIGINT)"
+                ).alias("underestimate_ppm"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

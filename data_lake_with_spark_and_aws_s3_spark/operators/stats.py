@@ -1545,3 +1545,387 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "control_cents",
         (F.col("treat_cents") - F.col("control_cents")).alias("qte_cents"),
     )
+
+
+@query(
+    "q_delta_method_ratio",
+    oracle="""
+    WITH labeled AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(ROUND(o.o_totalprice) AS BIGINT) AS dollars
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    pu AS (
+      SELECT seg, o_custkey,
+             CAST(SUM(dollars) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM labeled GROUP BY seg, o_custkey
+    ),
+    m AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pu GROUP BY seg
+    )
+    SELECT seg, n, sx AS sum_rev_dollars, sy AS sum_orders,
+           CAST((1000000 * CAST(sx AS HUGEINT)) // sy AS BIGINT)
+             AS ratio_micro,
+           CAST((CAST(sy AS HUGEINT) * sy * (n * sxx - CAST(sx AS HUGEINT) * sx)
+                 - 2 * CAST(sx AS HUGEINT) * sy * (n * sxy - CAST(sx AS HUGEINT) * sy)
+                 + CAST(sx AS HUGEINT) * sx * (n * syy - CAST(sy AS HUGEINT) * sy))
+                // (CAST(sy AS HUGEINT) * sy * sy * sy * (n - 1))
+                AS BIGINT) AS var_delta_units
+    FROM m
+    """,
+    tags=("stats", "delta-method", "ratio-metric", "ab-test"),
+)
+def q_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method variance of a RATIO metric (revenue per order,
+    customer = randomization unit) per market segment — the correct
+    A/B variance when the metric's numerator and denominator are both
+    per-unit sums (naive per-order variance understates it because
+    orders within a customer are correlated):
+        Var(Sx/Sy) ~= [Sy^2(n*Sxx - Sx^2) - 2*Sx*Sy(n*Sxy - Sx*Sy)
+                       + Sx^2(n*Syy - Sy^2)] / (Sy^4 (n-1)).
+    The bracket equals the nonneg sample SS of (x_i - R*y_i), so the
+    single truncating wide-integer division (HUGEINT // vs DECIMAL(38)
+    div) is floor on both engines; every hashed column is an exact
+    integer derived from whole-dollar moments.
+
+    Scale: one broadcast join, a per-(segment, customer) partial agg,
+    then a 5-row per-segment moment agg — two exchanges total, and
+    the delta-method algebra is scalar math on the 5 output rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = o.join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice) AS BIGINT)").alias("dollars"),
+    )
+    pu = labeled.groupBy("seg", "o_custkey").agg(
+        F.sum("dollars").alias("x"), F.count(F.lit(1)).alias("y")
+    )
+    m = pu.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return m.select(
+        "seg",
+        "n",
+        F.col("sx").alias("sum_rev_dollars"),
+        F.col("sy").alias("sum_orders"),
+        F.expr(
+            "CAST((1000000 * CAST(sx AS DECIMAL(38,0))) div sy AS BIGINT)"
+        ).alias("ratio_micro"),
+        F.expr(
+            "CAST((CAST(sy AS DECIMAL(38,0)) * sy"
+            " * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " - 2 * CAST(sx AS DECIMAL(38,0)) * sy"
+            " * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " + CAST(sx AS DECIMAL(38,0)) * sx"
+            " * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy))"
+            " div (CAST(sy AS DECIMAL(38,0)) * sy * sy * sy * (n - 1))"
+            " AS BIGINT)"
+        ).alias("var_delta_units"),
+    )
+
+
+@query(
+    "q_cuped_adjustment",
+    oracle="""
+    WITH labeled AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '1995-07-01'
+                  THEN CAST(ROUND(o.o_totalprice) AS BIGINT) ELSE 0 END AS pre_d,
+             CASE WHEN CAST(o.o_orderdate AS DATE) >= DATE '1995-07-01'
+                  THEN CAST(ROUND(o.o_totalprice) AS BIGINT) ELSE 0 END AS post_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    pu AS (
+      SELECT seg, o_custkey,
+             CAST(SUM(pre_d) AS BIGINT) AS x,
+             CAST(SUM(post_d) AS BIGINT) AS y
+      FROM labeled GROUP BY seg, o_custkey
+    ),
+    m AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pu GROUP BY seg
+    ),
+    d AS (
+      SELECT seg, n, sx, sy,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      FROM m
+    )
+    SELECT seg, n, sx AS sum_pre_dollars, sy AS sum_post_dollars,
+           CAST((1000000 * num) // dx AS BIGINT) AS theta_micro,
+           CAST(((1000000 * num) // dx * num) // dy AS BIGINT)
+             AS var_reduction_ppm
+    FROM d
+    """,
+    tags=("stats", "cuped", "variance-reduction", "ab-test"),
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment-using-pre-experiment-data)
+    variance reduction per market segment: pre-period spend x predicts
+    post-period spend y per customer; theta = cov(x,y)/var(x) is the
+    adjustment coefficient and rho^2 = cov^2/(var_x*var_y) is the
+    fraction of metric variance CUPED removes (Deng et al. 2013's
+    headline number). Both are single chains of wide-integer ops over
+    exact dollar moments — `//` (DuckDB, truncating on HUGEINT) and
+    `div` (Spark, truncating on DECIMAL(38,0)) agree at every
+    intermediate, so theta_micro and var_reduction_ppm are
+    bit-identical across engines with no float anywhere.
+
+    Scale: one broadcast join, per-(segment, customer) partial agg,
+    5-row moment agg — the identical two-exchange shape as
+    q_delta_method_ratio; the CUPED algebra is scalar math on 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = o.join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_custkey",
+        F.expr(
+            "CASE WHEN CAST(o_orderdate AS DATE) < DATE'1995-07-01'"
+            " THEN CAST(ROUND(o_totalprice) AS BIGINT) ELSE 0 END"
+        ).alias("pre_d"),
+        F.expr(
+            "CASE WHEN CAST(o_orderdate AS DATE) >= DATE'1995-07-01'"
+            " THEN CAST(ROUND(o_totalprice) AS BIGINT) ELSE 0 END"
+        ).alias("post_d"),
+    )
+    pu = labeled.groupBy("seg", "o_custkey").agg(
+        F.sum("pre_d").alias("x"), F.sum("post_d").alias("y")
+    )
+    m = pu.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    d = m.select(
+        "seg",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("dx"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+        ).alias("dy"),
+    )
+    return d.select(
+        "seg",
+        "n",
+        F.col("sx").alias("sum_pre_dollars"),
+        F.col("sy").alias("sum_post_dollars"),
+        F.expr("CAST((1000000 * num) div dx AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(
+            "CAST(((1000000 * num) div dx * num) div dy AS BIGINT)"
+        ).alias("var_reduction_ppm"),
+    )
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN instr('0123456789abcdef',
+                             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1))
+                       - 1 < 8
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM customer
+    ),
+    counts AS (
+      SELECT seg,
+             CAST(COUNT(*) FILTER (WHERE arm = 'A') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE arm = 'B') AS BIGINT) AS n_b
+      FROM assigned GROUP BY seg
+    )
+    SELECT seg, n_a, n_b,
+           CAST((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                AS BIGINT) AS chi2_micro,
+           ((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+              > 3841459) AS srm_flag
+    FROM counts
+    """,
+    tags=("stats", "srm", "ab-test", "guardrail"),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a deterministic md5 50/50
+    split of customers, per segment: chi^2 with one degree of freedom
+    against the expected equal split reduces to (n_a - n_b)^2 / n,
+    held in exact micro units, with the 0.05-level flag
+    (chi^2 > 3.841459) computed on the integer statistic. SRM is the
+    first check any experimentation platform runs — a triggered flag
+    means the assignment itself is broken and every downstream metric
+    is garbage. Split idiom matches q_hash_split: first hex digit of
+    md5(custkey), so assignment is reproducible everywhere.
+
+    Scale: one map-side hash + one 2-counter agg per segment; the
+    statistic is scalar math on 5 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    assigned = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CASE WHEN instr('0123456789abcdef',"
+            " substr(md5(CAST(c_custkey AS STRING)), 1, 1)) - 1 < 8"
+            " THEN 'A' ELSE 'B' END"
+        ).alias("arm"),
+    )
+    counts = assigned.groupBy("seg").agg(
+        F.sum(F.expr("CASE WHEN arm = 'A' THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 'B' THEN 1 ELSE 0 END")).alias("n_b"),
+    )
+    return counts.select(
+        "seg",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"
+            " AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            "(1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"
+            " > 3841459"
+        ).alias("srm_flag"),
+    )
+
+
+def _mde_isqrt(n: str, wide: str) -> str:
+    """Exact integer sqrt of a wide integer: floor(sqrt(double)) can
+    be off by one after wide-int -> double rounding; one CASE pins it
+    (curation._isqrt_sql's correction, but the squares here exceed
+    int64 so they compare in the dialect's wide type — `wide` is
+    'HUGEINT' (DuckDB) or 'DECIMAL(38,0)' (Spark))."""
+    s0 = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    sq = lambda t: f"CAST({t} AS {wide}) * ({t})"
+    return (
+        f"(CASE WHEN {sq(f'({s0} + 1)')} <= {n} THEN {s0} + 1"
+        f" WHEN {sq(f'({s0})')} > {n} THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+_MDE_DUCK_VARQ = (
+    "(n * sxx - CAST(sx AS HUGEINT) * sx) // (CAST(n AS HUGEINT) * (n - 1))"
+)
+_MDE_SPARK_VARQ = (
+    "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    " div (CAST(n AS DECIMAL(38,0)) * (n - 1))"
+)
+
+
+@query(
+    "q_power_mde",
+    oracle=f"""
+    WITH m AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sx,
+             SUM(CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS sxx
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY seg
+    ),
+    v AS (
+      SELECT seg, n, sx, {_MDE_DUCK_VARQ} AS varq FROM m
+    ),
+    s AS (
+      SELECT seg, n, sx, varq,
+             {_mde_isqrt("((2000000 * CAST(varq AS HUGEINT)) // n)", "HUGEINT")} AS root
+      FROM v
+    )
+    SELECT seg, n, CAST(varq AS BIGINT) AS var_cents2,
+           CAST((280158 * root) // 100000 AS BIGINT) AS mde_millicents,
+           CAST((1000 * ((280158 * root) // 100000)) // (sx // n) AS BIGINT)
+             AS rel_mde_ppm
+    FROM s
+    """,
+    tags=("stats", "power-analysis", "mde", "ab-test"),
+)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis per market segment: the minimal
+    detectable effect on order value at 80% power / 5% two-sided
+    alpha with a 50/50 split, MDE = 2.80158 * sqrt(2 * var / n). The
+    sample variance comes from exact cent moments with one truncating
+    wide-integer division; sqrt goes through the exact-isqrt CASE
+    correction (milli-cent precision via a 1e6 pre-scale, keeping every
+    intermediate and the Spark `div` quotient inside int64), and the
+    2.80158 factor is the rational 280158/100000 — so mde_millicents
+    and the relative-to-mean rel_mde_ppm are bit-identical across
+    engines. This is the query an experimentation platform runs
+    BEFORE assigning traffic: a segment whose relative MDE exceeds
+    the effect you hope to ship needs more units or CUPED
+    (q_cuped_adjustment says how much variance that buys back).
+
+    Scale: one broadcast join + one 5-group moment aggregate; the
+    power algebra is scalar math on 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sx"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias(
+                "sxx"
+            ),
+        )
+    )
+    v = m.select("seg", "n", "sx", F.expr(_MDE_SPARK_VARQ).alias("varq"))
+    s = v.select(
+        "seg",
+        "n",
+        "sx",
+        "varq",
+        F.expr(
+            _mde_isqrt("((2000000 * CAST(varq AS DECIMAL(38,0))) div n)", "DECIMAL(38,0)")
+        ).alias("root"),
+    )
+    return s.select(
+        "seg",
+        "n",
+        F.expr("CAST(varq AS BIGINT)").alias("var_cents2"),
+        F.expr("CAST((280158 * root) div 100000 AS BIGINT)").alias(
+            "mde_millicents"
+        ),
+        F.expr(
+            "CAST((1000 * ((280158 * root) div 100000)) div (sx div n)"
+            " AS BIGINT)"
+        ).alias("rel_mde_ppm"),
+    )

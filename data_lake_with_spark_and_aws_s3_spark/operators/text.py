@@ -857,3 +857,128 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (84600 * vgroups) div NULLIF(words, 0) AS BIGINT)"
         ).alias("flesch_milli"),
     )
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS tok,
+             generate_subscripts(list_filter(string_split(t, ' '),
+                                             x -> x <> ''), 1) AS pos
+      FROM norm
+    ),
+    nonstop AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS isl
+      FROM tok WHERE tok NOT IN ({_SW_SQL})
+    ),
+    member AS (
+      SELECT doc_id, isl, pos, tok,
+             COUNT(*) OVER (PARTITION BY doc_id, isl) AS plen
+      FROM nonstop
+    ),
+    wstats AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM member GROUP BY tok
+    ),
+    pscore AS (
+      SELECT m.doc_id, m.isl,
+             CAST(SUM((1000000 * w.deg) // w.freq) AS BIGINT) AS score
+      FROM member m JOIN wstats w ON w.tok = m.tok
+      GROUP BY m.doc_id, m.isl
+    ),
+    ptext AS (
+      SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS phrase_len
+      FROM member GROUP BY doc_id, isl
+    )
+    SELECT t.phrase,
+           CAST(MAX(t.phrase_len) AS BIGINT) AS phrase_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(s.score) AS BIGINT) AS score_micro
+    FROM ptext t JOIN pscore s ON s.doc_id = t.doc_id AND s.isl = t.isl
+    GROUP BY t.phrase
+    ORDER BY score_micro DESC, phrase ASC
+    LIMIT 20
+    """,
+    tags=("text", "rake", "keyword-extraction", "llm-pipeline"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on token
+    position); each word scores degree/frequency where degree sums the
+    lengths of every phrase the word occurs in, and a phrase scores
+    the sum of its member-word scores. Scores are micro-unit integers
+    ((1e6*deg)//freq, truncating in both engines), so the corpus
+    top-20 is exactly reproducible; identical phrase texts always tie
+    on score (same tokens -> same member words), making MAX a safe
+    collapse.
+
+    Scale: explode -> island window (doc-partitioned) -> two hash
+    aggs bounded by |phrases| and |vocab| after map-side partials;
+    the word-stats join is a vocab-keyed equi-join and the final
+    top-20 is TakeOrdered, never a global sort materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+        ).alias("t"),
+    )
+    tok = norm.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.col("t"), " "), lambda x: x != "")),
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("tok")
+    )
+    nonstop = (
+        tok.filter(~F.col("tok").isin(*_STOPWORDS))
+        .withColumn(
+            "isl",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    member = nonstop.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "isl"))
+    )
+    wstats = member.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    pscore = (
+        member.join(wstats, "tok")
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.sum(F.expr("(1000000 * deg) div freq")).alias("score")
+        )
+    )
+    ptext = member.groupBy("doc_id", "isl").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " s -> s.tok), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("phrase_len"),
+    )
+    return (
+        ptext.join(pscore, ["doc_id", "isl"])
+        .groupBy("phrase")
+        .agg(
+            F.max("phrase_len").alias("phrase_len"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(20)
+    )

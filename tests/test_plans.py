@@ -289,6 +289,10 @@ _NLJ_ALLOWED = {
     "q_autocorrelation",    # constant 3-row lag grid x daily series
     "q_growth_accounting",  # broadcast 1-row corpus-edge week stitch
     "q_welch_ttest",        # broadcast 1-row group-moments stitch
+    "q_quantile_treatment_effect",  # constant 9-row decile grid x cum histogram
+    "q_storage_tiering",    # broadcast 1-row max-month scalar stitch
+    "q_partition_prune_audit",  # broadcast 1-row max-date watermark stitch
+    "q_equi_depth_stats",   # constant 8-row boundary grid x value histogram
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
