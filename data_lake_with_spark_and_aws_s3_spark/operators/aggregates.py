@@ -460,3 +460,117 @@ def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").alias("total_weight_cents"),
         )
     )
+
+
+@query(
+    "q_rolling_quantile_reagg",
+    oracle="""
+    WITH h AS (
+      SELECT (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY m, cents
+    ),
+    windows AS (
+      SELECT h.m + off.o AS g, h.cents, h.cnt
+      FROM h CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) off
+    ),
+    merged AS (
+      SELECT g, cents, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM windows GROUP BY g, cents
+    ),
+    cum AS MATERIALIZED (
+      SELECT g, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY cents)
+                  AS BIGINT) AS cw,
+             CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS tw
+      FROM merged
+    ),
+    bounds AS (
+      SELECT g,
+             MIN(CASE WHEN 4 * cw >= 1 * tw THEN cents END) AS p25_cents,
+             MIN(CASE WHEN 2 * cw >= 1 * tw THEN cents END) AS p50_cents,
+             MIN(CASE WHEN 10 * cw >= 9 * tw THEN cents END) AS p90_cents
+      FROM cum GROUP BY g
+    ),
+    lims AS (
+      SELECT MIN(m) + 2 AS lo, MAX(m) AS hi FROM h
+    )
+    SELECT g AS month_key, p25_cents, p50_cents, p90_cents
+    FROM bounds, lims WHERE g BETWEEN lo AND hi
+    """,
+    tags=("aggregate", "percentile", "mergeable", "reaggregation"),
+)
+def q_rolling_quantile_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-month order-value quantiles (p25/p50/p90) for every
+    month, computed ONLY from stored monthly value histograms — the
+    pre-aggregated percentile-serving pattern (Druid/Pinot/cube
+    territory): quantiles don't merge, histograms do, so persisting
+    per-month cent histograms lets any window's EXACT quantiles be
+    re-derived without touching raw rows. Each monthly histogram row
+    fans out to the 3 windows it feeds (map-side 3-way offset
+    explode, no range join), then the rank trick reads the order
+    statistics off each window's cumulative histogram.
+
+    Scale: the histogram agg collapses the scan to |months x distinct
+    cents| with map-side partials; the fan-out is x3 on that already-
+    reduced set; per-window rank windows partition by month key, so
+    parallelism is |months|. At 100 TB the monthly histograms are the
+    stored artifact and this query never rescans the fact table —
+    the edge months (incomplete windows) are excluded exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.expr(
+                "(year(CAST(o_orderdate AS DATE)) * 12"
+                " + month(CAST(o_orderdate AS DATE)) - 1)"
+            ).alias("m"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("m", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    windows = h.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("o"),
+        "m",
+        "cents",
+        "cnt",
+    ).select((F.col("m") + F.col("o")).alias("g"), "cents", "cnt")
+    merged = windows.groupBy("g", "cents").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.select(
+        "g",
+        "cents",
+        F.expr(
+            "CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY cents) AS BIGINT)"
+        ).alias("cw"),
+        F.expr("CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT)").alias(
+            "tw"
+        ),
+    )
+    bounds = cum.groupBy("g").agg(
+        F.expr(
+            "MIN(CASE WHEN 4 * cw >= 1 * tw THEN cents END)"
+        ).alias("p25_cents"),
+        F.expr(
+            "MIN(CASE WHEN 2 * cw >= 1 * tw THEN cents END)"
+        ).alias("p50_cents"),
+        F.expr(
+            "MIN(CASE WHEN 10 * cw >= 9 * tw THEN cents END)"
+        ).alias("p90_cents"),
+    )
+    lims = h.agg(
+        (F.min("m") + 2).alias("lo"), F.max("m").alias("hi")
+    )
+    return (
+        bounds.crossJoin(F.broadcast(lims))
+        .filter(F.col("g").between(F.col("lo"), F.col("hi")))
+        .select(
+            F.col("g").alias("month_key"),
+            "p25_cents",
+            "p50_cents",
+            "p90_cents",
+        )
+    )

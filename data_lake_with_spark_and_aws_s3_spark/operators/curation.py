@@ -35,7 +35,7 @@ windows are per-key; there is no global single-partition stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -698,3 +698,139 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionAll(df)
     return res.select("step", "doc_id", "gain", "covered_total")
+
+
+@query(
+    "q_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ),
+    sliced AS (
+      SELECT doc_id, source, n_chars, rn
+      FROM ranked ORDER BY rn, source, doc_id LIMIT 60
+    ),
+    positioned AS (
+      SELECT doc_id, source, n_chars, rn,
+             ROW_NUMBER() OVER (ORDER BY rn, source, doc_id)
+               AS global_pos,
+             LAG(source) OVER (ORDER BY rn, source, doc_id) AS prev_src
+      FROM sliced
+    )
+    SELECT CAST(global_pos AS BIGINT) AS global_pos, doc_id, source,
+           CAST(rn AS BIGINT) AS round_robin_rank,
+           n_chars,
+           COALESCE(source = prev_src, FALSE) AS same_source_as_prev
+    FROM positioned
+    """,
+    tags=("curation", "curriculum", "interleave", "llm-pipeline"),
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum shard ordering with fair source interleave: rank
+    docs within each source by length (the classic easy/hard
+    curriculum proxy), then emit them round-robin across sources —
+    position is ordered by (per-source rank, source) so no source
+    ever streams a long run into the data loader, which matters
+    because consecutive same-domain batches measurably bias training.
+    The first 60 positions are materialized with the
+    same-source-as-prev audit flag (all FALSE while every source
+    still has docs, by construction).
+
+    Scale: the per-source ranking window partitions by source
+    (parallel); the global slice is TakeOrderedAndProject on
+    (rank, source) — NOT a single-partition window over the corpus —
+    and position numbering runs on the constant 60-row slice. The
+    full-corpus write would swap the slice for the two-phase
+    distributed row number (operators/sorts.py q_global_row_number)."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rn"),
+    )
+    sliced = ranked.orderBy("rn", "source", "doc_id").limit(60)
+    w = Window.orderBy("rn", "source", "doc_id")
+    return sliced.select(
+        F.row_number().over(w).cast("long").alias("global_pos"),
+        "doc_id",
+        "source",
+        F.col("rn").cast("long").alias("round_robin_rank"),
+        "n_chars",
+        F.coalesce(
+            F.col("source") == F.lag("source").over(w), F.lit(False)
+        ).alias("same_source_as_prev"),
+    )
+
+
+@query(
+    "q_dedup_bytes_saved",
+    oracle="""
+    WITH grp AS (
+      SELECT source, n_chars,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)))
+               AS is_canonical
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE is_canonical) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes_before,
+           CAST(SUM(n_chars) FILTER (WHERE is_canonical) AS BIGINT)
+             AS bytes_after,
+           CAST((1000000 * (SUM(n_chars)
+                 - SUM(n_chars) FILTER (WHERE is_canonical)))
+                // SUM(n_chars) AS BIGINT) AS saved_ppm
+    FROM grp GROUP BY source
+    """,
+    tags=("curation", "dedup", "storage-economics", "llm-pipeline"),
+)
+def q_dedup_bytes_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The economics of exact dedup, per source: bytes before vs after
+    keeping only each digest's min-doc_id canonical (the exact row
+    set q_dedup_md5 retains), and the saved fraction in exact ppm.
+    This is the number that justifies (or kills) a dedup stage in a
+    100 TB pipeline — a source with trivial savings doesn't earn its
+    digest shuffle, one with 30% duplicate bytes pays for the whole
+    stage. Complements q_soft_dedup_weight (which keeps duplicates
+    down-weighted) with the storage view.
+
+    Scale: one window keyed on the text digest (the same shuffle the
+    dedup itself costs — the audit is free if run alongside), then a
+    per-source rollup with map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    grp = d.select(
+        "source",
+        "n_chars",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text")))
+            )
+        ).alias("is_canonical"),
+    )
+    return grp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN is_canonical THEN 1 ELSE 0 END")).alias(
+            "n_kept"
+        ),
+        F.sum("n_chars").alias("bytes_before"),
+        F.sum(
+            F.expr("CASE WHEN is_canonical THEN n_chars ELSE 0 END")
+        ).alias("bytes_after"),
+        F.expr(
+            "CAST((1000000 * (SUM(n_chars)"
+            " - SUM(CASE WHEN is_canonical THEN n_chars ELSE 0 END)))"
+            " div SUM(n_chars) AS BIGINT)"
+        ).alias("saved_ppm"),
+    )

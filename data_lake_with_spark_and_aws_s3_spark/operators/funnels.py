@@ -523,3 +523,92 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_churned"
         ),
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fv.t1
+      GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT (epoch_us(fp.t2) - epoch_us(fv.t1)) // 1000000 AS lag_s
+      FROM fp JOIN fv ON fv.user_id = fp.user_id
+    ),
+    h AS (
+      SELECT lag_s, CAST(COUNT(*) AS BIGINT) AS cnt FROM lags GROUP BY lag_s
+    ),
+    cum AS MATERIALIZED (
+      SELECT lag_s,
+             CAST(SUM(cnt) OVER (ORDER BY lag_s) AS BIGINT) AS cw,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tw
+      FROM h
+    )
+    SELECT pct AS decile,
+           MIN(CASE WHEN 10 * cw >= pct * tw THEN lag_s END)
+             AS lag_seconds,
+           MAX(tw) AS n_converters
+    FROM cum
+    CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS BIGINT) AS pct)
+    GROUP BY pct
+    """,
+    tags=("funnel", "time-to-convert", "latency-distribution"),
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact deciles of the
+    first-view -> first-subsequent-purchase lag in whole seconds —
+    the latency complement to q_window_funnel's SLA counts (a funnel
+    can convert 40% yet be broken if the median lag tripled). First
+    touches resolve as per-user MIN aggregates keyed on user_id; the
+    decile read-out is the cent-histogram rank trick on the
+    second-quantized lag histogram, so every reported order statistic
+    is exact and hash-stable.
+
+    Scale: two user_id-keyed aggregates and one user_id equi-join
+    (single shuffle key end to end), then the rank trick on the
+    |distinct lag| histogram with a constant 9-row broadcast grid
+    (allowlisted)."""
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    lags = fp.select(
+        F.expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").alias(
+            "lag_s"
+        )
+    )
+    h = lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = h.select(
+        "lag_s",
+        F.expr("CAST(SUM(cnt) OVER (ORDER BY lag_s) AS BIGINT)").alias(
+            "cw"
+        ),
+        F.expr("CAST(SUM(cnt) OVER () AS BIGINT)").alias("tw"),
+    )
+    grid = spark.createDataFrame([(i,) for i in range(1, 10)], "decile long")
+    return (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("decile")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN 10 * cw >= decile * tw THEN lag_s END)"
+            ).alias("lag_seconds"),
+            F.max("tw").alias("n_converters"),
+        )
+    )

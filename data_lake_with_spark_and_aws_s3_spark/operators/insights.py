@@ -378,3 +378,193 @@ def q_position_bias_coec(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(expected_micro, 0) AS BIGINT)"
         ).alias("coec_ppm"),
     )
+
+
+@query(
+    "q_heavy_hitter_drift",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+               AS wk,
+             user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY wk, user_id
+    ),
+    ranked AS (
+      SELECT wk, user_id,
+             ROW_NUMBER() OVER (PARTITION BY wk
+                                ORDER BY cnt DESC, user_id ASC) AS rk
+      FROM weekly
+    ),
+    tops AS (SELECT wk, user_id FROM ranked WHERE rk <= 10),
+    sizes AS (
+      SELECT wk, CAST(COUNT(*) AS BIGINT) AS k FROM tops GROUP BY wk
+    ),
+    retained AS (
+      SELECT b.wk, CAST(COUNT(*) AS BIGINT) AS r
+      FROM tops a JOIN tops b
+        ON b.user_id = a.user_id AND b.wk = a.wk + 1
+      GROUP BY b.wk
+    )
+    SELECT c2.wk AS week_key, c2.k AS topk_size,
+           CAST(COALESCE(r.r, 0) AS BIGINT) AS retained,
+           CAST((1000000 * (c2.k - COALESCE(r.r, 0))) // c2.k AS BIGINT)
+             AS drift_ppm
+    FROM sizes c2
+    JOIN sizes c1 ON c1.wk = c2.wk - 1
+    LEFT JOIN retained r ON r.wk = c2.wk
+    """,
+    tags=("insights", "heavy-hitters", "drift", "monitoring"),
+)
+def q_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn of the top-10 heaviest event users — the
+    drift monitor that tells an abuse/caching/skew-mitigation system
+    whether its hot-key set is stable (salt the same keys again) or
+    rotating (re-derive the salt list every window). Top sets use
+    ROW_NUMBER with a total tie-break (count desc, user asc) so
+    membership is exact; drift is the exact ppm of the current top
+    set not present in the previous week's.
+
+    Scale: one (week, user) aggregate with map-side partials, a
+    per-week top-k window (parallel across weeks), then joins on sets
+    of at most 10 rows per week. The expensive thing — scanning
+    events — happens once; everything downstream is O(weeks)."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7"
+            ).alias("wk"),
+            "user_id",
+        )
+        .groupBy("wk", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = weekly.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("wk").orderBy(
+                F.col("cnt").desc(), F.col("user_id").asc()
+            )
+        ),
+    )
+    tops = ranked.filter(F.col("rk") <= 10).select("wk", "user_id")
+    sizes = tops.groupBy("wk").agg(F.count(F.lit(1)).alias("k"))
+    retained = (
+        tops.alias("a")
+        .join(
+            tops.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+        )
+        .groupBy(F.col("b.wk").alias("wk"))
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    c2 = sizes.alias("c2")
+    c1 = sizes.alias("c1").select(F.col("wk").alias("pwk"))
+    return (
+        c2.join(c1, F.col("pwk") == F.col("wk") - 1)
+        .join(retained.alias("r"), "wk", "left")
+        .select(
+            F.col("wk").alias("week_key"),
+            F.col("k").alias("topk_size"),
+            F.expr("CAST(COALESCE(r, 0) AS BIGINT)").alias("retained"),
+            F.expr(
+                "CAST((1000000 * (k - COALESCE(r, 0))) div k AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+    )
+
+
+@query(
+    "q_bot_score",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id, date_trunc('minute', ts) AS mn,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, mn
+    ),
+    burst AS (
+      SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS burst_max
+      FROM per_min GROUP BY user_id
+    ),
+    base AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                  AS BIGINT) AS span_s,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_errors
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT b.user_id, b.n_events, u.burst_max,
+             CAST((1000 * b.n_events) // (b.span_s + 1) AS BIGINT)
+               AS rate_milli,
+             CAST((1000000 * b.n_errors) // b.n_events AS BIGINT)
+               AS error_ppm
+      FROM base b JOIN burst u ON u.user_id = b.user_id
+    )
+    SELECT user_id, n_events, burst_max, rate_milli, error_ppm,
+           CAST((CASE WHEN burst_max >= 4 THEN 1 ELSE 0 END)
+              + (CASE WHEN rate_milli >= 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN error_ppm >= 300000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bot_score
+    FROM scored
+    """,
+    tags=("insights", "bot-detection", "abuse", "quality"),
+)
+def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot scoring per user — the abuse-filter front door
+    of a training-data pipeline (bot traffic poisons engagement
+    signals and bot-generated text poisons corpora): burstiness (max
+    events in any calendar minute), sustained rate (events per
+    second in milli units over the user's active span, +1 guarding
+    the single-event span), and error affinity (ppm of events that
+    are errors). Three integer rule flags sum to bot_score 0-3;
+    every component is an exact integer so the score is
+    hash-stable, auditable, and thresholds are visible in the plan.
+
+    Scale: two hash aggregates keyed on user_id (the per-minute
+    burst pre-agg collapses map-side) and one user_id equi-join —
+    one shuffle key end to end, no windows over raw events."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("mn")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    burst = per_min.groupBy("user_id").agg(
+        F.max("cnt").alias("burst_max")
+    )
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST((unix_micros(MAX(ts)) - unix_micros(MIN(ts)))"
+            " div 1000000 AS BIGINT)"
+        ).alias("span_s"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")
+        ).alias("n_errors"),
+    )
+    scored = base.join(burst, "user_id").select(
+        "user_id",
+        "n_events",
+        "burst_max",
+        F.expr(
+            "CAST((1000 * n_events) div (span_s + 1) AS BIGINT)"
+        ).alias("rate_milli"),
+        F.expr(
+            "CAST((1000000 * n_errors) div n_events AS BIGINT)"
+        ).alias("error_ppm"),
+    )
+    return scored.select(
+        "user_id",
+        "n_events",
+        "burst_max",
+        "rate_milli",
+        "error_ppm",
+        F.expr(
+            "CAST((CASE WHEN burst_max >= 4 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN rate_milli >= 2 THEN 1 ELSE 0 END)"
+            " + (CASE WHEN error_ppm >= 300000 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("bot_score"),
+    )

@@ -555,7 +555,8 @@ def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = p.groupBy("mkey").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("est_bytes").alias("bytes")
-    )
+    ).localCheckpoint()  # ~84 rows: both the max-month scalar and the
+    # tier rollup read this, so pin it — one fact-table scan total
     mx = parts.agg(F.max("mkey").alias("maxm"))
     tiered = parts.crossJoin(F.broadcast(mx)).select(
         F.when(F.col("maxm") - F.col("mkey") < 3, "hot")

@@ -405,3 +405,47 @@ def q_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)"), F.col("p_size")
         ).alias("adjusted_cents"),
     )
+
+
+@query(
+    "q_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_high_value,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_totalprice > 400000.0
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "parameterized", "modern-api"),
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL with DataFrame template references (Spark
+    3.4+/4.x `spark.sql(query, args=..., **dfs)`): the injection-safe
+    front door for user-supplied thresholds — `:cut` and `:since`
+    bind as typed literals server-side (never string-spliced), and
+    `{orders}` references a DataFrame without registering a temp
+    view, so the same parameterized report runs against any loaded
+    snapshot. Semantics: high-value order counts and exact cent
+    revenue per priority.
+
+    Scale: the bound literals fold into the scan predicate exactly
+    like hand-written constants — pushdown and partition pruning see
+    `o_totalprice > 400000.0`, so parameterization costs nothing at
+    plan time."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_high_value,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS revenue_cents
+        FROM {orders}
+        WHERE o_totalprice > :cut AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={"cut": 400000.0, "since": "1995-01-01 00:00:00"},
+        orders=o,
+    )

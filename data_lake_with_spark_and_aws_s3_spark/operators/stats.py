@@ -1929,3 +1929,156 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("rel_mde_ppm"),
     )
+
+
+def _welch_t2_micro(wide: str, div: str) -> str:
+    """Fully rationalized Welch t^2 in micro units over cumulative
+    moment columns n1/s1/ss1/n2/s2/ss2 (q_welch_ttest's expression,
+    parameterized by the dialect's wide type and truncating integer
+    division so it can run per interim-analysis row)."""
+    w = lambda x: f"CAST({x} AS {wide})"
+    return (
+        f"CAST((1000000 * ({w('s1')} * n2 - {w('s2')} * n1)"
+        f" * ({w('s1')} * n2 - {w('s2')} * n1))"
+        f" {div} ({w('n1')} * n1 * n2 * n2 *"
+        f" ((n1 * ss1 - {w('s1')} * s1) {div} ({w('n1')} * n1 * (n1 - 1))"
+        f" + (n2 * ss2 - {w('s2')} * s2) {div} ({w('n2')} * n2 * (n2 - 1))))"
+        f" AS BIGINT)"
+    )
+
+
+# Pocock-style constant interim boundary: z = 2.9 -> z^2 = 8.41.
+_SEQ_BOUNDARY_MICRO = 8_410_000
+
+
+@query(
+    "q_sequential_monitoring",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE WHEN r.r_name = 'EUROPE' THEN 'treat'
+                  ELSE 'control' END AS grp,
+             (EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o.o_orderdate AS DATE)) - 1)
+               AS mkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    magg AS (
+      SELECT grp, mkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM labeled GROUP BY grp, mkey
+    ),
+    cum AS MATERIALIZED (
+      SELECT grp, mkey,
+             CAST(SUM(n) OVER (PARTITION BY grp ORDER BY mkey)
+                  AS BIGINT) AS cn,
+             CAST(SUM(s) OVER (PARTITION BY grp ORDER BY mkey)
+                  AS BIGINT) AS cs,
+             SUM(ss) OVER (PARTITION BY grp ORDER BY mkey) AS css
+      FROM magg
+    ),
+    paired AS (
+      SELECT a.mkey AS month_key,
+             a.cn AS n1, a.cs AS s1, a.css AS ss1,
+             b.cn AS n2, b.cs AS s2, b.css AS ss2
+      FROM cum a JOIN cum b
+        ON b.mkey = a.mkey AND a.grp = 'treat' AND b.grp = 'control'
+      WHERE a.cn >= 2 AND b.cn >= 2
+        AND a.cn * a.css > CAST(a.cs AS HUGEINT) * a.cs
+        AND b.cn * b.css > CAST(b.cs AS HUGEINT) * b.cs
+    )
+    SELECT month_key, n1, n2,
+           {_welch_t2_micro("HUGEINT", "//")} AS t2_micro,
+           ({_welch_t2_micro("HUGEINT", "//")}
+              > {_SEQ_BOUNDARY_MICRO}) AS crossed
+    FROM paired
+    """,
+    tags=("stats", "sequential-testing", "interim-analysis", "ab-test"),
+)
+def q_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring — Welch's t^2 for EUROPE vs
+    rest re-evaluated at EVERY monthly interim analysis over
+    cumulative moments, against a Pocock-style constant boundary
+    (z = 2.9, so t^2 > 8.41): the peeking problem made explicit. The
+    statistic reuses q_welch_ttest's fully rationalized wide-integer
+    expression row-by-row, so the whole monitoring trajectory is
+    bit-identical across engines; months where either arm lacks 2
+    orders or has zero variance are excluded exactly.
+
+    Scale: one broadcast star join, one (group, month) moment agg,
+    cumulative sums under a 2-partition window over ~84 month rows,
+    then scalar algebra per interim row. Raw data is touched once
+    regardless of how many interim looks the trajectory has."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.when(F.col("r_name") == "EUROPE", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.expr(
+                "(year(CAST(o_orderdate AS DATE)) * 12"
+                " + month(CAST(o_orderdate AS DATE)) - 1)"
+            ).alias("mkey"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    magg = labeled.groupBy("grp", "mkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("ss"),
+    )
+    cum = magg.select(
+        "grp",
+        "mkey",
+        F.expr(
+            "CAST(SUM(n) OVER (PARTITION BY grp ORDER BY mkey) AS BIGINT)"
+        ).alias("cn"),
+        F.expr(
+            "CAST(SUM(s) OVER (PARTITION BY grp ORDER BY mkey) AS BIGINT)"
+        ).alias("cs"),
+        F.expr("SUM(ss) OVER (PARTITION BY grp ORDER BY mkey)").alias(
+            "css"
+        ),
+    ).localCheckpoint()
+    a = cum.filter(F.col("grp") == "treat").select(
+        F.col("mkey").alias("month_key"),
+        F.col("cn").alias("n1"),
+        F.col("cs").alias("s1"),
+        F.col("css").alias("ss1"),
+    )
+    b = cum.filter(F.col("grp") == "control").select(
+        F.col("mkey").alias("month_key"),
+        F.col("cn").alias("n2"),
+        F.col("cs").alias("s2"),
+        F.col("css").alias("ss2"),
+    )
+    t2 = _welch_t2_micro("DECIMAL(38,0)", "div")
+    return (
+        a.join(b, "month_key")
+        .filter(
+            F.expr(
+                "n1 >= 2 AND n2 >= 2"
+                " AND n1 * ss1 > CAST(s1 AS DECIMAL(38,0)) * s1"
+                " AND n2 * ss2 > CAST(s2 AS DECIMAL(38,0)) * s2"
+            )
+        )
+        .select(
+            "month_key",
+            "n1",
+            "n2",
+            F.expr(t2).alias("t2_micro"),
+            F.expr(f"{t2} > {_SEQ_BOUNDARY_MICRO}").alias("crossed"),
+        )
+    )

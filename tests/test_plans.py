@@ -293,6 +293,8 @@ _NLJ_ALLOWED = {
     "q_storage_tiering",    # broadcast 1-row max-month scalar stitch
     "q_partition_prune_audit",  # broadcast 1-row max-date watermark stitch
     "q_equi_depth_stats",   # constant 8-row boundary grid x value histogram
+    "q_rolling_quantile_reagg",  # broadcast 1-row month-limits stitch
+    "q_time_to_convert",    # constant 9-row decile grid x lag histogram
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
@@ -564,3 +566,62 @@ def test_vocab_oov_broadcasts_vocabulary(spark):
     """The training vocabulary (bounded by |vocab|) must broadcast —
     a shuffled join would re-shuffle every corpus token at 100 TB."""
     assert has_broadcast_join(REGISTRY["q_vocab_oov_rate"].fn(spark, SF))
+
+
+def test_parameterized_sql_pushes_bound_literals(spark):
+    """Named-parameter binding must fold into scan pushdown exactly
+    like hand-written constants — otherwise parameterization would
+    cost partition pruning at scale."""
+    df = REGISTRY["q_parameterized_sql"].fn(spark, SF)
+    assert has_pushed_filter(df, "o_totalprice"), (
+        "bound :cut literal must reach PushedFilters"
+    )
+
+
+def test_curriculum_interleave_uses_take_ordered(spark):
+    """The 60-position slice must plan TakeOrderedAndProject — a
+    global sort materialization here would be the single-partition
+    trap the docstring promises to avoid."""
+    df = REGISTRY["q_curriculum_interleave"].fn(spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_power_mde_single_moment_pass(spark):
+    """MDE sizing is one broadcast join + one moment aggregate: the
+    plan must broadcast the dimension and keep exchanges to the
+    aggregate's partial->final pair."""
+    df = REGISTRY["q_power_mde"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_join_cardinality_never_joins(spark):
+    """The cardinality audit derives sum n(k)^2 from frequency
+    moments — the plan must contain NO join at all."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_join_cardinality_estimate"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "audit must not materialize any join"
+
+
+def test_storage_tiering_partition_grain_rollup(spark):
+    """Tiering reads the FACT TABLE once: the checkpointed ~84-row
+    partition rollup feeds both the max-month scalar and the tier
+    rollup (those branches scan the checkpoint RDD, not parquet)."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_storage_tiering"].fn(spark, SF)
+    plan = formatted_plan(df)
+    parquet_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Scan parquet" in line.strip().split(") ", 1)[-1]
+    )
+    # The eager localCheckpoint materializes the ~84-row rollup when the
+    # query is built, so the downstream plan reads the checkpoint RDD and
+    # shows ZERO parquet scans — the fact table was read exactly once, at
+    # checkpoint time.
+    assert parquet_scans == 0, f"fact table re-scanned {parquet_scans}x"
+    assert "ExistingRDD" in plan, "both branches must read the checkpoint"
