@@ -1,0 +1,249 @@
+"""Estimation under selection bias and uncertainty: inverse-propensity
+weighting (IPW / Horvitz-Thompson) for observational treatment effects,
+and split-conformal prediction intervals with a finite-sample coverage
+audit.
+
+Both are the serving-side statistical layer a training-data platform
+needs once models leave the lab: IPW corrects "the treated group chose
+itself" bias with nothing but group frequencies, and split conformal
+wraps ANY point predictor in a distribution-free interval whose
+coverage is guaranteed by a rank statistic — no parametric assumption,
+no refitting.
+
+Exactness policy (cross-engine): everything is integer cents and exact
+ranks. Horvitz-Thompson terms multiply BEFORE dividing (sum_cents *
+n_stratum * 1000 div n_arm), so each stratum pays exactly one
+floor-division — deterministic and identical in Spark (`div`) and
+DuckDB (`//`) because every operand is non-negative. The conformal
+quantile is the ceil((n_cal+1)(1-alpha))-th order statistic of absolute
+residuals — a row_number lookup, never an interpolated percentile.
+
+Scale notes (100 TB):
+- IPW is two hash aggregates: customer-grain spend rollup (map-side
+  combine on o_custkey), then a ~25-row stratum rollup. The join of
+  customers to their spend is key-partitioned; no broadcast needed on
+  the fact side, and the stratum table is metadata-sized.
+- Conformal is one grouped aggregate for the per-segment model, one
+  broadcast of the tiny model table back onto both splits, and one
+  rank window PER SEGMENT (partitioned — no global sort). Calibration
+  and test are disjoint hash-splits of the same scan, so the fact
+  table is read once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+
+
+@query(
+    "q_ipw_ate",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    pop AS (
+      SELECT c_nationkey AS nationkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+             COALESCE(s.cents, 0) AS cents
+      FROM customer LEFT JOIN spend s ON o_custkey = c_custkey
+    ),
+    strata AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(treated) AS BIGINT) AS n_treated,
+             CAST(SUM(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS sum_treated_cents,
+             CAST(SUM(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS sum_control_cents
+      FROM pop GROUP BY nationkey
+    )
+    SELECT nationkey, n, n_treated, sum_treated_cents, sum_control_cents,
+           CAST(CASE WHEN n_treated > 0
+                THEN (sum_treated_cents * n * 1000) // n_treated END
+                AS BIGINT) AS ht_treated_millicents,
+           CAST(CASE WHEN n - n_treated > 0
+                THEN (sum_control_cents * n * 1000) // (n - n_treated) END
+                AS BIGINT) AS ht_control_millicents
+    FROM strata
+    """,
+    tags=("stats", "causal", "ipw", "horvitz-thompson"),
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect, stratified by
+    nation: treatment = customer sits in the BUILDING market segment,
+    outcome = lifetime spend in cents, confounder = nation. The
+    propensity within a stratum is the observed treatment share
+    n_treated/n, so the Horvitz-Thompson mean of each arm is
+    sum_cents / p = sum_cents * n / n_arm — computed per stratum in
+    exact int64 (max ~9e8 cents x 1.5e4 x 1e3 < 2^63 at sf0.1), one
+    floor division per stratum, NULL-guarded for empty arms. The
+    difference of the two HT columns is the per-stratum ATE; summing
+    them over strata and dividing by total N (one more exact step the
+    reader can do) is the textbook IPW estimator.
+
+    Scale: spend rollup is a map-side-combinable hash agg on
+    o_custkey; the customer join is an equi-join on the same key; the
+    stratum rollup emits ~25 rows. No broadcast of anything
+    data-sized, no window, no Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    pop = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.expr(
+                "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+            ).alias("treated"),
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    strata = pop.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("treated").alias("n_treated"),
+        F.sum(F.expr("CASE WHEN treated = 1 THEN cents ELSE 0 END")).alias(
+            "sum_treated_cents"
+        ),
+        F.sum(F.expr("CASE WHEN treated = 0 THEN cents ELSE 0 END")).alias(
+            "sum_control_cents"
+        ),
+    )
+    return strata.select(
+        "nationkey",
+        "n",
+        "n_treated",
+        "sum_treated_cents",
+        "sum_control_cents",
+        F.expr(
+            "CAST(CASE WHEN n_treated > 0"
+            " THEN (sum_treated_cents * n * 1000) div n_treated END"
+            " AS BIGINT)"
+        ).alias("ht_treated_millicents"),
+        F.expr(
+            "CAST(CASE WHEN n - n_treated > 0"
+            " THEN (sum_control_cents * n * 1000) div (n - n_treated) END"
+            " AS BIGINT)"
+        ).alias("ht_control_millicents"),
+    )
+
+
+@query(
+    "q_conformal_interval",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS seg,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 2 AS fold
+      FROM orders
+    ),
+    model AS (  -- point predictor fit on calibration only (fold 1)
+      SELECT seg,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM base WHERE fold = 1 GROUP BY seg
+    ),
+    resid AS (
+      SELECT b.seg, ABS(b.cents - m.pred_cents) AS r,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.seg
+               ORDER BY ABS(b.cents - m.pred_cents), b.cents) AS rk,
+             m.n_cal
+      FROM base b JOIN model m ON b.seg = m.seg WHERE b.fold = 1
+    ),
+    qhat AS (  -- ceil((n_cal+1)*0.9)-th smallest calibration residual
+      SELECT seg, n_cal, CAST(r AS BIGINT) AS qhat_cents
+      FROM resid
+      WHERE rk = CAST(((n_cal + 1) * 9 + 9) // 10 AS BIGINT)
+    )
+    SELECT b.seg,
+           MAX(q.n_cal) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           MAX(m.pred_cents) AS pred_cents,
+           MAX(q.qhat_cents) AS qhat_cents,
+           CAST(SUM(CASE WHEN ABS(b.cents - m.pred_cents) <= q.qhat_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           CAST((1000000 * SUM(CASE WHEN ABS(b.cents - m.pred_cents)
+                                         <= q.qhat_cents
+                               THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS coverage_ppm
+    FROM base b JOIN model m ON b.seg = m.seg JOIN qhat q ON b.seg = q.seg
+    WHERE b.fold = 0
+    GROUP BY b.seg
+    """,
+    tags=("stats", "conformal", "uncertainty", "serving"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with a coverage audit.
+    Orders are hash-split into calibration (odd orderkey) and test
+    (even); the point model is the per-orderstatus mean price on
+    calibration (one exact integer division); the conformal radius
+    qhat is the ceil((n_cal+1)(1-alpha))-th smallest absolute
+    calibration residual at alpha=0.1 — found by a rank window with a
+    deterministic tiebreak, never an interpolated percentile. The test
+    side then reports empirical coverage of pred +/- qhat in ppm;
+    conformal theory guarantees >= 90% in expectation regardless of
+    the price distribution, and the audit shows it.
+
+    The ceil is integer-exact: ceil(0.9 * (n+1)) == ((n+1)*9 + 9) div
+    10 for non-negative n — identical floor-division semantics in both
+    engines.
+
+    Scale: the model and qhat tables are |segments|-sized and
+    broadcast back onto the scan; residual ranking is windowed PER
+    SEGMENT (no global sort); calibration and test are disjoint
+    predicates over one table read. At 100 TB the only O(data) work
+    is the residual window within each segment — shard it further by
+    any high-cardinality key folded into the segment if a single
+    segment outgrows a partition."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderstatus").alias("seg"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("fold"),
+    )
+    cal = base.filter(F.col("fold") == 1)
+    model = cal.groupBy("seg").agg(
+        F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias("pred_cents"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    resid = cal.join(F.broadcast(model), "seg").select(
+        "seg",
+        "n_cal",
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
+        "cents",
+    )
+    w = Window.partitionBy("seg").orderBy("r", "cents")
+    qhat = (
+        resid.withColumn("rk", F.row_number().over(w))
+        .filter(F.expr("rk = CAST(((n_cal + 1) * 9 + 9) div 10 AS BIGINT)"))
+        .select("seg", "n_cal", F.col("r").cast("long").alias("qhat_cents"))
+    )
+    test = base.filter(F.col("fold") == 0)
+    joined = test.join(
+        F.broadcast(model.select("seg", "pred_cents")), "seg"
+    ).join(F.broadcast(qhat), "seg")
+    return joined.groupBy("seg").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("pred_cents").alias("pred_cents"),
+        F.max("qhat_cents").alias("qhat_cents"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ABS(cents - pred_cents) <= qhat_cents"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("covered"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN ABS(cents - pred_cents)"
+            " <= qhat_cents THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )

@@ -449,3 +449,59 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"cut": 400000.0, "since": "1995-01-01 00:00:00"},
         orders=o,
     )
+
+
+@query(
+    "q_group_order_all",
+    oracle="""
+    SELECT * EXCLUDE (sum_price_cents)
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS ship_year,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_price_cents
+      FROM lineitem
+      GROUP BY ALL
+    )
+    ORDER BY ALL
+    """,
+    tags=("modern", "sql-surface", "group-by-all"),
+)
+def q_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface in one query: GROUP BY ALL (keys inferred
+    from the non-aggregate select list), ORDER BY ALL (deterministic
+    full ordering without naming columns), and star-EXCEPT projection
+    (`* EXCEPT (col)` in Spark, `* EXCLUDE (col)` in DuckDB) to drop a
+    helper column after it has fed a derived one. These are the
+    ergonomics users coming from DuckDB/BigQuery expect; semantically
+    the query is still one hash aggregate, so Catalyst plans it
+    exactly like its fully-spelled twin — same partial/final pair,
+    same pushdown.
+
+    ship_year keeps the key space ~84 groups; the sum is exact cents
+    and the average one floor division of non-negative integers."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "eng_lineitem_gba"
+    )
+    return spark.sql(
+        """
+        SELECT * EXCEPT (sum_price_cents)
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 year(CAST(l_shipdate AS DATE)) AS ship_year,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS sum_price_cents,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      div COUNT(*) AS BIGINT) AS avg_price_cents
+          FROM eng_lineitem_gba
+          GROUP BY ALL
+        )
+        ORDER BY ALL
+        """
+    )

@@ -982,3 +982,72 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
         .limit(20)
     )
+
+
+_GAZETTEER = (
+    ("execution", "scan"),
+    ("execution", "filter"),
+    ("execution", "sort"),
+    ("execution", "merge"),
+    ("execution", "hash"),
+    ("execution", "join"),
+    ("storage", "table"),
+    ("storage", "column"),
+    ("storage", "row"),
+    ("storage", "part"),
+    ("storage", "batch"),
+    ("streaming", "stream"),
+    ("streaming", "window"),
+    ("streaming", "watermark"),
+    ("sizing", "big"),
+    ("sizing", "small"),
+    ("sizing", "fast"),
+    ("sizing", "slow"),
+)
+_GAZ_SQL = ", ".join(f"('{t}', '{w}')" for t, w in _GAZETTEER)
+
+
+@query(
+    "q_keyword_tagging",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    gaz(tag, term) AS (VALUES {_GAZ_SQL})
+    SELECT tag, lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM toks JOIN gaz USING (term)
+    WHERE term <> ''
+    GROUP BY tag, lang
+    """,
+    tags=("text", "tagging", "gazetteer", "llm-pipeline"),
+)
+def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based document tagging (the FlashText/gazetteer
+    pattern): a curated (tag, keyword) table is broadcast against the
+    corpus's exploded tokens and rolled up to per-(tag, lang) document
+    reach and raw match counts — the topic/brand/safety tagging pass a
+    curation pipeline runs to route documents into mixture buckets.
+
+    Scale: the gazetteer is dictionary-sized (thousands of rows at
+    most), so the token join is a broadcast hash join on the exploded
+    scan — no shuffle of corpus data; the rollup's key space is
+    |tags| x |langs|. A real deployment compiles the dictionary into
+    an Aho-Corasick automaton inside a pandas UDF when keywords are
+    multi-word; single-token dictionaries need nothing beyond this
+    equi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    gaz = spark.createDataFrame(list(_GAZETTEER), "tag string, term string")
+    return (
+        toks.join(F.broadcast(gaz), "term")
+        .groupBy("tag", "lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )

@@ -625,3 +625,38 @@ def test_storage_tiering_partition_grain_rollup(spark):
     # checkpoint time.
     assert parquet_scans == 0, f"fact table re-scanned {parquet_scans}x"
     assert "ExistingRDD" in plan, "both branches must read the checkpoint"
+
+
+def test_ipw_no_broadcast_of_facts(spark):
+    """IPW is two hash aggregates and one key-partitioned join — no
+    cartesian, no data-sized broadcast, bounded exchanges."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_ipw_ate"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(df) <= 5
+
+
+def test_conformal_broadcasts_model_tables(spark):
+    """The segment model and qhat tables are |segments|-sized and must
+    come back as broadcast joins, never shuffled joins."""
+    df = REGISTRY["q_conformal_interval"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_keyword_tagging_broadcasts_gazetteer(spark):
+    """The gazetteer is dictionary-sized: its join onto the exploded
+    token stream must be a broadcast hash join (no shuffle of corpus
+    tokens to co-locate with 18 dictionary rows)."""
+    df = REGISTRY["q_keyword_tagging"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_group_order_all_single_aggregate(spark):
+    """GROUP BY ALL must plan exactly like its spelled-out twin: one
+    partial/final hash-aggregate pair (plus the ORDER BY ALL range
+    exchange), nothing extra."""
+    df = REGISTRY["q_group_order_all"].fn(spark, SF)
+    assert count_exchanges(df) <= 2
