@@ -516,3 +516,90 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "pa", "pb")
         .limit(100)
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+           CAST((1000000 * n_both)
+                // (sa.n_users + sb.n_users - n_both) AS BIGINT)
+             AS jaccard_ppm,
+           CAST((1000000 * n_both)
+                // LEAST(sa.n_users, sb.n_users) AS BIGINT)
+             AS containment_ppm
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+    tags=("affinity", "audience", "jaccard", "overlap"),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between event types: exact Jaccard and
+    containment (overlap coefficient) of the distinct-user sets for
+    every type pair — the "how much do these segments share" question
+    behind campaign dedup, surface cannibalization, and funnel design.
+
+    Scale: the distinct (user, type) projection is one map-side-
+    combinable aggregate; the pair intersection is a USER-keyed
+    self-equi-join (shuffle volume = sum of per-user type-list sizes,
+    bounded by |users| x |types|, never |users|^2 — the type_a < type_b
+    predicate halves the output); set sizes are a |types|-row broadcast
+    stitch. With millions of types you'd MinHash the user sets instead
+    (q_minhash_lsh is that path); with a handful of types exact is
+    both cheap and the ground truth the sketch would be judged
+    against."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST((1000000 * n_both) div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST((1000000 * n_both) div LEAST(n_a, n_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )

@@ -804,3 +804,88 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("lang_rank") <= F.expr("(_n_lang + 1) div 2")
     ).select("doc_id", "lang", "score_units", F.col("lang_rank").cast("long").alias("lang_rank"))
+
+
+@query(
+    "q_class_reweight",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      FROM documents GROUP BY lang
+    ),
+    g AS (
+      SELECT *,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM counts
+    ),
+    w AS (
+      SELECT lang, n_docs, n_chars_total,
+             CAST((1000000 * n_total) // (k * n_docs) AS BIGINT)
+               AS w_inv_ppm,
+             CAST((1000000000000 * n_total) // (k * n_docs) AS BIGINT)
+               AS rad
+      FROM g
+    )
+    SELECT lang, n_docs, n_chars_total, w_inv_ppm,
+           CAST(CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS BIGINT)
+                + CASE WHEN (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS BIGINT) + 1)
+                            * (CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS BIGINT) + 1)
+                            <= rad THEN 1
+                       WHEN CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS BIGINT)
+                            * CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS BIGINT)
+                            > rad THEN -1
+                       ELSE 0 END AS BIGINT) AS w_sqrt_ppm
+    FROM w
+    """,
+    tags=("pipeline", "class-weights", "mixture", "training"),
+)
+def q_class_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance weights for the training mixture, per language:
+    inverse-frequency w = N/(K*n_k) (each class contributes equally
+    after weighting) and its gentler square-root variant
+    sqrt(N/(K*n_k)) (the standard compromise when full inversion
+    over-amplifies rare-class noise), both as exact integer ppm. The
+    sqrt is an exact integer sqrt of the ppm^2-scaled ratio — one
+    double sqrt floor pinned by a wide-integer CASE correction, so
+    both engines land on the identical integer even past 2^53.
+
+    These are the per-class loss weights (or sampling temperatures) a
+    trainer consumes; q_temperature_mixture reweights by corpus share
+    at sampling time, this computes the loss-side correction.
+
+    Scale: one hash aggregate to |langs| rows, one window over those
+    rows. Nothing else."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    g = counts.select(
+        "*",
+        F.expr("CAST(SUM(n_docs) OVER () AS BIGINT)").alias("n_total"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("k"),
+    )
+    from .stats import _isqrt_wide_sql
+
+    w = g.select(
+        "lang",
+        "n_docs",
+        "n_chars_total",
+        F.expr(
+            "CAST((1000000 * n_total) div (k * n_docs) AS BIGINT)"
+        ).alias("w_inv_ppm"),
+        F.expr(
+            "CAST((1000000000000 * n_total) div (k * n_docs) AS BIGINT)"
+        ).alias("rad"),
+    )
+    return w.select(
+        "lang",
+        "n_docs",
+        "n_chars_total",
+        "w_inv_ppm",
+        F.expr(
+            f"CAST({_isqrt_wide_sql('rad', 'BIGINT')} AS BIGINT)"
+        ).alias("w_sqrt_ppm"),
+    )

@@ -1187,3 +1187,86 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(MAX(m_j) OVER (ORDER BY bin) AS BIGINT)"
         ).alias("iso_ppm"),
     )
+
+
+@query(
+    "q_calibration_ece",
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST((1000000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+                  // COUNT(*) AS BIGINT) AS p_ppm
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT src.p_ppm,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST((src.p_ppm * 10) // 1000001 AS BIGINT) AS bin
+      FROM documents d JOIN src ON src.source = d.source
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(p_ppm) AS BIGINT) AS conf_sum
+      FROM scored GROUP BY bin
+    )
+    SELECT bin, n, pos, conf_sum,
+           CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm,
+           CAST(conf_sum // n AS BIGINT) AS conf_ppm,
+           CAST(ABS(conf_sum - 1000000 * pos) // n AS BIGINT) AS gap_ppm,
+           CAST(SUM(ABS(conf_sum - 1000000 * pos)) OVER ()
+                // SUM(n) OVER () AS BIGINT) AS ece_ppm
+    FROM per_bin
+    """,
+    tags=("ranking", "calibration", "ece", "evaluation", "monitoring"),
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the by-source rate model
+    predicting lang = en: predictions are binned into 10 equal-width
+    confidence bins (bin = p_ppm*10 div 1000001, exact), and
+    ECE = sum_k (n_k/N) * |conf_bar_k - acc_k| — computed as one exact
+    integer expression sum|conf_sum - 1e6*pos| div N, since the n_k
+    inside the per-bin average cancels against the n_k/N weight. The
+    per-bin rows expose the reliability-diagram columns (confidence
+    vs accuracy vs gap); the repeated ece_ppm column is the scalar a
+    monitoring system alerts on. Complements q_brier_decomposition:
+    Brier's reliability term is the L2 view binned by a covariate,
+    ECE is the L1 view binned by the prediction itself — the pair
+    distinguishes "wrong on average" from "wrong where confident".
+
+    Scale: the model is |sources| rows (MATERIALIZED in the oracle,
+    broadcast in Spark); the scan aggregates straight to <= 10 bins
+    with map-side partials; the ECE rollup is a window over 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("p_ppm")
+    )
+    scored = d.join(F.broadcast(src), "source").select(
+        "p_ppm",
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
+        F.expr("CAST((p_ppm * 10) div 1000001 AS BIGINT)").alias("bin"),
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("p_ppm").alias("conf_sum"),
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        "conf_sum",
+        F.expr("CAST((1000000 * pos) div n AS BIGINT)").alias("acc_ppm"),
+        F.expr("CAST(conf_sum div n AS BIGINT)").alias("conf_ppm"),
+        F.expr(
+            "CAST(ABS(conf_sum - 1000000 * pos) div n AS BIGINT)"
+        ).alias("gap_ppm"),
+        F.expr(
+            "CAST(SUM(ABS(conf_sum - 1000000 * pos)) OVER ()"
+            " div SUM(n) OVER () AS BIGINT)"
+        ).alias("ece_ppm"),
+    )

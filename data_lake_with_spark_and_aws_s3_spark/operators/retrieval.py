@@ -405,3 +405,129 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_ppm div n_bigrams").alias("mean_ppm"),
         (F.expr("sum_ppm div n_bigrams") >= F.lit(_LM_KEEP_PPM)).alias("keep"),
     )
+
+
+# Position discounts for NDCG@10 as exact integer micro-units:
+# disc(i) = round(1e6 / log2(i + 1)). Both engines consume the SAME
+# literal table, so the only transcendental (log2) is evaluated once,
+# here, at authoring time — never inside either engine.
+_NDCG_DISC = (
+    (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+    (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065),
+)
+_NDCG_DISC_SQL = ", ".join(f"({i}, {d})" for i, d in _NDCG_DISC)
+
+# (query_id, term1, term2) — graded relevance = how many of the two
+# terms a document contains (0/1/2), the standard multi-term judgment.
+_NDCG_QUERIES = (
+    (1, "scan", "filter"),
+    (2, "stream", "window"),
+    (3, "join", "hash"),
+    (4, "table", "column"),
+    (5, "fast", "slow"),
+)
+_NDCG_Q_SQL = ", ".join(f"({q}, '{a}', '{b}')" for q, a, b in _NDCG_QUERIES)
+
+
+@query(
+    "q_ndcg_at_10",
+    oracle=f"""
+    WITH q(query_id, t1, t2) AS (VALUES {_NDCG_Q_SQL}),
+    disc(pos, d_micro) AS (VALUES {_NDCG_DISC_SQL}),
+    judged AS (
+      SELECT q.query_id, d.doc_id, d.n_chars,
+             (CASE WHEN ' ' || d.text || ' ' LIKE '% ' || q.t1 || ' %'
+                   THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || d.text || ' ' LIKE '% ' || q.t2 || ' %'
+                     THEN 1 ELSE 0 END) AS rel
+      FROM documents d CROSS JOIN q
+    ),
+    ranked AS (  -- the system under evaluation: longest-doc-first
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_chars DESC, doc_id) AS pos
+      FROM judged
+    ),
+    ideal AS (   -- the oracle ranking: by graded relevance
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc_id) AS pos
+      FROM judged
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(((1 << rel) - 1) * d_micro) AS BIGINT) AS dcg_micro
+      FROM ranked JOIN disc USING (pos) WHERE pos <= 10 GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(((1 << rel) - 1) * d_micro) AS BIGINT) AS idcg_micro
+      FROM ideal JOIN disc USING (pos) WHERE pos <= 10 GROUP BY query_id
+    )
+    SELECT query_id, dcg_micro, idcg_micro,
+           CAST((1000000 * dcg_micro) // idcg_micro AS BIGINT) AS ndcg_ppm
+    FROM dcg JOIN idcg USING (query_id)
+    """,
+    tags=("retrieval", "evaluation", "ndcg", "ranking-quality"),
+)
+def q_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a ranking system against graded relevance judgments
+    — the standard retrieval-evaluation metric, in exact integers. The
+    system under test ranks documents longest-first (a deliberately
+    naive ranker so the metric has something to measure); relevance is
+    the count of query terms present (graded 0/1/2); gain is the
+    classic 2^rel - 1; position discounts are a 10-row literal table
+    of round(1e6/log2(i+1)) shared verbatim by both engines, so DCG,
+    ideal DCG and their ppm ratio are bit-identical everywhere.
+
+    Scale: judgments are a broadcast of |queries| rows onto one corpus
+    scan; both rankings are per-query windows (partitioned, no global
+    sort — and at 100 TB the top-10 cut runs as a per-partition heap
+    via WindowGroupLimit); the discount join broadcasts 10 rows. Cost
+    is |queries| x corpus scans' worth of window work, never
+    all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        list(_NDCG_QUERIES), "query_id int, t1 string, t2 string"
+    )
+    disc = spark.createDataFrame(list(_NDCG_DISC), "pos int, d_micro int")
+    judged = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "(CASE WHEN ' ' || text || ' ' LIKE '% ' || t1 || ' %'"
+            " THEN 1 ELSE 0 END"
+            " + CASE WHEN ' ' || text || ' ' LIKE '% ' || t2 || ' %'"
+            " THEN 1 ELSE 0 END)"
+        ).alias("rel"),
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    gain = "((CAST(1 AS BIGINT) << rel) - 1) * d_micro"
+    dcg = (
+        judged.withColumn("pos", F.row_number().over(w_sys))
+        .filter(F.col("pos") <= 10)
+        .join(F.broadcast(disc), "pos")
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(gain)).alias("dcg_micro"))
+    )
+    idcg = (
+        judged.withColumn("pos", F.row_number().over(w_ideal))
+        .filter(F.col("pos") <= 10)
+        .join(F.broadcast(disc), "pos")
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(gain)).alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("CAST((1000000 * dcg_micro) div idcg_micro AS BIGINT)").alias(
+            "ndcg_ppm"
+        ),
+    )

@@ -295,6 +295,7 @@ _NLJ_ALLOWED = {
     "q_equi_depth_stats",   # constant 8-row boundary grid x value histogram
     "q_rolling_quantile_reagg",  # broadcast 1-row month-limits stitch
     "q_time_to_convert",    # constant 9-row decile grid x lag histogram
+    "q_ndcg_at_10",         # broadcast 5-row judgment queries x corpus scan
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
@@ -660,3 +661,30 @@ def test_group_order_all_single_aggregate(spark):
     exchange), nothing extra."""
     df = REGISTRY["q_group_order_all"].fn(spark, SF)
     assert count_exchanges(df) <= 2
+
+
+def test_ndcg_window_group_limit(spark):
+    """The top-10 cut under both ranking windows must push into
+    WindowGroupLimit (per-partition heaps), not rank-then-filter the
+    full judged set."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_ndcg_at_10"].fn(spark, SF)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_ece_broadcasts_model(spark):
+    """The |sources|-row rate model must broadcast back onto the scan."""
+    df = REGISTRY["q_calibration_ece"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_audience_overlap_no_user_pairs(spark):
+    """The intersection join is keyed on user_id (shuffle bounded by
+    the distinct (user, type) projection) — no cartesian, no NLJ."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_audience_overlap"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
