@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     curation,
     dataloader,
     dedup,
+    density,
     estimation,
     events,
     funnels,

@@ -39,7 +39,7 @@ agg + broadcast per iteration, noted here rather than implemented.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -180,4 +180,139 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("node_type"),
             "rank_scaled",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_ONE = 1_000_000  # score 1.0 in micro-units
+_HITS_TOP = 50
+
+_HITS_GRAPH_SQL = """
+    he AS (
+      SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+"""
+
+
+def _hits_iter_sql(prev: str, cur: str) -> str:
+    """One oracle HITS step: authority pass then hub pass, each
+    max-normalized back to micro-units with a floor division — mirrors
+    the Spark step token for token (all operands non-negative, so
+    DuckDB // and Spark div agree)."""
+    return f"""
+    araw{cur} AS (
+      SELECT he.auth, CAST(SUM(h.score) AS BIGINT) AS raw
+      FROM he JOIN hub{prev} h ON he.hub = h.node GROUP BY he.auth
+    ),
+    auth{cur} AS (
+      SELECT auth AS node,
+             CAST((raw * {_HITS_ONE}) // (SELECT MAX(raw) FROM araw{cur})
+                  AS BIGINT) AS score
+      FROM araw{cur}
+    ),
+    hraw{cur} AS (
+      SELECT he.hub, CAST(SUM(a.score) AS BIGINT) AS raw
+      FROM he JOIN auth{cur} a ON he.auth = a.node GROUP BY he.hub
+    ),
+    hub{cur} AS (
+      SELECT hub AS node,
+             CAST((raw * {_HITS_ONE}) // (SELECT MAX(raw) FROM hraw{cur})
+                  AS BIGINT) AS score
+      FROM hraw{cur}
+    )
+    """
+
+
+def _hits_oracle() -> str:
+    steps = ",".join(
+        _hits_iter_sql(str(i), str(i + 1)) for i in range(_HITS_ITERS)
+    )
+    n = _HITS_ITERS
+    return f"""
+    WITH {_HITS_GRAPH_SQL},
+    hub0 AS (
+      SELECT DISTINCT hub AS node, CAST({_HITS_ONE} AS BIGINT) AS score
+      FROM he
+    ),
+    {steps},
+    sides AS (
+      SELECT 'authority' AS side, node, score FROM auth{n}
+      UNION ALL
+      SELECT 'hub' AS side, node, score FROM hub{n}
+    )
+    SELECT side, node, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY side
+                                   ORDER BY score DESC, node) AS BIGINT) AS rk
+    FROM sides
+    QUALIFY rk <= {_HITS_TOP}
+    """
+
+
+@query(
+    "q_hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    tags=("graph", "iterative", "hits", "link-analysis"),
+)
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the bipartite
+    customer -> supplier trade graph, 2 fixed iterations: authority
+    score = sum of pointing hubs' scores, hub score = sum of pointed
+    authorities' scores, each pass max-normalized back to exact
+    integer micro-units (score * 1e6 div max — the L-inf analog of
+    the usual L2 normalization, chosen because it stays in exact
+    integer arithmetic; the RANKING it induces per iteration is
+    identical). Top-50 per side with rank.
+
+    Overflow: degree <= |suppliers| and scores <= 1e6, so raw sums
+    stay <= 1e10 at sf0.1 and the *1e6 rescale peaks ~1e16 < 2^63.
+
+    Scale: each half-iteration is one edge equi-join + one key
+    aggregate (the PageRank shape — two shuffles); the max is a 1-row
+    scalar broadcast stitch (allowlisted). Edges shuffle on the side
+    being aggregated; with the edge list hash-partitioned both ways
+    once, AQE reuses the layouts across iterations."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    he = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth"))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge derivation runs once, not per pass
+    )
+    hub = he.select("hub").distinct().select(
+        F.col("hub").alias("node"), F.lit(_HITS_ONE).cast("long").alias("score")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            he.join(hub, he.hub == hub.node)
+            .groupBy(F.col("auth").alias("n2"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            F.col("n2").alias("node"),
+            F.expr(f"CAST((raw * {_HITS_ONE}) div mx AS BIGINT)").alias("score"),
+        )
+        hraw = (
+            he.join(auth, he.auth == auth.node)
+            .groupBy(F.col("hub").alias("n2"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            F.col("n2").alias("node"),
+            F.expr(f"CAST((raw * {_HITS_ONE}) div mx AS BIGINT)").alias("score"),
+        )
+    both = auth.select(F.lit("authority").alias("side"), "node", "score").unionByName(
+        hub.select(F.lit("hub").alias("side"), "node", "score")
+    )
+    w = Window.partitionBy("side").orderBy(F.desc("score"), F.asc("node"))
+    return both.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= _HITS_TOP
     )

@@ -296,6 +296,7 @@ _NLJ_ALLOWED = {
     "q_rolling_quantile_reagg",  # broadcast 1-row month-limits stitch
     "q_time_to_convert",    # constant 9-row decile grid x lag histogram
     "q_ndcg_at_10",         # broadcast 5-row judgment queries x corpus scan
+    "q_hits_hubs_authorities",  # broadcast 1-row max-score normalizer stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
@@ -688,3 +689,16 @@ def test_audience_overlap_no_user_pairs(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_dbscan_no_point_self_join(spark):
+    """All density machinery is cell-granular: the plan must not
+    contain a cartesian/NLJ anywhere, and the point-level verdict
+    join must be a broadcast."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_grid_dbscan"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(df)
