@@ -39,6 +39,7 @@ from . import (  # noqa: F401
     modern,
     multimodal,
     neardup,
+    olap_design,
     pagerank,
     pca,
     pivots,

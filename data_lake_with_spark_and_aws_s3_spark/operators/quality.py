@@ -671,3 +671,169 @@ def q_equi_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "upper_cents", "n_rows", "ndv")
     )
+
+
+@query(
+    "q_merkle_diff",
+    oracle="""
+    WITH rows_ab AS (
+      SELECT o_orderkey AS k,
+             o_orderkey // 1000 AS leaf,
+             o_orderkey // 32000 AS super,
+             CASE WHEN o_orderkey = 4967 THEN 1 ELSE 0 END AS deleted,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+               AS ha,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      + CASE WHEN o_orderkey % 1931 = 0 AND o_orderkey < 6000
+                             THEN 1 ELSE 0 END
+                      AS VARCHAR)) AS hb
+      FROM orders
+    ),
+    hv AS (
+      SELECT leaf, super, deleted,
+             ((CAST(0 AS BIGINT) * 16 + instr('0123456789abcdef', substr(ha, 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(ha, 2, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(ha, 3, 1)) - 1 AS hva,
+             ((CAST(0 AS BIGINT) * 16 + instr('0123456789abcdef', substr(hb, 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(hb, 2, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(hb, 3, 1)) - 1 AS hvb
+      FROM rows_ab
+    ),
+    leaves AS (
+      SELECT leaf, super,
+             CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(COALESCE(bit_xor(hva), 0) AS BIGINT) AS xor_a,
+             CAST(SUM(1 - deleted) AS BIGINT) AS n_b,
+             CAST(COALESCE(bit_xor(CASE WHEN deleted = 0 THEN hvb END), 0)
+                  AS BIGINT) AS xor_b
+      FROM hv GROUP BY leaf, super
+    ),
+    supers AS (
+      SELECT super,
+             CAST(bit_xor(xor_a) AS BIGINT) AS sx_a,
+             CAST(bit_xor(xor_b) AS BIGINT) AS sx_b,
+             CAST(SUM(n_a) AS BIGINT) AS sn_a,
+             CAST(SUM(n_b) AS BIGINT) AS sn_b,
+             CAST(COUNT(*) AS BIGINT) AS n_leaves
+      FROM leaves GROUP BY super
+    ),
+    dirty_supers AS (
+      SELECT * FROM supers WHERE sx_a <> sx_b OR sn_a <> sn_b
+    ),
+    probed AS (  -- round 2 of the protocol: leaves under dirty supers
+      SELECT l.* FROM leaves l JOIN dirty_supers d ON d.super = l.super
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM supers) AS total_supers,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty_supers) AS dirty_supers,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM leaves) AS total_leaves,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probed) AS leaves_probed
+    )
+    SELECT p.leaf, p.super, p.n_a, p.n_b, p.xor_a, p.xor_b,
+           s.total_supers, s.dirty_supers, s.total_leaves, s.leaves_probed,
+           CAST((1000000 * s.leaves_probed) // s.total_leaves AS BIGINT)
+             AS probe_ppm
+    FROM probed p CROSS JOIN stats s
+    WHERE p.xor_a <> p.xor_b OR p.n_a <> p.n_b
+    """,
+    tags=("quality", "merkle", "anti-entropy", "replication"),
+)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle anti-entropy diff between a table and a
+    deliberately diverged replica (orderkeys 0/1931/3862/5793 have
+    their price off by one cent; orderkey 4967 is missing — a FIXED absolute
+    divergence set, present at every scale factor, so localization
+    stays sparse as the tree grows —
+    the mutation is an expression, so one scan feeds both sides):
+    leaf = 1000-key range with (count, XOR-of-row-digests), super =
+    32 leaves with XORed leaf hashes. The protocol compares the super
+    level first, probes leaves ONLY under dirty supers, and returns
+    the dirty leaves plus the localization stats — probe_ppm is the
+    fraction of leaf hashes that had to cross the wire, the number
+    that makes hierarchical anti-entropy worth its tree (Cassandra /
+    Dynamo repair, DVC/lakeFS content trees).
+
+    Extends q_table_checksums (flat buckets): same portable md5-digit
+    row digest, plus the hierarchy and the simulated divergence.
+
+    Scale: one scan -> leaf aggregate (map-side partials, output =
+    |leaves| rows) -> super aggregate over |leaves| rows; the dirty
+    join is leaf-metadata x dirty-super-metadata. Data never moves."""
+    from .llm_pipeline import _hex_val_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    ha = (
+        "md5(CAST(o_orderkey AS STRING) || '|' || "
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING))"
+    )
+    hb = (
+        "md5(CAST(o_orderkey AS STRING) || '|' || "
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        " + CASE WHEN o_orderkey % 1931 = 0 AND o_orderkey < 6000"
+        " THEN 1 ELSE 0 END AS STRING))"
+    )
+    hv = o.select(
+        F.expr("o_orderkey div 1000").alias("leaf"),
+        F.expr("o_orderkey div 32000").alias("super"),
+        F.expr("CASE WHEN o_orderkey = 4967 THEN 1 ELSE 0 END").alias(
+            "deleted"
+        ),
+        F.expr(_hex_val_sql(ha, 3)).alias("hva"),
+        F.expr(_hex_val_sql(hb, 3)).alias("hvb"),
+    )
+    leaves = hv.groupBy("leaf", "super").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.coalesce(F.bit_xor("hva"), F.lit(0)).alias("xor_a"),
+        F.sum(1 - F.col("deleted")).alias("n_b"),
+        F.coalesce(
+            F.bit_xor(F.expr("CASE WHEN deleted = 0 THEN hvb END")), F.lit(0)
+        ).alias("xor_b"),
+    ).localCheckpoint(eager=True)  # both tree levels read this
+    supers = leaves.groupBy("super").agg(
+        F.bit_xor("xor_a").alias("sx_a"),
+        F.bit_xor("xor_b").alias("sx_b"),
+        F.sum("n_a").alias("sn_a"),
+        F.sum("n_b").alias("sn_b"),
+        F.count(F.lit(1)).alias("n_leaves"),
+    )
+    dirty_supers = supers.filter(
+        (F.col("sx_a") != F.col("sx_b")) | (F.col("sn_a") != F.col("sn_b"))
+    )
+    probed = leaves.join(
+        F.broadcast(dirty_supers.select("super")), "super"
+    )
+    stats = (
+        supers.agg(
+            F.count(F.lit(1)).alias("total_supers"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN sx_a <> sx_b OR sn_a <> sn_b THEN 1 ELSE 0 END"
+                )
+            ).alias("dirty_supers"),
+        )
+        .crossJoin(leaves.agg(F.count(F.lit(1)).alias("total_leaves")))
+        .crossJoin(probed.agg(F.count(F.lit(1)).alias("leaves_probed")))
+    )
+    return (
+        probed.filter(
+            (F.col("xor_a") != F.col("xor_b")) | (F.col("n_a") != F.col("n_b"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "leaf",
+            "super",
+            "n_a",
+            "n_b",
+            "xor_a",
+            "xor_b",
+            "total_supers",
+            "dirty_supers",
+            "total_leaves",
+            "leaves_probed",
+            F.expr(
+                "CAST((1000000 * leaves_probed) div total_leaves AS BIGINT)"
+            ).alias("probe_ppm"),
+        )
+    )

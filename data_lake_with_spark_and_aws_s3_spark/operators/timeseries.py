@@ -964,3 +964,71 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_peak_us"),
         )
     )
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT event_type, d, cents,
+             LAG(cents, 1) OVER (PARTITION BY event_type ORDER BY d) AS p1,
+             LAG(cents, 7) OVER (PARTITION BY event_type ORDER BY d) AS p7
+      FROM daily
+    ),
+    scored AS (SELECT * FROM lagged WHERE p7 IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(cents - p1)) AS BIGINT) AS ae_naive_cents,
+           CAST(SUM(ABS(cents - p7)) AS BIGINT) AS ae_snaive_cents,
+           CAST((1000000 * SUM(ABS(cents - p7))) // SUM(ABS(cents - p1))
+                AS BIGINT) AS mase_ppm
+    FROM scored GROUP BY event_type
+    """,
+    tags=("timeseries", "forecasting", "backtest", "mase", "evaluation"),
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast backtest with MASE: per event type, the
+    daily value series is scored one-step-ahead by two zero-parameter
+    forecasters — naive (yesterday) and seasonal-naive (same weekday
+    last week) — over every day where both have history. MASE is the
+    standard scale-free comparison (Hyndman & Koehler 2006): seasonal-
+    naive absolute error / naive absolute error, here as an exact
+    integer ppm ratio of exact cent sums (no per-day division, so no
+    rounding accumulates). mase_ppm < 1e6 means weekly seasonality is
+    real and a seasonal model earns its keep; this is the gate a
+    forecasting pipeline runs before swapping models in production,
+    and the denominator convention matches q_holt_forecast's naive
+    baseline.
+
+    Scale: one (type, day) hash aggregate with map-side partials, one
+    per-type window sort over |days| rows, one final rollup to
+    |types| rows. The raw event scan is the only data-sized stage."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lag("cents", 7).over(w).alias("p7"),
+    ).filter(F.col("p7").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("p1"))).alias("ae_naive_cents"),
+        F.sum(F.abs(F.col("cents") - F.col("p7"))).alias("ae_snaive_cents"),
+        F.expr(
+            "CAST((1000000 * SUM(ABS(cents - p7))) div SUM(ABS(cents - p1))"
+            " AS BIGINT)"
+        ).alias("mase_ppm"),
+    )

@@ -297,6 +297,8 @@ _NLJ_ALLOWED = {
     "q_time_to_convert",    # constant 9-row decile grid x lag histogram
     "q_ndcg_at_10",         # broadcast 5-row judgment queries x corpus scan
     "q_hits_hubs_authorities",  # broadcast 1-row max-score normalizer stitch
+    "q_cuboid_selection",   # 8x8 cuboid-lattice subset grid + 1-row greedy picks
+    "q_merkle_diff",        # broadcast 1-row localization-stats stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
@@ -702,3 +704,50 @@ def test_grid_dbscan_no_point_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_broadcast_join(df)
+
+
+def test_cuboid_selection_single_cube_pass(spark):
+    """The only data-sized stage is ONE cube pass over documents: the
+    checkpointed 8-row lattice feeds every greedy round, so the final
+    plan reads no parquet at all."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_cuboid_selection"].fn(spark, SF)
+    plan = formatted_plan(df)
+    parquet_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Scan parquet" in line.strip().split(") ", 1)[-1]
+    )
+    assert parquet_scans == 0, f"lattice rounds re-scanned parquet {parquet_scans}x"
+    assert "ExistingRDD" in plan
+
+
+def test_merkle_single_scan(spark):
+    """Both replicas derive from ONE orders scan (the divergence is an
+    expression): the leaf table is checkpointed when the query is
+    built, so the downstream tree/probe plan reads only the
+    checkpoint RDD — zero parquet scans."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_merkle_diff"].fn(spark, SF)
+    plan = formatted_plan(df)
+    parquet_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Scan parquet" in line.strip().split(") ", 1)[-1]
+    )
+    assert parquet_scans == 0, f"orders re-scanned {parquet_scans}x"
+    assert "ExistingRDD" in plan
+
+
+def test_forecast_backtest_single_exchange_chain(spark):
+    """Daily aggregate, one per-type window sort, final rollup —
+    bounded exchanges, no join at all."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_forecast_backtest"].fn(spark, SF)
+    assert "Join" not in formatted_plan(df)
+    assert count_exchanges(df) <= 3
