@@ -444,3 +444,281 @@ def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@query(
+    "q_bitmap_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    words AS (
+      SELECT event_type, user_id // 62 AS w,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT))
+                  AS BIGINT) AS bits
+      FROM ut GROUP BY event_type, user_id // 62
+    ),
+    sizes AS (
+      SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+      FROM words GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+      FROM words a JOIN words b
+        ON a.w = b.w AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+           CAST((1000000 * n_both)
+                // (sa.n_users + sb.n_users - n_both) AS BIGINT)
+             AS jaccard_ppm,
+           CAST((1000000 * n_both)
+                // LEAST(sa.n_users, sb.n_users) AS BIGINT)
+             AS containment_ppm
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+    tags=("sketch", "bitmap", "audience", "overlap"),
+)
+def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via BIT-PACKED user sets — the bitmap-index
+    trick (Druid / Pinot / ClickHouse): each event type's user set
+    becomes one int64 word per 62-user block (bit_or of shifted
+    bits), set sizes are popcount sums, and pairwise intersections
+    are popcount(a AND b) over a WORD-keyed join. Returns exactly the
+    q_audience_overlap table (same columns, same exact values —
+    asserted equal in tests/test_sketches.py) while shuffling
+    |users|/62 words per type instead of |users| rows: the pair
+    intersection costs a ~60x smaller join than the row-level
+    self-join, which is why engines keep audience segments as bitmaps.
+    Bit 62/63 are never set (user_id % 62), so shifts stay clear of
+    the int64 sign bit in both engines.
+
+    Scale: one distinct projection, one word aggregate (map-side
+    combinable, 62:1 compression), one word-keyed equi-join. With
+    billions of users you'd roaring-compress runs; the word layout
+    here IS the uncompressed roaring container."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    words = ut.groupBy(
+        "event_type", F.expr("user_id div 62").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(user_id % 62 AS INT)))"
+        ).alias("bits")
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "w", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "w", F.col("bits").alias("bb")
+    )
+    inter = (
+        a.join(b, ["w"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.expr("CAST(SUM(bit_count(ba & bb)) AS BIGINT)").alias("n_both")
+        )
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST((1000000 * n_both) div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST((1000000 * n_both) div LEAST(n_a, n_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+_KMV_K = 64
+_KMV_RANGE = 16 ** 12  # 12 md5 hex digits -> [0, 2^48)
+
+
+@query(
+    "q_kmv_sketch",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             {_hex_val_sql("md5(CAST(user_id AS VARCHAR))", 12)} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM uh
+    ),
+    bottoms AS MATERIALIZED (
+      SELECT event_type, h, rk, CAST(n_exact AS BIGINT) AS n_exact
+      FROM ranked WHERE rk <= {_KMV_K}
+    ),
+    singles AS (
+      SELECT event_type, MAX(n_exact) AS n_exact,
+             CASE WHEN MAX(rk) < {_KMV_K} THEN MAX(rk)
+                  ELSE ({_KMV_K} - 1) * {_KMV_RANGE}
+                       // MAX(CASE WHEN rk = {_KMV_K} THEN h END) END AS est
+      FROM bottoms GROUP BY event_type
+    ),
+    pair_h AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, a.h
+      FROM bottoms a JOIN (SELECT DISTINCT event_type FROM bottoms) b
+        ON a.event_type < b.event_type
+      UNION
+      SELECT a.event_type AS type_a, b.event_type AS type_b, b.h
+      FROM (SELECT DISTINCT event_type FROM bottoms) a
+      JOIN bottoms b ON a.event_type < b.event_type
+    ),
+    pranked AS (
+      SELECT type_a, type_b, h,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+      FROM pair_h
+    ),
+    unions AS (
+      SELECT type_a, type_b,
+             CASE WHEN MAX(rk) < {_KMV_K} THEN MAX(rk)
+                  ELSE ({_KMV_K} - 1) * {_KMV_RANGE}
+                       // MAX(CASE WHEN rk = {_KMV_K} THEN h END) END
+               AS est_union
+      FROM pranked WHERE rk <= {_KMV_K} GROUP BY type_a, type_b
+    )
+    SELECT u.type_a, u.type_b,
+           CAST(sa.est AS BIGINT) AS est_a,
+           CAST(sb.est AS BIGINT) AS est_b,
+           CAST(u.est_union AS BIGINT) AS est_union,
+           CAST(sa.est + sb.est - u.est_union AS BIGINT) AS est_inter,
+           sa.n_exact AS n_a_exact, sb.n_exact AS n_b_exact,
+           CAST((1000000 * ABS(sa.est - sa.n_exact)) // sa.n_exact AS BIGINT)
+             AS abs_err_a_ppm
+    FROM unions u
+    JOIN singles sa ON sa.event_type = u.type_a
+    JOIN singles sb ON sb.event_type = u.type_b
+    """,
+    tags=("sketch", "kmv", "distinct", "mergeable"),
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    theta-sketch ancestor), K = 64: each event type keeps the 64
+    smallest 48-bit md5 hashes of its users; the distinct estimate is
+    (K-1) * 2^48 div h_K (exact count when the sketch isn't full), and
+    because bottom-k sets MERGE by union-then-trim, the pairwise
+    union estimate needs no re-scan — intersections follow by
+    inclusion-exclusion. Unlike HLL (engine-internal, not
+    cross-engine comparable), every value here is deterministic
+    integer arithmetic on portable md5 digits, so estimates,
+    merges, and the per-type absolute-error column are all
+    hash-checked against the oracle. q_audience_overlap holds the
+    exact pairwise truth this sketch approximates.
+
+    Scale: one distinct projection, one per-type bottom-K window
+    (per-partition top-K heaps via WindowGroupLimit); everything
+    after operates on K x |types| rows — the sketch table IS the
+    shuffle. This is the mergeability contract a 1000-node rollup
+    needs: partial sketches union per node, trim to K, estimate once."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        F.expr(_hex_val_sql("md5(CAST(user_id AS STRING))", 12)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = uh.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    bottoms = ranked.filter(F.col("rk") <= _KMV_K).localCheckpoint(eager=True)
+    est_case = (
+        f"CASE WHEN MAX(rk) < {_KMV_K} THEN MAX(rk)"
+        f" ELSE ({_KMV_K} - 1) * {_KMV_RANGE}"
+        f" div MAX(CASE WHEN rk = {_KMV_K} THEN h END) END"
+    )
+    singles = bottoms.groupBy("event_type").agg(
+        F.max("n_exact").cast("long").alias("n_exact"),
+        F.expr(est_case).alias("est"),
+    )
+    types = bottoms.select("event_type").distinct()
+    pair_h = (
+        bottoms.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.h").alias("h"),
+        )
+        .unionByName(
+            types.alias("a")
+            .join(
+                bottoms.alias("b"),
+                F.col("a.event_type") < F.col("b.event_type"),
+            )
+            .select(
+                F.col("a.event_type").alias("type_a"),
+                F.col("b.event_type").alias("type_b"),
+                F.col("b.h").alias("h"),
+            )
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    unions = (
+        pair_h.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.expr(est_case.replace("MAX(rk)", "MAX(rk)")).alias("est_union"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"),
+        F.col("est").alias("est_a"),
+        F.col("n_exact").alias("n_a_exact"),
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"),
+        F.col("est").alias("est_b"),
+        F.col("n_exact").alias("n_b_exact"),
+    )
+    return (
+        unions.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            F.col("est_union").cast("long").alias("est_union"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_inter"),
+            "n_a_exact",
+            "n_b_exact",
+            F.expr(
+                "CAST((1000000 * ABS(est_a - n_a_exact)) div n_a_exact"
+                " AS BIGINT)"
+            ).alias("abs_err_a_ppm"),
+        )
+    )

@@ -25,3 +25,33 @@ def test_cms_sketch_is_constant_size(spark):
     # HashAggregate caps per-task output at DEPTH*WIDTH rows
     plan = sketch._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bitmap_overlap_equals_row_level_twin(spark):
+    """The bit-packed overlap must reproduce the row-level
+    q_audience_overlap table EXACTLY — same pairs, same counts, same
+    ppm ratios — while joining 62x fewer rows."""
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    bm = sorted(
+        map(tuple, REGISTRY["q_bitmap_overlap"].fn(spark, sf).collect())
+    )
+    rows = sorted(
+        map(tuple, REGISTRY["q_audience_overlap"].fn(spark, sf).collect())
+    )
+    assert bm == rows
+
+
+def test_kmv_estimate_within_sketch_error(spark):
+    """KMV with K=64 has relative standard error ~1/sqrt(K-2) ~ 13%;
+    assert every per-type estimate lands within 4 sigma (52%) of the
+    exact count — a loose, SF-independent sanity band (exactness is
+    already hash-checked; this guards against a broken estimator that
+    still matches its oracle)."""
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    for r in REGISTRY["q_kmv_sketch"].fn(spark, sf).collect():
+        assert abs(r.est_a - r.n_a_exact) <= max(4, 0.52 * r.n_a_exact), r
+        assert abs(r.est_b - r.n_b_exact) <= max(4, 0.52 * r.n_b_exact), r
