@@ -612,3 +612,89 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").alias("n_converters"),
         )
     )
+
+
+@query(
+    "q_ltv_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN((CAST(ts AS DATE) - DATE '1970-01-01') // 7) AS cohort_m
+      FROM events GROUP BY user_id
+    ),
+    monthly AS (
+      SELECT e.user_id, f.cohort_m,
+             (CAST(e.ts AS DATE) - DATE '1970-01-01') // 7 - f.cohort_m
+               AS age_m,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    cohort_sizes AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort_m
+    ),
+    rev AS (
+      SELECT cohort_m, age_m, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM monthly GROUP BY cohort_m, age_m
+    )
+    SELECT r.cohort_m, CAST(r.age_m AS BIGINT) AS age_m, s.n_users,
+           r.rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_m
+                                       ORDER BY r.age_m) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_m
+                                       ORDER BY r.age_m)
+                // s.n_users AS BIGINT) AS ltv_cents_per_user
+    FROM rev r JOIN cohort_sizes s ON s.cohort_m = r.cohort_m
+    """,
+    tags=("funnels", "cohorts", "ltv", "revenue"),
+)
+def q_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users are cohorted by first-activity WEEK
+    (epoch-day div 7 — engine-portable and grain-appropriate for the
+    fixture's one-month span; ANY event type is the signup proxy),
+    purchase revenue is bucketed by cohort age in weeks, and the running cumulative revenue per
+    cohort divided by cohort size gives the LTV-per-user curve — the
+    table under every "payback period" chart, and the growth-model
+    input that decides acquisition spend. Cents exact; one floor
+    division per output row. Complements q_retention_cohorts (user
+    counts) with the revenue dimension.
+
+    Scale: first-activity is one user-keyed aggregate; the cohort tag
+    rejoins on the same user key (co-partitioned); revenue rolls up
+    to |cohorts| x |ages| rows before the cumulative window runs on
+    that metadata-sized grid."""
+    ev = load_table(spark, sf_dir, "events")
+    mexpr = "(datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7)"
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(f"MIN({mexpr})").alias("cohort_m")
+    )
+    monthly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_m",
+            F.expr(f"{mexpr} - cohort_m").alias("age_m"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = monthly.groupBy("cohort_m", "age_m").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    return (
+        rev.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            "cohort_m",
+            F.col("age_m").cast("long").alias("age_m"),
+            "n_users",
+            "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+        )
+        .withColumn(
+            "ltv_cents_per_user",
+            F.expr("CAST(cum_rev_cents div n_users AS BIGINT)"),
+        )
+    )

@@ -889,3 +889,82 @@ def q_class_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({_isqrt_wide_sql('rad', 'BIGINT')} AS BIGINT)"
         ).alias("w_sqrt_ppm"),
     )
+
+
+@query(
+    "q_hamilton_apportionment",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    g AS (
+      SELECT lang, n_docs,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total
+      FROM counts
+    ),
+    q AS (
+      SELECT lang, n_docs, n_total,
+             CAST((10000 * n_docs) // n_total AS BIGINT) AS floor_seats,
+             CAST((10000 * n_docs) % n_total AS BIGINT) AS remainder
+      FROM g
+    ),
+    r AS (
+      SELECT *,
+             CAST(10000 - SUM(floor_seats) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rr
+      FROM q
+    )
+    SELECT lang, n_docs, floor_seats, remainder,
+           CAST(floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM r
+    """,
+    tags=("pipeline", "allocation", "apportionment", "mixture"),
+)
+def q_hamilton_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sampling
+    budget of 10,000 documents across languages, proportional to
+    corpus share: every language gets floor(10000 * n/N), and the
+    seats lost to flooring go one each to the largest remainders
+    (ties to lexicographically smaller lang). The result is the
+    integer quota vector that sums EXACTLY to the budget — the
+    correct way to turn mixture weights into whole-document sampling
+    quotas (naive rounding over- or under-shoots the budget; Hamilton
+    never does, which is why apportionment, ad pacing, and shard
+    assignment all use it). q_lang_quota then materializes a quota;
+    this computes the quota vector itself, exactly.
+
+    Scale: one hash aggregate to |langs| rows, two windows over those
+    rows. The budget never touches the data."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    g = counts.select(
+        "lang", "n_docs", F.expr("CAST(SUM(n_docs) OVER () AS BIGINT)").alias("n_total")
+    )
+    q = g.select(
+        "lang",
+        "n_docs",
+        "n_total",
+        F.expr("CAST((10000 * n_docs) div n_total AS BIGINT)").alias("floor_seats"),
+        F.expr("CAST((10000 * n_docs) % n_total AS BIGINT)").alias("remainder"),
+    )
+    from pyspark.sql import Window as W
+
+    r = q.select(
+        "*",
+        F.expr("CAST(10000 - SUM(floor_seats) OVER () AS BIGINT)").alias("leftover"),
+        F.row_number()
+        .over(W.orderBy(F.desc("remainder"), F.asc("lang")))
+        .alias("rr"),
+    )
+    return r.select(
+        "lang",
+        "n_docs",
+        "floor_seats",
+        "remainder",
+        F.expr(
+            "CAST(floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("seats"),
+    )

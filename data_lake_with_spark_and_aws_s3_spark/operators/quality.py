@@ -837,3 +837,55 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("probe_ppm"),
         )
     )
+
+
+@query(
+    "q_freshness_sla",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS watermark FROM events),
+    per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, last_ts,
+           CAST(date_diff('second', last_ts, watermark) AS BIGINT)
+             AS lag_seconds,
+           date_diff('second', last_ts, watermark) <= 86400 AS within_sla
+    FROM per_type CROSS JOIN mx
+    """,
+    tags=("quality", "freshness", "sla", "monitoring"),
+)
+def q_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-freshness audit: each event type's last-seen
+    timestamp against the table-wide high watermark, with the lag in
+    whole seconds and a 24h SLA verdict — the staleness monitor every
+    ingestion pipeline pages on (a stream that silently stops emits
+    no errors, only growing lag; this query is how you notice).
+    Second-truncated lag keeps the surface integer-exact across
+    engines regardless of sub-second timestamp encoding.
+
+    Scale: one aggregate to |types| rows; the watermark is a 1-row
+    broadcast stitch (allowlisted). At 100 TB the same query runs on
+    partition-level max(ts) from table-format manifests instead of a
+    scan — the shape is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("watermark"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    return per_type.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        F.expr(
+            "CAST(unix_seconds(CAST(watermark AS TIMESTAMP))"
+            " - unix_seconds(CAST(last_ts AS TIMESTAMP)) AS BIGINT)"
+        ).alias("lag_seconds"),
+        F.expr(
+            "(unix_seconds(CAST(watermark AS TIMESTAMP))"
+            " - unix_seconds(CAST(last_ts AS TIMESTAMP))) <= 86400"
+        ).alias("within_sla"),
+    )

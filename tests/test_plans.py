@@ -300,6 +300,7 @@ _NLJ_ALLOWED = {
     "q_cuboid_selection",   # 8x8 cuboid-lattice subset grid + 1-row greedy picks
     "q_merkle_diff",        # broadcast 1-row localization-stats stitch
     "q_kmv_sketch",         # K x |types| sketch rows x |types| pair grid
+    "q_freshness_sla",      # broadcast 1-row high-watermark stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
