@@ -75,8 +75,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_setops_matrix",
     "q_math_array_funcs",
     "q_text_normalize_tokens",
+    # round-3 session-8 flagships (displaced q_json_sink_roundtrip and
+    # q_embedding_centroids — second representatives of §2.1 sinks and
+    # §2.10 similarity, rows still covered in-prefix by
+    # q_parquet_sink_roundtrip / q_cosine_topk; both stay
+    # pytest-parity-checked)
+    "q_cuboid_selection",
+    "q_bitmap_overlap",
     # §2.1 sources/sinks
-    "q_json_sink_roundtrip",
     "q_parquet_sink_roundtrip",
     # §2.2 / §2.8 scalar families
     "q_date_parts",
@@ -104,7 +110,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.10 LLM-data pipeline
     "q_dedup_md5",
     "q_cosine_topk",
-    "q_embedding_centroids",
     # §2.11 Python integration
     "q_pandas_udf",
     "q_apply_in_pandas_slope",
