@@ -107,7 +107,44 @@ FAMILIES = {
     "q_wasserstein_1d": lambda spark, d: {
         "grid_rows": support_grid_rows(spark, d)
     },
+    # round 3, session 8 additions (events/embeddings-driven;
+    # q_hits_hubs_authorities is NOT swept — orders/lineitem symlink
+    # to sf0.1 in the synthetic dirs, the q_bfs_hops caveat)
+    "q_grid_dbscan": lambda spark, d: {
+        "points": load_table(spark, d, "embeddings").count(),
+        "cells": occupied_cells(spark, d),
+    },
+    "q_bitmap_overlap": lambda spark, d: {
+        "bitmap_words": bitmap_words(spark, d),
+    },
+    "q_kmv_sketch": lambda spark, d: {
+        "distinct_users": load_table(spark, d, "events")
+        .select("user_id").distinct().count(),
+    },
 }
+
+
+def occupied_cells(spark, sf_dir):
+    """Occupied grid cells = the size of ALL post-scan machinery."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            F.expr("(CAST(ROUND(CAST(embedding[0] AS DOUBLE) * 10000) AS BIGINT) + 10000) div 200").alias("cx"),
+            F.expr("(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) + 10000) div 200").alias("cy"),
+        )
+        .distinct()
+        .count()
+    )
+
+
+def bitmap_words(spark, sf_dir):
+    """(type, word) rows = the pair join's shuffle currency."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.expr("user_id div 62").alias("w"))
+        .distinct()
+        .count()
+    )
 
 
 def tf_posting_rows(spark, sf_dir):
