@@ -332,3 +332,101 @@ def q_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f1_ppm"),
     )
+
+
+@query(
+    "q_mcnemar_test",
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             (2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              >= COUNT(*)) AS pred_a
+      FROM documents GROUP BY source
+    ),
+    med AS (
+      SELECT CAST(MEDIAN(n_chars) AS BIGINT) AS med_chars FROM documents
+    ),
+    paired AS (
+      SELECT (d.lang = 'en') AS y,
+             s.pred_a,
+             (d.n_chars >= m.med_chars) AS pred_b
+      FROM documents d
+      JOIN src s ON s.source = d.source
+      CROSS JOIN med m
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM paired
+    )
+    SELECT n, b, c,
+           CAST(CASE WHEN b + c > 0
+                THEN (1000 * (b - c) * (b - c)) // (b + c)
+                ELSE 0 END AS BIGINT) AS chi2_milli,
+           (CASE WHEN b + c > 0
+                 THEN (1000 * (b - c) * (b - c)) // (b + c)
+                 ELSE 0 END) > 3841 AS models_differ
+    FROM cells
+    """,
+    tags=("classify", "mcnemar", "paired-test", "evaluation"),
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers on the SAME
+    examples (predicting lang = en): classifier A votes by its
+    source's majority language, classifier B by document length above
+    the corpus median. Only the DISAGREEMENT cells matter — b (A
+    right, B wrong) and c (A wrong, B right) — and the statistic
+    (b-c)^2/(b+c) in exact milli-units against the chi-square(1) 5%
+    bar of 3.841. This is the right test when two models share an
+    eval set (accuracy deltas ignore pairing and overstate noise);
+    the integer guard returns 0 when b + c = 0.
+
+    Scale: the source model is a broadcast |sources|-row table, the
+    median is a 1-row stitch (allowlisted), and the whole test is one
+    conditional aggregate over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.expr(
+            "(2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+            " >= COUNT(*)) AS pred_a"
+        )
+    )
+    med = d.agg(
+        F.expr("CAST(MEDIAN(n_chars) AS BIGINT) AS med_chars")
+    )
+    paired = (
+        d.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.expr("(lang = 'en')").alias("y"),
+            "pred_a",
+            F.expr("(n_chars >= med_chars)").alias("pred_b"),
+        )
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CASE WHEN pred_a = y AND pred_b <> y THEN 1 ELSE 0 END")
+        ).alias("b"),
+        F.sum(
+            F.expr("CASE WHEN pred_a <> y AND pred_b = y THEN 1 ELSE 0 END")
+        ).alias("c"),
+    )
+    return agg.select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            "CAST(CASE WHEN b + c > 0"
+            " THEN (1000 * (b - c) * (b - c)) div (b + c)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CASE WHEN b + c > 0"
+            " THEN (1000 * (b - c) * (b - c)) div (b + c)"
+            " ELSE 0 END > 3841"
+        ).alias("models_differ"),
+    )

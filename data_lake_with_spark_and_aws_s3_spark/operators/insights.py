@@ -568,3 +568,113 @@ def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("bot_score"),
     )
+
+
+@query(
+    "q_simpson_check",
+    oracle="""
+    WITH pop AS (
+      SELECT c.c_nationkey AS stratum,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS t,
+             CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+      SELECT stratum,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(1 - t) AS BIGINT) AS n_c,
+             CAST(SUM(t * y) AS BIGINT) AS y_t,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS y_c
+      FROM pop GROUP BY stratum
+    ),
+    diffs AS (
+      SELECT stratum,
+             CAST((1000000 * y_t) // n_t AS BIGINT)
+               - CAST((1000000 * y_c) // n_c AS BIGINT) AS diff_ppm
+      FROM per WHERE n_t > 0 AND n_c > 0
+    ),
+    total AS (
+      SELECT CAST((1000000 * SUM(y_t)) // SUM(n_t) AS BIGINT)
+             - CAST((1000000 * SUM(y_c)) // SUM(n_c) AS BIGINT)
+               AS overall_diff_ppm,
+             CAST((SELECT COUNT(*) FROM diffs) AS BIGINT) AS n_strata,
+             CAST((SELECT COUNT(*) FROM diffs WHERE diff_ppm > 0)
+                  AS BIGINT) AS n_positive,
+             CAST((SELECT COUNT(*) FROM diffs WHERE diff_ppm < 0)
+                  AS BIGINT) AS n_negative
+      FROM per
+    )
+    SELECT overall_diff_ppm, n_strata, n_positive, n_negative,
+           (overall_diff_ppm > 0 AND 2 * n_negative > n_strata)
+           OR (overall_diff_ppm < 0 AND 2 * n_positive > n_strata)
+             AS simpson_flag
+    FROM total
+    """,
+    tags=("insights", "simpson", "confounding", "analytics-qa"),
+)
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the association between urgent order
+    priority and high order value, measured overall AND within every
+    nation stratum. Reports the pooled rate difference (exact signed
+    ppm — each rate is one floor division of non-negative integers,
+    the difference a plain subtraction), the per-stratum sign census,
+    and a flag that fires when the pooled sign contradicts the
+    majority of strata — the aggregation-reversal that means a
+    confounder (here: nation mix) is driving the headline number and
+    any dashboard reading the pooled rate is lying. This is the
+    automated QA check an analytics layer runs before publishing a
+    segment comparison; q_diff_in_diff and q_ipw_ate are the repair
+    tools once it fires.
+
+    Scale: one fact-dimension equi-join, one hash aggregate to ~25
+    stratum rows, scalar census over those rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pop = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("stratum"),
+        F.expr(
+            "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END"
+        ).alias("t"),
+        F.expr("CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END").alias(
+            "y"
+        ),
+    )
+    per = pop.groupBy("stratum").agg(
+        F.sum("t").alias("n_t"),
+        F.sum(1 - F.col("t")).alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).alias("y_t"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("y_c"),
+    ).localCheckpoint(eager=True)  # ~25 rows feed both branches
+    diffs = per.filter("n_t > 0 AND n_c > 0").select(
+        F.expr(
+            "CAST((1000000 * y_t) div n_t AS BIGINT)"
+            " - CAST((1000000 * y_c) div n_c AS BIGINT)"
+        ).alias("diff_ppm")
+    )
+    census = diffs.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.expr("CASE WHEN diff_ppm > 0 THEN 1 ELSE 0 END")).alias(
+            "n_positive"
+        ),
+        F.sum(F.expr("CASE WHEN diff_ppm < 0 THEN 1 ELSE 0 END")).alias(
+            "n_negative"
+        ),
+    )
+    total = per.agg(
+        F.expr(
+            "CAST((1000000 * SUM(y_t)) div SUM(n_t) AS BIGINT)"
+            " - CAST((1000000 * SUM(y_c)) div SUM(n_c) AS BIGINT)"
+        ).alias("overall_diff_ppm")
+    )
+    return total.crossJoin(F.broadcast(census)).select(
+        "overall_diff_ppm",
+        "n_strata",
+        "n_positive",
+        "n_negative",
+        F.expr(
+            "(overall_diff_ppm > 0 AND 2 * n_negative > n_strata)"
+            " OR (overall_diff_ppm < 0 AND 2 * n_positive > n_strata)"
+        ).alias("simpson_flag"),
+    )

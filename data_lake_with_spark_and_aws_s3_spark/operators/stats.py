@@ -2082,3 +2082,121 @@ def q_sequential_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{t2} > {_SEQ_BOUNDARY_MICRO}").alias("crossed"),
         )
     )
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n,
+             CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS rad
+      FROM m
+    ),
+    wt AS (
+      SELECT event_type, n,
+             CAST({_isqrt_wide_sql("rad", "HUGEINT")} AS BIGINT) AS weight
+      FROM w
+    ),
+    g AS (
+      SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS w_total FROM wt
+    ),
+    q AS (
+      SELECT event_type, n, weight,
+             CAST((10000 * weight) // w_total AS BIGINT) AS floor_seats,
+             CAST((10000 * weight) % w_total AS BIGINT) AS remainder
+      FROM g
+    ),
+    r AS (
+      SELECT *,
+             CAST(10000 - SUM(floor_seats) OVER () AS BIGINT) AS leftover,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, event_type) AS rr
+      FROM q
+    )
+    SELECT event_type, n, weight, floor_seats,
+           CAST(floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM r
+    """,
+    tags=("stats", "sampling-design", "neyman", "stratification"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a budget of 10,000
+    rows is split across event-type strata proportionally to
+    N_h * S_h (stratum size x standard deviation) — the allocation
+    that minimizes the stratified estimator's variance (Neyman 1934);
+    uniform-rate sampling over-spends on big low-variance strata. With
+    every stratum fully observed, N_h * S_h = sqrt(n_h * sum(y^2) -
+    sum(y)^2) exactly, so the weight is ONE exact wide-integer sqrt of
+    the raw moments (the q_rate_wilson_ci isqrt; radicand in
+    HUGEINT/DECIMAL(38,0)); the integer seats then come from the same
+    largest-remainder rounding as q_hamilton_apportionment, so they
+    sum exactly to the budget.
+
+    Scale: one moment aggregate to |strata| rows (map-side partials),
+    two windows over those rows."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(value * 100) AS BIGINT)"
+                " * CAST(ROUND(value * 100) AS BIGINT)"
+            )
+        ).alias("s2"),
+    )
+    w = m.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+        ).alias("rad"),
+    )
+    wt = w.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"CAST({_isqrt_wide_sql('rad', 'DECIMAL(38,0)')} AS BIGINT)"
+        ).alias("weight"),
+    )
+    g = wt.select(
+        "*", F.expr("CAST(SUM(weight) OVER () AS BIGINT)").alias("w_total")
+    )
+    q = g.select(
+        "event_type",
+        "n",
+        "weight",
+        F.expr("CAST((10000 * weight) div w_total AS BIGINT)").alias(
+            "floor_seats"
+        ),
+        F.expr("CAST((10000 * weight) % w_total AS BIGINT)").alias(
+            "remainder"
+        ),
+    )
+    r = q.select(
+        "*",
+        F.expr("CAST(10000 - SUM(floor_seats) OVER () AS BIGINT)").alias(
+            "leftover"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), F.asc("event_type")))
+        .alias("rr"),
+    )
+    return r.select(
+        "event_type",
+        "n",
+        "weight",
+        "floor_seats",
+        F.expr(
+            "CAST(floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("seats"),
+    )
