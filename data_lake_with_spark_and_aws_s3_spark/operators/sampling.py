@@ -175,3 +175,74 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= _NEG_K)
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "neg_rank")
     )
+
+
+@query(
+    "q_capture_recapture",
+    oracle="""
+    WITH marks AS (
+      SELECT doc_id,
+             substr(md5('crawlA|' || CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3','4','5','6','7') AS in_a,
+             substr(md5('crawlB|' || CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3','4','5','6','7') AS in_b
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS m,
+           CAST((SUM(CASE WHEN in_a THEN 1 ELSE 0 END)
+                 * SUM(CASE WHEN in_b THEN 1 ELSE 0 END))
+                // SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS est_lincoln,
+           CAST(((SUM(CASE WHEN in_a THEN 1 ELSE 0 END) + 1)
+                 * (SUM(CASE WHEN in_b THEN 1 ELSE 0 END) + 1))
+                // (SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) + 1) - 1
+                AS BIGINT) AS est_chapman
+    FROM marks
+    """,
+    tags=("sampling", "capture-recapture", "coverage", "crawl"),
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Lincoln-Petersen +
+    the bias-corrected Chapman variant): two independent ~50%
+    "crawls" of the document universe are simulated by disjoint
+    md5 marks (first hex digit < 8 under two different salts), and
+    the universe size is estimated from n1 * n2 / m — the estimator a
+    crawl team uses to answer "how big is the web we haven't fetched"
+    and a dedup team uses to size a corpus from two overlapping
+    snapshots without materializing the union. The TRUE count sits in
+    the same row, so the estimate's quality is visible (and both
+    engines compute the identical deterministic marks, so everything
+    hashes). Chapman's +1 correction removes Lincoln's small-m bias.
+
+    Scale: one scan, one conditional aggregate. The marks are
+    per-row codegen; no shuffle beyond the 1-row reduction."""
+    d = load_table(spark, sf_dir, "documents")
+    marks = d.select(
+        F.expr(
+            "substr(md5('crawlA|' || CAST(doc_id AS STRING)), 1, 1)"
+            " IN ('0','1','2','3','4','5','6','7')"
+        ).alias("in_a"),
+        F.expr(
+            "substr(md5('crawlB|' || CAST(doc_id AS STRING)), 1, 1)"
+            " IN ('0','1','2','3','4','5','6','7')"
+        ).alias("in_b"),
+    )
+    return marks.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.expr("CASE WHEN in_a THEN 1 ELSE 0 END")).alias("n1"),
+        F.sum(F.expr("CASE WHEN in_b THEN 1 ELSE 0 END")).alias("n2"),
+        F.sum(F.expr("CASE WHEN in_a AND in_b THEN 1 ELSE 0 END")).alias("m"),
+    ).select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.expr("CAST((n1 * n2) div m AS BIGINT)").alias("est_lincoln"),
+        F.expr(
+            "CAST(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 AS BIGINT)"
+        ).alias("est_chapman"),
+    )

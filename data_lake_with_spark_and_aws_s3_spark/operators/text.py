@@ -1051,3 +1051,116 @@ def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_matches"),
         )
     )
+
+
+@query(
+    "q_good_turing",
+    oracle="""
+    WITH toks AS (  -- empties dropped BEFORE windowing, like the Spark side
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+      FROM (
+        SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks
+      )
+    ),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM grams GROUP BY term
+    ),
+    fof AS (  -- frequency of frequencies
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM counts GROUP BY r
+    ),
+    g AS (
+      SELECT f.r, f.n_r, f2.n_r AS n_r1,
+             CAST(SUM(f.r * f.n_r) OVER () AS BIGINT) AS n_tokens
+      FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1
+    ),
+    unseen AS (
+      SELECT CAST(COALESCE(
+               (SELECT (1000000000 * g2.n_r) // g2.n_tokens
+                FROM g g2 WHERE g2.r = 1), 0) AS BIGINT)
+               AS unseen_mass_ppb
+    )
+    SELECT r, n_r,
+           CAST(CASE WHEN n_r1 IS NOT NULL
+                THEN (1000000 * (r + 1) * n_r1) // n_r END AS BIGINT)
+             AS r_star_micro,
+           CAST((1000000000 * n_r * r) // n_tokens AS BIGINT)
+             AS mass_ppb,
+           unseen_mass_ppb
+    FROM g CROSS JOIN unseen
+    ORDER BY r LIMIT 10
+    """,
+    tags=("text", "good-turing", "smoothing", "language-model"),
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing with word TRIGRAMS as the
+    species (the 31-word synthetic vocabulary has no rare WORDS; the
+    trigram space is ~30k types with a genuine hapax tail at every
+    shipped SF): the frequency-of-frequencies table N_r, the adjusted
+    count r* = (r+1) N_{r+1} / N_r in exact micro-units (NULL where
+    N_{r+1} = 0 — the raw estimator's well-known gap, left visible
+    rather than smoothed away), each count class's share of total
+    gram mass, and the headline number: the UNSEEN-species mass
+    N_1 / N (the probability the next trigram drawn was never seen —
+    COALESCEd to 0 if the corpus ever has no hapaxes), the quantity
+    that calibrates LM smoothing and tells a crawl how much n-gram
+    coverage it is still missing (q_capture_recapture answers the
+    same question from two samples). First 10 count classes.
+
+    Scale: one gram explode + aggregate (|gram types| keys, map-side
+    partials), one |classes|-row self-join on r+1, windows over
+    |classes| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    starts = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))
+    )
+    counts = (
+        d.select(F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    f2 = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    g = (
+        fof.join(F.broadcast(f2), "r", "left")
+        .withColumn(
+            "n_tokens",
+            F.expr("CAST(SUM(r * n_r) OVER () AS BIGINT)"),
+        )
+        .localCheckpoint(eager=True)  # |classes| rows feed two branches
+    )
+    unseen = g.agg(
+        F.coalesce(
+            F.expr(
+                "CAST(SUM(CASE WHEN r = 1"
+                " THEN (1000000000 * n_r) div n_tokens END) AS BIGINT)"
+            ),
+            F.lit(0),
+        ).alias("unseen_mass_ppb")
+    )
+    return (
+        g.crossJoin(F.broadcast(unseen))
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "CAST(CASE WHEN n_r1 IS NOT NULL"
+                " THEN (1000000 * (r + 1) * n_r1) div n_r END AS BIGINT)"
+            ).alias("r_star_micro"),
+            F.expr(
+                "CAST((1000000000 * n_r * r) div n_tokens AS BIGINT)"
+            ).alias("mass_ppb"),
+            "unseen_mass_ppb",
+        )
+        .orderBy("r")
+        .limit(10)
+    )
