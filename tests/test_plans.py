@@ -303,6 +303,7 @@ _NLJ_ALLOWED = {
     "q_freshness_sla",      # broadcast 1-row high-watermark stitch
     "q_mcnemar_test",       # broadcast 1-row corpus-median stitch
     "q_simpson_check",      # broadcast census-over-strata scalar stitch
+    "q_good_turing",        # broadcast 1-row unseen-mass scalar stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
