@@ -505,3 +505,57 @@ def q_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_cents
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           t.avg_cents AS threshold_cents
+    FROM orders CROSS JOIN t
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > t.avg_cents
+    GROUP BY o_orderpriority, t.avg_cents
+    """,
+    tags=("modern", "sql-scripting", "variables", "spark4"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING surface: a BEGIN ... END compound
+    statement DECLAREs a variable, SETs it from a scalar subquery
+    (the corpus-average order price in exact cents), and the script's
+    final SELECT — which becomes the statement's result — filters and
+    groups against the variable. Procedural control flow without
+    leaving SQL is the migration path for stored-procedure workloads;
+    semantically the variable is a 1-row scalar the oracle expresses
+    as a CTE cross join, so the script output stays exactly
+    hash-checkable.
+
+    Scale: two scans of orders (the scalar pass and the filtered
+    aggregate); the variable is driver-held, equivalent to the 1-row
+    broadcast stitch pattern."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "eng_orders_script"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_cents BIGINT DEFAULT 0;
+          SET avg_cents = (
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        div COUNT(*) AS BIGINT)
+            FROM eng_orders_script
+          );
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_above,
+                 avg_cents AS threshold_cents
+          FROM eng_orders_script
+          WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > avg_cents
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -1032,3 +1032,110 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+@query(
+    "q_holt_winters",
+    oracle="""
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS rn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), r AS (
+      SELECT event_type, rn, y,
+             y AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sv,
+             CAST([0, 0, 0, 0, 0, 0, 0] AS BIGINT[]) AS season
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.y,
+             (s.y - r.season[1] + r.l + r.b) // 2 AS l,
+             (((s.y - r.season[1] + r.l + r.b) // 2) - r.l + r.b) // 2 AS b,
+             (s.y - ((s.y - r.season[1] + r.l + r.b) // 2) + r.season[1])
+               // 2 AS sv,
+             list_append(
+               r.season[2:],
+               (s.y - ((s.y - r.season[1] + r.l + r.b) // 2) + r.season[1])
+                 // 2
+             ) AS season
+      FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, rn, y,
+           CAST(l AS BIGINT) AS level,
+           CAST(b AS BIGINT) AS trend,
+           CAST(sv AS BIGINT) AS seasonal,
+           CAST(l + 7 * b + sv AS BIGINT) AS fc7
+    FROM r
+    """,
+    tags=("timeseries", "forecast", "holt-winters", "recurrence", "udf"),
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple-exponential smoothing (level +
+    trend + weekly seasonality, alpha = beta = gamma = 1/2, m = 7)
+    over the per-type daily event-count series — q_holt_forecast plus
+    the seasonal state, the recurrence class SQL windows cannot
+    express. Coupled truncating-integer updates per day t:
+
+        l_t = (y_t - s_{t-7} + l + b) div 2
+        b_t = (l_t - l + b) div 2
+        s_t = (y_t - l_t + s_{t-7}) div 2
+
+    with deterministic init l_1 = y_1, b_1 = 0, seasonal ring all
+    zeros (the first week therefore fits like Holt — stated, not
+    hidden). fc7 = l + 7b + s_t is the same-weekday-next-week
+    forecast, the number a capacity planner actually wants. The Spark
+    side runs grouped applyInPandas with an O(m) ring buffer; the
+    oracle replays the identical recurrence in a DuckDB recursive CTE
+    whose state row CARRIES the 7-slot seasonal ring as a list column
+    (list_append(season[2:], s_t)) — truncating halving (Python
+    explicit, DuckDB //, Spark div) keeps every step bit-exact even
+    where the trend or seasonal goes negative.
+
+    Scale: one daily hash aggregate; the recurrence runs over
+    |types| x |days| rows with O(m) state per group — chunk by time
+    and carry (l, b, ring) if a series outgrows a pandas batch."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def tdiv2(t: int) -> int:
+        return t // 2 if t >= 0 else -((-t) // 2)
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        season = [0] * 7
+        out = []
+        l = b = None
+        for rn, y in enumerate(pdf["y"].astype(int), start=1):
+            if l is None:
+                l, b, sv = int(y), 0, 0
+            else:
+                s_old = season[0]
+                l_new = tdiv2(y - s_old + l + b)
+                b = tdiv2(l_new - l + b)
+                sv = tdiv2(y - l_new + s_old)
+                l = l_new
+                season = season[1:] + [sv]
+            out.append(
+                (pdf["event_type"].iat[0], rn, int(y), l, b, sv,
+                 l + 7 * b + sv)
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "rn", "y", "level", "trend", "seasonal", "fc7"
+            ],
+        )
+
+    return s.groupBy("event_type").applyInPandas(
+        hw,
+        schema=(
+            "event_type string, rn long, y long, level long, trend long,"
+            " seasonal long, fc7 long"
+        ),
+    )
