@@ -343,8 +343,14 @@ def q_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
               >= COUNT(*)) AS pred_a
       FROM documents GROUP BY source
     ),
-    med AS (
-      SELECT CAST(MEDIAN(n_chars) AS BIGINT) AS med_chars FROM documents
+    med AS (  -- exact LOWER median by rank (interpolation banned)
+      SELECT n_chars AS med_chars
+      FROM (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM documents
+      ) WHERE rn = (cnt + 1) // 2
     ),
     paired AS (
       SELECT (d.lang = 'en') AS y,
@@ -376,8 +382,10 @@ def q_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's paired test for comparing two classifiers on the SAME
     examples (predicting lang = en): classifier A votes by its
-    source's majority language, classifier B by document length above
-    the corpus median. Only the DISAGREEMENT cells matter — b (A
+    source's majority language, classifier B by document length at or
+    above the corpus median (the exact LOWER order statistic via a
+    rank window — engine MEDIAN interpolates even-count middles and
+    the engines round the .5 differently). Only the DISAGREEMENT cells matter — b (A
     right, B wrong) and c (A wrong, B right) — and the statistic
     (b-c)^2/(b+c) in exact milli-units against the chi-square(1) 5%
     bar of 3.841. This is the right test when two models share an
@@ -394,8 +402,15 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " >= COUNT(*)) AS pred_a"
         )
     )
-    med = d.agg(
-        F.expr("CAST(MEDIAN(n_chars) AS BIGINT) AS med_chars")
+    from pyspark.sql import Window as W
+
+    med = (
+        d.withColumn(
+            "rn", F.row_number().over(W.orderBy("n_chars", "doc_id"))
+        )
+        .withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy()))
+        .filter(F.expr("rn = (cnt + 1) div 2"))
+        .select(F.col("n_chars").alias("med_chars"))
     )
     paired = (
         d.join(F.broadcast(src), "source")

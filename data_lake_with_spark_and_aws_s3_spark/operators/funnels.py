@@ -698,3 +698,138 @@ def q_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cum_rev_cents div n_users AS BIGINT)"),
         )
     )
+
+
+@query(
+    "q_stickiness_dau_wau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    weekly AS (
+      SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d.d AS TIMESTAMP) AS day,
+           ((d.d - DATE '1970-01-01') // 7) AS wk,
+           d.dau, w.wau,
+           CAST((1000000 * d.dau) // w.wau AS BIGINT) AS stickiness_ppm
+    FROM daily d
+    JOIN weekly w ON w.wk = (d.d - DATE '1970-01-01') // 7
+    """,
+    tags=("funnels", "engagement", "stickiness", "product-analytics"),
+)
+def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: distinct daily actives over distinct
+    weekly actives for the containing epoch week, in exact ppm — the
+    standard engagement-frequency metric (60%+ means most weekly
+    users show up most days). Two distinct-count aggregates on
+    different grains of one scan, joined on the week key; the ratio
+    is one floor division of exact counts.
+
+    Scale: both aggregates are map-side-combinable distinct counts
+    keyed by (day|week); the join is |days| x 1 per week —
+    metadata-sized. At 100 TB pre-aggregate (day, user) once and
+    derive both grains from it to scan the raw events a single time."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = "(datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7)"
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(F.expr(wk).alias("wk")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.withColumn(
+            "wk", F.expr("datediff(day, DATE'1970-01-01') div 7")
+        )
+        .join(F.broadcast(weekly), "wk")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("wk").cast("long").alias("wk"),
+            "dau",
+            "wau",
+            F.expr("CAST((1000000 * dau) div wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "q_bounce_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS bounce_ppm,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM per_session
+    """,
+    tags=("funnels", "sessions", "bounce-rate", "engagement"),
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate with 30-minute inactivity sessionization
+    (the q_sessionize_gaps boundary rule): the share of sessions that
+    contain exactly ONE event — the metric that distinguishes traffic
+    from engagement. One user-keyed window pass derives session ids
+    (gaps-and-islands), one aggregate sizes sessions, one reduction
+    emits the exact ppm.
+
+    Scale: a single user_id exchange feeds both the lag window and
+    the running session-id sum; session sizing is map-side-combinable
+    on (user, sid)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        F.expr(
+            "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            " > INTERVAL 30 MINUTE"
+            " OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("new_session"),
+    )
+    sess = ordered.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.expr("CASE WHEN n_events = 1 THEN 1 ELSE 0 END")).alias(
+            "n_bounces"
+        ),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.sum("n_events").alias("n_events_total"),
+    )

@@ -27,7 +27,7 @@ table nightly and touching only the new partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -888,4 +888,108 @@ def q_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(unix_seconds(CAST(watermark AS TIMESTAMP))"
             " - unix_seconds(CAST(last_ts AS TIMESTAMP))) <= 86400"
         ).alias("within_sla"),
+    )
+
+
+@query(
+    "q_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (  -- exact LOWER median by rank (no interpolation anywhere)
+      SELECT event_type, n AS med_n
+      FROM (
+        SELECT event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM daily
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    dev AS (
+      SELECT d.event_type, d.d, d.n, m.med_n,
+             ABS(d.n - m.med_n) AS adev
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type, adev AS mad_n
+      FROM (
+        SELECT event_type, adev, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+      ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT dev.event_type, CAST(dev.d AS TIMESTAMP) AS day, dev.n,
+           dev.med_n, mad.mad_n,
+           CAST(CASE WHEN mad.mad_n > 0
+                THEN (1000 * ABS(dev.n - dev.med_n)) // mad.mad_n
+                ELSE 0 END AS BIGINT) AS robust_z_milli,
+           CASE WHEN mad.mad_n > 0
+                THEN (1000 * ABS(dev.n - dev.med_n)) // mad.mad_n > 5000
+                ELSE FALSE END AS anomalous
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    """,
+    tags=("quality", "anomaly", "volume", "monitoring"),
+)
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly screen: each (event_type, day) row
+    count is scored by its robust z — |n - median| / MAD in exact
+    milli-units — against a 5.0 threshold. Median/MAD instead of
+    mean/stddev so one crazy day cannot hide itself by inflating its
+    own baseline (the classic failure of z-score volume alerts).
+    Complements q_freshness_sla: freshness catches the stream that
+    stops, this catches the stream that triples. Both medians are the
+    exact LOWER order statistic via a rank window with a (value, day)
+    tiebreak — engine MEDIAN interpolates even-count middles and the
+    two engines round the .5 differently, so interpolation is banned
+    from the hashed surface; the guard returns 0 / FALSE when MAD is
+    0.
+
+    Scale: one (type, day) hash aggregate (map-side partials);
+    medians/MADs run over |types| x |days| metadata rows; the score
+    join is metadata-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+
+    def lower_median(df, val, order_tiebreak, out):
+        w = Window.partitionBy("event_type").orderBy(val, order_tiebreak)
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(wc))
+            .filter(F.expr("rn = (cnt + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = lower_median(daily, "n", "d", "med_n")
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        "med_n",
+        F.abs(F.col("n") - F.col("med_n")).alias("adev"),
+    )
+    mad = lower_median(dev, "adev", "d", "mad_n")
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("day"),
+        "n",
+        "med_n",
+        "mad_n",
+        F.expr(
+            "CAST(CASE WHEN mad_n > 0"
+            " THEN (1000 * ABS(n - med_n)) div mad_n ELSE 0 END AS BIGINT)"
+        ).alias("robust_z_milli"),
+        F.expr(
+            "CASE WHEN mad_n > 0"
+            " THEN (1000 * ABS(n - med_n)) div mad_n > 5000"
+            " ELSE FALSE END"
+        ).alias("anomalous"),
     )
