@@ -81,6 +81,10 @@ EXTENDED = [
     "q_bm25_topk",
     "q_bigram_lm_score",
     "q_label_propagation",
+    # round 3, session 8: the new iterative flagships (HITS = PageRank
+    # two-shuffle shape; grid DBSCAN = cell-granular star-contraction CC)
+    "q_hits_hubs_authorities",
+    "q_grid_dbscan",
 ]
 
 # Headline gets the stabler protocol (2 warm-ups, median of 5): it IS

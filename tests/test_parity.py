@@ -104,8 +104,22 @@ def test_driver_prefix_wall_budget(spark):
         # bit-sum aggregate is inherently wide); anything beyond that
         # is a new heavy query that must live OUTSIDE the prefix
         if warm > 4.0:
-            over.append((n, round(warm, 2)))
-    assert not over, f"prefix queries over the 4s warm sf0.01 budget: {over}"
+            over.append(n)
+    # Re-measure offenders once: when this test runs at the END of a
+    # long pytest session (e.g. the sf0.1 sweep leg, ~11k stages of
+    # accumulated codegen-cache/GC drag), a normally-sub-2s query can
+    # blip past the budget. A genuine heavy query is over on BOTH
+    # measurements; a drag blip is not.
+    still_over = []
+    for n in over:
+        t0 = time.perf_counter()
+        REGISTRY[n].fn(spark, sf_dir).collect()
+        warm = time.perf_counter() - t0
+        if warm > 4.0:
+            still_over.append((n, round(warm, 2)))
+    assert not still_over, (
+        f"prefix queries over the 4s warm sf0.01 budget twice: {still_over}"
+    )
     # the driver's gate pays the cold cost once per query — keep the
     # whole-prefix cold pass far from any plausible gate timeout
     assert total_cold < 150, f"whole prefix took {total_cold:.1f}s cold at sf0.01"
