@@ -836,3 +836,173 @@ def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("cross_effect_cents"),
     )
+
+
+@query(
+    "q_multi_band_scan",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN h BETWEEN 0 AND 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_00_03,
+           CAST(SUM(CASE WHEN h BETWEEN 3 AND 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_03_06,
+           CAST(SUM(CASE WHEN h BETWEEN 6 AND 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_06_09,
+           CAST(SUM(CASE WHEN h BETWEEN 9 AND 11 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_09_12,
+           CAST(SUM(CASE WHEN h BETWEEN 12 AND 14 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_12_15,
+           CAST(SUM(CASE WHEN h BETWEEN 15 AND 17 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_15_18,
+           CAST(SUM(CASE WHEN h BETWEEN 18 AND 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_18_21,
+           CAST(SUM(CASE WHEN h BETWEEN 21 AND 23 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_21_24
+    FROM (
+      SELECT EXTRACT(HOUR FROM ts) AS h
+      FROM events WHERE event_type = 'click' AND value > 100
+    )
+    """,
+    tags=("analytics", "multi-band", "tpcds-q88", "scan-efficiency"),
+)
+def q_multi_band_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88-signature multi-band count: eight 3-hour activity
+    bands of filtered click events, all answered from ONE scan as
+    conditional aggregates in a single reduction row. The naive form
+    (and Q88's literal SQL) is eight self-joined scalar subqueries —
+    eight scans of the fact table; folding the band predicate into
+    CASE inside one aggregate is THE rewrite that matters at 100 TB
+    (asserted: 1 scan, 1 exchange, tests/test_plans.py). The shared
+    filter still pushes down to the reader.
+
+    Scale: one scan with pushed predicates, map-side partial
+    aggregation straight to a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    bands = [
+        (0, 2, "band_00_03"), (3, 5, "band_03_06"), (6, 8, "band_06_09"),
+        (9, 11, "band_09_12"), (12, 14, "band_12_15"),
+        (15, 17, "band_15_18"), (18, 20, "band_18_21"),
+        (21, 23, "band_21_24"),
+    ]
+    return (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 100))
+        .select(h.alias("h"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("h").between(lo, hi), 1).otherwise(0)
+                ).alias(name)
+                for lo, hi, name in bands
+            ]
+        )
+    )
+
+
+@query(
+    "q_multi_distinct_expand",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT user_id || '|' || event_type) AS BIGINT)
+             AS n_user_type_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    """,
+    tags=("analytics", "multi-distinct", "expand", "engine-surface"),
+)
+def q_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) at DIFFERENT granularities in one
+    statement: Catalyst compiles this into a single scan feeding an
+    Expand node (one replicated row per distinct-group) and a two-step
+    aggregate — NOT one scan per distinct column (asserted:
+    single scan + Expand in the plan). Knowing this shape exists is
+    the difference between one pass and N passes when a data-quality
+    report wants five cardinalities from a 100 TB table; the pair
+    column concatenates with a separator so it is the true composite
+    cardinality in both engines.
+
+    Scale: one scan; Expand multiplies rows by the number of distinct
+    specs BEFORE partial aggregation, so the shuffle is bounded by
+    the distinct key spaces, not by the fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(
+            F.expr("user_id || '|' || event_type")
+        ).alias("n_user_type_pairs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_ship_lag_deciles",
+    oracle="""
+    WITH lags AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    hist AS (
+      SELECT l_returnflag, lag_days, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lags GROUP BY l_returnflag, lag_days
+    ),
+    cum AS (
+      SELECT l_returnflag, lag_days, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY lag_days)
+               AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+      FROM hist
+    ),
+    grid AS (SELECT unnest(generate_series(1, 9)) AS dec)
+    SELECT c.l_returnflag, CAST(g.dec AS BIGINT) AS decile,
+           CAST(MIN(c.lag_days) AS BIGINT) AS lag_days_at_decile
+    FROM grid g JOIN cum c ON c.cum_cnt * 10 >= c.total * g.dec
+    GROUP BY c.l_returnflag, g.dec
+    """,
+    tags=("analytics", "fulfillment", "lag-deciles", "sla"),
+)
+def q_ship_lag_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment-lag deciles per return-flag
+    segment (the fixture carries no ship mode) — the SLA table an
+    operations team publishes ("90% of segment-R shipments leave
+    within N days"). Exact day-lag histogram per segment, cumulative
+    counts, and the rank trick: the d-th decile is the smallest lag
+    whose cumulative count reaches d/10 of the segment's total (integer
+    cross-multiplication, no interpolated percentile anywhere). The
+    constant 9-row decile grid joins the bounded histogram — the
+    q_time_to_convert pattern applied to the relational fact pair.
+
+    Scale: the orderkey equi-join is co-partitioned fact-to-fact; the
+    histogram collapses to |segments| x |lag days| rows before any
+    window; the grid join is metadata-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag",
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE),"
+            " CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("lag_days"),
+    )
+    hist = lags.groupBy("l_returnflag", "lag_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("lag_days")
+    wt = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "lag_days",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("dec"))
+    return (
+        cum.join(
+            F.broadcast(grid),
+            F.col("cum_cnt") * 10 >= F.col("total") * F.col("dec"),
+        )
+        .groupBy("l_returnflag", F.col("dec").cast("long").alias("decile"))
+        .agg(F.min("lag_days").cast("long").alias("lag_days_at_decile"))
+    )

@@ -304,6 +304,7 @@ _NLJ_ALLOWED = {
     "q_mcnemar_test",       # broadcast 1-row corpus-median stitch
     "q_simpson_check",      # broadcast census-over-strata scalar stitch
     "q_good_turing",        # broadcast 1-row unseen-mass scalar stitch
+    "q_ship_lag_deciles",   # constant 9-row decile grid x lag histogram
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
@@ -756,3 +757,23 @@ def test_forecast_backtest_single_exchange_chain(spark):
     df = REGISTRY["q_forecast_backtest"].fn(spark, SF)
     assert "Join" not in formatted_plan(df)
     assert count_exchanges(df) <= 3
+
+
+def test_multi_band_single_scan(spark):
+    """Eight conditional band counts must plan ONE scan and ONE
+    partial/final exchange — not Q88's eight self-joined subqueries —
+    with the shared filter pushed to the reader."""
+    df = REGISTRY["q_multi_band_scan"].fn(spark, SF)
+    assert count_scans(df) == 1
+    assert count_exchanges(df) == 1
+    assert has_pushed_filter(df, "event_type")
+
+
+def test_multi_distinct_uses_expand(spark):
+    """Multiple COUNT(DISTINCT) granularities compile to one scan
+    feeding an Expand node, never one scan per distinct column."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_multi_distinct_expand"].fn(spark, SF)
+    assert count_scans(df) == 1
+    assert "Expand" in formatted_plan(df)
