@@ -762,3 +762,115 @@ def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_disorder_us"
         ),
     )
+
+
+@query(
+    "q_token_bucket",
+    oracle="""
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT user_id, ts,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
+                                     event_id) AS BIGINT) AS rn,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events WHERE user_id % 40 = 0
+    ), r AS (
+      SELECT user_id, rn, us,
+             CAST(9000 AS BIGINT) AS tokens_milli,  -- 10000 cap - first hit
+             CAST(0 AS BIGINT) AS throttled
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.us,
+             CASE WHEN LEAST(10000, r.tokens_milli
+                             + ((s.us - r.us) // 1000000) * 1000 // 60)
+                       >= 1000
+                  THEN LEAST(10000, r.tokens_milli
+                             + ((s.us - r.us) // 1000000) * 1000 // 60)
+                       - 1000
+                  ELSE LEAST(10000, r.tokens_milli
+                             + ((s.us - r.us) // 1000000) * 1000 // 60)
+                  END,
+             CASE WHEN LEAST(10000, r.tokens_milli
+                             + ((s.us - r.us) // 1000000) * 1000 // 60)
+                       >= 1000
+                  THEN 0 ELSE 1 END
+      FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(throttled) AS BIGINT) AS n_throttled,
+           CAST((1000000 * SUM(throttled)) // COUNT(*) AS BIGINT)
+             AS throttle_ppm,
+           CAST(MAX(CASE WHEN rn = (SELECT MAX(r2.rn) FROM r r2
+                                    WHERE r2.user_id = r.user_id)
+                    THEN tokens_milli END) AS BIGINT) AS final_tokens_milli
+    FROM r GROUP BY user_id
+    """,
+    tags=("events", "rate-limit", "token-bucket", "stateful", "udf"),
+)
+def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay over each user's event stream
+    (capacity 10 tokens, refill 1/minute, cost 1/event; audited on
+    the user_id % 40 == 0 cohort): the state machine every API quota
+    layer runs, replayed offline to ask "how many of this user's
+    requests WOULD we have throttled under policy X" before the
+    policy ships. Like q_holt_winters this is the
+    state-depends-on-previous-OUTPUT class no window can express:
+    tokens_milli = min(cap, tokens + elapsed_seconds*1000 div 60),
+    minus 1000 when the event is admitted; whole-second elapsed
+    truncation and milli-token integer arithmetic keep every step
+    bit-exact across engines. First event pays from a full bucket.
+    Per user: event count, throttled count, throttle ppm, and the
+    final bucket level.
+
+    Scale: grouped applyInPandas with O(1) state per user after one
+    user-keyed exchange; the oracle replays the identical recurrence
+    as a recursive CTE joining rn+1 (the q_holt_forecast pattern,
+    per-user). The cohort filter bounds the oracle's recursion; the
+    Spark side would run unfiltered at 100 TB."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id % 40 = 0")
+    s = ev.select(
+        "user_id", "ts", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+
+    def bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        tokens, last_us = None, None
+        n = throttled = 0
+        for us in pdf["us"].astype(int):
+            n += 1
+            if tokens is None:
+                tokens = 10000 - 1000  # first event admitted from full
+            else:
+                refill = ((us - last_us) // 1000000) * 1000 // 60
+                tokens = min(10000, tokens + refill)
+                if tokens >= 1000:
+                    tokens -= 1000
+                else:
+                    throttled += 1
+            last_us = us
+        uid = int(pdf["user_id"].iat[0])
+        return pd.DataFrame(
+            [
+                (
+                    uid,
+                    n,
+                    throttled,
+                    (1000000 * throttled) // n,
+                    tokens,
+                )
+            ],
+            columns=[
+                "user_id", "n_events", "n_throttled", "throttle_ppm",
+                "final_tokens_milli",
+            ],
+        )
+
+    return s.groupBy("user_id").applyInPandas(
+        bucket,
+        schema=(
+            "user_id long, n_events long, n_throttled long,"
+            " throttle_ppm long, final_tokens_milli long"
+        ),
+    )
