@@ -158,3 +158,111 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("distinct_words").alias("metric"), "value")
     )
     return stacked.unionAll(words)
+
+
+def _ops_report_oracle() -> str:
+    from ..registry import REGISTRY
+
+    fresh = REGISTRY["q_freshness_sla"].oracle
+    vol = REGISTRY["q_volume_anomaly"].oracle
+    bounce = REGISTRY["q_bounce_rate"].oracle
+    stick = REGISTRY["q_stickiness_dau_wau"].oracle
+    return f"""
+    WITH fresh AS ({fresh}),
+    vol AS ({vol}),
+    bounce AS ({bounce}),
+    stick AS ({stick})
+    SELECT 'sources_within_sla' AS metric,
+           CAST(SUM(CASE WHEN within_sla THEN 1 ELSE 0 END) AS BIGINT)
+             AS value
+    FROM fresh
+    UNION ALL SELECT 'max_lag_seconds',
+           CAST(MAX(lag_seconds) AS BIGINT) FROM fresh
+    UNION ALL SELECT 'anomalous_type_days',
+           CAST(SUM(CASE WHEN anomalous THEN 1 ELSE 0 END) AS BIGINT)
+           FROM vol
+    UNION ALL SELECT 'max_robust_z_milli',
+           CAST(MAX(robust_z_milli) AS BIGINT) FROM vol
+    UNION ALL SELECT 'n_sessions', CAST(MAX(n_sessions) AS BIGINT)
+           FROM bounce
+    UNION ALL SELECT 'bounce_ppm', CAST(MAX(bounce_ppm) AS BIGINT)
+           FROM bounce
+    UNION ALL SELECT 'min_stickiness_ppm',
+           CAST(MIN(stickiness_ppm) AS BIGINT) FROM stick
+    UNION ALL SELECT 'max_stickiness_ppm',
+           CAST(MAX(stickiness_ppm) AS BIGINT) FROM stick
+    """
+
+
+@query(
+    "q_ops_report",
+    oracle=_ops_report_oracle(),
+    tags=("capstone", "operations", "monitoring", "composition"),
+)
+def q_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONS report — the monitoring family's capstone,
+    composed from four registered queries exactly as q_data_card
+    composes the corpus card: freshness SLA compliance
+    (q_freshness_sla), volume-anomaly census (q_volume_anomaly),
+    session bounce health (q_bounce_rate) and engagement stickiness
+    range (q_stickiness_dau_wau), each reduced to hash-stable BIGINT
+    scalars and stacked into long (metric, value) form. The Spark
+    side calls the registered component queries and aggregates their
+    DataFrames; the oracle nests the component oracles as
+    subqueries, so the report stays synchronized with component truth
+    by construction — change a component's semantics and this
+    capstone's parity breaks loudly.
+
+    Scale: the cost is the components' cost (each documented in
+    SCALE.md); the report layer adds only scalar reductions."""
+    from ..registry import REGISTRY
+
+    sf = sf_dir
+    fresh = REGISTRY["q_freshness_sla"].fn(spark, sf)
+    vol = REGISTRY["q_volume_anomaly"].fn(spark, sf)
+    bounce = REGISTRY["q_bounce_rate"].fn(spark, sf)
+    stick = REGISTRY["q_stickiness_dau_wau"].fn(spark, sf)
+
+    def row(metric, df_agg):
+        return df_agg.select(
+            F.lit(metric).alias("metric"),
+            F.col("v").cast("long").alias("value"),
+        )
+
+    parts = [
+        row(
+            "sources_within_sla",
+            fresh.agg(
+                F.sum(
+                    F.expr("CASE WHEN within_sla THEN 1 ELSE 0 END")
+                ).alias("v")
+            ),
+        ),
+        row("max_lag_seconds", fresh.agg(F.max("lag_seconds").alias("v"))),
+        row(
+            "anomalous_type_days",
+            vol.agg(
+                F.sum(
+                    F.expr("CASE WHEN anomalous THEN 1 ELSE 0 END")
+                ).alias("v")
+            ),
+        ),
+        row(
+            "max_robust_z_milli",
+            vol.agg(F.max("robust_z_milli").alias("v")),
+        ),
+        row("n_sessions", bounce.agg(F.max("n_sessions").alias("v"))),
+        row("bounce_ppm", bounce.agg(F.max("bounce_ppm").alias("v"))),
+        row(
+            "min_stickiness_ppm",
+            stick.agg(F.min("stickiness_ppm").alias("v")),
+        ),
+        row(
+            "max_stickiness_ppm",
+            stick.agg(F.max("stickiness_ppm").alias("v")),
+        ),
+    ]
+    res = parts[0]
+    for df in parts[1:]:
+        res = res.unionAll(df)
+    return res

@@ -305,6 +305,7 @@ _NLJ_ALLOWED = {
     "q_simpson_check",      # broadcast census-over-strata scalar stitch
     "q_good_turing",        # broadcast 1-row unseen-mass scalar stitch
     "q_ship_lag_deciles",   # constant 9-row decile grid x lag histogram
+    "q_ops_report",         # inherits q_freshness_sla's 1-row watermark stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos.
 _ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
