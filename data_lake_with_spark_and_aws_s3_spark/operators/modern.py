@@ -559,3 +559,131 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q_collation_lcase",
+    oracle="""
+    WITH mixed AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN o_orderpriority
+               WHEN 1 THEN lower(o_orderpriority)
+               WHEN 2 THEN upper(o_orderpriority)
+               ELSE lower(o_orderpriority) END AS pri
+      FROM orders
+    )
+    SELECT lower(pri) AS pri_norm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT pri) AS BIGINT) AS n_raw_variants
+    FROM mixed GROUP BY lower(pri)
+    """,
+    tags=("modern", "collation", "spark4", "string-semantics"),
+)
+def q_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: a deliberately case-mangled
+    priority column (deterministic per orderkey) is grouped under the
+    UTF8_LCASE collation — comparisons, GROUP BY, and COUNT(DISTINCT)
+    all become case-insensitive at the TYPE level, no lower() calls
+    sprinkled through the query. The oracle expresses the identical
+    semantics the pre-collation way (explicit lower() for grouping,
+    raw-variant counting kept case-SENSITIVE on the uncollated
+    column), which is exactly the migration this feature kills. The
+    output normalizes the key with lower() so both engines emit
+    identical strings.
+
+    Scale: collation is a per-comparison property — the plan is the
+    same single hash aggregate; collation keys hash their
+    case-folded form, so partial aggregation still applies."""
+    o = load_table(spark, sf_dir, "orders")
+    mixed = o.select(
+        "o_orderkey",
+        F.expr(
+            "CASE o_orderkey % 4"
+            " WHEN 0 THEN o_orderpriority"
+            " WHEN 1 THEN lower(o_orderpriority)"
+            " WHEN 2 THEN upper(o_orderpriority)"
+            " ELSE lower(o_orderpriority) END"
+        ).alias("pri_raw"),
+    )
+    collated = mixed.select(
+        "pri_raw",
+        F.expr("pri_raw COLLATE UTF8_LCASE").alias("pri"),
+    )
+    return collated.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("pri_raw").alias("n_raw_variants"),
+    ).select(
+        F.lower(F.col("pri")).alias("pri_norm"), "n", "n_raw_variants"
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH n AS (  -- manufacture NULLs deterministically: F-status -> NULL
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'F') AS st,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(st) AS BIGINT) AS count_col_skips_nulls,
+           CAST(COUNT(DISTINCT st) AS BIGINT) AS distinct_skips_nulls,
+           CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_eq_null,
+           CAST(SUM(CASE WHEN st IS DISTINCT FROM 'O'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS distinct_from_o,
+           CAST(SUM(cents) AS BIGINT) AS sum_skips_nulls,
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_cents,
+           CAST(COALESCE(MIN(CASE WHEN st IS NULL THEN cents END), -1)
+                AS BIGINT) AS min_cents_of_null_status
+    FROM n
+    """,
+    tags=("modern", "null-semantics", "three-valued-logic"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics conformance surface, on NULLs manufactured
+    deterministically from clean fixture data (NULLIF on the order
+    status, modulo-keyed NULL cents): COUNT(*) vs COUNT(col) vs
+    COUNT(DISTINCT col) null-skipping, null-safe equality (Spark <=>
+    is exactly IS NOT DISTINCT FROM; the portable spelling is used in
+    both engines), IS DISTINCT FROM's three-valued-logic escape
+    (NULL rows COUNT as distinct-from-'O' — the trap WHERE st <> 'O'
+    silently drops), aggregate null-skipping in SUM/MIN, and a
+    guarded MIN over a NULL-keyed slice. One row of integers, every
+    cell pinning one rule of the NULL contract — the regression
+    canary for any engine or dialect migration.
+
+    Scale: single scan, one conditional-aggregate reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    n = o.select(
+        F.expr("NULLIF(o_orderstatus, 'F')").alias("st"),
+        F.expr(
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL"
+            " ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END"
+        ).alias("cents"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("count_col_skips_nulls"),
+        F.countDistinct("st").alias("distinct_skips_nulls"),
+        F.sum(
+            F.expr(
+                "CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END"
+            )
+        ).alias("null_safe_eq_null"),
+        F.sum(
+            F.expr("CASE WHEN st IS DISTINCT FROM 'O' THEN 1 ELSE 0 END")
+        ).alias("distinct_from_o"),
+        F.sum("cents").alias("sum_skips_nulls"),
+        F.sum(
+            F.expr("CASE WHEN cents IS NULL THEN 1 ELSE 0 END")
+        ).alias("n_null_cents"),
+        F.expr(
+            "CAST(COALESCE(MIN(CASE WHEN st IS NULL THEN cents END), -1)"
+            " AS BIGINT)"
+        ).alias("min_cents_of_null_status"),
+    )
