@@ -239,3 +239,70 @@ def q_small_files_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@query(
+    "q_insert_overwrite_dynamic",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS st,
+             EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    correction AS (  -- recompute ONE partition: 1995, URGENT only
+      SELECT o_orderstatus AS st, 1995 AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) = 1995
+        AND o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT st, CAST(yr AS BIGINT) AS yr, n_orders FROM base WHERE yr <> 1995
+    UNION ALL
+    SELECT st, CAST(yr AS BIGINT) AS yr, n_orders FROM correction
+    """,
+    tags=("sink", "insert-overwrite", "dynamic-partition", "lakehouse"),
+)
+def q_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill
+    primitive: a year-partitioned aggregate table is written, then a
+    CORRECTION batch (the 1995 partition recomputed under a stricter
+    filter) is written with mode=overwrite under
+    partitionOverwriteMode=dynamic, which must replace ONLY the
+    partitions present in the batch and leave every other year's
+    files untouched (STATIC mode would silently truncate the whole
+    table — the classic backfill disaster). The re-read table is the
+    proof: 1995 carries the correction's counts, all other years the
+    original ones, and the oracle states that expected end state
+    directly.
+
+    The conf is flipped on a newSession() clone so no other query's
+    writes are affected (the q_agg_pushdown_stats isolation pattern).
+
+    Scale: overwrite granularity = partition directories; the write
+    shuffles only the correction batch, and at 100 TB this is the
+    difference between rewriting one day and rewriting the table."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    o = load_table(s2, sf_dir, "orders")
+    base = o.groupBy(
+        F.col("o_orderstatus").alias("st"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    path = _tmp("orders_backfill")
+    base.write.partitionBy("yr").parquet(path)
+    correction = (
+        o.filter(
+            (F.year("o_orderdate") == 1995)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("st", "n_orders", F.lit(1995).alias("yr"))
+    )
+    correction.write.mode("overwrite").partitionBy("yr").parquet(path)
+    back = s2.read.parquet(path)
+    return back.select(
+        "st", F.col("yr").cast("long").alias("yr"), "n_orders"
+    )

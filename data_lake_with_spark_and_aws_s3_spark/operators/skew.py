@@ -296,3 +296,53 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+@query(
+    "q_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("skew", "salted-aggregation", "two-stage", "shuffle"),
+)
+def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation for hot grouping keys:
+    l_returnflag has only 3 values, so a plain groupBy sends each
+    key's entire mass to one reducer — the aggregation analog of the
+    skewed join q_salted_join fixes. Stage 1 groups by (key, salt =
+    orderkey % 8), spreading each hot key over 8 reducers of partial
+    sums; stage 2 re-merges the 3 x 8 partials by key alone. The
+    result is bit-identical to the plain aggregate (the oracle IS the
+    plain aggregate — count/sum/sum compose across salts; this
+    decomposition is exactly why AVG must ship as SUM+COUNT, and why
+    non-decomposable aggregates like exact MEDIAN cannot be salted).
+
+    In fairness: Spark's hash aggregate already computes map-side
+    partials, so plain groupBy rarely needs this — the pattern
+    matters when the PARTIAL state itself is huge per key
+    (collect_list, exact distinct sets), where stage 1 bounds the
+    per-reducer state. The shape is the point; the cheap sums keep
+    it oracle-exact.
+
+    Scale: two exchanges ((key, salt), then key) moving 24 partial
+    rows in stage 2; per-reducer load drops 8x for the hottest key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stage1 = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 8).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("pq"),
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias(
+            "pp"
+        ),
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pq").alias("sum_qty"),
+        F.sum("pp").alias("sum_price_cents"),
+    )

@@ -778,3 +778,13 @@ def test_multi_distinct_uses_expand(spark):
     df = REGISTRY["q_multi_distinct_expand"].fn(spark, SF)
     assert count_scans(df) == 1
     assert "Expand" in formatted_plan(df)
+
+
+def test_salted_aggregation_two_stages(spark):
+    """Salted agg must plan exactly two exchanges: (key, salt) then
+    key — and no join."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+
+    df = REGISTRY["q_salted_aggregation"].fn(spark, SF)
+    assert count_exchanges(df) == 2
+    assert "Join" not in formatted_plan(df)
