@@ -6,12 +6,24 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Method mirrors BASELINE.md: wall-clock to full collect(), warm-up runs
 per query (JVM/codegen warm), then median of timed runs.
 
-Isolation (round-3 fix): the 5 headline queries and the extended set run
-in SEPARATE child processes, each with its own fresh JVM — round 2
-showed that sharing one session across all 17 queries inflated the
-headline numbers 7-21% (accumulated codegen cache / GC pressure), which
-reads as a phantom regression round over round. The parent holds no
-SparkSession; it merges the two phases and prints the single JSON line.
+Isolation methodology:
+- round 3: the 5 headline queries run FIRST in their own child process
+  with a fresh JVM — round 2 showed that sharing one session across all
+  queries inflated headline numbers 7-21% (accumulated codegen cache /
+  GC pressure), which read as phantom regressions round over round.
+- round 4: the extended set is now ALSO isolated, one child JVM per
+  FAMILY (VERDICT r3 #3) — with all ~22 extended queries in one JVM,
+  late entries carried the drag of everything before them
+  (q_duplicate_span_scrub measured ~3.5s clean vs 2-3x that in-suite),
+  so extended numbers weren't comparable round over round. Families
+  bound the JVM count (wall cap) while guaranteeing each family's
+  FIRST-ORDER context is identical every round: a fresh JVM, one
+  warm-up, median of 3. Within a family, order is fixed and documented;
+  compare a query round-over-round only against the same family layout
+  (layout changes are noted here when they happen).
+
+The parent holds no SparkSession; it merges the phases and prints the
+single JSON line.
 """
 
 from __future__ import annotations
@@ -39,53 +51,55 @@ HEADLINE = [
 
 # LLM-data-pipeline operators where the real cost lives at 100 TB —
 # timed and reported per-query (not folded into the headline total).
-EXTENDED = [
+# One child JVM per family; order within a family is fixed.
+EXTENDED_FAMILIES: dict[str, list[str]] = {
     # NOTE round 3: q_minhash_lsh became the sketch-twin contract (runs
     # the xxhash64 throughput pipeline AND the md5 twin + precision
     # join) — its wall grew by design; compare r3+ numbers to r3, not
     # to the r1/r2 pair-emitting variant.
-    "q_minhash_lsh",
-    "q_dedup_clusters",
-    # round 3: the no-quadratic-stage clusters composition (LSH edges
-    # via the md5 twin + star-contraction CC)
-    "q_dedup_clusters_lsh",
-    "q_cosine_topk",
-    "q_curation_pipeline",
-    "q_decontaminate",
-    "q_repetition_signals",
-    # round 2: heaviest new TPC-H shapes + the iterative clusterer
-    "q9_product_profit",
-    "q18_large_volume_customers",
-    "q_kmeans_lloyd",
-    # round 2, session 3: time-series sweeps (window-heavy shapes)
-    "q_gap_fill",
-    "q_interval_union",
-    # round 2, session 4: exact-complete near-dup candidate generation
-    "q_prefix_filter_pairs",
-    # round 3, session 2: substring-dedup signal, PQ ANN pipeline,
-    # iterative BFS — the new 100 TB-relevant shapes
-    "q_repeated_ngram_profile",
-    "q_ann_pq_rerank",
-    "q_bfs_hops",
-    # round 3, session 3: exact-substring span scrub (the heaviest new
-    # corpus op; BPE train/apply are vocabulary-bound and scheduling-
-    # dominated locally, so benching them here would measure overhead).
-    # NOTE: extended entries share one child JVM, so LATE entries carry
-    # accumulated codegen-cache/GC drag — this one measures ~3.5s warm
-    # in a clean session vs ~2-3x that here. Only the headline phase
-    # (fresh JVM, first thing it runs) is comparable round-over-round.
-    "q_duplicate_span_scrub",
-    # round 3, session 4: retrieval + communities flagships (index
-    # build + LM-filter + LPA are the distributed shapes; the other
-    # session-4 ops are layout/reader demos whose cost is write-bound)
-    "q_bm25_topk",
-    "q_bigram_lm_score",
-    "q_label_propagation",
-    # round 3, session 8: the new iterative flagships (HITS = PageRank
-    # two-shuffle shape; grid DBSCAN = cell-granular star-contraction CC)
-    "q_hits_hubs_authorities",
-    "q_grid_dbscan",
-]
+    # NOTE round 4: the name q_dedup_clusters now binds the
+    # no-quadratic-stage composition (LSH edges via the md5 twin +
+    # star-contraction CC, formerly q_dedup_clusters_lsh — compare its
+    # numbers to r3's q_dedup_clusters_lsh entry). The blocked-quadratic
+    # variant was renamed q_dedup_clusters_exact_smallcorpus and pulled
+    # from the bench: its 26.7x-at-10x growth (SCALE.md) made its wall
+    # a measurement of corpus-squared, not of the engine.
+    "neardup": [
+        "q_minhash_lsh",
+        "q_dedup_clusters",
+        "q_prefix_filter_pairs",
+    ],
+    "similarity": [
+        "q_cosine_topk",
+        "q_ann_pq_rerank",
+    ],
+    "corpus": [
+        "q_curation_pipeline",
+        "q_decontaminate",
+        "q_repetition_signals",
+        "q_repeated_ngram_profile",
+        "q_duplicate_span_scrub",
+    ],
+    "tpch": [
+        "q9_product_profit",
+        "q18_large_volume_customers",
+        "q_gap_fill",
+        "q_interval_union",
+    ],
+    "iterative": [
+        "q_kmeans_lloyd",
+        "q_bfs_hops",
+        "q_label_propagation",
+        "q_hits_hubs_authorities",
+        "q_grid_dbscan",
+    ],
+    "retrieval": [
+        "q_bm25_topk",
+        "q_bigram_lm_score",
+    ],
+}
+
+EXTENDED = [n for fam in EXTENDED_FAMILIES.values() for n in fam]
 
 # Headline gets the stabler protocol (2 warm-ups, median of 5): it IS
 # the graded metric, and the first-query run in a cold JVM pays one-time
@@ -103,14 +117,19 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def _run_phase(phase: str) -> None:
     """Child entry: time one phase's queries in this fresh JVM and print
-    a JSON timings dict as the LAST stdout line."""
+    a JSON timings dict as the LAST stdout line. `phase` is either
+    "headline" or "family:<name>"."""
     from data_lake_with_spark_and_aws_s3_spark import REGISTRY
     from data_lake_with_spark_and_aws_s3_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    names = [n for n in (HEADLINE if phase == "headline" else EXTENDED) if n in REGISTRY]
-    warmups, timed = _PROTOCOL[phase]
-    spark = get_spark(app_name=f"engine-bench-{phase}")
+    if phase == "headline":
+        names, (warmups, timed) = HEADLINE, _PROTOCOL["headline"]
+    else:
+        fam = phase.split(":", 1)[1]
+        names, (warmups, timed) = EXTENDED_FAMILIES[fam], _PROTOCOL["extended"]
+    names = [n for n in names if n in REGISTRY]
+    spark = get_spark(app_name=f"engine-bench-{phase.replace(':', '-')}")
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -133,7 +152,8 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     timings: dict[str, float] = {}
-    for phase in ("headline", "extended"):
+    phases = ["headline"] + [f"family:{f}" for f in EXTENDED_FAMILIES]
+    for phase in phases:
         env = dict(os.environ, SPARK_GRAFT_BENCH_PHASE=phase)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -145,14 +165,17 @@ def main() -> None:
         # Last stdout line is the timings dict (Spark noise goes to stderr,
         # but guard against stray stdout lines anyway).
         timings.update(json.loads(proc.stdout.strip().splitlines()[-1]))
-    total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
+    # Emit in the canonical order (headline, then families) regardless
+    # of merge order, so round-over-round diffs read cleanly.
+    ordered = {n: timings[n] for n in HEADLINE + EXTENDED if n in timings}
+    total = round(sum(ordered[n] for n in HEADLINE if n in ordered), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": ordered,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

@@ -40,13 +40,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_rank",
     "q_events_tumbling",
     "q_distinct_users",
-    # round-1 hash-fail fixes under validation
+    # round-1 hash-fail fixes (validated green rounds 2-3; q_pivot,
+    # q_unpivot and q_lang_breakdown rotated out in round 4 — none is
+    # a §2 table row's sole representative (pivot/unpivot are §2.4
+    # adjuncts, the lang/quality row keeps q_gopher_rules in-prefix)
+    # and all three stay pytest-parity-checked)
     "q_filtered_agg",
-    "q_pivot",
-    "q_unpivot",
     "q_json_extract",
-    "q_lang_breakdown",
     "q_approx_percentiles",
+    # round-4 rotation (VERDICT r3 #4): round-3 flagships never yet
+    # driver-graded. q_dedup_clusters is ALSO the round-4 re-route
+    # under validation — the name now binds the LSH-banded +
+    # star-contraction composition (formerly q_dedup_clusters_lsh).
+    # Displaced to make room: q_pivot, q_unpivot, q_lang_breakdown
+    # (above), q_bigram_lm_score and q_bucketed_join (below) — each a
+    # second representative of a family row still covered in-prefix
+    # (retrieval keeps q_bm25_topk; joins keep 6 reps), all
+    # pytest-parity-checked.
+    "q_semdedup",
+    "q_bpe_train",
+    "q_dedup_clusters",
+    "q_streaming_tumbling_exec",
+    "q_ann_pq_rerank",
     # round-3 flagship corpus ops (promoted into the graded window;
     # the slots they took — q_date_format, q12_priority_buckets,
     # q_right_join — were second representatives of rows already
@@ -63,9 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # SECOND representative of a §2 row still covered in-prefix; all
     # four stay pytest-parity-checked)
     "q_bm25_topk",
-    "q_bigram_lm_score",
     "q_label_propagation",
-    "q_bucketed_join",
     # new / reworked operators
     "q_theta_join",
     "q_full_outer_join",

@@ -177,7 +177,7 @@ def connected_components_star(
 
 
 @query(
-    "q_dedup_clusters",
+    "q_dedup_clusters_exact_smallcorpus",
     oracle=_JACCARD_EDGES_SQL
     + """
     , sym AS (
@@ -196,14 +196,21 @@ def connected_components_star(
     SELECT src AS doc_id, MIN(dst) AS cluster_id
     FROM reach GROUP BY src
     """,
-    tags=("graph", "dedup", "clusters", "iterative"),
+    tags=("graph", "dedup", "clusters", "iterative", "exact-smallcorpus"),
 )
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: Jaccard >= 0.8 pairs (blocked like
-    q_ngram_jaccard_pairs) grown to transitive components, every doc
-    labeled with its cluster's min doc_id. This is the operator an
-    actual dedup pass needs — pairs alone under-merge (A~B, B~C but
-    A!~C must still collapse to one cluster).
+def q_dedup_clusters_exact_smallcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RECALL cross-check for q_dedup_clusters — NOT the scale
+    path. Edge generation is an all-pairs Jaccard join within
+    (lang, source) blocks; block size grows linearly with the corpus,
+    so this stage is O(n²/b) — the round-3 growth sweep measured
+    26.7x wall at 10x data (SCALE.md). Renamed from ``q_dedup_clusters``
+    in round 4 so the default name binds the LSH-banded composition
+    below; keep THIS variant for small-corpus validation where 100%
+    pair recall matters (LSH misses a true >=0.8 pair with prob
+    (1-s^4)^4 ≈ 3e-5), and for equivalence-testing the scale path.
+
+    Semantics: Jaccard >= 0.8 pairs grown to transitive components,
+    every doc labeled with its cluster's min doc_id.
 
     Spark side: iterative min-label propagation (see
     connected_components). Oracle: DuckDB recursive-CTE transitive
@@ -335,7 +342,14 @@ def q_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_clusters_oracle() -> str:
+def _lsh_clusters_sql() -> str:
+    """Shared oracle fragment: LSH-banded edges (md5-portable twin,
+    Jaccard >= 0.8 verified) grown to a `clusters(doc_id, cluster_id)`
+    CTE via recursive-CTE transitive closure. Starts its own WITH;
+    callers append further CTEs with a leading comma. This is the
+    DuckDB replay of the q_dedup_clusters composition, reused by every
+    downstream operator that consumes its cluster labels
+    (q_cluster_aware_split, q_cluster_representative)."""
     from .neardup import _ml_oracle
 
     return f"""
@@ -355,26 +369,34 @@ def _lsh_clusters_oracle() -> str:
         UNION
         SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
       ) SELECT * FROM r
+    ), clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id
+      FROM reach GROUP BY src
     )
-    SELECT src AS doc_id, MIN(dst) AS cluster_id
-    FROM reach GROUP BY src
     """
 
 
+def _lsh_clusters_oracle() -> str:
+    return _lsh_clusters_sql() + "SELECT doc_id, cluster_id FROM clusters"
+
+
 @query(
-    "q_dedup_clusters_lsh",
+    "q_dedup_clusters",
     oracle=_lsh_clusters_oracle(),
     tags=("graph", "dedup", "clusters", "lsh", "iterative", "llm-pipeline"),
 )
-def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE 100 TB dedup-clusters composition, end to end: LSH-banded
-    candidate pairs (shingle Jaccard >= 0.8, exactly verified) feed
-    star-contraction connected components — no quadratic stage
-    anywhere, unlike q_dedup_clusters whose (lang, source)-blocked
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE default dedup-clusters operator (owns the default name as of
+    round 4; formerly registered as ``q_dedup_clusters_lsh``) — the
+    100 TB composition, end to end: LSH-banded candidate pairs
+    (shingle Jaccard >= 0.8, exactly verified) feed star-contraction
+    connected components — no quadratic stage anywhere, unlike
+    q_dedup_clusters_exact_smallcorpus whose (lang, source)-blocked
     edge join grows with the square of the block size (measured in the
-    round-3 growth sweep: 23x wall at 10x corpus; SCALE.md). Here the
-    edge generation is the banded equi-join (O(n*bands) shuffle) and
-    the CC is O(log^2 n) rounds independent of cluster diameter.
+    round-3 growth sweep: 26.7x wall at 10x corpus; SCALE.md, vs 2.8x
+    for this composition). Here the edge generation is the banded
+    equi-join (O(n*bands) shuffle) and the CC is O(log^2 n) rounds
+    independent of cluster diameter.
 
     Fully oracle-checked: edges come from the md5-portable twin
     (_ml_exact_pairs — DuckDB replays signatures, bands, candidates,
@@ -503,24 +525,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cluster_aware_split",
-    oracle=_JACCARD_EDGES_SQL
+    oracle=_lsh_clusters_sql()
     + """
-    , sym AS (
-      SELECT src, dst FROM e
-      UNION
-      SELECT dst, src FROM e
-      UNION
-      SELECT doc_id, doc_id FROM documents
-    ), reach AS (
-      WITH RECURSIVE r(src, dst) AS (
-        SELECT src, dst FROM sym
-        UNION
-        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
-      ) SELECT * FROM r
-    ), clusters AS (
-      SELECT src AS doc_id, MIN(dst) AS cluster_id
-      FROM reach GROUP BY src
-    ), assigned AS (
+    , assigned AS (
       SELECT doc_id, cluster_id,
              CASE WHEN (((((CAST(0 AS BIGINT)) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) % 100 < 90
                   THEN 'train' ELSE 'test' END AS naive_split,
@@ -559,7 +566,10 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fix reassigns.
 
     Determinism: cluster ids come from q_dedup_clusters' connected
-    components (min-doc_id labels); both split assignments use the
+    components (LSH-banded edges + star-contraction CC as of round 4 —
+    the whole split pipeline is now quadratic-stage-free, and the
+    oracle replays the same LSH edges via the md5 twin); both split
+    assignments use the
     engine-portable md5-hex-digit bucket from q_hash_split. All
     outputs are exact counts.
 
@@ -616,27 +626,9 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cluster_representative",
-    oracle="""
-    WITH clusters AS (
-    """
-    + _JACCARD_EDGES_SQL
+    oracle=_lsh_clusters_sql()
     + """
-    , sym AS (
-      SELECT src, dst FROM e
-      UNION
-      SELECT dst, src FROM e
-      UNION
-      SELECT doc_id, doc_id FROM documents
-    ), reach AS (
-      WITH RECURSIVE r(src, dst) AS (
-        SELECT src, dst FROM sym
-        UNION
-        SELECT r.src, s.dst FROM r JOIN sym s ON s.src = r.dst
-      ) SELECT * FROM r
-    )
-    SELECT src AS doc_id, MIN(dst) AS cluster_id
-    FROM reach GROUP BY src
-    ),
+    ,
     scored AS (
       SELECT c.doc_id, c.cluster_id,
              CASE WHEN len(list_filter(string_split(d.text, ' '), x -> x <> ''))
@@ -667,11 +659,10 @@ def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax is deterministic and engine-identical; cluster sizes
     ride the same window partitioning.
 
-    Plan: the cluster labels come from the iterative min-label CC
-    (diameter-bounded rounds); scoring joins labels back to the doc
-    table on doc_id and runs ONE window over cluster_id — shuffle
-    bounded by |docs|, no pairwise stage beyond the blocked edge
-    build."""
+    Plan: the cluster labels come from q_dedup_clusters (round 4: the
+    LSH-banded + star-contraction composition — no quadratic stage);
+    scoring joins labels back to the doc table on doc_id and runs ONE
+    window over cluster_id — shuffle bounded by |docs|."""
     clusters = q_dedup_clusters(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")

@@ -31,7 +31,7 @@ def _token_set(col="text"):
 
 
 @query(
-    "q_ngram_jaccard_pairs",
+    "q_ngram_jaccard_pairs_exact_smallcorpus",
     oracle="""
     WITH tok AS (
       SELECT doc_id, lang, source, list_distinct(list_filter(string_split(text, ' '),
@@ -48,15 +48,19 @@ def _token_set(col="text"):
     """,
     tags=("neardup", "jaccard"),
 )
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over (lang, source)-blocked pairs
-    (>= 0.6). Two-key blocking keeps the quadratic term per-block
-    (this corpus is near-dup-heavy: lang-only blocking yields 1.8M
-    qualifying pairs at sf0.1 — a 48s quadratic explosion).
+def q_ngram_jaccard_pairs_exact_smallcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RECALL small-corpus cross-check — NOT the scale path
+    (renamed from ``q_ngram_jaccard_pairs`` in round 4; reach for
+    q_minhash_lsh or q_prefix_filter_pairs at scale). Exact token-set
+    Jaccard over (lang, source)-blocked pairs (>= 0.6). Two-key
+    blocking keeps the quadratic term per-block, but block size grows
+    linearly with the corpus, so this shape is O(n²/b) — the same
+    within-block all-pairs join the round-3 growth sweep convicted at
+    26.7x wall per 10x data on the clusters variant. Use it to
+    validate the LSH/prefix-filter paths' recall on corpora small
+    enough to afford 100% pair recall.
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|): one division of identical
-    integers — bit-exact cross-engine. The lang block bounds the
-    quadratic candidate set; the LSH variant below replaces blocking
-    at real scale."""
+    integers — bit-exact cross-engine."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", _token_set().alias("ts")
     )
@@ -259,7 +263,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_embedding_neardup",
+    "q_embedding_neardup_exact_smallcorpus",
     oracle="""
     WITH v AS (
       SELECT vec_id, label, embedding,
@@ -282,8 +286,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("neardup", "embedding"),
 )
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicates: cosine >= 0.3 within label blocks (threshold fitted to this synthetic corpus: within-label max is 0.47).
+def q_embedding_neardup_exact_smallcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RECALL small-corpus cross-check — NOT the scale path
+    (renamed from ``q_embedding_neardup`` in round 4; reach for
+    q_semdedup / the SRP-LSH and IVF ANN paths at scale — the
+    within-label all-pairs join here is O(n²/labels) and label blocks
+    grow linearly with the corpus). Embedding near-duplicates: cosine
+    >= 0.3 within label blocks (threshold fitted to this synthetic
+    corpus: within-label max is 0.47).
 
     Exactness across engines: float elements are quantized to the
     scaled-int grid (similarity.qint, ROUND(x*1e8) as int64) and the
@@ -410,7 +420,7 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
     Search", WWW'07) — the third candidate-generation strategy in this
     module, and the only EXACT one: (lang, source) blocking
-    (q_ngram_jaccard_pairs) misses cross-block pairs and MinHash-LSH
+    (q_ngram_jaccard_pairs_exact_smallcorpus) misses cross-block pairs and MinHash-LSH
     (q_minhash_lsh) is probabilistic; prefix filtering is complete by
     a pigeonhole argument, which the all-pairs oracle verifies.
 

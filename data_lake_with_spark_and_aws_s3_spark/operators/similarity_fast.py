@@ -1,5 +1,6 @@
 """Arrow-vectorized physical alternative for pairwise embedding
-similarity: same OPERATOR as q_embedding_neardup, different physical
+similarity: same OPERATOR as q_embedding_neardup_exact_smallcorpus (the exact-recall
+pairwise cross-check), different physical
 strategy — per-block numpy int64 matmul inside applyInPandas instead
 of per-pair HOF evaluation.
 
@@ -33,7 +34,7 @@ def embedding_neardup_fast(
     spark: SparkSession, sf_dir: str, threshold: float = 0.3
 ) -> DataFrame:
     """Pairs (vec_a < vec_b, same label) with cosine >= threshold,
-    bit-identical to q_embedding_neardup's output."""
+    bit-identical to q_embedding_neardup_exact_smallcorpus's output."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -118,8 +118,58 @@ def gen(out_dir: str, mult: int) -> None:
     print(f"wrote {out_dir}: docs={n_docs} events={n_ev} emb={n_emb}")
 
 
+# Key columns shifted per copy when tiling the relational graph side.
+# Tiling = `mult` disjoint copies of the sf0.1 trade graph with keys
+# offset by copy_index * (max_key + 1): schema identical, degree
+# distribution identical, |V| and |E| exactly linear in mult — the
+# right corpus for measuring whether the ITERATIVE graph family
+# (BFS / HITS / LPA / k-core) is linear in edges (VERDICT r3 #5).
+# Copy 0 keeps original keys, so fixed seeds (e.g. BFS's
+# s_suppkey < 5) still exist.
+_GRAPH_KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+}
+
+
+def gen_graph(out_dir: str, mult: int) -> None:
+    """Tile the sf0.1 relational tables `mult`x with disjoint key
+    spaces; symlink the document/event/embedding side to sf0.1."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t, keys in _GRAPH_KEYS.items():
+        base = pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
+        offsets = {
+            k: pc.max(base.column(k)).as_py() + 1 for k in keys
+        }
+        copies = [base]
+        for i in range(1, mult):
+            shifted = base
+            for k in keys:
+                idx = shifted.schema.get_field_index(k)
+                shifted = shifted.set_column(
+                    idx, k, pc.add(shifted.column(k), offsets[k] * i)
+                )
+            copies.append(shifted)
+        pq.write_table(pa.concat_tables(copies), f"{out_dir}/{t}.parquet")
+    for t in ["region", "nation", "documents", "events", "embeddings"]:
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    print(f"wrote {out_dir}: {mult}x tiled relational graph")
+
+
 if __name__ == "__main__":
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       ".scratch", f"sf{mult}x")
-    gen(out, mult)
+    args = [a for a in sys.argv[1:] if a != "--graph"]
+    mult = int(args[0]) if args else 10
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    if "--graph" in sys.argv:
+        gen_graph(os.path.join(scratch, f"graph{mult}x"), mult)
+    else:
+        gen(os.path.join(scratch, f"sf{mult}x"), mult)

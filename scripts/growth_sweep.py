@@ -44,6 +44,10 @@ FAMILIES = {
     "q_minhash_lsh": lambda spark, d: {
         "band_rows": load_table(spark, d, "documents").count() * 4
     },
+    # round 4: this name now binds the LSH-banded + star-contraction
+    # composition (the blocked-quadratic variant is
+    # q_dedup_clusters_exact_smallcorpus — its 26.7x row in SCALE.md is
+    # the round-3 measurement that drove the re-route)
     "q_dedup_clusters": lambda spark, d: {},
     "q_kmeans_lloyd": lambda spark, d: {
         "points": load_table(spark, d, "events").count()

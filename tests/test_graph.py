@@ -37,7 +37,12 @@ def _union_find(edges, vertices):
 
 
 def test_components_match_union_find(spark):
-    out = {r["doc_id"]: r["cluster_id"] for r in REGISTRY["q_dedup_clusters"].fn(spark, SF).collect()}
+    """The exact-recall variant must match a third-algorithm union-find
+    over independently rebuilt blocked-Jaccard edges."""
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["q_dedup_clusters_exact_smallcorpus"].fn(spark, SF).collect()
+    }
     # rebuild the same edge set independently
     d = load_table(spark, SF, "documents")
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))

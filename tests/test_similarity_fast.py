@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_fast_matches_declarative(spark):
-    slow = REGISTRY["q_embedding_neardup"].fn(spark, SF).collect()
+    slow = REGISTRY["q_embedding_neardup_exact_smallcorpus"].fn(spark, SF).collect()
     fast = embedding_neardup_fast(spark, SF).collect()
     canon = lambda rows: sorted((r["vec_a"], r["vec_b"], r["cosine"]) for r in rows)
     assert canon(slow) == canon(fast)
@@ -24,7 +24,7 @@ def test_fast_matches_declarative(spark):
 def test_fast_is_actually_faster_at_scale(spark):
     sf = "/root/testdata/sf0.1"
     t0 = time.perf_counter()
-    n_slow = REGISTRY["q_embedding_neardup"].fn(spark, sf).count()
+    n_slow = REGISTRY["q_embedding_neardup_exact_smallcorpus"].fn(spark, sf).count()
     t_slow = time.perf_counter() - t0
     t0 = time.perf_counter()
     n_fast = embedding_neardup_fast(spark, sf).count()
