@@ -42,6 +42,56 @@ def salted_join(
     return lsalted.join(rrepl, [key, "_salt"], "inner").drop("_salt")
 
 
+def key_max_share(df: DataFrame, key: str) -> float:
+    """Detector: the hottest key's row share (q_entropy_profile's
+    ``max_share`` column, computed for one prospective shuffle key).
+    Two hash aggregates (key frequencies -> 1-row max/sum), one O(1)
+    collect — the pre-flight cost is a single scan with map-side
+    partials, negligible next to the join/agg it protects."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n"))
+        .collect()[0]
+    )
+    return row["max_c"] / row["n"]
+
+
+def should_salt(df: DataFrame, key: str, threshold: float = 0.2) -> bool:
+    """Salt decision wired to the detector: salt when one key holds
+    more than `threshold` of the rows. At that point a plain shuffle
+    puts >= threshold of the stage's rows on ONE task, so the stage's
+    wall is bounded below by threshold * total work regardless of
+    cluster size — the definition of a skew bottleneck. 0.2 default:
+    with 32+ reducers a balanced task carries ~3% of rows, so a 20%
+    key is ~6x the balanced task time. The full audit (per-key p99,
+    skew ratio) lives in q_join_key_skew_audit; this is the one-number
+    gate a pipeline can evaluate inline. End-to-end detector ->
+    decision -> bounded-max-task test: tests/test_skew_salting_e2e.py.
+    """
+    return key_max_share(df, key) > threshold
+
+
+def salted_groupby_collect(
+    df: DataFrame, key: str, value: str, salt: int = 8
+) -> DataFrame:
+    """Two-stage salted collect_list — the aggregation whose PARTIAL
+    state is the whole problem (lists don't combine map-side the way
+    sums do: every row's value must reach a reducer). Stage 1 groups
+    by (key, salt) bounding per-task state to ~1/salt of the hot key;
+    stage 2 merges `salt` partial lists per key with flatten — the
+    second exchange moves |keys| x salt LIST rows, not raw rows.
+    Output is row-identical to groupBy(key).collect_list(value) up to
+    list order (both orders are shuffle-dependent; sort to compare).
+    """
+    stage1 = df.groupBy(
+        key, (F.xxhash64(F.col(value)) % salt).alias("_salt")
+    ).agg(F.collect_list(value).alias("pl"))
+    return stage1.groupBy(key).agg(
+        F.flatten(F.collect_list("pl")).alias("values")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     spark: SparkSession,

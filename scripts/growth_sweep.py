@@ -68,10 +68,9 @@ FAMILIES = {
     # one pass; merge rounds run on vocabulary-sized data, and the
     # synthetic corpora share sf0.1's 31-word vocabulary
     "q_bpe_train": lambda spark, d: {},
-    # NOT swept: q_bfs_hops — its input (orders x lineitem trade graph)
-    # is symlinked to sf0.1 in the synthetic scale dirs, so a sweep
-    # would measure a flat curve and prove nothing. Same for
-    # q_label_propagation (co-purchase edges come from lineitem).
+    # q_bfs_hops / q_label_propagation: lineitem-driven, so they sweep
+    # over the TILED graph corpora instead (GRAPH_FAMILIES below,
+    # --graph mode; round 4 — closes the round-3 "not swept" caveat).
     # round 3, session 4 additions
     "q_bm25_topk": lambda spark, d: {
         "corpus_tokens": corpus_tokens(spark, d)
@@ -96,9 +95,8 @@ FAMILIES = {
         "hash_rows": load_table(spark, d, "documents").count() * 16
     },
     # round 3, session 7 additions (document-driven; lineitem-driven
-    # ops like q_adamic_adar / q_kcore_peel are NOT swept — their edge
-    # input is symlinked to sf0.1 in the synthetic dirs, the q_bfs_hops
-    # caveat above)
+    # ops: q_kcore_peel sweeps over the tiled graph corpora —
+    # GRAPH_FAMILIES below; q_adamic_adar shares its edge shape)
     "q_submodular_coverage": lambda spark, d: {
         "shingle_rows": shingle_stats(spark, d)
     },
@@ -112,8 +110,8 @@ FAMILIES = {
         "grid_rows": support_grid_rows(spark, d)
     },
     # round 3, session 8 additions (events/embeddings-driven;
-    # q_hits_hubs_authorities is NOT swept — orders/lineitem symlink
-    # to sf0.1 in the synthetic dirs, the q_bfs_hops caveat)
+    # q_hits_hubs_authorities sweeps over the tiled graph corpora —
+    # GRAPH_FAMILIES below)
     "q_grid_dbscan": lambda spark, d: {
         "points": load_table(spark, d, "embeddings").count(),
         "cells": occupied_cells(spark, d),
@@ -192,23 +190,79 @@ def corpus_tokens(spark, sf_dir):
     return d.select(F.size(toks).alias("n")).agg(F.sum("n")).collect()[0][0]
 
 
+# Iterative graph family (VERDICT r3 #5): the document-corpus scale
+# dirs symlink orders/lineitem to sf0.1, so these ops were never swept.
+# They sweep over the TILED graph corpora from gen_scale.py --graph
+# (.scratch/graph{3,10}x: mult disjoint copies of the sf0.1 trade
+# graph, |E| exactly linear in mult, degree distribution preserved).
+# Run with --graph to sweep this family instead of FAMILIES.
+GRAPH_FAMILIES = {
+    # edge currency: distinct (custkey, suppkey) trade pairs
+    "q_bfs_hops": lambda spark, d: {"trade_edges": trade_edges(spark, d)},
+    "q_hits_hubs_authorities": lambda spark, d: {
+        "trade_edges": trade_edges(spark, d)
+    },
+    # edge currency: distinct part-part co-purchase pairs (the
+    # per-order quadratic term is bounded by order size, so the count
+    # itself is linear in orders)
+    "q_label_propagation": lambda spark, d: {
+        "copurchase_edges": copurchase_edges(spark, d)
+    },
+    "q_kcore_peel": lambda spark, d: {
+        "copurchase_edges": copurchase_edges(spark, d)
+    },
+}
+
+
+def trade_edges(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+
+
+def copurchase_edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select("a.l_partkey", "b.l_partkey")
+        .distinct()
+        .count()
+    )
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    graph = "--graph" in sys.argv
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    families = GRAPH_FAMILIES if graph else FAMILIES
     if only:
         names = set(only[0].split(","))
-        unknown = names - set(FAMILIES)
+        unknown = names - set(families)
         if unknown:
             raise SystemExit(f"--only names not in FAMILIES: {sorted(unknown)}")
-        for k in list(FAMILIES):
+        for k in list(families):
             if k not in names:
-                del FAMILIES[k]
-    dirs = [("1x", "/root/testdata/sf0.1"), ("3x", f"{REPO}/.scratch/sf3x")]
+                del families[k]
+    scratch_prefix = "graph" if graph else "sf"
+    dirs = [
+        ("1x", "/root/testdata/sf0.1"),
+        ("3x", f"{REPO}/.scratch/{scratch_prefix}3x"),
+    ]
     if not quick:
-        dirs.append(("10x", f"{REPO}/.scratch/sf10x"))
+        dirs.append(("10x", f"{REPO}/.scratch/{scratch_prefix}10x"))
     spark = get_spark(app_name="growth-sweep")
     rows = []
-    for name, aux in FAMILIES.items():
+    for name, aux in families.items():
         fn = REGISTRY[name].fn
         for label, d in dirs:
             extras = aux(spark, d)

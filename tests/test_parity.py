@@ -92,7 +92,7 @@ def test_driver_prefix_wall_budget(spark):
     from data_lake_with_spark_and_aws_s3_spark import DRIVER_PRIORITY
 
     sf_dir = "/root/testdata/sf0.01"
-    over, total_cold = [], 0.0
+    over, total_cold, worst = [], 0.0, (0.0, "")
     for n in DRIVER_PRIORITY:
         t0 = time.perf_counter()
         REGISTRY[n].fn(spark, sf_dir).collect()
@@ -100,6 +100,7 @@ def test_driver_prefix_wall_budget(spark):
         t0 = time.perf_counter()
         REGISTRY[n].fn(spark, sf_dir).collect()
         warm = time.perf_counter() - t0
+        worst = max(worst, (warm, n))
         # 4s: the current ceiling is q_simhash (~3s warm — its 64-lane
         # bit-sum aggregate is inherently wide); anything beyond that
         # is a new heavy query that must live OUTSIDE the prefix
@@ -123,3 +124,8 @@ def test_driver_prefix_wall_budget(spark):
     # the driver's gate pays the cold cost once per query — keep the
     # whole-prefix cold pass far from any plausible gate timeout
     assert total_cold < 150, f"whole prefix took {total_cold:.1f}s cold at sf0.01"
+    # headroom on the record (VERDICT r3 #7): visible with `pytest -s`
+    print(
+        f"\n[prefix budget] cold total {total_cold:.1f}s / 150s budget; "
+        f"worst warm {worst[0]:.2f}s ({worst[1]}) / 4.0s budget"
+    )
