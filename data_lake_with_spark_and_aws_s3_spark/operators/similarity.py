@@ -815,6 +815,79 @@ def _srp_hexval(md5_expr: str) -> str:
     return f"({_hex_val_sql(md5_expr, 4)}) - 32768"
 
 
+def srp_signatures(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, sg): the 16-bit SRP sign signature per vector, computed
+    RELATIONALLY — posexplode each vector to (vec_id, d, qd) rows,
+    broadcast-join the 16x64 md5-derived hyperplane table, and fold the
+    sign bits through two hash aggregates. Shared by q_ann_srp and
+    q_semdedup; the oracle replays the identical derivation in SQL.
+
+    Why relational and not a map-side expression (measured, round 4):
+    the obvious "optimization" — inline the 16x64 hyperplane constants
+    as array literals and compute all 16 dots in one projection — was
+    built and benchmarked, and LOST on both fronts. (1) Spark's
+    higher-order functions (zip_with/aggregate) are CodegenFallback
+    expressions, so a 16-HOF projection runs INTERPRETED per row —
+    the whole-stage-codegen'd explode+hashagg pipeline here does the
+    same multiply-adds JVM-compiled. (2) The 1024-literal expression
+    tree gets duplicated into every downstream branch (the band
+    self-join has two) and Catalyst re-optimizes each copy: q_semdedup
+    went 3.8s -> 6.3s warm at sf0.01, and even with an eager
+    localCheckpoint to cut the tree out of downstream planning the
+    candidate stage alone measured 4.2s vs 3.8s for this form
+    end-to-end. The two shuffles this pipeline pays move O(n*64)
+    16-byte rows with map-side partial aggregation — at 100 TB that is
+    bounded, linear, and spill-safe, while an interpreted per-row
+    16-lambda projection is a constant-factor tax on every vector."""
+    hp = (
+        spark.range(_SRP_H * 64)
+        .select(
+            (F.col("id") / 64).cast("long").alias("j"),
+            (F.col("id") % 64).alias("d"),
+        )
+        .select(
+            "j",
+            "d",
+            F.expr(
+                _srp_hexval("md5(concat(cast(j as string), '_', cast(d as string)))")
+            ).alias("c"),
+        )
+    )
+    pos = e.select("vec_id", F.posexplode("embedding").alias("d", "val")).select(
+        "vec_id", "d", qint(F.col("val")).alias("qd")
+    )
+    dots = (
+        pos.join(F.broadcast(hp), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("c") * F.col("qd")).alias("dot"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0))
+        ).alias("sg")
+    )
+
+
+def srp_bands(sig_df, id_col: str = "vec_id"):
+    """(id, k, bv) band rows from a (id, sg) signature frame — the
+    O(n*bands) explode that feeds the LSH bucket equi-join."""
+    return sig_df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_NBANDS - 1))).alias("k"),
+        "sg",
+    ).select(
+        id_col,
+        "k",
+        (
+            F.expr(f"sg div shiftleft(cast(1 as bigint), cast({_SRP_BITS} * k as int))")
+            % (1 << _SRP_BITS)
+        ).alias("bv"),
+    )
+
+
 _SRP_ORACLE = f"""
     WITH hp AS (
       SELECT j, d,
@@ -888,14 +961,16 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ops, and rerank cosines are identical IEEE doubles from
     exact ints — the full ranked output is hashed.
 
-    Plan shape: signatures are one posexplode + broadcast hyperplane
-    join + two hash aggregates (O(n*64*16) map-side rows collapsing to
-    O(n)); candidate generation explodes each signature
-    to (band, value) rows and runs ONE equi-join (never an OR
-    nested-loop) + distinct; rerank is an equi-join fetch of candidate
-    embeddings. At 100 TB: band tables are the only shuffles at O(n);
-    banding count and width trade recall vs candidate volume exactly
-    as the MinHash-LSH text path (operators/neardup.py) documents.
+    Plan shape: signatures come from the shared srp_signatures
+    pipeline (posexplode + broadcast hyperplane join + two hash
+    aggregates — codegen'd; see its docstring for why the map-side
+    literal form measured SLOWER and was rejected in round 4);
+    candidate generation explodes each signature to (band, value)
+    rows and runs ONE equi-join (never an OR nested-loop) + distinct;
+    rerank is an equi-join fetch of candidate embeddings. At 100 TB:
+    band tables are the only shuffles at O(n); banding count and
+    width trade recall vs candidate volume exactly as the MinHash-LSH
+    text path (operators/neardup.py) documents.
 
     Honesty (isotropic corpus, same caveat as IVF/PQ): 16 random bits
     over isotropic vectors bucket near-uniformly, so recall vs the
@@ -903,48 +978,7 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor live in tests/test_similarity_recall.py. On real clustered
     embeddings SRP recall concentrates sharply."""
     e = load_table(spark, sf_dir, "embeddings")
-    hp = (
-        spark.range(_SRP_H * 64)
-        .select(
-            (F.col("id") / 64).cast("long").alias("j"),
-            (F.col("id") % 64).alias("d"),
-        )
-        .select(
-            "j",
-            "d",
-            F.expr(
-                _srp_hexval("md5(concat(cast(j as string), '_', cast(d as string)))")
-            ).alias("c"),
-        )
-    )
-    pos = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "val")
-    ).select("vec_id", "d", qint(F.col("val")).alias("qd"))
-    dots = (
-        pos.join(F.broadcast(hp), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("c") * F.col("qd")).alias("dot"))
-    )
-    sig = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
-            ).otherwise(F.lit(0))
-        ).alias("sg")
-    )
-    bands = sig.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SRP_NBANDS - 1))).alias("k"),
-        "sg",
-    ).select(
-        "vec_id",
-        "k",
-        (
-            F.expr(f"sg div shiftleft(cast(1 as bigint), cast({_SRP_BITS} * k as int))")
-            % (1 << _SRP_BITS)
-        ).alias("bv"),
-    )
+    bands = srp_bands(srp_signatures(spark, e))
     q = bands.filter(F.col("vec_id") < _SRP_NQ).select(
         F.col("vec_id").alias("query_id"), "k", "bv"
     )
@@ -1082,56 +1116,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, so the operator stays non-vacuous even where a scale factor
     has no qualifying pair.
 
-    Scale: band self-join confines the quadratic verify to bucket
-    interiors (O(sum of bucket^2), never corpus^2); the CC rounds are
-    O(|E|) with near-dup-tiny diameters. This is the 100 TB semantic-
+    Scale: signatures come from the shared srp_signatures pipeline
+    (codegen'd relational form — measured faster than the map-side
+    literal alternative, see its docstring); band self-join
+    confines the quadratic verify to bucket interiors (O(sum of
+    bucket^2), never corpus^2); the CC rounds are O(|E|) with
+    near-dup-tiny diameters. This is the 100 TB semantic-
     dedup recipe: embed once, bucket, verify inside buckets, cluster,
     keep representatives."""
     from .graph import connected_components
 
     e = load_table(spark, sf_dir, "embeddings")
-    hp = (
-        spark.range(_SRP_H * 64)
-        .select(
-            (F.col("id") / 64).cast("long").alias("j"),
-            (F.col("id") % 64).alias("d"),
-        )
-        .select(
-            "j",
-            "d",
-            F.expr(
-                _srp_hexval("md5(concat(cast(j as string), '_', cast(d as string)))")
-            ).alias("c"),
-        )
-    )
-    pos = e.select("vec_id", F.posexplode("embedding").alias("d", "val")).select(
-        "vec_id", "d", qint(F.col("val")).alias("qd")
-    )
-    dots = (
-        pos.join(F.broadcast(hp), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("c") * F.col("qd")).alias("dot"))
-    )
-    sig = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
-            ).otherwise(F.lit(0))
-        ).alias("sg")
-    )
-    bands = sig.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SRP_NBANDS - 1))).alias("k"),
-        "sg",
-    ).select(
-        "vec_id",
-        "k",
-        (
-            F.expr(f"sg div shiftleft(cast(1 as bigint), cast({_SRP_BITS} * k as int))")
-            % (1 << _SRP_BITS)
-        ).alias("bv"),
-    )
+    bands = srp_bands(srp_signatures(spark, e))
     a = bands.select(F.col("vec_id").alias("src"), "k", "bv")
     b = bands.select(F.col("vec_id").alias("dst"), "k", "bv")
     cand = (
