@@ -266,3 +266,90 @@ def q_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         res = res.unionAll(df)
     return res
+
+
+def _pretrain_corpus_oracle() -> str:
+    from ..registry import REGISTRY
+
+    gopher = REGISTRY["q_gopher_rules"].oracle
+    rep = REGISTRY["q_cluster_representative"].oracle
+    decon = REGISTRY["q_decontaminate"].oracle
+    return f"""
+    WITH gopher AS ({gopher}),
+    rep AS ({rep}),
+    decon AS ({decon})
+    SELECT d.doc_id,
+           (d.doc_id % 97 = 0) AS in_eval_slice,
+           g.keep AS gopher_ok,
+           r.is_representative AS dedup_ok,
+           CAST(r.cluster_id AS BIGINT) AS cluster_id,
+           (c.doc_id IS NULL) AS decontam_ok,
+           (d.doc_id % 97 <> 0 AND g.keep AND r.is_representative
+            AND c.doc_id IS NULL) AS kept
+    FROM documents d
+    JOIN gopher g ON g.doc_id = d.doc_id
+    JOIN rep r ON r.doc_id = d.doc_id
+    LEFT JOIN decon c ON c.doc_id = d.doc_id
+    """
+
+
+@query(
+    "q_pretrain_corpus",
+    oracle=_pretrain_corpus_oracle(),
+    tags=("pipeline", "capstone", "composition", "dedup", "llm-pipeline"),
+)
+def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pretraining-data recipe, composed end to end from the
+    engine's own registered operators (round 4 — every stage is the
+    scale-safe variant): Gopher quality rules (q_gopher_rules) ->
+    near-dup clusters with keep-the-best representative selection
+    (q_cluster_representative, riding the LSH-banded + star-contraction
+    q_dedup_clusters composition — no quadratic stage) -> eval-set
+    n-gram decontamination (q_decontaminate, broadcast eval shingles).
+    A document ships iff it passes the rule battery AND is its
+    near-dup cluster's best representative AND shares no 4-gram with
+    the eval slice AND is not itself eval. Per-doc reason booleans
+    make the filter auditable — the report a data team actually reads
+    before burning GPU-hours.
+
+    Composition IS the test: the Spark side calls the registered
+    component queries and joins their DataFrames; the oracle nests the
+    component oracles as CTEs, so composed truth stays synchronized
+    with component truth by construction (the q_training_corpus /
+    q_ops_report house pattern).
+
+    Scale: three doc_id-keyed equi-joins over component outputs whose
+    own shuffles are documented at their definitions (rule battery:
+    one agg; LSH clusters: banded edges + star CC; decontamination:
+    broadcast). Nothing here adds more than |docs|-row exchanges."""
+    from ..registry import REGISTRY
+    from ..sources.loader import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    gopher = REGISTRY["q_gopher_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    rep = REGISTRY["q_cluster_representative"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id", F.col("is_representative").alias("dedup_ok")
+    )
+    decon = REGISTRY["q_decontaminate"].fn(spark, sf_dir).select(
+        "doc_id", F.lit(False).alias("decontam_ok_flag")
+    )
+    out = (
+        d.join(gopher, "doc_id")
+        .join(rep, "doc_id")
+        .join(decon, "doc_id", "left")
+    )
+    in_eval = F.col("doc_id") % 97 == 0
+    decontam_ok = F.col("decontam_ok_flag").isNull()
+    return out.select(
+        "doc_id",
+        in_eval.alias("in_eval_slice"),
+        "gopher_ok",
+        "dedup_ok",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        decontam_ok.alias("decontam_ok"),
+        (~in_eval & F.col("gopher_ok") & F.col("dedup_ok") & decontam_ok).alias(
+            "kept"
+        ),
+    )

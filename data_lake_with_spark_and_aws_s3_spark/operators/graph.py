@@ -524,6 +524,77 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bfs_delta_frontier",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative", "bfs", "frontier", "shortest-path"),
+)
+def q_bfs_delta_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-frontier BFS — the production refinement q_bfs_hops's
+    docstring promises, now implemented and oracle-checked against the
+    SAME chained-CTE oracle (identical semantics: in min-hop BFS a
+    node's final distance is the round it is FIRST reached, so
+    expanding only last round's newly-labeled frontier is exact, not
+    an approximation).
+
+    Per round: ONE edge equi-join sized by the FRONTIER (not the full
+    distance table) and ONE left-anti join against the labeled set —
+    on small-diameter graphs the frontier shrinks geometrically after
+    saturation, so rounds 2+ move a vanishing fraction of q_bfs_hops's
+    per-round shuffle. Each round's labeled set is localCheckpoint'ed
+    (the connected_components lineage pattern): without it round k
+    replays rounds 1..k-1.
+
+    100 TB posture: this IS the BFS you run at scale — per-round cost
+    tracks |frontier| x avg-degree, and the tiled-graph growth sweep
+    (scripts/growth_sweep.py --graph) measures it flat where the
+    full-rejoin variant pays the 10x edge scan every round. The
+    remaining refinement on a real cluster is co-partitioning the edge
+    list with the frontier (exchange-free rounds 2+)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    # checkpoint the FRONTIER each round (it is joined next round and
+    # anti-joined forever after); dist stays a cheap union of the <= 4
+    # checkpointed frontier generations — no lineage replay anywhere
+    frontier = (
+        s.filter(F.col("s_suppkey") < 5)
+        .select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier
+    for r in range(1, _BFS_ROUNDS + 1):
+        reached = (
+            und.join(frontier, und["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(new)
+        frontier = new
+    return dist
+
+
+@query(
     "q_cluster_aware_split",
     oracle=_lsh_clusters_sql()
     + """

@@ -199,6 +199,9 @@ def corpus_tokens(spark, sf_dir):
 GRAPH_FAMILIES = {
     # edge currency: distinct (custkey, suppkey) trade pairs
     "q_bfs_hops": lambda spark, d: {"trade_edges": trade_edges(spark, d)},
+    "q_bfs_delta_frontier": lambda spark, d: {
+        "trade_edges": trade_edges(spark, d)
+    },
     "q_hits_hubs_authorities": lambda spark, d: {
         "trade_edges": trade_edges(spark, d)
     },
