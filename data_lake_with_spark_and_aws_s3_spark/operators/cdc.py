@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec, money_sum
 from ..registry import query
 from ..sources.loader import load_table
 
@@ -586,3 +587,64 @@ def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("o_orderdate")
     )
+
+
+@query(
+    "q_incremental_agg_merge",
+    oracle="""
+    WITH full_agg AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, n_users, sum_value,
+           day = (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) FROM events)
+             AS from_delta
+    FROM full_agg
+    """,
+    tags=("cdc", "incremental", "aggregation", "maintenance"),
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the pattern that makes a
+    100 TB daily rollup affordable: NEVER re-scan history. The stored
+    state (per-day aggregates over all closed days) is combined with
+    the newest day's partial aggregate by a key-aligned merge; because
+    the measures are decomposable (COUNT/SUM merge by addition,
+    COUNT DISTINCT stays exact here because the merge key CONTAINS the
+    day — cross-day distincts would need a sketch or a re-agg, which is
+    precisely why this rollup is keyed (type, day)), the merged table
+    is bit-identical to the full recompute the oracle runs.
+
+    Spark side simulates the two sides honestly from the one events
+    table: history = scan WHERE day < max_day (in production: the
+    stored parquet state, zero scan), delta = scan WHERE day = max_day
+    (the new partition), then unionByName — no shuffle beyond each
+    side's own aggregate, and the from_delta flag shows the merge
+    provenance. The day boundary comes from one O(1) max() collect.
+
+    Scale: the daily increment costs O(new partition); partition
+    pruning (events stored day-partitioned, q_parquet_sink_roundtrip's
+    layout) makes the delta scan touch ONE partition. Pairs with
+    q_incremental_dedup (state-vs-new exact dedup) and the foreachBatch
+    upsert twin (streaming maintenance of the same state)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+        dec("value").alias("v"),
+    )
+    max_day = e.agg(F.max("day")).collect()[0][0]
+
+    def day_agg(df: DataFrame, from_delta: bool) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(F.col("v"), "sum_value"),
+        ).withColumn("from_delta", F.lit(from_delta))
+
+    history = day_agg(e.filter(F.col("day") < F.lit(max_day)), False)
+    delta = day_agg(e.filter(F.col("day") == F.lit(max_day)), True)
+    return history.unionByName(delta)

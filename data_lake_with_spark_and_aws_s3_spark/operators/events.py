@@ -427,6 +427,66 @@ def q_streaming_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_static_join_exec",
+    oracle="""
+    WITH dim(event_type, tier) AS (VALUES
+      ('view', 'low'), ('click', 'low'), ('purchase', 'high'),
+      ('signup', 'high'), ('error', 'ops')
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(19,2))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY d.tier
+    """,
+    tags=("streaming", "stream-static-join", "executed-stream"),
+)
+def q_streaming_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed STREAM-STATIC join — the enrichment shape every
+    production stream runs (facts arrive as a stream, the dimension is
+    a batch table): events drive through readStream, join a static
+    5-row tier dimension (no watermark needed on the static side —
+    Spark replans the static relation per micro-batch), and a
+    downstream stateful aggregate rolls the enriched rows up by tier.
+    COMPLETE output mode + availableNow drains the bounded input so
+    the sink table is hash-equal to the batch join+aggregate the
+    oracle states. Completes the executed-stream family: windowed agg,
+    merging sessions, stream-stream join (inner/left/full), keyed
+    dedup, foreachBatch sink, and now stream-static enrichment.
+
+    Decimal value sums keep the streaming aggregation state
+    order-independent (the house exactness rule through the state
+    store). Scale posture: the static side BROADCASTS per micro-batch
+    (dimension tables at 100 TB stream scale are still dimension
+    tables); state is keyed by tier and bounded by the dimension's
+    cardinality, not the stream's."""
+    from ..streaming import run_to_memory, stream_events
+
+    dim = spark.createDataFrame(
+        [
+            ("view", "low"),
+            ("click", "low"),
+            ("purchase", "high"),
+            ("signup", "high"),
+            ("error", "ops"),
+        ],
+        "event_type string, tier string",
+    )
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+    )
+    run_to_memory(agg, "q_streaming_static_join_exec_sink", output_mode="complete")
+    return spark.table("q_streaming_static_join_exec_sink")
+
+
+@query(
     "q_streaming_join_exec",
     oracle="""
     SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user,

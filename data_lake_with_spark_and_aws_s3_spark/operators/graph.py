@@ -815,11 +815,16 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     them, which can push other nodes below k — the standard dense-
     subgraph / spam-cluster extractor. Both engines run the identical
     4-round peel (the oracle is the same chained computation as
-    CTEs), so the surviving (node, degree) table hashes exactly; a
-    fixed unroll keeps the plan static — at 100 TB run the same body
-    in a driver loop with a convergence fingerprint like
-    q_dedup_clusters (graph.py) and localCheckpoint per round to cut
-    lineage.
+    CTEs), so the surviving (node, degree) table hashes exactly.
+
+    Round 4: each round's shrunken edge set is localCheckpoint'ed —
+    the connected_components lineage pattern. Without it the final
+    plan nests every earlier round (each referencing the edge set
+    three times: degree agg + two semi-joins), and the 10x tiled-graph
+    sweep measured the recompute tax at 145s; with per-round
+    materialization the peel is 4 independent two-shuffle rounds over
+    an only-shrinking edge list. At 100 TB swap the fixed unroll for a
+    driver loop with a convergence fingerprint like q_dedup_clusters.
 
     Scale: each round is one degree aggregate over 2|E| endpoint rows
     plus two semi-joins keyed on the node id — no all-pairs, no
@@ -850,9 +855,11 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= 3)
             .select("v")
         )
-        edges = edges.join(
-            keep.select(F.col("v").alias("pa")), "pa", "left_semi"
-        ).join(keep.select(F.col("v").alias("pb")), "pb", "left_semi")
+        edges = (
+            edges.join(keep.select(F.col("v").alias("pa")), "pa", "left_semi")
+            .join(keep.select(F.col("v").alias("pb")), "pb", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     return (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
