@@ -593,7 +593,7 @@ def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_agg_merge",
     oracle="""
     WITH full_agg AS (
-      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
              CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE)
@@ -601,8 +601,8 @@ def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, n, n_users, sum_value,
-           day = (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) FROM events)
-             AS from_delta
+           day = (SELECT MAX(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                  FROM events) AS from_delta
     FROM full_agg
     """,
     tags=("cdc", "incremental", "aggregation", "maintenance"),
@@ -630,9 +630,13 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout) makes the delta scan touch ONE partition. Pairs with
     q_incremental_dedup (state-vs-new exact dedup) and the foreachBatch
     upsert twin (streaming maintenance of the same state)."""
+    # day stays a TIMESTAMP (midnight), not a DATE: Spark DATE columns
+    # arrive in pandas as object-dtype datetime.date while DuckDB DATE
+    # arrives as datetime64 — a dtype-kind mismatch the driver's value
+    # hash distinguishes (tests/parity.py); timestamps agree.
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.date_trunc("day", "ts").alias("day"),
         "user_id",
         dec("value").alias("v"),
     )
