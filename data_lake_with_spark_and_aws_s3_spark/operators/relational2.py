@@ -293,3 +293,100 @@ def q_python_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.stat, t.value FROM _udtf_docs_poly, "
         "LATERAL doc_stats_udtf(doc_id, text, 'n_tokens,n_chars,n_uniq') t"
     )
+
+
+@query(
+    "q_udtf_table_argument",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, ts, event_id FROM events WHERE user_id < 40
+    ), g AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM src
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(MAX(np) AS BIGINT) AS n_events,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(MIN(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+             AS first_event_id,
+           CAST(MIN(CASE WHEN rn = np THEN event_id END) AS BIGINT)
+             AS last_event_id
+    FROM g GROUP BY event_type
+    """,
+    tags=("python", "udtf", "table-argument", "spark4"),
+)
+def q_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE ARGUMENT (Spark 4): the function
+    consumes a whole RELATION — `gap_udtf(TABLE(src) PARTITION BY
+    event_type ORDER BY ts, event_id)` — with the engine guaranteeing
+    each partition arrives intact and ordered at one UDTF instance,
+    which accumulates state across eval() calls and emits its summary
+    from terminate(). This is the 4.x contract for per-group
+    sequential Python logic (legacy parsers, protocol replays) that
+    the scalar-argument UDTFs above can't see (they get one row at a
+    time with no partition boundary), and the imperative sibling of
+    applyInPandas (which hands the group over as one DataFrame;
+    the UDTF streams it row-by-row in bounded memory).
+
+    Computed here: per event type over a bounded user slice, the
+    event count, the MAX inter-arrival gap (exact integer
+    microseconds from timedelta fields — never float seconds), and
+    the first/last event ids under the total (ts, event_id) order.
+    The oracle replays it with lag() over the same window — exact
+    ints both sides.
+
+    Scale: one shuffle on the PARTITION BY key (identical to the
+    window plan); per-task memory is O(1) — the UDTF streams its
+    partition. Same rule as every Python boundary: a built-in window
+    wins when it can express the logic; the table-arg UDTF earns the
+    hop when the per-partition logic is genuinely imperative."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "event_type string, n_events bigint, max_gap_us bigint,"
+            " first_event_id bigint, last_event_id bigint"
+        )
+    )
+    class GapStats:
+        def __init__(self):
+            self.event_type = None
+            self.n = 0
+            self.max_gap_us = None
+            self.first_id = None
+            self.last_id = None
+            self.prev_ts = None
+
+        def eval(self, row):
+            self.event_type = row.event_type
+            self.n += 1
+            if self.first_id is None:
+                self.first_id = row.event_id
+            self.last_id = row.event_id
+            if self.prev_ts is not None:
+                d = row.ts - self.prev_ts
+                gap = (d.days * 86_400_000_000
+                       + d.seconds * 1_000_000 + d.microseconds)
+                if self.max_gap_us is None or gap > self.max_gap_us:
+                    self.max_gap_us = gap
+            self.prev_ts = row.ts
+
+        def terminate(self):
+            if self.n:
+                yield (self.event_type, self.n, self.max_gap_us,
+                       self.first_id, self.last_id)
+
+    spark.udtf.register("gap_udtf", GapStats)
+    load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_type", "ts", "event_id"
+    ).createOrReplaceTempView("_udtf_gap_src")
+    # multi-expression ORDER BY inside a table argument needs the
+    # parenthesized form (Spark parser requirement)
+    return spark.sql(
+        "SELECT * FROM gap_udtf(TABLE(_udtf_gap_src)"
+        " PARTITION BY event_type ORDER BY (ts, event_id))"
+    )
