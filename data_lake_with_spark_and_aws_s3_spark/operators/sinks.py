@@ -306,3 +306,37 @@ def q_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "st", F.col("yr").cast("long").alias("yr"), "n_orders"
     )
+
+
+@query(
+    "q_xml_sink_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("sink", "xml", "scan", "spark4"),
+)
+def q_xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE XML sink + schema-given re-read round-trip — the data
+    source Spark 4 absorbed from spark-xml (SPARK-44265): no external
+    jar, `format("xml")` with rowTag both ways. XML is the format
+    enterprise feeds still arrive in; the check is the same contract as
+    the CSV/JSON/ORC/text round-trips — typed content survives the
+    markup round-trip exactly (ints re-read by explicit schema, so
+    nothing depends on inference).
+
+    Scale: XML is a LANDING format, never a processing format — one
+    pass to parquet and everything downstream reads columnar. The scan
+    is splittable per file (rowTag framing), so ingest parallelism
+    comes from file count, exactly like the reference's JSON layout."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _tmp("nation_xml")
+    n.write.mode("overwrite").option("rowTag", "nation").format("xml").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .load(path)
+    )
+    return back
