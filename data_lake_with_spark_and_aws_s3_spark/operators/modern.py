@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import load_table, register_views
 
 
 @query(
@@ -686,4 +686,46 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COALESCE(MIN(CASE WHEN st IS NULL THEN cents END), -1)"
             " AS BIGINT)"
         ).alias("min_cents_of_null_status"),
+    )
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "sql-udf", "spark4", "modern-api"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4, SPARK-46246): CREATE TEMPORARY
+    FUNCTION whose body is a SQL EXPRESSION, not Python — the function
+    is INLINED into the calling plan by Catalyst, so unlike every
+    Python UDF it costs nothing: no serialization boundary, full
+    predicate pushdown and codegen through the call site. This is the
+    right tool for shared business definitions ("what counts as a big
+    order") that teams otherwise copy-paste or, worse, ship as Python
+    UDFs. The oracle states the inlined expression directly — the
+    whole point is that the two are the same plan.
+
+    Scale: zero marginal cost by construction; the check asserts the
+    semantic contract, and the plan-lint suite keeps row-Python out of
+    hot paths repo-wide."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_big_order(price DOUBLE)"
+        " RETURNS INT RETURN CASE WHEN price >= 150000 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(is_big_order(o_totalprice)) AS BIGINT) AS n_big
+        FROM orders
+        GROUP BY o_orderpriority
+        """
     )
