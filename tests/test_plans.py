@@ -307,8 +307,14 @@ _NLJ_ALLOWED = {
     "q_ship_lag_deciles",   # constant 9-row decile grid x lag histogram
     "q_ops_report",         # inherits q_freshness_sla's 1-row watermark stitch
 }
-# Row-at-a-time Python is banned except the deliberate UDTF demos.
-_ROW_PYTHON_ALLOWED = {"q_python_udtf", "q_python_udtf_analyze"}
+# Row-at-a-time Python is banned except the deliberate UDTF demos
+# (q_udtf_table_argument streams ordered partitions through a stateful
+# UDTF — the row-at-a-time delivery IS the exercised contract).
+_ROW_PYTHON_ALLOWED = {
+    "q_python_udtf",
+    "q_python_udtf_analyze",
+    "q_udtf_table_argument",
+}
 
 
 def test_registry_wide_plan_lint(spark):
