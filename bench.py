@@ -79,6 +79,9 @@ EXTENDED_FAMILIES: dict[str, list[str]] = {
         "q_repetition_signals",
         "q_repeated_ngram_profile",
         "q_duplicate_span_scrub",
+        # round 4: the end-to-end recipe (rules -> LSH keep-best ->
+        # decontamination) — the wall a user's actual pipeline pays
+        "q_pretrain_corpus",
     ],
     "tpch": [
         "q9_product_profit",
