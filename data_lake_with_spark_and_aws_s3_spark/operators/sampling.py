@@ -246,3 +246,60 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 AS BIGINT)"
         ).alias("est_chapman"),
     )
+
+
+_QUOTA_PER_LANG = 60
+
+
+@query(
+    "q_stratified_exact_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS stratum_n
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, stratum_n
+    FROM ranked WHERE rk <= {_QUOTA_PER_LANG}
+    """,
+    tags=("sampling", "stratified", "exact-quota", "llm-pipeline"),
+)
+def q_stratified_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA stratified sampling: keep exactly
+    min(quota, |stratum|) documents per language, chosen by md5(doc_id)
+    rank — the selection a fixed token budget demands (Bernoulli
+    rate-sampling like q_mixture_sample only hits its quota in
+    expectation; a curation run that promises "60 docs per language"
+    must deliver 60, not 60±8). The md5 order makes the winners a pure
+    function of the data: reproducible across retries, engines, and
+    repartitioning, and incrementally stable (new docs displace old
+    winners only by out-hashing them, so re-runs over a grown corpus
+    keep most of the previous sample — useful for cache reuse).
+
+    Scale: one window shuffle keyed by the stratum (rank within lang).
+    At 100 TB with billions of rows per stratum the refinement is
+    two-phase threshold selection — histogram the first 4 hash digits
+    per stratum (65k-cell aggregate), find the bucket containing the
+    quota-th rank, then exact-rank only that bucket's rows (the
+    q_ship_lag_deciles histogram-rank trick) — same answer, no
+    per-stratum global sort. The window form is the clear spec and is
+    exact at every shipped SF; stratum_n rides along so the report
+    shows quota vs available."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("stratum_n"),
+        )
+        .filter(F.col("rk") <= _QUOTA_PER_LANG)
+    )
