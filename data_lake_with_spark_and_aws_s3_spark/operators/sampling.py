@@ -303,3 +303,91 @@ def q_stratified_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _QUOTA_PER_LANG)
     )
+
+
+@query(
+    "q_stratified_quota_twophase",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS stratum_n
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, stratum_n
+    FROM ranked WHERE rk <= {_QUOTA_PER_LANG}
+    """,
+    tags=("sampling", "stratified", "exact-quota", "histogram-rank", "scale-twin"),
+)
+def q_stratified_quota_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for exact-quota stratified sampling, executed:
+    two-phase histogram-rank selection producing BIT-IDENTICAL output
+    to q_stratified_exact_quota (same oracle — the window form IS the
+    spec). Phase 1 buckets every row by the first 4 hex digits of its
+    md5 key and aggregates per-(stratum, bucket) counts — a 65k-cell
+    hash aggregate with map-side partials, never a per-stratum global
+    sort. The running bucket counts locate, per stratum, the bucket
+    containing the quota-th rank; only rows at-or-below that boundary
+    bucket survive the filter — a superset of the winners barely
+    larger than the quota (expected quota + stratum/65536). Phase 2
+    ranks just that sliver with the original (md5, doc_id) window and
+    keeps rk <= quota; because the sliver is a PREFIX of the stratum
+    order, its local ranks ARE the global ranks.
+
+    Why this matters at 100 TB: the window form shuffles and sorts
+    EVERY row of every stratum; this form's only full-data operator is
+    a hash aggregate whose output is bounded by 65536 x |strata| cells
+    regardless of corpus size, and the sort touches ~quota rows per
+    stratum. The equality check against the window oracle is the
+    proof the refinement loses nothing — the dedup-twin pattern
+    (q_dedup_clusters / _exact_smallcorpus) applied to sampling."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    bucket = F.conv(F.substring("h", 1, 4), 16, 10).cast("long")
+    rows = d.select("doc_id", "lang", "h", bucket.alias("b"))
+
+    hist = rows.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang", "b", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("stratum_n"),
+    )
+    # the boundary bucket: first bucket whose cumulative count reaches
+    # the quota (or the last bucket when the stratum is smaller)
+    boundary = (
+        cum.filter(
+            (F.col("cum") >= _QUOTA_PER_LANG)
+            | (F.col("cum") == F.col("stratum_n"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("b").alias("b_max"),
+            F.max("stratum_n").cast("long").alias("stratum_n"),
+        )
+    )
+    # The sliver (all rows in buckets <= boundary) is a PREFIX of each
+    # stratum's (md5, doc_id) order — every excluded row ranks after
+    # every sliver row — so ranking the sliver alone yields the true
+    # global ranks directly; no offset arithmetic needed.
+    sliver = (
+        rows.join(F.broadcast(boundary), "lang")
+        .filter(F.col("b") <= F.col("b_max"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        sliver.select(
+            "doc_id", "lang", "stratum_n",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _QUOTA_PER_LANG)
+        .select("doc_id", "lang", "rk", "stratum_n")
+    )
