@@ -585,3 +585,62 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+def _neardup_decon_oracle() -> str:
+    from .neardup import _ml_oracle
+
+    return f"""
+    WITH pairs AS ({_ml_oracle()})
+    SELECT CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS train_doc_id,
+           CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS eval_doc_id,
+           jaccard_x10000
+    FROM pairs
+    WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
+    """
+
+
+@query(
+    "q_neardup_decontaminate",
+    oracle=_neardup_decon_oracle(),
+    tags=("pipeline", "decontamination", "neardup", "lsh", "llm-pipeline"),
+)
+def q_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination: training documents that are
+    MinHash-LSH near-duplicates (shingle Jaccard >= 0.5, exactly
+    verified) of an eval-slice document — the leakage class exact
+    n-gram decontamination (q_decontaminate) under-catches: a
+    paraphrased or lightly-edited eval item shares few verbatim
+    4-grams yet is the same document for memorization purposes
+    (GPT-3's 13-gram rule famously missed these; modern pipelines run
+    BOTH passes). Eval slice = doc_id % 97 == 0, the same convention
+    as q_decontaminate, so the two reports compose: exact-overlap docs
+    from one, near-dup docs from the other.
+
+    Mechanism: reuse of the md5-portable LSH twin (_ml_exact_pairs —
+    signatures, bands, candidates, exact verify all engine-replayable)
+    filtered to cross-side pairs, so the whole detection pipeline sits
+    under the driver's value hash.
+
+    Scale: identical to the LSH dedup posture — O(n*bands) banded
+    equi-join, no quadratic stage; at 100 TB the eval side is tiny so
+    its band rows broadcast, making this a map-side probe of the
+    train corpus (the q_decontaminate shape with bands instead of
+    grams)."""
+    from .neardup import _ml_exact_pairs
+
+    pairs = _ml_exact_pairs(spark, sf_dir)
+    a_eval = F.col("doc_a") % 7 == 0
+    b_eval = F.col("doc_b") % 7 == 0
+    return (
+        pairs.filter(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "train_doc_id"
+            ),
+            F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "eval_doc_id"
+            ),
+            "jaccard_x10000",
+        )
+    )
