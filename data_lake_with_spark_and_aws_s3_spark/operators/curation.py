@@ -834,3 +834,118 @@ def q_dedup_bytes_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(n_chars) AS BIGINT)"
         ).alias("saved_ppm"),
     )
+
+
+@query(
+    "q_waterfill_budget",
+    oracle="""
+    WITH mass AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  AS BIGINT) AS m
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS total,
+             CAST(SUM(m) * 2 // 5 AS BIGINT) AS budget,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM mass
+    ), ordered AS (
+      SELECT source, m,
+             ROW_NUMBER() OVER (ORDER BY m, source) AS j,
+             COALESCE(SUM(m) OVER (ORDER BY m, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS p_below,
+             COALESCE(MAX(m) OVER (ORDER BY m, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS m_prev
+      FROM mass
+    ), lam AS (
+      SELECT CAST(MAX(cand) AS BIGINT) AS lambda_star FROM (
+        SELECT LEAST((t.budget - o.p_below) // (t.k - o.j + 1), o.m) AS cand
+        FROM ordered o CROSS JOIN tot t
+        WHERE (t.budget - o.p_below) // (t.k - o.j + 1) > o.m_prev
+      )
+    )
+    SELECT o.source, o.m AS available_tokens,
+           CAST(LEAST(o.m, l.lambda_star) AS BIGINT) AS allocated_tokens,
+           l.lambda_star,
+           CAST(t.budget AS BIGINT) AS budget,
+           (o.m <= l.lambda_star) AS fully_taken
+    FROM ordered o CROSS JOIN lam l CROSS JOIN tot t
+    """,
+    tags=("curation", "mixture", "budget", "waterfill", "llm-pipeline"),
+)
+def q_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATER-FILLING token-budget allocation across sources: given a
+    total training budget T (2/5 of the corpus here) and per-source
+    token masses, find the integer water level λ* = max λ with
+    Σ min(m_s, λ) <= T and allocate min(m_s, λ*) to each source — the
+    allocation that takes small sources whole and caps every large
+    source at the SAME level, the fairness rule temperature mixtures
+    approximate and dedup-aware budgets actually need (a source can
+    never be asked for more tokens than it has, and no large source
+    crowds out the tail).
+
+    Exact integer derivation, both engines: sort sources by mass with
+    prefix sums; between consecutive masses Σ min(m_s, λ) is linear in
+    λ with slope (k - j + 1), so each segment's candidate level is one
+    integer division, validity is one comparison against the previous
+    mass, and λ* is the max valid candidate (capped at the segment
+    mass for the all-capped tail). No iteration, no floats — the
+    closed form a driver-side bisection would converge to.
+
+    Scale: per-source masses are one map-side HOF count + one tiny
+    aggregate (|sources| rows); everything after runs on that
+    |sources|-row frame — the broadcast-scalar shape. The allocation
+    feeds q_stratified_exact_quota-style per-source selection as its
+    quota vector."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    mass = (
+        d.select("source", F.size(toks).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("m"))
+    )
+    tot = mass.agg(
+        F.sum("m").cast("long").alias("total"),
+        F.expr("CAST(SUM(m) * 2 div 5 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w = Window.orderBy("m", "source")
+    ordered = mass.select(
+        "source",
+        "m",
+        F.row_number().over(w).cast("long").alias("j"),
+        F.coalesce(
+            F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("p_below"),
+        F.coalesce(
+            F.max("m").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("m_prev"),
+    )
+    cand = (
+        ordered.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "m", "j", "p_below", "m_prev", "budget", "k",
+            F.expr("(budget - p_below) div (k - j + 1)").alias("raw"),
+        )
+        .filter(F.col("raw") > F.col("m_prev"))
+        .select(F.least(F.col("raw"), F.col("m")).alias("cand"))
+    )
+    lam = cand.agg(F.max("cand").cast("long").alias("lambda_star"))
+    return (
+        ordered.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("m").alias("available_tokens"),
+            F.least(F.col("m"), F.col("lambda_star")).cast("long").alias(
+                "allocated_tokens"
+            ),
+            "lambda_star",
+            F.col("budget").cast("long").alias("budget"),
+            (F.col("m") <= F.col("lambda_star")).alias("fully_taken"),
+        )
+    )

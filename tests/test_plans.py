@@ -306,6 +306,7 @@ _NLJ_ALLOWED = {
     "q_good_turing",        # broadcast 1-row unseen-mass scalar stitch
     "q_ship_lag_deciles",   # constant 9-row decile grid x lag histogram
     "q_ops_report",         # inherits q_freshness_sla's 1-row watermark stitch
+    "q_waterfill_budget",   # broadcast 1-row budget/level scalar stitches
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
