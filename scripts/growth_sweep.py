@@ -53,6 +53,12 @@ FAMILIES = {
         "points": load_table(spark, d, "events").count()
     },
     "q_curation_pipeline": lambda spark, d: {},
+    # round 4: the end-to-end recipe capstone (rules -> LSH keep-best
+    # -> decontamination) — its curve is the one a user's whole
+    # pipeline pays
+    "q_pretrain_corpus": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)
+    },
     # round 3, session 2 additions
     "q_repeated_ngram_profile": lambda spark, d: {
         "gram_positions": gram_positions(spark, d)
