@@ -163,11 +163,28 @@ def main() -> None:
             env=env,
             capture_output=True,
             text=True,
-            check=True,
         )
+        # Surface a crashed family JVM (OOM, import error) with its
+        # stderr tail instead of an opaque JSONDecodeError downstream —
+        # with one child process per family this is the likeliest
+        # failure mode of the whole bench.
+        if proc.returncode != 0:
+            tail = "\n".join(proc.stderr.strip().splitlines()[-15:])
+            raise RuntimeError(
+                f"bench child {phase!r} exited {proc.returncode}; "
+                f"stderr tail:\n{tail}"
+            )
         # Last stdout line is the timings dict (Spark noise goes to stderr,
         # but guard against stray stdout lines anyway).
-        timings.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+        lines = proc.stdout.strip().splitlines()
+        try:
+            timings.update(json.loads(lines[-1]))
+        except (IndexError, json.JSONDecodeError) as e:
+            tail = "\n".join(proc.stderr.strip().splitlines()[-15:])
+            raise RuntimeError(
+                f"bench child {phase!r} produced unparseable stdout "
+                f"({e}); stderr tail:\n{tail}"
+            ) from e
     # Emit in the canonical order (headline, then families) regardless
     # of merge order, so round-over-round diffs read cleanly.
     ordered = {n: timings[n] for n in HEADLINE + EXTENDED if n in timings}

@@ -613,9 +613,14 @@ def q_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrased or lightly-edited eval item shares few verbatim
     4-grams yet is the same document for memorization purposes
     (GPT-3's 13-gram rule famously missed these; modern pipelines run
-    BOTH passes). Eval slice = doc_id % 97 == 0, the same convention
-    as q_decontaminate, so the two reports compose: exact-overlap docs
-    from one, near-dup docs from the other.
+    BOTH passes). Eval slice = doc_id % 7 == 0 — deliberately WIDER
+    than q_decontaminate's % 97 slice: the near-dup pair universe at
+    test SFs is small (~25 LSH-verified pairs at sf0.01) and a 1/97
+    slice intersects it vacuously (measured: 0 cross-side pairs at
+    sf0.01), so this query pins the cross-side selection logic on a
+    slice dense enough to exercise it. To compose with q_decontaminate
+    in production, pass ONE eval predicate to both; the mechanism is
+    predicate-agnostic.
 
     Mechanism: reuse of the md5-portable LSH twin (_ml_exact_pairs —
     signatures, bands, candidates, exact verify all engine-replayable)

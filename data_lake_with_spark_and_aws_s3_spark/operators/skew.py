@@ -83,9 +83,12 @@ def salted_groupby_collect(
     second exchange moves |keys| x salt LIST rows, not raw rows.
     Output is row-identical to groupBy(key).collect_list(value) up to
     list order (both orders are shuffle-dependent; sort to compare).
+    pmod, not %: Spark's % keeps the dividend's sign, so xxhash64 %
+    salt would span -(salt-1)..(salt-1) — ~2x the documented cell
+    count; pmod pins the salt domain to exactly 0..salt-1.
     """
     stage1 = df.groupBy(
-        key, (F.xxhash64(F.col(value)) % salt).alias("_salt")
+        key, F.pmod(F.xxhash64(F.col(value)), F.lit(salt)).alias("_salt")
     ).agg(F.collect_list(value).alias("pl"))
     return stage1.groupBy(key).agg(
         F.flatten(F.collect_list("pl")).alias("values")

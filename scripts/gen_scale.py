@@ -134,6 +134,19 @@ _GRAPH_KEYS = {
     "part": ["p_partkey"],
 }
 
+# One shift per KEY DOMAIN, not per column: if a fact table's max
+# referenced FK sits below the dimension's max key (e.g. o_custkey
+# never reaching max c_custkey), per-column offsets would shift the
+# two sides by different amounts and silently misalign cross-table
+# joins in copies 1..mult-1. The domain offset is the max over EVERY
+# column referencing the domain, so all sides shift identically.
+_KEY_DOMAIN = {
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "o_custkey": "custkey", "c_custkey": "custkey",
+    "l_partkey": "partkey", "p_partkey": "partkey",
+    "l_suppkey": "suppkey", "s_suppkey": "suppkey",
+}
+
 
 def gen_graph(out_dir: str, mult: int) -> None:
     """Tile the sf0.1 relational tables `mult`x with disjoint key
@@ -141,18 +154,26 @@ def gen_graph(out_dir: str, mult: int) -> None:
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
+    tables = {
+        t: pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
+        for t in _GRAPH_KEYS
+    }
+    domain_off: dict[str, int] = {}
     for t, keys in _GRAPH_KEYS.items():
-        base = pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
-        offsets = {
-            k: pc.max(base.column(k)).as_py() + 1 for k in keys
-        }
+        for k in keys:
+            dom = _KEY_DOMAIN[k]
+            mx = pc.max(tables[t].column(k)).as_py() + 1
+            domain_off[dom] = max(domain_off.get(dom, 0), mx)
+    for t, keys in _GRAPH_KEYS.items():
+        base = tables[t]
         copies = [base]
         for i in range(1, mult):
             shifted = base
             for k in keys:
                 idx = shifted.schema.get_field_index(k)
                 shifted = shifted.set_column(
-                    idx, k, pc.add(shifted.column(k), offsets[k] * i)
+                    idx, k,
+                    pc.add(shifted.column(k), domain_off[_KEY_DOMAIN[k]] * i),
                 )
             copies.append(shifted)
         pq.write_table(pa.concat_tables(copies), f"{out_dir}/{t}.parquet")

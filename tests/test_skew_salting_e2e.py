@@ -90,7 +90,7 @@ def test_salted_distribution_bounds_max_task(skewed):
     assert unsalted_max >= N_HOT
 
     with_salt = skewed.withColumn(
-        "_salt", F.xxhash64("payload") % SALT
+        "_salt", F.pmod(F.xxhash64("payload"), F.lit(SALT))
     )
     salted_max = _max_partition_rows(with_salt, "user_id", "_salt")
     # each (hot, salt) cell holds ~N_HOT/SALT rows; even with two cells
