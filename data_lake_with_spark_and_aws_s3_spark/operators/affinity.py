@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dec, money_sum
 from ..registry import query
 from ..sources.loader import load_table
+from ._edges import copurchase_edges
 
 _VOCAB_K = 100  # lift vocabulary: top-K tokens by document frequency
 _TOP_PAIRS = 50
@@ -214,25 +215,10 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division. The wedge join costs sum(deg^2) — the known price
     of exact enumeration; at graph scale, degeneracy-order the edges
     (orient from lower- to higher-degree endpoint) to cap the fan-out
-    before this join."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-        # edges feeds FIVE plan branches (deg, edge count, e1/e2/e3);
-        # without materialization Spark recomputes the lineitem
-        # self-join + distinct for each — localCheckpoint (same
-        # convention as graph.py) computes it once and truncates
-        # lineage. |edges| << |lineitem|, safe to hold.
-        .localCheckpoint()
-    )
+    before this join. Edge derivation is the family-shared checkpoint
+    (_edges.copurchase_edges) — the five plan branches (deg, edge
+    count, e1/e2/e3) each read a narrow filter over it."""
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
@@ -342,24 +328,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edge build is the triangles op's orderkey-keyed self-join +
     distinct; degrees are one aggregate over 2|E| endpoint rows; the
     moment pass is a single reduction over 2|E| rows. Nothing is
-    quadratic in nodes."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint()  # feeds deg + two join branches
-    )
+    quadratic in nodes. Edge derivation is the family-shared checkpoint
+    (_edges.copurchase_edges); deg + the two join branches read narrow
+    filters over it."""
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
@@ -469,24 +441,10 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-neighbor bound (at 100 TB, cap or sample super-hub
     neighbor lists first: a hub's 1/ln(deg) contribution is near-zero
     anyway). Existing edges leave via a key-wise anti-join; the top-k
-    is TakeOrderedAndProject, never a global sort."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    la, lb = li.alias("la"), li.alias("lb")
-    edges = (
-        la.join(
-            lb,
-            (F.col("lb.l_orderkey") == F.col("la.l_orderkey"))
-            & (F.col("la.l_partkey") < F.col("lb.l_partkey")),
-        )
-        .select(
-            F.col("la.l_partkey").alias("pa"),
-            F.col("lb.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .localCheckpoint()  # feeds nbrs twice + the anti-join
-    )
+    is TakeOrderedAndProject, never a global sort. Edge derivation is
+    the family-shared checkpoint (_edges.copurchase_edges); nbrs (twice)
+    + the anti-join read narrow filters over it."""
+    edges = copurchase_edges(spark, sf_dir)
     nbrs = edges.select(
         F.col("pa").alias("v"), F.col("pb").alias("w")
     ).unionAll(edges.select(F.col("pb").alias("v"), F.col("pa").alias("w")))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ._edges import copurchase_edges
 
 _MIN_COPURCHASE = 2  # edge weight floor: pairs co-ordered at least twice
 _ROUNDS = 2
@@ -97,27 +97,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001, 1.2M -> 3.9k at sf0.1 — the floor is what keeps |E| from
     tracking |lineitem|^2/|orders|); each round shuffles O(|E|) rows
     keyed by node. The argmax window partitions by node — maximal
-    parallelism, no global sort."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    ew = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _MIN_COPURCHASE)
-        .select("pa", "pb")
-    )
+    parallelism, no global sort. Edge derivation is the family-shared
+    checkpoint (_edges.copurchase_edges) — built once per session and
+    reused by modularity/triangles/assortativity/adamic-adar/k-core."""
+    ew = copurchase_edges(spark, sf_dir, _MIN_COPURCHASE)
     e = ew.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         ew.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    # one materialization: the edge build (a basket self-join) feeds
-    # every round; without this each round would recompute it
+    # materialize the directed view once: it feeds every LPA round and
+    # the filter-over-checkpoint would otherwise replay per round
     e = e.localCheckpoint(eager=True)
     labels = e.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
@@ -213,23 +201,10 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds exactly (same tie-breaks); intra-community edges come from
     one label-keyed self-annotation of the edge list (two equi-joins,
     never pairwise in anything but the bounded basket build); the
-    1-row m scalar broadcasts (NLJ-allowlisted)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    ew = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _MIN_COPURCHASE)
-        .select("pa", "pb")
-    )
-    ew = ew.localCheckpoint(eager=True)  # feeds edges, m, and the LPA rounds
+    1-row m scalar broadcasts (NLJ-allowlisted). Edge derivation is the
+    family-shared checkpoint (_edges.copurchase_edges)."""
+    # filter-over-shared-checkpoint; feeds edges, m, and the LPA rounds
+    ew = copurchase_edges(spark, sf_dir, _MIN_COPURCHASE)
     e = ew.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         ew.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )

@@ -1127,7 +1127,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     e = load_table(spark, sf_dir, "embeddings")
-    bands = srp_bands(srp_signatures(spark, e))
+    # checkpoint the band table once: the self-join reads it from BOTH
+    # arms, and with CC materializing mid-construction there is no
+    # whole-plan optimizer pass to reuse the signature exchange — the
+    # posexplode + hyperplane-join + two-aggregate signature pipeline
+    # would run twice (round-5 measurement: ~1.4 s of the warm wall)
+    bands = srp_bands(srp_signatures(spark, e)).localCheckpoint(eager=False)
     a = bands.select(F.col("vec_id").alias("src"), "k", "bv")
     b = bands.select(F.col("vec_id").alias("dst"), "k", "bv")
     cand = (

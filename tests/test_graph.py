@@ -124,3 +124,45 @@ def test_star_variant_converges_on_long_chain(spark):
         for r in connected_components_star(edges, vertices, max_iter=30).collect()
     }
     assert got == {v: 0 for v in range(n)}
+
+
+def test_shared_caches_return_identical_frames(spark):
+    """Round-5 amortization contracts: the co-purchase edge helper and
+    the LSH cluster midframe are keyed per (application, sf_dir) —
+    a second call must return the SAME DataFrame object (no recompute),
+    and the cached cluster labels must equal a fresh uncached compute."""
+    from data_lake_with_spark_and_aws_s3_spark.operators._edges import (
+        copurchase_pair_weights,
+    )
+    from data_lake_with_spark_and_aws_s3_spark.operators.graph import (
+        _lsh_cluster_compute,
+        _lsh_cluster_frame,
+    )
+
+    e1 = copurchase_pair_weights(spark, SF)
+    e2 = copurchase_pair_weights(spark, SF)
+    assert e1 is e2, "edge cache must hit on the second call"
+
+    c1 = _lsh_cluster_frame(spark, SF)
+    c2 = _lsh_cluster_frame(spark, SF)
+    assert c1 is c2, "cluster cache must hit on the second call"
+    cached = {(r["doc_id"], r["cluster_id"]) for r in c1.collect()}
+    fresh = {
+        (r["doc_id"], r["cluster_id"])
+        for r in _lsh_cluster_compute(spark, SF).collect()
+    }
+    assert cached == fresh, "cached labels must equal an uncached compute"
+
+
+def test_capstone_rides_checkpointed_cluster_midframe(spark):
+    """q_pretrain_corpus' plan must read the cluster labels from the
+    checkpointed midframe (LogicalRDD 'Scan ExistingRDD'), not replay
+    the MinHash + band-join + CC pipeline inside its own plan."""
+    from data_lake_with_spark_and_aws_s3_spark.operators.graph import (
+        _lsh_cluster_frame,
+    )
+
+    _lsh_cluster_frame(spark, SF)  # warm the midframe
+    df = REGISTRY["q_pretrain_corpus"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:2000]
