@@ -52,22 +52,39 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-graded. q_dedup_clusters is ALSO the round-4 re-route
     # under validation — the name now binds the LSH-banded +
     # star-contraction composition (formerly q_dedup_clusters_lsh).
-    # Displaced to make room: q_pivot, q_unpivot, q_lang_breakdown
-    # (above), q_bigram_lm_score and q_bucketed_join (below) — each a
-    # second representative of a family row still covered in-prefix
-    # (retrieval keeps q_bm25_topk; joins keep 6 reps), all
-    # pytest-parity-checked.
     "q_semdedup",
     "q_bpe_train",
     "q_dedup_clusters",
-    "q_streaming_tumbling_exec",
-    "q_ann_pq_rerank",
+    # round-5 rotation (VERDICT r4 #6): round-4 flagships never yet
+    # driver-graded, displacing only second representatives of rows
+    # still covered in-prefix (all six stay pytest-parity-checked):
+    #   q_streaming_tumbling_exec -> out (tumbling row keeps
+    #     q_events_tumbling, the row's primary rep)
+    #   q_ann_pq_rerank -> out (ANN row keeps q_cosine_topk; graded
+    #     green in r4)
+    #   q_contamination_report -> out (decontamination row now graded
+    #     through q_neardup_decontaminate below)
+    #   q_python_udtf -> out (UDTF row now graded through
+    #     q_udtf_table_argument below — the superset feature)
+    #   q_global_topk -> out (top-k row keeps q3_join_topk, whose plan
+    #     is the same asserted TakeOrderedAndProject)
+    #   q_cross_join -> out (the r4 precedent: joins keep 6 reps —
+    #     q3 inner, theta, full outer, semi, range, as-of)
+    # q_pretrain_corpus deliberately stays OUT of the prefix: its gate
+    # wall carries the one-time LSH-cluster-midframe materialization
+    # (~4.5s cold at sf0.01, measured round 5) against the ~4s
+    # per-entry budget; it stays parity-checked and benched.
+    "q_udtf_table_argument",
+    "q_neardup_decontaminate",
+    "q_stratified_quota_twophase",
+    "q_waterfill_budget",
+    "q_incremental_agg_merge",
+    "q_xml_sink_roundtrip",
     # round-3 flagship corpus ops (promoted into the graded window;
     # the slots they took — q_date_format, q12_priority_buckets,
     # q_right_join — were second representatives of rows already
     # covered in-prefix and stay pytest-parity-checked)
     "q_duplicate_span_scrub",
-    "q_contamination_report",
     # round-3 session-5: the curation-family representative (Gopher
     # rule battery) takes q_data_card's slot — the data card is a
     # composite of metrics whose components are all prefix-covered,
@@ -82,7 +99,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new / reworked operators
     "q_theta_join",
     "q_full_outer_join",
-    "q_python_udtf",
     "q_multimodal_binary",
     "q_simhash",
     "q_setops_matrix",
@@ -104,7 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_semi_join",
     "q_range_join_events",
     "q_asof_join",
-    "q_cross_join",
     # §2.4 aggregation family
     "q_latest_per_user",
     "q_rollup_revenue",
@@ -114,7 +129,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_moving_sum",
     # §2.6 sort/limit
     "q_global_sort",
-    "q_global_topk",
     # §2.9 event-time family
     "q_session_window",
     "q_late_data_filter",
