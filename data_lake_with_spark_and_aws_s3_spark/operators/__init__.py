@@ -64,6 +64,7 @@ from . import (  # noqa: F401
     similarity,
     skew,
     text,
+    trend,
     windows,
 )
 

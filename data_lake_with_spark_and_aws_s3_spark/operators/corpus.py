@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.loader import load_table
+from ._sqlutil import _hex_val_sql
 
 # ---------------------------------------------------------------------
 # Distributed BPE tokenizer training
@@ -648,4 +649,104 @@ def q_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "jaccard_x10000",
         )
+    )
+
+
+@query(
+    "q_ngram_coverage_curve",
+    oracle=f"""
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+      FROM ts
+    ),
+    ev AS (
+      SELECT DISTINCT gram FROM sh WHERE doc_id % 7 = 0
+    ),
+    tr AS (
+      SELECT gram,
+             MIN(({_hex_val_sql("md5(CAST(doc_id AS VARCHAR) || '#cov')", 5)})
+                 % 1000) AS min_bucket
+      FROM sh WHERE doc_id % 7 <> 0
+      GROUP BY gram
+    ),
+    fr AS (
+      SELECT * FROM (VALUES (100), (300), (1000)) t(fraction_pm)
+    )
+    SELECT fr.fraction_pm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS eval_gram_types,
+           CAST(COUNT(tr.gram) AS BIGINT) AS covered_types,
+           CAST((1000000 * COUNT(tr.gram))
+                // (SELECT COUNT(*) FROM ev) AS BIGINT) AS coverage_ppm
+    FROM fr
+    CROSS JOIN ev
+    LEFT JOIN tr ON tr.gram = ev.gram AND tr.min_bucket < fr.fraction_pm
+    GROUP BY fr.fraction_pm
+    """,
+    tags=("pipeline", "curation", "coverage", "ngram", "scaling-curve"),
+)
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram coverage as a function of training-corpus size —
+    the data-scaling diagnostic behind "will more data still help":
+    for deterministic 10% / 30% / 100% train subsets (md5 per-mille
+    bucket on doc_id, the q_hash_split convention), what fraction of
+    the eval slice's distinct 3-gram types appears in the subset. The
+    key trick is computing each gram's MINIMUM train bucket once —
+    a gram is covered at threshold f iff min_bucket < f — so the
+    curve costs ONE pass over train grams regardless of how many
+    curve points are requested; the eval slice is doc_id % 7 == 0
+    (q_neardup_decontaminate's convention).
+
+    Scale: one explode + two gram-keyed aggregates (min-bucket and
+    eval-distinct); the curve join is |eval gram types| x 3 constant
+    fractions with the min-bucket table keyed by gram — the 3-row
+    fraction grid is the only non-equi side and it is broadcast-sized.
+    Never rescans the corpus per curve point."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select("gram").distinct()
+    bucket = (
+        "(("
+        + _hex_val_sql("md5(concat(cast(doc_id as string), '#cov'))", 5)
+        + ") % 1000)"
+    )
+    tr = (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .select(F.col("gram").alias("tgram"), F.expr(bucket).alias("bucket"))
+        .groupBy("tgram")
+        .agg(F.min("bucket").alias("min_bucket"))
+    )
+    fr = spark.createDataFrame([(100,), (300,), (1000,)], "fraction_pm int")
+    ev_n = ev.agg(F.count(F.lit(1)).alias("eval_gram_types"))
+    # left join on gram + threshold: equi on gram, residual on bucket
+    curve = (
+        fr.crossJoin(ev.withColumnRenamed("gram", "egram"))
+        .join(
+            tr,
+            (F.col("egram") == F.col("tgram"))
+            & (F.col("min_bucket") < F.col("fraction_pm")),
+            "left",
+        )
+        .groupBy("fraction_pm")
+        .agg(F.count("tgram").alias("covered_types"))
+    )
+    return curve.join(F.broadcast(ev_n)).select(
+        "fraction_pm",
+        "eval_gram_types",
+        "covered_types",
+        F.expr(
+            "CAST((1000000 * covered_types) div eval_gram_types AS BIGINT)"
+        ).alias("coverage_ppm"),
     )

@@ -27,19 +27,12 @@ from .text import _STOPWORDS, _SW_SQL
 
 # Shared: md5-hex -> integer in [0, 65536) from the first 4 hex digits,
 # computable identically in Spark and DuckDB (no hex->int builtin is
-# shared by both dialects; digit-by-digit instr math is).
-_HEX = "0123456789abcdef"
-
-
-def _hex_val_sql(h: str, n_digits: int = 4) -> str:
-    """Expression string valid in BOTH Spark SQL and DuckDB (instr /
-    substr share argument order across the two dialects). The
-    accumulator starts as a BIGINT cast so chains past 7 hex digits
-    don't overflow INT32 under Spark's ANSI mode."""
-    expr = "CAST(0 AS BIGINT)"
-    for i in range(n_digits):
-        expr = f"(({expr}) * 16 + instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"
-    return expr
+# shared by both dialects; digit-by-digit instr math is). Canonical
+# home is the import-order-safe leaf module _sqlutil (corpus.py loads
+# before this module in operators/__init__); re-exported here because
+# stats.py / sampling.py / text.py historically import it from this
+# module.
+from ._sqlutil import _HEX, _hex_val_sql  # noqa: F401, E402
 
 
 @query(

@@ -1164,3 +1164,68 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r")
         .limit(10)
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH words AS (
+      SELECT lang, doc_id, n_chars,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang, doc_id, MAX(n_chars) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM((length(w) + 3) // 4) AS BIGINT) AS n_subwords
+      FROM words WHERE w <> ''
+      GROUP BY lang, doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_subwords) AS BIGINT) AS subwords,
+           CAST((1000000 * SUM(n_subwords)) // SUM(n_words) AS BIGINT)
+             AS fertility_ppm,
+           CAST((1000000 * SUM(n_chars)) // SUM(n_subwords) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "fertility", "llm-pipeline"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: subwords-per-word and
+    chars-per-token ratios under a FIXED-WIDTH 4-char subword proxy
+    (ceil(len/4) pieces per word — a deterministic stand-in for a BPE
+    segmenter; swap q_bpe_apply's merges in for the production
+    number). Fertility is the compute-cost multiplier language
+    imbalance induces (high-fertility languages pay more tokens per
+    word), the standard multilingual-tokenizer health metric.
+
+    Scale: all map-side HOF arithmetic (no explode needed on the
+    Spark side — aggregate() folds word lengths inside the row),
+    then one (lang) hash aggregate; the oracle's unnest is the SQL
+    spelling of the same fold."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    per_doc = d.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_words"),
+        F.expr(
+            "aggregate(filter(split(text, ' '), w -> w != ''),"
+            " CAST(0 AS BIGINT),"
+            " (acc, w) -> acc + (length(w) + 3) div 4)"
+        ).alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_subwords").alias("subwords"),
+        F.expr(
+            "CAST((1000000 * SUM(n_subwords)) div SUM(n_words) AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST((1000000 * SUM(n_chars)) div SUM(n_subwords) AS BIGINT)"
+        ).alias("chars_per_token_ppm"),
+    )

@@ -129,6 +129,13 @@ FAMILIES = {
         "distinct_users": load_table(spark, d, "events")
         .select("user_id").distinct().count(),
     },
+    # round 5 (VERDICT r4 #3): the embedding-space dedup default —
+    # SRP-band blocking -> exact-int cosine verify -> star CC. Currency
+    # is the embedding count (band rows = 4x vectors; candidate pairs
+    # bounded by band-bucket collisions, not n^2)
+    "q_semdedup": lambda spark, d: {
+        "vectors": load_table(spark, d, "embeddings").count()
+    },
 }
 
 
@@ -258,12 +265,14 @@ def main() -> None:
             if k not in names:
                 del families[k]
     scratch_prefix = "graph" if graph else "sf"
+    scales = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--scales=")]
+    labels = scales[0].split(",") if scales else (
+        ["1x", "3x"] if quick else ["1x", "3x", "10x"])
     dirs = [
-        ("1x", "/root/testdata/sf0.1"),
-        ("3x", f"{REPO}/.scratch/{scratch_prefix}3x"),
+        (lb, "/root/testdata/sf0.1" if lb == "1x"
+         else f"{REPO}/.scratch/{scratch_prefix}{lb}")
+        for lb in labels
     ]
-    if not quick:
-        dirs.append(("10x", f"{REPO}/.scratch/{scratch_prefix}10x"))
     spark = get_spark(app_name="growth-sweep")
     rows = []
     if graph:

@@ -307,6 +307,11 @@ _NLJ_ALLOWED = {
     "q_ship_lag_deciles",   # constant 9-row decile grid x lag histogram
     "q_ops_report",         # inherits q_freshness_sla's 1-row watermark stitch
     "q_waterfill_budget",   # broadcast 1-row budget/level scalar stitches
+    "q_bh_fdr",             # broadcast 1-row family-totals (N, X, m) stitch
+    "q_shapley_attribution",  # 16-subset mask lattice x 16-row mask
+                            # histogram (channel-count-bounded constants)
+    "q_ngram_coverage_curve",  # constant 3-row fraction grid x eval grams
+                            # + broadcast 1-row eval-count stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
