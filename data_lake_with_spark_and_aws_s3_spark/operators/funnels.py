@@ -974,3 +974,104 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phi_x24")
         )
     )
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+    WITH cell AS (
+      SELECT lang, CAST(n_chars // {_QI_BUCKET} AS BIGINT) AS size_bucket,
+             source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, size_bucket, source
+    ),
+    grp AS (
+      SELECT lang, size_bucket, CAST(SUM(c) AS BIGINT) AS n_g
+      FROM cell GROUP BY lang, size_bucket
+    ),
+    gsrc AS (SELECT source, CAST(SUM(c) AS BIGINT) AS c_s FROM cell GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    grid AS (
+      SELECT g.lang, g.size_bucket, g.n_g, s.source, s.c_s,
+             COALESCE(cl.c, 0) AS c_gs, t.n
+      FROM grp g CROSS JOIN gsrc s CROSS JOIN tot t
+      LEFT JOIN cell cl ON cl.lang = g.lang
+                       AND cl.size_bucket = g.size_bucket
+                       AND cl.source = s.source
+    )
+    SELECT lang, size_bucket, n_g AS group_n,
+           CAST((1000000 * SUM(ABS(c_gs * n - c_s * n_g)))
+                // (2 * n_g * n) AS BIGINT) AS tv_ppm,
+           (1000000 * SUM(ABS(c_gs * n - c_s * n_g)))
+                // (2 * n_g * n) > 250000 AS violates_t
+    FROM grid GROUP BY lang, size_bucket, n_g, n
+    """,
+    tags=("privacy", "t-closeness", "quality", "llm-pipeline"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy
+    ladder after q_k_anonymity (group size) and q_l_diversity
+    (distinct sensitive values): a QI group can be k-large and
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    differs sharply from the corpus-wide one. Per (lang, size-bucket)
+    group, the total-variation distance between the group's `source`
+    distribution and the global distribution, in exact-integer ppm:
+    tv = (1e6 * sum_s |c_gs*N - C_s*n_g|) div (2*n_g*N), flagged at
+    t > 0.25. The absolute-difference sum runs over the FULL sensitive
+    domain (a source absent from the group still contributes C_s*n_g),
+    which is why the grid is built from groups x sources, not from
+    observed cells alone.
+
+    Scale: one QI+sensitive cell aggregate over documents, then all
+    machinery on |groups| x |sources| cells — both bounded by the QI
+    generalization and the sensitive domain, independent of corpus
+    size. The 1-row corpus total broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy(
+        "lang",
+        F.expr(f"CAST(n_chars div {_QI_BUCKET} AS BIGINT)").alias("size_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cell = cell.localCheckpoint(eager=False)
+    grp = cell.groupBy("lang", "size_bucket").agg(F.sum("c").alias("n_g"))
+    glob = cell.groupBy("source").agg(F.sum("c").alias("c_s"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    grid = (
+        grp.join(F.broadcast(glob))
+        .join(F.broadcast(tot))
+        .join(
+            cell.select(
+                F.col("lang").alias("cl_lang"),
+                F.col("size_bucket").alias("cl_bucket"),
+                F.col("source").alias("cl_source"),
+                "c",
+            ),
+            (F.col("lang") == F.col("cl_lang"))
+            & (F.col("size_bucket") == F.col("cl_bucket"))
+            & (F.col("source") == F.col("cl_source")),
+            "left",
+        )
+        .select(
+            "lang",
+            "size_bucket",
+            "n_g",
+            "c_s",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_gs"),
+        )
+    )
+    return grid.groupBy("lang", "size_bucket", "n_g", "n").agg(
+        F.expr(
+            "CAST((1000000 * SUM(ABS(c_gs * n - c_s * n_g)))"
+            " div (2 * n_g * n) AS BIGINT)"
+        ).alias("tv_ppm"),
+        F.expr(
+            "(1000000 * SUM(ABS(c_gs * n - c_s * n_g)))"
+            " div (2 * n_g * n) > 250000"
+        ).alias("violates_t"),
+    ).select(
+        "lang",
+        "size_bucket",
+        F.col("n_g").alias("group_n"),
+        "tv_ppm",
+        "violates_t",
+    )

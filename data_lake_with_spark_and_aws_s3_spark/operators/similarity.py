@@ -815,12 +815,18 @@ def _srp_hexval(md5_expr: str) -> str:
     return f"({_hex_val_sql(md5_expr, 4)}) - 32768"
 
 
-def srp_signatures(spark: SparkSession, e: DataFrame) -> DataFrame:
-    """(vec_id, sg): the 16-bit SRP sign signature per vector, computed
-    RELATIONALLY — posexplode each vector to (vec_id, d, qd) rows,
-    broadcast-join the 16x64 md5-derived hyperplane table, and fold the
-    sign bits through two hash aggregates. Shared by q_ann_srp and
-    q_semdedup; the oracle replays the identical derivation in SQL.
+def srp_signatures(
+    spark: SparkSession, e: DataFrame, n_planes: int = _SRP_H
+) -> DataFrame:
+    """(vec_id, sg): the n_planes-bit SRP sign signature per vector
+    (default 16), computed RELATIONALLY — posexplode each vector to
+    (vec_id, d, qd) rows, broadcast-join the n_planes x 64 md5-derived
+    hyperplane table, and fold the sign bits through two hash
+    aggregates. Shared by q_ann_srp (16 planes) and q_semdedup (32:
+    the low 16 bits are THE SAME hyperplanes/bands as the 16-plane
+    callers — extending n_planes never changes existing bits — and
+    the high 16 drive the oversized-bucket refinement); the oracle
+    replays the identical derivation in SQL.
 
     Why relational and not a map-side expression (measured, round 4):
     the obvious "optimization" — inline the 16x64 hyperplane constants
@@ -840,7 +846,7 @@ def srp_signatures(spark: SparkSession, e: DataFrame) -> DataFrame:
     bounded, linear, and spill-safe, while an interpreted per-row
     16-lambda projection is a constant-factor tax on every vector."""
     hp = (
-        spark.range(_SRP_H * 64)
+        spark.range(n_planes * 64)
         .select(
             (F.col("id") / 64).cast("long").alias("j"),
             (F.col("id") % 64).alias("d"),
@@ -1028,6 +1034,10 @@ _SEMDEDUP_TAU = 0.45  # sparse-regime threshold: on this isotropic corpus the
 # random-cosine tail grows ~quadratically with corpus size, and 0.35
 # percolated at sf0.1 (mean degree ~5, giant component, 84% removed);
 # 0.45 (~3.6 sigma) keeps the duplicate graph sparse at every shipped SF
+_SEMDEDUP_SPLIT = 256  # band buckets above this size re-key on 4 extra
+# signature bits (the 32-plane signature's high half) — bounds the
+# O(bucket^2) verify stage; buckets at/below it keep the exact
+# unrefined key, so small-SF outputs are bit-identical to pre-split
 
 
 @query(
@@ -1036,7 +1046,7 @@ _SEMDEDUP_TAU = 0.45  # sparse-regime threshold: on this isotropic corpus the
     WITH hp AS (
       SELECT j, d,
              {_srp_hexval("md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR))")} AS c
-      FROM range(0, {_SRP_H}) t(j), range(0, 64) u(d)
+      FROM range(0, {2 * _SRP_H}) t(j), range(0, 64) u(d)
     ),
     pos AS (
       SELECT vec_id, d, {_QI.format(x="embedding[d + 1]")} AS qd
@@ -1056,12 +1066,22 @@ _SEMDEDUP_TAU = 0.45  # sparse-regime threshold: on this isotropic corpus the
     bands AS (
       SELECT vec_id, k,
              (sg // (CAST(1 AS BIGINT) << CAST({_SRP_BITS} * k AS INTEGER)))
-               % {1 << _SRP_BITS} AS bv
+               % {1 << _SRP_BITS} AS bv,
+             (sg // (CAST(1 AS BIGINT)
+                     << CAST({_SRP_H} + {_SRP_BITS} * k AS INTEGER)))
+               % {1 << _SRP_BITS} AS rv
       FROM sig, range(0, {_SRP_NBANDS}) r(k)
+    ),
+    keyed AS (
+      SELECT vec_id, k, bv,
+             CASE WHEN COUNT(*) OVER (PARTITION BY k, bv) > {_SEMDEDUP_SPLIT}
+                  THEN rv ELSE -1 END AS rk
+      FROM bands
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-      FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv
+      FROM keyed a JOIN keyed b
+        ON a.k = b.k AND a.bv = b.bv AND a.rk = b.rk
       WHERE a.vec_id < b.vec_id
     ),
     e AS (
@@ -1120,23 +1140,65 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codegen'd relational form — measured faster than the map-side
     literal alternative, see its docstring); band self-join
     confines the quadratic verify to bucket interiors (O(sum of
-    bucket^2), never corpus^2); the CC rounds are O(|E|) with
-    near-dup-tiny diameters. This is the 100 TB semantic-
-    dedup recipe: embed once, bucket, verify inside buckets, cluster,
-    keep representatives."""
-    from .graph import connected_components
+    bucket^2), never corpus^2); components use STAR CONTRACTION
+    (O(log^2 n) rounds independent of diameter) — the round-5 growth
+    sweep's synthetic tiles produced a >20-hop chain-shaped dup graph
+    that min-label propagation could not finish, exactly the failure
+    mode connected_components_star exists for. This is the 100 TB
+    semantic-dedup recipe: embed once, bucket, verify inside buckets,
+    cluster, keep representatives."""
+    from .graph import connected_components_star
 
     e = load_table(spark, sf_dir, "embeddings")
-    # checkpoint the band table once: the self-join reads it from BOTH
-    # arms, and with CC materializing mid-construction there is no
+    # 32-plane signature: low 16 bits = the same 4x4 primary bands as
+    # always; high 16 bits refine ONLY buckets larger than
+    # _SEMDEDUP_SPLIT (4 extra bits per band). Fixed-width banding is
+    # O(sum bucket^2) in the verify stage — the round-5 10x sweep
+    # measured 52M candidate pairs (100x the 1x count) before this
+    # split and a bounded count after; below the split threshold the
+    # keying is bit-identical to the unrefined form, so small-SF
+    # results (driver gate, bench) are unchanged.
+    # Checkpoint the keyed band table once: the self-join reads it from
+    # BOTH arms, and with CC materializing mid-construction there is no
     # whole-plan optimizer pass to reuse the signature exchange — the
     # posexplode + hyperplane-join + two-aggregate signature pipeline
     # would run twice (round-5 measurement: ~1.4 s of the warm wall)
-    bands = srp_bands(srp_signatures(spark, e)).localCheckpoint(eager=False)
-    a = bands.select(F.col("vec_id").alias("src"), "k", "bv")
-    b = bands.select(F.col("vec_id").alias("dst"), "k", "bv")
+    sig = srp_signatures(spark, e, n_planes=2 * _SRP_H)
+    bands = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_NBANDS - 1))).alias("k"),
+        "sg",
+    ).select(
+        "vec_id",
+        "k",
+        (
+            F.expr(f"sg div shiftleft(cast(1 as bigint), cast({_SRP_BITS} * k as int))")
+            % (1 << _SRP_BITS)
+        ).alias("bv"),
+        (
+            F.expr(
+                f"sg div shiftleft(cast(1 as bigint),"
+                f" cast({_SRP_H} + {_SRP_BITS} * k as int))"
+            )
+            % (1 << _SRP_BITS)
+        ).alias("rv"),
+    )
+    keyed = bands.select(
+        "vec_id",
+        "k",
+        "bv",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("k", "bv"))
+            > _SEMDEDUP_SPLIT,
+            F.col("rv"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("rk"),
+    ).localCheckpoint(eager=False)
+    a = keyed.select(F.col("vec_id").alias("src"), "k", "bv", "rk")
+    b = keyed.select(F.col("vec_id").alias("dst"), "k", "bv", "rk")
     cand = (
-        a.join(b, ["k", "bv"])
+        a.join(b, ["k", "bv", "rk"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -1161,7 +1223,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
     )
-    comp = connected_components(edges, e.select(F.col("vec_id").alias("id")))
+    comp = connected_components_star(edges, e.select(F.col("vec_id").alias("id")))
     return comp.select(
         F.col("id").alias("vec_id"),
         "component",

@@ -312,6 +312,8 @@ _NLJ_ALLOWED = {
                             # histogram (channel-count-bounded constants)
     "q_ngram_coverage_curve",  # constant 3-row fraction grid x eval grams
                             # + broadcast 1-row eval-count stitch
+    "q_t_closeness",        # |QI groups| x |sources| audit grid
+                            # + broadcast 1-row corpus-total stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
