@@ -934,3 +934,136 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             " throttle_ppm long, final_tokens_milli long"
         ),
     )
+
+
+def _snd_bands_sql() -> str:
+    """Oracle fragment: md5-portable MinHash band rows + shingle arrays
+    for ALL documents (the _ml_exact_pairs scheme — 16 four-hex-digit
+    lanes over two digests, 4 bands of 4), as CTEs `sh` (doc_id, s)
+    and `bands` (doc_id, band, bh). Mirrors neardup.ml_bands_maponly's
+    map-only derivation value-for-value (min over exploded posting
+    rows == array_min over the same array)."""
+    from .neardup import _ML_BANDS, _ML_SEEDS, _hex_window_sql, _ml_lane
+
+    sig_cols = ",\n             ".join(
+        "MIN({w}) AS m{i}".format(w=_hex_window_sql(*_ml_lane(i)), i=i)
+        for i in range(_ML_SEEDS)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"CAST(m{4 * b + j} AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for b in range(_ML_BANDS)
+    )
+    return f"""
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+4], ' '))) AS s
+      FROM ts WHERE len(toks) >= 4
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), dg AS (
+      SELECT doc_id,
+             md5(shingle || '#0') AS d0,
+             md5(shingle || '#1') AS d1
+      FROM ex
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM dg GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    )
+    """
+
+
+@query(
+    "q_streaming_neardup_exec",
+    oracle=_snd_bands_sql()
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS new_doc_id, i.doc_id AS corpus_doc_id,
+             x.s AS s_new, y.s AS s_idx
+      FROM bands a
+      JOIN bands i ON i.band = a.band AND i.bh = a.bh
+      JOIN sh x ON x.doc_id = a.doc_id
+      JOIN sh y ON y.doc_id = i.doc_id
+      WHERE a.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+    )
+    SELECT new_doc_id, corpus_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+           CAST(MAX((10000 * len(list_intersect(s_new, s_idx)))
+                // (len(s_new) + len(s_idx)
+                    - len(list_intersect(s_new, s_idx)))) AS BIGINT)
+             AS jaccard_x10000
+    FROM pairs
+    WHERE 2 * len(list_intersect(s_new, s_idx))
+          >= (len(s_new) + len(s_idx) - len(list_intersect(s_new, s_idx)))
+    GROUP BY new_doc_id, corpus_doc_id
+    """,
+    tags=("streaming", "neardup", "lsh", "executed-stream", "llm-pipeline"),
+)
+def q_streaming_neardup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed STREAMING near-duplicate gate — the ingestion-time
+    dedup pattern a 100 TB corpus actually needs: documents ARRIVE as
+    a stream (odd doc_ids stand in for new arrivals), each is MinHash-
+    banded MAP-ONLY inside its row (neardup.ml_bands_maponly — no
+    shuffle, no state before the join), equi-joined per micro-batch
+    against the STATIC band index of the already-ingested corpus (even
+    doc_ids), exactly Jaccard-verified, and rolled up per (arrival,
+    corpus) pair in the one stateful aggregate (COMPLETE mode +
+    availableNow drains the bounded input). The sink is hash-equal to
+    the batch replay the oracle states.
+
+    Scale posture: the arrival side never aggregates pre-join (the
+    array_min lane fold keeps banding stateless); the static index at
+    production scale is a pre-materialized bucketed table keyed by
+    (band, bh) — here it is derived in-plan from the even half (Spark
+    replans the static side per micro-batch). Join is equi on
+    (band, bh); state is keyed by matched PAIRS (near-dup hits), not
+    by the stream — bounded by true duplication, not volume."""
+    from ..streaming import run_to_memory, stream_documents
+    from .neardup import ml_bands_maponly
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = ml_bands_maponly(d.filter(F.col("doc_id") % 2 == 0)).select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("s").alias("s_idx"),
+        "band",
+        "bh",
+    )
+    arrivals = ml_bands_maponly(
+        stream_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    ).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("s").alias("s_new"),
+        "band",
+        "bh",
+    )
+    inter = F.size(F.array_intersect("s_new", "s_idx"))
+    union = F.size("s_new") + F.size("s_idx") - inter
+    hits = (
+        arrivals.join(idx, ["band", "bh"])
+        .withColumns(
+            {"n_inter": inter.cast("bigint"), "n_union": union.cast("bigint")}
+        )
+        .filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_band_hits"),
+            F.max(
+                F.expr("CAST((10000 * n_inter) div n_union AS BIGINT)")
+            ).alias("jaccard_x10000"),
+        )
+    )
+    run_to_memory(
+        hits, "q_streaming_neardup_exec_sink", output_mode="complete"
+    )
+    return spark.table("q_streaming_neardup_exec_sink")

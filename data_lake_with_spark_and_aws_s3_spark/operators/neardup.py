@@ -870,3 +870,62 @@ def q_repeated_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def ml_bands_maponly(d: DataFrame) -> DataFrame:
+    """(doc_id, s, band, bh) band rows for the md5-portable MinHash
+    scheme (_ml_exact_pairs' 16 lanes / 4 bands), computed WITHOUT the
+    per-doc aggregation: each lane's minhash is an array_min over the
+    shingle array (HOF fold inside the row), so the derivation is
+    MAP-ONLY — a STREAMING DataFrame can band its rows statelessly
+    (no shuffle, no state) before a stream-static index join. Batch
+    callers get bit-identical bands to the aggregate form: min over
+    exploded posting rows == array_min over the same array.
+
+    Cost note: md5 still runs twice per shingle; the explode+agg form
+    partial-aggregates map-side so both shapes move O(docs) rows —
+    this one just never leaves the row, which is what streaming
+    requires."""
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    )
+    arr = d.select("doc_id", shingles.alias("s")).filter(F.size("s") > 0)
+    dgs = arr.select(
+        "doc_id",
+        "s",
+        F.transform("s", lambda x: F.md5(F.concat(x, F.lit("#0")))).alias("g0"),
+        F.transform("s", lambda x: F.md5(F.concat(x, F.lit("#1")))).alias("g1"),
+    )
+    lanes = dgs.select(
+        "doc_id",
+        "s",
+        *[
+            F.expr(
+                "array_min(transform(g{g}, h ->"
+                " CAST(conv(substr(h, {off}, 4), 16, 10) AS BIGINT)))".format(
+                    g=_ml_lane(i)[0][-1], off=_ml_lane(i)[1]
+                )
+            ).alias(f"m{i}")
+            for i in range(_ML_SEEDS)
+        ],
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"m{4 * b + j}").cast("string") for j in range(4)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(_ML_BANDS)
+        ]
+    )
+    return lanes.select("doc_id", "s", F.explode(band_arr).alias("x")).select(
+        "doc_id", "s", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )

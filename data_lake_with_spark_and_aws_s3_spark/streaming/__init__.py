@@ -1,5 +1,6 @@
 from .twins import (  # noqa: F401
     run_to_memory,
+    stream_documents,
     stream_events,
     stream_events_with_wm_sentinel,
     streaming_dedup,

@@ -40,16 +40,16 @@ def _events_raw_schema(spark: SparkSession, src: str) -> T.StructType:
 _STAGED: dict[str, str] = {}
 
 
-def _staged_dir(src: str) -> str:
+def _staged_dir(src: str, name: str = "events.parquet") -> str:
     import atexit
     import os
     import shutil
     import tempfile
 
     if src not in _STAGED:
-        staged = tempfile.mkdtemp(prefix="stream_events_")
+        staged = tempfile.mkdtemp(prefix="stream_table_")
         atexit.register(shutil.rmtree, staged, True)
-        os.symlink(src, os.path.join(staged, "events.parquet"))
+        os.symlink(src, os.path.join(staged, name))
         _STAGED[src] = staged
     return _STAGED[src]
 
@@ -80,6 +80,27 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return normalize_timestamps(raw)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet — the ingestion-time text
+    stream (no timestamp columns, so no nanos normalization needed).
+    Same staged-symlink-directory mechanics as stream_events."""
+    import os
+
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    src = f"{sf_dir}/documents.parquet"
+    schema = _events_raw_schema(spark, src)
+    if os.path.isfile(src):
+        src = _staged_dir(src, "documents.parquet")
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", src)
+        .load()
+    )
 
 
 def streaming_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
