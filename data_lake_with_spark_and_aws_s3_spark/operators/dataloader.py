@@ -150,3 +150,88 @@ def q_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "padding_tokens"
         ),
     )
+
+
+@query(
+    "q_padding_waste",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, n_tokens,
+             (ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n_tokens, doc_id) - 1) // 16
+               AS batch_id
+      FROM t
+    ),
+    per_batch AS (
+      SELECT lang, batch_id,
+             CAST(COUNT(*) AS BIGINT) AS bsz,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks,
+             CAST(MAX(n_tokens) AS BIGINT) AS mx
+      FROM b GROUP BY lang, batch_id
+    )
+    SELECT lang,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(bsz * 256 - toks) AS BIGINT) AS pad_to_context_waste,
+           CAST(SUM(bsz * mx - toks) AS BIGINT) AS pad_to_batchmax_waste,
+           CAST((SUM(toks) + 255) // 256 AS BIGINT) AS packed_contexts_lb,
+           CAST((1000000 * SUM(bsz * mx - toks)) // SUM(bsz * mx)
+                AS BIGINT) AS batch_waste_ppm
+    FROM per_batch GROUP BY lang
+    """,
+    tags=("pipeline", "packing", "padding", "dataloader", "llm-pipeline"),
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit across the three batching regimes a
+    training dataloader chooses between, exact integers per language:
+    pad-every-doc-to-context (256) waste; pad-to-max-of-batch waste
+    under length-sorted batches of 16 (the q_length_grouped_batches
+    regime — sorting by length is precisely what shrinks bsz*max-sum);
+    and the concat-packing lower bound ceil(total/256) contexts
+    (q_pack_sequences achieves it by letting docs span boundaries).
+    batch_waste_ppm is the figure a capacity plan actually buys down:
+    tokens PAID (bsz*max) minus tokens USED, over tokens paid.
+
+    Scale: one map-side token count, one length-rank window per
+    language stratum, two bounded aggregates — the same single-
+    exchange discipline as the dataloader family it audits."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).cast(
+            "bigint"
+        ).alias("n_tokens"),
+    )
+    b = t.select(
+        "lang",
+        "n_tokens",
+        F.expr(
+            "(ROW_NUMBER() OVER (PARTITION BY lang"
+            " ORDER BY n_tokens, doc_id) - 1) div 16"
+        ).alias("batch_id"),
+    )
+    per_batch = b.groupBy("lang", "batch_id").agg(
+        F.count(F.lit(1)).alias("bsz"),
+        F.sum("n_tokens").alias("toks"),
+        F.max("n_tokens").alias("mx"),
+    )
+    return per_batch.groupBy("lang").agg(
+        F.sum("toks").alias("total_tokens"),
+        F.sum(F.col("bsz") * 256 - F.col("toks")).alias("pad_to_context_waste"),
+        F.sum(F.col("bsz") * F.col("mx") - F.col("toks")).alias(
+            "pad_to_batchmax_waste"
+        ),
+        F.expr("CAST((SUM(toks) + 255) div 256 AS BIGINT)").alias(
+            "packed_contexts_lb"
+        ),
+        F.expr(
+            "CAST((1000000 * SUM(bsz * mx - toks)) div SUM(bsz * mx)"
+            " AS BIGINT)"
+        ).alias("batch_waste_ppm"),
+    )

@@ -1075,3 +1075,85 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tv_ppm",
         "violates_t",
     )
+
+
+@query(
+    "q_touch_roles",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
+      FROM events GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn_asc,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn_desc
+      FROM events e JOIN pu ON pu.user_id = e.user_id
+      WHERE pu.pts IS NOT NULL AND e.ts < pu.pts
+            AND e.event_type <> 'purchase'
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(CASE WHEN rn_asc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_opener,
+           CAST(SUM(CASE WHEN rn_desc = 1 AND rn_asc <> 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_closer,
+           CAST(SUM(CASE WHEN rn_asc <> 1 AND rn_desc <> 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_assist,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_paths_present
+    FROM touches GROUP BY event_type
+    """,
+    tags=("attribution", "funnel", "touch-roles"),
+)
+def q_touch_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touch-role census per channel over converting paths — the
+    position facts (opener / closer / assist) that first- and
+    last-touch attribution models consume, counted exactly: for every
+    user who purchases, the touches strictly before the first purchase
+    are ranked from both ends; a touch is the opener (first), the
+    closer (last, when distinct from the opener — single-touch paths
+    count once as opener), or an assist. n_paths_present counts paths
+    the channel appears in at all. Pairs with q_shapley_attribution
+    (fair-division credit) and q_markov_removal (counterfactual
+    credit): together the three standard attribution lenses.
+
+    Scale: the purchase-timestamp aggregate and both rank windows key
+    on user_id — Spark chains them on ONE exchange; the role rollup is
+    a channel-sized hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("pts"),
+    )
+    touches = marked.filter(
+        F.col("pts").isNotNull()
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("event_type") != "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(w.orderBy("ts", "event_id"))
+        .alias("rn_asc"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_desc"),
+    )
+    return touches.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.when(F.col("rn_asc") == 1, 1).otherwise(0)).alias("n_opener"),
+        F.sum(
+            F.when((F.col("rn_desc") == 1) & (F.col("rn_asc") != 1), 1).otherwise(0)
+        ).alias("n_closer"),
+        F.sum(
+            F.when((F.col("rn_asc") != 1) & (F.col("rn_desc") != 1), 1).otherwise(0)
+        ).alias("n_assist"),
+        F.countDistinct("user_id").alias("n_paths_present"),
+    )

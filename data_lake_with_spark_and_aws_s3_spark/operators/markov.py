@@ -257,3 +257,209 @@ def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _removal_oracle() -> str:
+    """Per-channel removal-effect CTE chain: the baseline 4-step
+    absorption matrix plus, for each removable channel, the same
+    repeated-squaring over the matrix with that channel's node deleted
+    (edges into AND out of it dropped WITHOUT renormalizing — the lost
+    mass is exactly the traffic that needed the channel)."""
+    per_channel_ctes = "".join(
+        f"""
+    p_{c} AS MATERIALIZED (
+      SELECT prev_st, next_st, p_ppm FROM p
+      WHERE prev_st <> '{c}' AND next_st <> '{c}'
+    ),
+    a2_{c} AS MATERIALIZED (
+      SELECT a.prev_st, b.next_st,
+             CAST(SUM(a.p_ppm * b.p_ppm) // {_MK_ONE} AS BIGINT) AS p_ppm
+      FROM p_{c} a JOIN p_{c} b ON b.prev_st = a.next_st
+      GROUP BY a.prev_st, b.next_st
+    ),
+    a4_{c} AS MATERIALIZED (
+      SELECT a.prev_st, b.next_st,
+             CAST(SUM(a.p_ppm * b.p_ppm) // {_MK_ONE} AS BIGINT) AS p_ppm
+      FROM a2_{c} a JOIN a2_{c} b ON b.prev_st = a.next_st
+      GROUP BY a.prev_st, b.next_st
+    ),"""
+        for c in _MK_CHANNELS
+    )
+    per_channel_rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{c}' AS removed_channel, s.prev_st AS start_state,
+             CAST(COALESCE(r.p_ppm, 0) AS BIGINT) AS absorb4_ppm
+      FROM (SELECT DISTINCT prev_st FROM p_{c}) s
+      LEFT JOIN a4_{c} r ON r.prev_st = s.prev_st
+                        AND r.next_st = 'purchase'"""
+        for c in _MK_CHANNELS
+    )
+    return f"""
+    WITH tr AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    cm AS MATERIALIZED (
+      SELECT prev AS prev_st, event_type AS next_st,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    p0 AS (
+      SELECT prev_st, next_st,
+             CAST(({_MK_ONE} * n)
+                  // (SUM(n) OVER (PARTITION BY prev_st)) AS BIGINT)
+               AS p_ppm
+      FROM cm
+    ),
+    p AS MATERIALIZED (
+      SELECT prev_st, next_st, p_ppm FROM p0
+      WHERE prev_st <> 'purchase'
+      UNION ALL
+      SELECT 'purchase', 'purchase', CAST({_MK_ONE} AS BIGINT)
+    ),
+    a2 AS MATERIALIZED (
+      SELECT a.prev_st, b.next_st,
+             CAST(SUM(a.p_ppm * b.p_ppm) // {_MK_ONE} AS BIGINT) AS p_ppm
+      FROM p a JOIN p b ON b.prev_st = a.next_st
+      GROUP BY a.prev_st, b.next_st
+    ),
+    a4 AS MATERIALIZED (
+      SELECT a.prev_st, b.next_st,
+             CAST(SUM(a.p_ppm * b.p_ppm) // {_MK_ONE} AS BIGINT) AS p_ppm
+      FROM a2 a JOIN a2 b ON b.prev_st = a.next_st
+      GROUP BY a.prev_st, b.next_st
+    ),{per_channel_ctes}
+    removed AS (
+      {per_channel_rows}
+    )
+    SELECT rm.removed_channel, rm.start_state, rm.absorb4_ppm,
+           CAST(COALESCE(b.p_ppm, 0) AS BIGINT) AS base4_ppm,
+           CAST(COALESCE(b.p_ppm, 0) - rm.absorb4_ppm AS BIGINT)
+             AS removal_drop_ppm
+    FROM removed rm
+    LEFT JOIN a4 b ON b.prev_st = rm.start_state
+                  AND b.next_st = 'purchase'
+    """
+
+
+@query(
+    "q_markov_removal",
+    oracle=_removal_oracle(),
+    tags=("events", "markov", "attribution", "removal-effect", "iterative"),
+)
+def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven channel
+    valuation that completes the attribution suite (first/last roles,
+    exact Shapley on the presence game, and now path dynamics): delete
+    one channel's node from the transition graph (edges in AND out,
+    NOT renormalized — the lost probability mass is precisely the
+    traffic that needed that channel) and re-measure 4-step absorption
+    into 'purchase' from every surviving start state. removal_drop_ppm
+    = baseline absorption - degraded absorption is the channel's
+    removal effect. Same ppm matrix-power arithmetic as
+    q_markov_absorption: every matrix is an exact integer table, every
+    power two keyed self-joins via repeated squaring, bit-identical
+    across engines.
+
+    Scale: ONE user_id-keyed lag pass over events builds the
+    transition counts; everything after — the baseline matrix, four
+    channel-deleted variants, eight squarings — runs on |states|^2
+    tables (at most ~36 rows each), data-size independent. This is
+    the 100 TB shape for removal-effect attribution: the stream pays
+    one shuffle, the counterfactuals are constant-size algebra."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cm = tr.groupBy(
+        F.col("prev").alias("prev_st"),
+        F.col("event_type").alias("next_st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p0 = cm.select(
+        "prev_st",
+        "next_st",
+        F.expr(
+            f"CAST(({_MK_ONE} * n)"
+            " div (SUM(n) OVER (PARTITION BY prev_st)) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    ident = spark.createDataFrame(
+        [("purchase", "purchase", _MK_ONE)],
+        "prev_st string, next_st string, p_ppm long",
+    )
+    p = (
+        p0.filter(F.col("prev_st") != "purchase")
+        .unionAll(ident)
+        .localCheckpoint()
+    )
+
+    def matmul(x: DataFrame, y: DataFrame) -> DataFrame:
+        a, b = x.alias("a"), y.alias("b")
+        return (
+            a.join(b, F.col("b.prev_st") == F.col("a.next_st"))
+            .groupBy(
+                F.col("a.prev_st").alias("prev_st"),
+                F.col("b.next_st").alias("next_st"),
+            )
+            .agg(
+                F.expr(
+                    f"CAST(SUM(a.p_ppm * b.p_ppm) div {_MK_ONE}"
+                    " AS BIGINT)"
+                ).alias("p_ppm")
+            )
+        )
+
+    base = matmul(p, p).localCheckpoint()
+    base4 = (
+        matmul(base, base)
+        .filter(F.col("next_st") == "purchase")
+        .select(
+            F.col("prev_st").alias("start_state"),
+            F.col("p_ppm").alias("base4_ppm"),
+        )
+        .localCheckpoint()
+    )
+    branches = []
+    for c in _MK_CHANNELS:
+        pc = p.filter(
+            (F.col("prev_st") != c) & (F.col("next_st") != c)
+        ).localCheckpoint()
+        a2c = matmul(pc, pc).localCheckpoint()
+        reach = (
+            matmul(a2c, a2c)
+            .filter(F.col("next_st") == "purchase")
+            .select(
+                F.col("prev_st").alias("start_state"),
+                F.col("p_ppm").alias("absorb4_ppm"),
+            )
+        )
+        states = pc.select(F.col("prev_st").alias("start_state")).distinct()
+        branches.append(
+            states.join(reach, "start_state", "left").select(
+                F.lit(c).alias("removed_channel"),
+                "start_state",
+                F.coalesce("absorb4_ppm", F.lit(0))
+                .cast("bigint")
+                .alias("absorb4_ppm"),
+            )
+        )
+    removed = branches[0]
+    for b in branches[1:]:
+        removed = removed.unionAll(b)
+    return removed.join(base4, "start_state", "left").select(
+        "removed_channel",
+        "start_state",
+        "absorb4_ppm",
+        F.coalesce("base4_ppm", F.lit(0)).cast("bigint").alias("base4_ppm"),
+        (
+            F.coalesce("base4_ppm", F.lit(0)) - F.col("absorb4_ppm")
+        )
+        .cast("bigint")
+        .alias("removal_drop_ppm"),
+    )

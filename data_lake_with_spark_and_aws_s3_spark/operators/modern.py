@@ -729,3 +729,89 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_session_variables",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(ROUND(AVG(o_totalprice) * 100) AS BIGINT) AS avg_cents
+      FROM orders
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o CROSS JOIN cut
+    WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) > cut.avg_cents
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("sql", "session-variables", "modern-api"),
+)
+def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR) —
+    the scripting surface for multi-statement SQL workflows: a
+    computed scalar (corpus-average order value, exact cents) is
+    stored in a typed session variable by one statement and consumed
+    by the next, replacing the temp-view-for-a-scalar dance. The
+    oracle inlines the same scalar via a CTE — parity proves the
+    variable carried the exact value between statements.
+
+    Scale: SET VAR runs the scalar aggregate once and the main query
+    sees a folded constant — the predicate reaches the scan as a
+    literal comparison, exactly like a hand-written threshold."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE avg_cents BIGINT")
+    spark.sql(
+        "SET VAR avg_cents = (SELECT CAST(ROUND(AVG(o_totalprice) * 100)"
+        " AS BIGINT) FROM sv_orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above_avg,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS revenue_cents
+        FROM sv_orders
+        WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > avg_cents
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q_identifier_clause",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sql", "identifier-clause", "modern-api"),
+)
+def q_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4) — injection-safe DYNAMIC
+    identifiers: the table and grouping-column names arrive as bound
+    string parameters and are resolved as identifiers (not spliced as
+    text), the supported way to template "same report, different
+    table/column" jobs without SQL-injection surface or f-string
+    plans. The oracle states the resolved query directly.
+
+    Scale: identifier binding happens at analysis time; the optimized
+    plan is byte-identical to the hand-written query — zero runtime
+    cost."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.createOrReplaceTempView("idc_customer")
+    n.createOrReplaceTempView("idc_nation")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS n_name,
+               COUNT(*) AS n_customers
+        FROM IDENTIFIER(:fact) c
+        JOIN IDENTIFIER(:dim) n ON n.n_nationkey = c.c_nationkey
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"fact": "idc_customer", "dim": "idc_nation", "grp": "n_name"},
+    )

@@ -993,3 +993,70 @@ def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE FALSE END"
         ).alias("anomalous"),
     )
+
+
+@query(
+    "q_ivm_join_delta",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o.o_orderdate) AS BIGINT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "materialized-view", "incremental", "ivm", "join"),
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN — the delta algebra
+    q_mv_incremental's aggregate-merge does not cover: with both
+    sides receiving deltas (orders split on o_orderdate, lineitem on
+    l_shipdate at the same cutoff), the view delta is EXACTLY
+    dQ = (dA join B_old) U (A_old join dB) U (dA join dB),
+    so the maintained view is the old materialization unioned with
+    three delta joins — never a full re-join. The Spark side BUILDS
+    the view that way (the old half is localCheckpoint-materialized,
+    standing in for the stored MV) and the oracle recomputes the full
+    join from scratch: hash equality IS the proof that the delta
+    algebra loses and double-counts nothing. Decimal revenue keeps
+    the union-of-partials exact regardless of order.
+
+    Scale: each delta join shuffles only its delta side against the
+    (bucketed, in production) other side — the point of IVM at 100 TB
+    is that daily maintenance pays O(|delta| join) not O(|view|);
+    the three delta joins all key on orderkey, so one partitioning
+    serves all of them."""
+    cutoff = "1997-01-01"
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_old = o.filter(F.col("o_orderdate") < cutoff)
+    o_new = o.filter(F.col("o_orderdate") >= cutoff)
+    l_old = li.filter(F.col("l_shipdate") < cutoff)
+    l_new = li.filter(F.col("l_shipdate") >= cutoff)
+    cols = [
+        "o_orderdate",
+        "l_extendedprice",
+    ]
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(*cols)
+
+    # the stored view: materialized once (stands in for the MV table)
+    view_old = j(o_old, l_old).localCheckpoint(eager=False)
+    delta = (
+        j(o_new, l_old)
+        .unionAll(j(o_old, l_new))
+        .unionAll(j(o_new, l_new))
+    )
+    maintained = view_old.unionAll(delta)
+    return maintained.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)))"
+            " AS DECIMAL(38,2)) AS DOUBLE)"
+        ).alias("revenue"),
+    )
