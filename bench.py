@@ -72,6 +72,11 @@ EXTENDED_FAMILIES: dict[str, list[str]] = {
     "similarity": [
         "q_cosine_topk",
         "q_ann_pq_rerank",
+        # round 5: driver-prefix flagship, benched after the star-CC +
+        # oversized-bucket-refinement hardening (below the 256-row
+        # split threshold — i.e. at every shipped SF — its keying and
+        # output are bit-identical to the pre-refinement form)
+        "q_semdedup",
     ],
     "corpus": [
         "q_curation_pipeline",
