@@ -834,3 +834,114 @@ def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best_encoding"),
         )
     )
+
+
+_HRW_W = _hex_val_sql(
+    "md5('node:' || CAST(node AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))",
+    8,
+)
+
+
+@query(
+    "q_rendezvous_sharding",
+    oracle=f"""
+    WITH nodes AS (SELECT CAST(range AS INTEGER) AS node FROM range(0, 9)),
+    keys AS MATERIALIZED (
+      SELECT user_id, CAST({_KEY_POS} AS BIGINT) AS h
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    w AS (
+      SELECT k.user_id, k.h, n.node,
+             CAST({_HRW_W} AS BIGINT) * 16 + (15 - n.node) AS score
+      FROM keys k CROSS JOIN nodes n
+    ),
+    pick AS (
+      SELECT user_id, h,
+             arg_max(CASE WHEN node < 8 THEN node END,
+                     CASE WHEN node < 8 THEN score END) AS old_shard,
+             arg_max(node, score) AS new_shard
+      FROM w GROUP BY user_id, h
+    ),
+    hrw AS (
+      SELECT CAST(new_shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hrw_moved_in
+      FROM pick GROUP BY new_shard
+    ),
+    modn AS (
+      SELECT CAST(h % 9 AS BIGINT) AS shard,
+             CAST(SUM(CASE WHEN (h % 8) <> (h % 9) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS modn_moved_in
+      FROM keys GROUP BY h % 9
+    )
+    SELECT hrw.shard AS new_shard, hrw.n_keys, hrw.hrw_moved_in,
+           CAST(COALESCE(modn.modn_moved_in, 0) AS BIGINT) AS modn_moved_in
+    FROM hrw LEFT JOIN modn ON modn.shard = hrw.shard
+    """,
+    tags=("layout", "sharding", "rendezvous", "consistent-hashing"),
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the OTHER
+    minimal-movement assignment scheme next to the vnode ring
+    (q_consistent_resharding): every key scores every node with
+    md5(node:key) and lives on the argmax, so adding node 8 to an
+    8-node cluster moves EXACTLY the keys the new node now wins
+    (~1/9, all landing on shard 8) while mod-N would reshuffle ~8/9
+    of them across every shard — both counted side by side per
+    receiving shard (hrw_moved_in concentrates on the new node;
+    modn_moved_in shows scatter). Scores carry a deterministic
+    tie-break (score*16 + (15-node)), though 8-hex-digit ties are
+    absent at every shipped SF.
+
+    Scale: |distinct keys| x 9 broadcast node grid (the
+    q_consistent_resharding pattern), one argmax aggregate per key,
+    one shard-sized rollup. Per-key work is O(|nodes|) — the known
+    HRW trade vs the ring's O(log vnodes); at small node counts HRW
+    wins on simplicity and perfect balance."""
+    e = load_table(spark, sf_dir, "events")
+    keys = e.select("user_id").distinct().select(
+        "user_id", F.expr(f"CAST({_key_pos('STRING')} AS BIGINT)").alias("h")
+    )
+    nodes = spark.range(9).select(F.col("id").cast("int").alias("node"))
+    hrw_w = _hex_val_sql(
+        "md5(concat('node:', cast(node as string), ':',"
+        " cast(user_id as string)))",
+        8,
+    )
+    w = keys.join(F.broadcast(nodes)).select(
+        "user_id",
+        "h",
+        "node",
+        (F.expr(f"CAST({hrw_w} AS BIGINT)") * 16 + (15 - F.col("node"))).alias(
+            "score"
+        ),
+    )
+    pick = w.groupBy("user_id", "h").agg(
+        F.expr(
+            "max_by(CASE WHEN node < 8 THEN node END,"
+            " CASE WHEN node < 8 THEN score END)"
+        ).alias("old_shard"),
+        F.expr("max_by(node, score)").alias("new_shard"),
+    )
+    hrw = pick.groupBy(
+        F.col("new_shard").cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0)
+        ).alias("hrw_moved_in"),
+    )
+    modn = keys.groupBy((F.col("h") % 9).cast("bigint").alias("shard")).agg(
+        F.sum(
+            F.when(F.col("h") % 8 != F.col("h") % 9, 1).otherwise(0)
+        ).alias("modn_moved_in")
+    )
+    return hrw.join(modn, "shard", "left").select(
+        F.col("shard").alias("new_shard"),
+        "n_keys",
+        "hrw_moved_in",
+        F.coalesce("modn_moved_in", F.lit(0))
+        .cast("bigint")
+        .alias("modn_moved_in"),
+    )

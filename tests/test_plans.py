@@ -314,6 +314,8 @@ _NLJ_ALLOWED = {
                             # + broadcast 1-row eval-count stitch
     "q_t_closeness",        # |QI groups| x |sources| audit grid
                             # + broadcast 1-row corpus-total stitch
+    "q_rendezvous_sharding",  # keys x 9-node broadcast score grid
+                            # (the consistent_resharding pattern)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
