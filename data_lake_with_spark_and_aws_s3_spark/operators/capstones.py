@@ -365,3 +365,74 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept"
         ),
     )
+
+
+def _attribution_report_oracle() -> str:
+    from ..registry import REGISTRY
+
+    roles = REGISTRY["q_touch_roles"].oracle
+    shap = REGISTRY["q_shapley_attribution"].oracle
+    rem = REGISTRY["q_markov_removal"].oracle
+    return f"""
+    WITH roles AS ({roles}),
+    shap AS ({shap}),
+    rem AS ({rem})
+    SELECT channel, 'n_opener' AS metric, CAST(n_opener AS BIGINT) AS value
+    FROM roles
+    UNION ALL SELECT channel, 'n_closer', CAST(n_closer AS BIGINT) FROM roles
+    UNION ALL SELECT channel, 'n_assist', CAST(n_assist AS BIGINT) FROM roles
+    UNION ALL SELECT channel, 'shapley_x24', CAST(phi_x24 AS BIGINT) FROM shap
+    UNION ALL SELECT removed_channel, 'removal_drop_from_view_ppm',
+           CAST(removal_drop_ppm AS BIGINT)
+    FROM rem WHERE start_state = 'view'
+    """
+
+
+@query(
+    "q_attribution_report",
+    oracle=_attribution_report_oracle(),
+    tags=("capstone", "attribution", "composition"),
+)
+def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ATTRIBUTION report — the marketing-analytics capstone
+    composing the three registered attribution lenses into one
+    long-form (channel, metric, value) table, the q_ops_report
+    pattern: positional facts (q_touch_roles: opener/closer/assist
+    counts), fair-division credit (q_shapley_attribution: exact
+    phi x 4!), and counterfactual value (q_markov_removal: absorption
+    drop from the 'view' top-of-funnel state when the channel's node
+    is deleted). The Spark side calls the registered components; the
+    oracle nests the component oracles — change any lens's semantics
+    and this capstone's parity breaks loudly.
+
+    Scale: the cost is the components' cost — all three reduce the
+    event stream with user_id-keyed single-exchange passes and do
+    their credit math on channel-/state-sized constants; the report
+    layer adds only the stack."""
+    from ..registry import REGISTRY
+
+    roles = REGISTRY["q_touch_roles"].fn(spark, sf_dir)
+    shap = REGISTRY["q_shapley_attribution"].fn(spark, sf_dir)
+    rem = REGISTRY["q_markov_removal"].fn(spark, sf_dir)
+
+    def long(df, metric_name, value_col, channel_col="channel"):
+        return df.select(
+            F.col(channel_col).alias("channel"),
+            F.lit(metric_name).alias("metric"),
+            F.col(value_col).cast("long").alias("value"),
+        )
+
+    return (
+        long(roles, "n_opener", "n_opener")
+        .unionAll(long(roles, "n_closer", "n_closer"))
+        .unionAll(long(roles, "n_assist", "n_assist"))
+        .unionAll(long(shap, "shapley_x24", "phi_x24"))
+        .unionAll(
+            long(
+                rem.filter(F.col("start_state") == "view"),
+                "removal_drop_from_view_ppm",
+                "removal_drop_ppm",
+                channel_col="removed_channel",
+            )
+        )
+    )

@@ -129,6 +129,11 @@ FAMILIES = {
         "distinct_users": load_table(spark, d, "events")
         .select("user_id").distinct().count(),
     },
+    # round 5: curve costs ONE train-gram pass (per-gram min bucket)
+    # regardless of requested curve points — gram currency
+    "q_ngram_coverage_curve": lambda spark, d: {
+        "gram_positions": gram_positions(spark, d)
+    },
     # round 5 (VERDICT r4 #3): the embedding-space dedup default —
     # SRP-band blocking -> exact-int cosine verify -> star CC. Currency
     # is the embedding count (band rows = 4x vectors; candidate pairs
