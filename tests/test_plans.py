@@ -316,6 +316,8 @@ _NLJ_ALLOWED = {
                             # + broadcast 1-row corpus-total stitch
     "q_rendezvous_sharding",  # keys x 9-node broadcast score grid
                             # (the consistent_resharding pattern)
+    "q_attribution_report",  # inherits q_shapley_attribution's
+                            # 16-subset mask-lattice grids
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
