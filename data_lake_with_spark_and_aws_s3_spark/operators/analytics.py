@@ -1006,3 +1006,125 @@ def q_ship_lag_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", F.col("dec").cast("long").alias("decile"))
         .agg(F.min("lag_days").cast("long").alias("lag_days_at_decile"))
     )
+
+
+@query(
+    "q_nelson_aalen",
+    oracle="""
+    WITH su AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS t_ev
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY e.user_id
+    ),
+    last_seen AS (
+      SELECT user_id, MAX(ts) AS t_last FROM events GROUP BY user_id
+    ),
+    dur AS MATERIALIZED (
+      SELECT su.user_id,
+             CASE WHEN pu.t_ev IS NOT NULL
+                  THEN CAST(date_diff('day', su.t0, pu.t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('day', su.t0, ls.t_last) AS BIGINT)
+             END AS d_days,
+             CASE WHEN pu.t_ev IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM su
+      LEFT JOIN pu ON pu.user_id = su.user_id
+      JOIN last_seen ls ON ls.user_id = su.user_id
+    ),
+    h AS MATERIALIZED (
+      SELECT d_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM dur GROUP BY d_days
+    ),
+    risk AS (
+      SELECT d_days, d,
+             CAST(SUM(n_all) OVER (ORDER BY d_days DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM h
+    ),
+    steps AS (
+      SELECT d_days, d, n_risk,
+             CAST((1000000 * d) // n_risk AS BIGINT) AS hazard_step_ppm
+      FROM risk WHERE d > 0
+    )
+    SELECT d_days, n_risk, d, hazard_step_ppm,
+           CAST(SUM(hazard_step_ppm) OVER (ORDER BY d_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumhaz_ppm
+    FROM steps
+    """,
+    tags=("stats", "survival", "nelson-aalen", "hazard"),
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-purchase — the
+    estimator survival analysts pair with q_kaplan_meier: instead of
+    multiplying survival factors it SUMS the per-day hazard d/n, so
+    it stays defined even on days where every at-risk user converts
+    (the step KM must exclude), and its increments are plain rational
+    numbers — quantized here to one truncating ppm division per
+    death day, then an exact cumulative integer sum. Same cohort
+    construction as KM (signup -> first purchase, censored at last
+    observed event), so the two curves are directly comparable.
+
+    Scale: identical to q_kaplan_meier — three user-keyed map-side
+    aggregates, then all windows run over the duration histogram
+    (<= distinct days), never the user table."""
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_ev"))
+    )
+    ls = e.groupBy("user_id").agg(F.max("ts").alias("t_last"))
+    dur = (
+        su.join(pu, "user_id", "left")
+        .join(ls, "user_id")
+        .select(
+            F.when(
+                F.col("t_ev").isNotNull(),
+                F.datediff(F.col("t_ev"), F.col("t0")),
+            )
+            .otherwise(F.datediff(F.col("t_last"), F.col("t0")))
+            .cast("long")
+            .alias("d_days"),
+            F.when(F.col("t_ev").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    h = dur.groupBy("d_days").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("ev").alias("d")
+    )
+    w_risk = Window.orderBy(F.desc("d_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    steps = (
+        h.select("d_days", "d", F.sum("n_all").over(w_risk).alias("n_risk"))
+        .filter(F.col("d") > 0)
+        .select(
+            "d_days",
+            "d",
+            "n_risk",
+            F.expr("CAST((1000000 * d) div n_risk AS BIGINT)").alias(
+                "hazard_step_ppm"
+            ),
+        )
+    )
+    w_cum = Window.orderBy("d_days").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        "d_days",
+        "n_risk",
+        "d",
+        "hazard_step_ppm",
+        F.sum("hazard_step_ppm").over(w_cum).cast("long").alias("cumhaz_ppm"),
+    )

@@ -391,3 +391,52 @@ def q_stratified_quota_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA_PER_LANG)
         .select("doc_id", "lang", "rk", "stratum_n")
     )
+
+
+@query(
+    "q_effective_sample_size",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+           CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS sum_w2,
+           CAST((1000 * CAST(SUM(n_chars) AS HUGEINT) * SUM(n_chars))
+                // SUM(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT)
+             AS ess_milli,
+           CAST((1000000 * CAST(SUM(n_chars) AS HUGEINT) * SUM(n_chars))
+                // (SUM(CAST(n_chars AS HUGEINT) * n_chars) * COUNT(*))
+                AS BIGINT) AS ess_ratio_ppm
+    FROM documents GROUP BY source
+    """,
+    tags=("sampling", "ess", "weights", "llm-pipeline"),
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per source under length weights —
+    the diagnostic every weighted-mixture scheme (q_temperature_mixture,
+    q_neyman_allocation, q_soft_dedup_weight) should report next to
+    its weights: ESS = (sum w)^2 / sum w^2 collapses toward 1 when a
+    few huge documents dominate a source's mass, telling you the
+    source contributes far fewer EFFECTIVE samples than its row count
+    suggests. Emitted as exact truncating integers (milli-ESS and the
+    ESS/n ratio in ppm) over exact weight moments.
+
+    Scale: one map-side-combinable aggregate per source — the
+    cheapest audit in the sampling family."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_w"),
+        F.sum(F.expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars"))
+        .cast("long")
+        .alias("sum_w2"),
+        F.expr(
+            "CAST((1000 * CAST(SUM(n_chars) AS DECIMAL(38,0)) * SUM(n_chars))"
+            " div SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS BIGINT)"
+        ).alias("ess_milli"),
+        F.expr(
+            "CAST((1000000 * CAST(SUM(n_chars) AS DECIMAL(38,0))"
+            " * SUM(n_chars))"
+            " div (SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("ess_ratio_ppm"),
+    )
