@@ -1,0 +1,54 @@
+"""Partition-count invariance: the determinism contract must hold not
+just across JVMs (scripts/determinism_check.py) but across CLUSTER
+SHAPES — the same query on 5 vs 32 shuffle partitions must value-hash
+identically, because a 1000-executor production run will never use the
+test harness's partition count. The repo's exactness rules (decimal /
+integer aggregation, total-order rankings, no
+monotonically_increasing_id, md5-keyed sampling) exist precisely so
+re-partitioning cannot reorder its way into different floats.
+
+Representatives cover the shapes that are most partition-sensitive:
+multi-stage aggregation (q1), join+topk (q3), window ranks, LSH-banded
+clustering (star CC rounds), stratified sampling, and the round-5
+Shapley lattice (window + bit_or aggregation over users).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+REPRESENTATIVES = [
+    "q1_pricing_summary",
+    "q3_join_topk",
+    "q_window_rank",
+    "q_dedup_clusters",
+    "q_stratified_sample",
+    "q_shapley_attribution",
+]
+
+
+def _value_hash(pdf) -> str:
+    cols = sorted(pdf.columns)
+    canon = pdf[cols].sort_values(cols).reset_index(drop=True)
+    return hashlib.md5(
+        canon.to_csv(index=False, float_format="%.10g").encode()
+    ).hexdigest()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_partition_count_invariance(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        h32 = _value_hash(REGISTRY[name].fn(spark, SF).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        h5 = _value_hash(REGISTRY[name].fn(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h32 == h5, f"{name}: value hash differs across partition counts"
