@@ -1483,3 +1483,226 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_mutual"), F.lit(False)).alias("mutual"),
         )
     )
+
+
+_RC_PROBES = (1, 2, 4, 8)
+_RC_NQ = 10
+_RC_K = 5
+
+
+@query(
+    "q_ann_recall_curve",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> {_QI.format(x="x")}) AS qv
+      FROM embeddings WHERE vec_id < {_RC_NQ}
+    ),
+    cpos AS (
+      SELECT label, d,
+             CAST(SUM({_QI.format(x="embedding[d + 1]")}) AS BIGINT) AS s
+      FROM embeddings, range(0, 64) u(d)
+      GROUP BY label, d
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY d) AS cv FROM cpos GROUP BY label
+    ),
+    qc AS (
+      SELECT q.query_id, q.qv, c.label,
+             CAST(list_reduce(list_transform(range(1, 65),
+                    i -> q.qv[i] * c.cv[i]), (s, x) -> s + x) AS DOUBLE)
+             / (sqrt(CAST(list_reduce(list_transform(q.qv, x -> x * x),
+                          (s, x) -> s + x) AS DOUBLE))
+                * sqrt(CAST(list_reduce(list_transform(c.cv, x -> x * x),
+                            (s, x) -> s + x) AS DOUBLE))) AS cell_cos
+      FROM q CROSS JOIN cent c
+    ),
+    qcr AS (
+      SELECT query_id, qv, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cell_cos DESC, label) AS cell_rank
+      FROM qc
+    ),
+    vc AS (
+      SELECT r.query_id, r.cell_rank, e.vec_id,
+             CAST(list_reduce(list_transform(range(1, 65),
+                    i -> r.qv[i] * {_QI.format(x="e.embedding[i]")}),
+                    (s, x) -> s + x) AS DOUBLE)
+             / (sqrt(CAST(list_reduce(list_transform(r.qv, x -> x * x),
+                          (s, x) -> s + x) AS DOUBLE))
+                * sqrt(CAST({_NORM2_SQL.format(a="e.embedding")} AS DOUBLE)))
+               AS cosine
+      FROM qcr r JOIN embeddings e ON e.label = r.label
+      WHERE e.vec_id <> r.query_id
+    ),
+    exact5 AS (
+      SELECT query_id, vec_id
+      FROM (SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM vc)
+      WHERE rk <= {_RC_K}
+    ),
+    grid AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+    cand AS (
+      SELECT g.nprobe, v.query_id, v.vec_id, v.cosine
+      FROM grid g JOIN vc v ON v.cell_rank <= g.nprobe
+    ),
+    ivf5 AS (
+      SELECT nprobe, query_id, vec_id
+      FROM (SELECT nprobe, query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM cand)
+      WHERE rk <= {_RC_K}
+    )
+    SELECT g.nprobe,
+           CAST((SELECT COUNT(*) FROM ivf5 i JOIN exact5 x
+                 ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+                 WHERE i.nprobe = g.nprobe) AS BIGINT) AS hits,
+           CAST((100 * (SELECT COUNT(*) FROM ivf5 i JOIN exact5 x
+                        ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+                        WHERE i.nprobe = g.nprobe))
+                // {_RC_NQ * _RC_K} AS BIGINT) AS recall_x100,
+           CAST((SELECT COUNT(*) FROM cand c WHERE c.nprobe = g.nprobe)
+                AS BIGINT) AS candidates_scanned
+    FROM grid g
+    """,
+    tags=("similarity", "ann", "ivf", "recall-curve", "llm-pipeline"),
+)
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN recall/cost DIAL, measured in one query: IVF recall@5
+    against the exact top-5 at nprobe = 1/2/4/8 of the 10 label cells,
+    with the candidate-scan cost alongside — the table an engineer
+    actually reads before picking a probe count. Every per-(query,
+    vector) cosine and cell rank is computed ONCE; the probe grid then
+    only filters by precomputed cell rank, so the 4-point curve costs
+    one scoring pass, not four. Cell DIRECTIONS are integer sum-
+    vectors of the quantized embeddings (the count divides out of
+    cosine), so every ranking input is exact-int-derived and the
+    doubles agree bit-for-bit across engines (same expression tree).
+
+    Isotropic-corpus honesty (q_ann_ivf's note applies): recall here
+    tracks roughly the probed fraction because the synthetic
+    embeddings have no cluster structure; on real embeddings the
+    curve bends sharply upward at small nprobe — this operator is the
+    instrument, the corpus is the floor.
+
+    Scale: centroid sums are one map-side aggregate; the query batch
+    broadcasts against the corpus (the q_cosine_topk exactness-
+    baseline pattern — production swaps the full scan for the IVF
+    cell join); windows run per (query, nprobe) on candidate rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _RC_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", qint).alias("qv"),
+    )
+    cpos = (
+        e.select("label", F.posexplode("embedding").alias("d", "val"))
+        .groupBy("label", "d")
+        .agg(F.sum(qint(F.col("val"))).alias("s"))
+    )
+    cent = (
+        cpos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"))
+        .select("label", F.expr("transform(ds, x -> x.s)").alias("cv"))
+    )
+    intdot = (
+        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE)"
+    )
+    norm2 = (
+        "sqrt(CAST(aggregate(transform({a}, x -> x * x),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE))"
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            F.expr(
+                intdot.format(a="qv", b="cv")
+                + " / ("
+                + norm2.format(a="qv")
+                + " * "
+                + norm2.format(a="cv")
+                + ")"
+            ).alias("cell_cos"),
+        )
+    )
+    qcr = qc.select(
+        "query_id",
+        "qv",
+        "label",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label"))
+        .alias("cell_rank"),
+    )
+    ev = e.select("label", "vec_id", F.transform("embedding", qint).alias("vv"))
+    vc = (
+        qcr.join(ev, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell_rank",
+            "vec_id",
+            F.expr(
+                intdot.format(a="qv", b="vv")
+                + " / ("
+                + norm2.format(a="qv")
+                + " * "
+                + norm2.format(a="vv")
+                + ")"
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact5 = (
+        vc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= _RC_K)
+        .select("query_id", "vec_id")
+    )
+    grid = spark.createDataFrame([(p,) for p in _RC_PROBES], "nprobe int")
+    cand = F.broadcast(grid).join(vc, F.col("cell_rank") <= F.col("nprobe"))
+    ivf5 = (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "query_id").orderBy(
+                    F.desc("cosine"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _RC_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    hits = (
+        ivf5.join(exact5, ["query_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    cost = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("candidates_scanned")
+    )
+    return (
+        grid.join(hits, "nprobe", "left")
+        .join(cost, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(
+                f"CAST((100 * COALESCE(hits, 0)) div {_RC_NQ * _RC_K}"
+                " AS BIGINT)"
+            ).alias("recall_x100"),
+            F.coalesce("candidates_scanned", F.lit(0))
+            .cast("bigint")
+            .alias("candidates_scanned"),
+        )
+    )

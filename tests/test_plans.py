@@ -318,6 +318,9 @@ _NLJ_ALLOWED = {
                             # (the consistent_resharding pattern)
     "q_attribution_report",  # inherits q_shapley_attribution's
                             # 16-subset mask-lattice grids
+    "q_ann_recall_curve",   # broadcast query batch x 10-cell codebook
+                            # + constant 4-row probe grid (q_cosine_topk
+                            # exactness-baseline pattern)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
