@@ -929,3 +929,219 @@ def ml_bands_maponly(d: DataFrame) -> DataFrame:
     return lanes.select("doc_id", "s", F.explode(band_arr).alias("x")).select(
         "doc_id", "s", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
+
+
+_LSH_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (n_bands, rows_per_band); 16 lanes
+
+
+def _lshc_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        "MIN({w}) AS m{i}".format(w=_hex_window_sql(*_ml_lane(i)), i=i)
+        for i in range(_ML_SEEDS)
+    )
+    config_band_rows = []
+    for nb, rpb in _LSH_CONFIGS:
+        for b in range(nb):
+            concat = " || '_' || ".join(
+                f"CAST(m{rpb * b + j} AS VARCHAR)" for j in range(rpb)
+            )
+            config_band_rows.append(
+                f"SELECT {nb} AS n_bands, doc_id, {b} AS band,"
+                f" md5({concat}) AS bh FROM sig"
+            )
+    bands_union = "\n      UNION ALL\n      ".join(config_band_rows)
+    return f"""
+    WITH ts AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+4], ' '))) AS s
+      FROM ts WHERE len(toks) >= 4
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), dg AS (
+      SELECT doc_id,
+             md5(shingle || '#0') AS d0,
+             md5(shingle || '#1') AS d1
+      FROM ex
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM dg GROUP BY doc_id
+    ), bands AS (
+      {bands_union}
+    ), cand AS (
+      SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.n_bands = b.n_bands AND a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.n_bands, c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+      WHERE 2 * len(list_intersect(x.s, y.s))
+            >= (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+    ), ref AS (
+      SELECT DISTINCT doc_a, doc_b FROM verified
+    ),
+    grid AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) t(n_bands, rows_per_band))
+    SELECT g.n_bands, CAST(g.rows_per_band AS BIGINT) AS rows_per_band,
+           CAST((SELECT COUNT(*) FROM cand c
+                 WHERE c.n_bands = g.n_bands) AS BIGINT) AS candidate_pairs,
+           CAST((SELECT COUNT(*) FROM verified v
+                 WHERE v.n_bands = g.n_bands) AS BIGINT) AS verified_pairs,
+           CAST((SELECT COUNT(*) FROM ref) AS BIGINT) AS pooled_pairs,
+           CAST((100 * (SELECT COUNT(*) FROM verified v
+                        WHERE v.n_bands = g.n_bands))
+                // (SELECT COUNT(*) FROM ref) AS BIGINT)
+             AS recall_vs_pool_x100
+    FROM grid g
+    """
+
+
+@query(
+    "q_lsh_parameter_curve",
+    oracle=_lshc_oracle(),
+    tags=("neardup", "lsh", "minhash", "parameter-curve", "llm-pipeline"),
+)
+def q_lsh_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH s-curve DIAL, measured in one query — the
+    banding sibling of q_ann_recall_curve: the SAME 16 md5-portable
+    minhash lanes regrouped as 2x8 / 4x4 / 8x2 (bands x rows), with
+    candidate cost, verified J>=0.5 pairs, and recall against the
+    exact reference per configuration. Fewer, wider bands (2x8) means
+    near-zero false candidates but misses borderline pairs; more,
+    narrower bands (8x2) catches them at quadratically more candidate
+    verifications — the curve is the evidence behind the default 4x4.
+    Signatures are computed ONCE; each configuration only re-concats
+    lane subsets into band keys (zero extra corpus passes).
+
+    Recall reference: the POOLED verified set — the union of exact
+    J >= 0.5 pairs found by any configuration (TREC-style pooling,
+    the standard when exhaustive truth is unaffordable; the unblocked
+    all-pairs join is the measured 26.7x-at-10x quadratic this family
+    exists to avoid). A pair missed by EVERY config is invisible to
+    the pool — with 8x2 banding in the pool that class is pairs
+    colliding in none of 8 two-lane bands, probability (1-s^2)^8
+    (~2e-4 at s = 0.8).
+
+    Scale: one signature aggregate (16 map-side mins), three banded
+    equi-joins on O(n*bands) rows, verification only on candidates —
+    no quadratic stage anywhere; measuring the dial costs barely more
+    than running the default."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.when(
+        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
+    )
+    arr = d.select(
+        "doc_id", "lang", "source", shingles.alias("s")
+    ).filter(F.size("s") > 0).localCheckpoint(eager=False)
+    ex = arr.select("doc_id", F.explode("s").alias("shingle"))
+    dg = ex.select(
+        "doc_id",
+        F.md5(F.concat(F.col("shingle"), F.lit("#0"))).alias("d0"),
+        F.md5(F.concat(F.col("shingle"), F.lit("#1"))).alias("d1"),
+    )
+    hv = dg.select(
+        "doc_id",
+        *[
+            F.expr(
+                "CAST(conv(substr({d}, {off}, 4), 16, 10) AS BIGINT)".format(
+                    d=_ml_lane(i)[0], off=_ml_lane(i)[1]
+                )
+            ).alias(f"h{i}")
+            for i in range(_ML_SEEDS)
+        ],
+    )
+    sig = hv.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_ML_SEEDS)]
+    ).localCheckpoint(eager=False)
+    band_structs = []
+    for nb, rpb in _LSH_CONFIGS:
+        for b in range(nb):
+            band_structs.append(
+                F.struct(
+                    F.lit(nb).alias("n_bands"),
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"m{rpb * b + j}").cast("string")
+                                for j in range(rpb)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+            )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select(
+        "doc_id",
+        F.col("x.n_bands").alias("n_bands"),
+        F.col("x.band").alias("band"),
+        F.col("x.bh").alias("bh"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "n_bands", "band", "bh"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "n_bands", "band", "bh"
+    )
+    cand = (
+        a.join(b, ["n_bands", "band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("n_bands", "doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    x = arr.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    y = arr.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(2 * inter >= union)
+        .select("n_bands", "doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    pool = verified.select("doc_a", "doc_b").distinct()
+    grid = spark.createDataFrame(
+        list(_LSH_CONFIGS), "n_bands int, rows_per_band int"
+    )
+    n_cand = cand.groupBy("n_bands").agg(
+        F.count(F.lit(1)).alias("candidate_pairs")
+    )
+    n_ver = verified.groupBy("n_bands").agg(
+        F.count(F.lit(1)).alias("verified_pairs")
+    )
+    n_pool = pool.agg(F.count(F.lit(1)).alias("pooled_pairs"))
+    return (
+        grid.join(n_cand, "n_bands", "left")
+        .join(n_ver, "n_bands", "left")
+        .join(F.broadcast(n_pool))
+        .select(
+            "n_bands",
+            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+            F.coalesce("candidate_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.coalesce("verified_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("verified_pairs"),
+            F.col("pooled_pairs").cast("bigint").alias("pooled_pairs"),
+            F.expr(
+                "CAST((100 * COALESCE(verified_pairs, 0))"
+                " div pooled_pairs AS BIGINT)"
+            ).alias("recall_vs_pool_x100"),
+        )
+    )

@@ -321,6 +321,7 @@ _NLJ_ALLOWED = {
     "q_ann_recall_curve",   # broadcast query batch x 10-cell codebook
                             # + constant 4-row probe grid (q_cosine_topk
                             # exactness-baseline pattern)
+    "q_lsh_parameter_curve",  # broadcast 1-row pooled-pairs stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
