@@ -681,8 +681,10 @@ def q_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT fr.fraction_pm,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS eval_gram_types,
            CAST(COUNT(tr.gram) AS BIGINT) AS covered_types,
-           CAST((1000000 * COUNT(tr.gram))
-                // (SELECT COUNT(*) FROM ev) AS BIGINT) AS coverage_ppm
+           CAST(CASE WHEN (SELECT COUNT(*) FROM ev) = 0 THEN 0
+                ELSE (1000000 * COUNT(tr.gram))
+                     // (SELECT COUNT(*) FROM ev) END AS BIGINT)
+             AS coverage_ppm
     FROM fr
     CROSS JOIN ev
     LEFT JOIN tr ON tr.gram = ev.gram AND tr.min_bucket < fr.fraction_pm
@@ -747,6 +749,8 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_gram_types",
         "covered_types",
         F.expr(
-            "CAST((1000000 * covered_types) div eval_gram_types AS BIGINT)"
+            "CAST(CASE WHEN eval_gram_types = 0 THEN 0"
+            " ELSE (1000000 * covered_types) div eval_gram_types END"
+            " AS BIGINT)"
         ).alias("coverage_ppm"),
     )

@@ -735,7 +735,8 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_variables",
     oracle="""
     WITH cut AS (
-      SELECT CAST(ROUND(AVG(o_totalprice) * 100) AS BIGINT) AS avg_cents
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_cents
       FROM orders
     )
     SELECT o.o_orderstatus,
@@ -763,9 +764,13 @@ def q_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("sv_orders")
     spark.sql("DECLARE OR REPLACE VARIABLE avg_cents BIGINT")
+    # Exact integer mean (sum of exact cents div count), matching
+    # q_sql_scripting: a double AVG is summation-order-dependent, so
+    # the rounded threshold could flip by one cent across engines or
+    # partition counts and change the boundary rows.
     spark.sql(
-        "SET VAR avg_cents = (SELECT CAST(ROUND(AVG(o_totalprice) * 100)"
-        " AS BIGINT) FROM sv_orders)"
+        "SET VAR avg_cents = (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100)"
+        " AS BIGINT)) div COUNT(*) AS BIGINT) FROM sv_orders)"
     )
     return spark.sql(
         """

@@ -995,9 +995,10 @@ def _lshc_oracle() -> str:
            CAST((SELECT COUNT(*) FROM verified v
                  WHERE v.n_bands = g.n_bands) AS BIGINT) AS verified_pairs,
            CAST((SELECT COUNT(*) FROM ref) AS BIGINT) AS pooled_pairs,
-           CAST((100 * (SELECT COUNT(*) FROM verified v
-                        WHERE v.n_bands = g.n_bands))
-                // (SELECT COUNT(*) FROM ref) AS BIGINT)
+           CAST(CASE WHEN (SELECT COUNT(*) FROM ref) = 0 THEN 0
+                ELSE (100 * (SELECT COUNT(*) FROM verified v
+                             WHERE v.n_bands = g.n_bands))
+                     // (SELECT COUNT(*) FROM ref) END AS BIGINT)
              AS recall_vs_pool_x100
     FROM grid g
     """
@@ -1140,8 +1141,9 @@ def q_lsh_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verified_pairs"),
             F.col("pooled_pairs").cast("bigint").alias("pooled_pairs"),
             F.expr(
-                "CAST((100 * COALESCE(verified_pairs, 0))"
-                " div pooled_pairs AS BIGINT)"
+                "CAST(CASE WHEN pooled_pairs = 0 THEN 0"
+                " ELSE (100 * COALESCE(verified_pairs, 0))"
+                " div pooled_pairs END AS BIGINT)"
             ).alias("recall_vs_pool_x100"),
         )
     )

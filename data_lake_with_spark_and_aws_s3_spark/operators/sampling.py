@@ -399,7 +399,7 @@ def q_stratified_quota_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_w,
-           CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS sum_w2,
+           CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS VARCHAR) AS sum_w2,
            CAST((1000 * CAST(SUM(n_chars) AS HUGEINT) * SUM(n_chars))
                 // SUM(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT)
              AS ess_milli,
@@ -426,8 +426,12 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_w"),
+        # The second moment stays DECIMAL(38,0) end-to-end and is emitted
+        # as its exact decimal string: a BIGINT cast overflows divergently
+        # at extreme scale (Spark non-ANSI -> silent NULL, DuckDB -> error),
+        # while the string spelling is exact for any sum below 10^38.
         F.sum(F.expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars"))
-        .cast("long")
+        .cast("string")
         .alias("sum_w2"),
         F.expr(
             "CAST((1000 * CAST(SUM(n_chars) AS DECIMAL(38,0)) * SUM(n_chars))"

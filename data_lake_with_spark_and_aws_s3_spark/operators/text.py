@@ -1217,7 +1217,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT),"
             " (acc, w) -> acc + (length(w) + 3) div 4)"
         ).alias("n_subwords"),
-    )
+    ).filter(F.col("n_words") > 0)
+    # n_words > 0 mirrors the oracle's per_doc (WHERE w <> '' before the
+    # GROUP BY drops zero-word docs there); without it an empty /
+    # whitespace-only document would count toward n_docs on the Spark
+    # side only and break parity.
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("words"),
