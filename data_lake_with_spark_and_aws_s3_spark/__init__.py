@@ -40,77 +40,69 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_rank",
     "q_events_tumbling",
     "q_distinct_users",
-    # round-1 hash-fail fixes (validated green rounds 2-3; q_pivot,
-    # q_unpivot and q_lang_breakdown rotated out in round 4 — none is
-    # a §2 table row's sole representative (pivot/unpivot are §2.4
-    # adjuncts, the lang/quality row keeps q_gopher_rules in-prefix)
-    # and all three stay pytest-parity-checked)
-    "q_filtered_agg",
-    "q_json_extract",
-    "q_approx_percentiles",
-    # round-4 rotation (VERDICT r3 #4): round-3 flagships never yet
-    # driver-graded. q_dedup_clusters is ALSO the round-4 re-route
-    # under validation — the name now binds the LSH-banded +
-    # star-contraction composition (formerly q_dedup_clusters_lsh).
+    # round-4 flagships under continuing validation (graded green r4+r5)
     "q_semdedup",
     "q_bpe_train",
     "q_dedup_clusters",
-    # round-5 rotation (VERDICT r4 #6): round-4 flagships never yet
-    # driver-graded, displacing only second representatives of rows
-    # still covered in-prefix (all six stay pytest-parity-checked):
-    #   q_streaming_tumbling_exec -> out (tumbling row keeps
-    #     q_events_tumbling, the row's primary rep)
-    #   q_ann_pq_rerank -> out (ANN row keeps q_cosine_topk; graded
-    #     green in r4)
-    #   q_contamination_report -> out (decontamination row now graded
-    #     through q_neardup_decontaminate below)
-    #   q_python_udtf -> out (UDTF row now graded through
-    #     q_udtf_table_argument below — the superset feature)
-    #   q_global_topk -> out (top-k row keeps q3_join_topk, whose plan
-    #     is the same asserted TakeOrderedAndProject)
-    #   q_cross_join -> out (the r4 precedent: joins keep 6 reps —
-    #     q3 inner, theta, full outer, semi, range, as-of)
-    # q_pretrain_corpus deliberately stays OUT of the prefix: its gate
-    # wall carries the one-time LSH-cluster-midframe materialization
-    # (~4.5s cold at sf0.01, measured round 5) against the ~4s
-    # per-entry budget; it stays parity-checked and benched.
-    "q_udtf_table_argument",
-    "q_neardup_decontaminate",
-    "q_stratified_quota_twophase",
-    "q_waterfill_budget",
-    "q_incremental_agg_merge",
-    "q_xml_sink_roundtrip",
-    # round-3 flagship corpus ops (promoted into the graded window;
-    # the slots they took — q_date_format, q12_priority_buckets,
-    # q_right_join — were second representatives of rows already
-    # covered in-prefix and stay pytest-parity-checked)
-    "q_duplicate_span_scrub",
+    # round-6 promotion (VERDICT r5 #2): q_pretrain_corpus's stated
+    # exclusion reason is obsolete — q_dedup_clusters (directly above)
+    # warms the shared per-(session, sf_dir) LSH cluster midframe
+    # (graph.py _lsh_cluster_frame), so in the driver's single-session
+    # in-order gate the capstone's marginal cost is the warm cost:
+    # 7.12s at this slot under scripts/gate_rehearsal.py --load 16
+    # (full 50-query prefix 178.1s, 50/50 ok — see SCALE.md). The
+    # single most user-facing composition now carries the hard signal.
+    "q_pretrain_corpus",
+    # round-6 rotation (VERDICT r5 #1): the 20 round-5 operators were
+    # never driver-graded (the r5 prefix was rotated before they
+    # landed). Sixteen rotate IN — the attribution trio + capstone,
+    # the executed streaming near-dup gate, the two LSH/ANN dial
+    # curves, t-closeness, the IVM join-delta, the trend/multiple-
+    # testing trio, and the four queries that took round-5 ADVICE
+    # fixes (q_session_variables exact-integer cutoff,
+    # q_tokenizer_fertility zero-word filter, q_ngram_coverage_curve
+    # zero-denominator guard, q_effective_sample_size decimal second
+    # moment) so the FIXED code is what gets graded.
+    "q_shapley_attribution",
+    "q_markov_removal",
+    "q_touch_roles",
+    "q_attribution_report",
+    "q_streaming_neardup_exec",
+    "q_ann_recall_curve",
+    "q_lsh_parameter_curve",
+    "q_t_closeness",
+    "q_ivm_join_delta",
+    "q_mann_kendall",
+    "q_theil_sen",
+    "q_bh_fdr",
+    "q_tokenizer_fertility",
+    "q_session_variables",
+    "q_ngram_coverage_curve",
+    "q_effective_sample_size",
+    # Rotated OUT this round — all 17 graded green in CORRECTNESS_r05
+    # (and most in earlier rounds too), all stay pytest-parity-checked
+    # (tests/test_parity.py, 400/400); their §2 rows move to
+    # pass-D(r<=5) where no second in-prefix rep remains:
+    #   q_filtered_agg, q_json_extract, q_approx_percentiles (r1-fix
+    #     trio, green r2-r5), q_udtf_table_argument,
+    #     q_neardup_decontaminate, q_stratified_quota_twophase,
+    #     q_waterfill_budget, q_incremental_agg_merge,
+    #     q_xml_sink_roundtrip (r4 flagships, green r5),
+    #   q_duplicate_span_scrub, q_bm25_topk (green r3-r5),
+    #   q_theta_join (joins keep 5 reps: inner/outer/semi/range/as-of),
+    #   q_simhash (near-dup row keeps q_dedup_clusters + q_semdedup),
+    #   q_setops_matrix, q_math_array_funcs, q_cuboid_selection,
+    #   q_bitmap_overlap (green r3-r5).
     # round-3 session-5: the curation-family representative (Gopher
     # rule battery) takes q_data_card's slot — the data card is a
     # composite of metrics whose components are all prefix-covered,
     # and it stays pytest-parity-checked
     "q_gopher_rules",
-    # round-3 session-4 flagships (displaced q_string_funcs,
-    # q_csv_sink_roundtrip, q_sliding_window, q_distinct_rows — each a
-    # SECOND representative of a §2 row still covered in-prefix; all
-    # four stay pytest-parity-checked)
-    "q_bm25_topk",
     "q_label_propagation",
     # new / reworked operators
-    "q_theta_join",
     "q_full_outer_join",
     "q_multimodal_binary",
-    "q_simhash",
-    "q_setops_matrix",
-    "q_math_array_funcs",
     "q_text_normalize_tokens",
-    # round-3 session-8 flagships (displaced q_json_sink_roundtrip and
-    # q_embedding_centroids — second representatives of §2.1 sinks and
-    # §2.10 similarity, rows still covered in-prefix by
-    # q_parquet_sink_roundtrip / q_cosine_topk; both stay
-    # pytest-parity-checked)
-    "q_cuboid_selection",
-    "q_bitmap_overlap",
     # §2.1 sources/sinks
     "q_parquet_sink_roundtrip",
     # §2.2 / §2.8 scalar families

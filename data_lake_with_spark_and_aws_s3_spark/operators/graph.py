@@ -868,12 +868,20 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop with a convergence fingerprint like q_dedup_clusters.
 
     Scale: each round is one degree aggregate over 2|E| endpoint rows
-    plus two semi-joins keyed on the node id — no all-pairs, no
-    materialized neighborhoods; the edge set only shrinks. Edge
-    derivation — the op's dominant constant in the round-4 10x sweep
-    (93.7 s wall, mostly the 12M-pair self-join + distinct) — is now
-    the family-shared checkpoint (_edges.copurchase_edges), paid once
-    per session across the six co-purchase graph queries."""
+    plus two BROADCAST semi-joins keyed on the node id — no all-pairs,
+    no materialized neighborhoods; the edge set only shrinks. The keep
+    set is VERTEX-sized (distinct part keys: ~200k at sf0.1, ~2M at the
+    10x tiles — tens of MB of longs), so broadcasting it makes both
+    endpoint filters map-side and removes the two 12M-row EDGE shuffles
+    per round that dominated the round-5 sweep's 49.2 s wall (round-6
+    re-sweep: see SCALE.md). At true 100 TB vertex counts (>~100M
+    survivors) the broadcast no longer fits and the hint should come
+    off — the joins degrade gracefully to the shuffle form this
+    replaced. Edge derivation — the op's dominant constant in the
+    round-4 10x sweep (93.7 s wall, mostly the 12M-pair self-join +
+    distinct) — is now the family-shared checkpoint
+    (_edges.copurchase_edges), paid once per session across the six
+    co-purchase graph queries."""
     # root of the peel; round 1 reads a narrow filter over the shared
     # checkpoint, later rounds checkpoint their own shrunken sets
     edges = copurchase_edges(spark, sf_dir)
@@ -887,8 +895,12 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v")
         )
         edges = (
-            edges.join(keep.select(F.col("v").alias("pa")), "pa", "left_semi")
-            .join(keep.select(F.col("v").alias("pb")), "pb", "left_semi")
+            edges.join(
+                F.broadcast(keep.select(F.col("v").alias("pa"))), "pa", "left_semi"
+            )
+            .join(
+                F.broadcast(keep.select(F.col("v").alias("pb"))), "pb", "left_semi"
+            )
             .localCheckpoint(eager=True)
         )
     return (

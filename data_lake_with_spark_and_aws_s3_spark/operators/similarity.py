@@ -1037,7 +1037,60 @@ _SEMDEDUP_TAU = 0.45  # sparse-regime threshold: on this isotropic corpus the
 _SEMDEDUP_SPLIT = 256  # band buckets above this size re-key on 4 extra
 # signature bits (the 32-plane signature's high half) — bounds the
 # O(bucket^2) verify stage; buckets at/below it keep the exact
-# unrefined key, so small-SF outputs are bit-identical to pre-split
+# unrefined key, so small-SF outputs are bit-identical to pre-split.
+# Round 6 (VERDICT r5 "What's wrong" #4): refinement is now DEPTH-2 —
+# a refined bucket STILL larger than the split re-keys once more on
+# the NEXT band's refinement nibble (rv of band (k+1) mod 4, an
+# independent 4 bits of the same 32-plane signature), a further
+# 16-way split. A pathological ~100k-row bucket that the single level
+# left at ~6k rows (~18M pairs) now bounds at ~400 rows per leaf.
+# Buckets that survive BOTH levels share all 12 keying bits per band;
+# past depth 2 the residual is dominated by identical-signature mass
+# (true duplication the verify stage must examine pair-by-pair anyway
+# — no re-keying on signature bits can separate identical signatures).
+# Both levels are conditional, so at/below the threshold the keying —
+# and therefore every shipped-SF output — is bit-identical to the
+# unrefined form (tests/test_similarity_fast.py plants a mega-bucket
+# and asserts the split ladder + the small-bucket identity).
+
+
+def semdedup_keyed(bands):
+    """Conditional depth-2 re-keying of SRP band buckets.
+
+    Input: (vec_id, k, bv, rv, rv2) — primary band value plus this
+    band's and the next band's refinement nibbles. Output adds
+    (rk, rk2): rk = rv where the (k, bv) bucket exceeds
+    _SEMDEDUP_SPLIT else -1; rk2 = rv2 where the REFINED (k, bv, rk)
+    bucket still exceeds it else -1. Window counts are exact and
+    deterministic, so both engines key identically. Factored out of
+    q_semdedup so the planted-mega-bucket test can drive it with
+    crafted signatures."""
+    lvl1 = bands.select(
+        "vec_id",
+        "k",
+        "bv",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("k", "bv"))
+            > _SEMDEDUP_SPLIT,
+            F.col("rv"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("rk"),
+        "rv2",
+    )
+    return lvl1.select(
+        "vec_id",
+        "k",
+        "bv",
+        "rk",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("k", "bv", "rk"))
+            > _SEMDEDUP_SPLIT,
+            F.col("rv2"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("rk2"),
+    )
 
 
 @query(
@@ -1069,19 +1122,31 @@ _SEMDEDUP_SPLIT = 256  # band buckets above this size re-key on 4 extra
                % {1 << _SRP_BITS} AS bv,
              (sg // (CAST(1 AS BIGINT)
                      << CAST({_SRP_H} + {_SRP_BITS} * k AS INTEGER)))
-               % {1 << _SRP_BITS} AS rv
+               % {1 << _SRP_BITS} AS rv,
+             (sg // (CAST(1 AS BIGINT)
+                     << CAST({_SRP_H} + {_SRP_BITS}
+                             * ((k + 1) % {_SRP_NBANDS}) AS INTEGER)))
+               % {1 << _SRP_BITS} AS rv2
       FROM sig, range(0, {_SRP_NBANDS}) r(k)
     ),
-    keyed AS (
+    keyed1 AS (
       SELECT vec_id, k, bv,
              CASE WHEN COUNT(*) OVER (PARTITION BY k, bv) > {_SEMDEDUP_SPLIT}
-                  THEN rv ELSE -1 END AS rk
+                  THEN rv ELSE -1 END AS rk,
+             rv2
       FROM bands
+    ),
+    keyed AS (
+      SELECT vec_id, k, bv, rk,
+             CASE WHEN COUNT(*) OVER (PARTITION BY k, bv, rk)
+                       > {_SEMDEDUP_SPLIT}
+                  THEN rv2 ELSE -1 END AS rk2
+      FROM keyed1
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
       FROM keyed a JOIN keyed b
-        ON a.k = b.k AND a.bv = b.bv AND a.rk = b.rk
+        ON a.k = b.k AND a.bv = b.bv AND a.rk = b.rk AND a.rk2 = b.rk2
       WHERE a.vec_id < b.vec_id
     ),
     e AS (
@@ -1152,7 +1217,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # 32-plane signature: low 16 bits = the same 4x4 primary bands as
     # always; high 16 bits refine ONLY buckets larger than
-    # _SEMDEDUP_SPLIT (4 extra bits per band). Fixed-width banding is
+    # _SEMDEDUP_SPLIT — depth-2 since round 6: own band's nibble
+    # first, the NEXT band's nibble for buckets the first split still
+    # leaves oversized (see semdedup_keyed). Fixed-width banding is
     # O(sum bucket^2) in the verify stage — the round-5 10x sweep
     # measured 52M candidate pairs (100x the 1x count) before this
     # split and a bounded count after; below the split threshold the
@@ -1182,23 +1249,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % (1 << _SRP_BITS)
         ).alias("rv"),
+        (
+            F.expr(
+                f"sg div shiftleft(cast(1 as bigint),"
+                f" cast({_SRP_H} + {_SRP_BITS} * ((k + 1) % {_SRP_NBANDS}) as int))"
+            )
+            % (1 << _SRP_BITS)
+        ).alias("rv2"),
     )
-    keyed = bands.select(
-        "vec_id",
-        "k",
-        "bv",
-        F.when(
-            F.count(F.lit(1)).over(Window.partitionBy("k", "bv"))
-            > _SEMDEDUP_SPLIT,
-            F.col("rv"),
-        )
-        .otherwise(F.lit(-1))
-        .alias("rk"),
-    ).localCheckpoint(eager=False)
-    a = keyed.select(F.col("vec_id").alias("src"), "k", "bv", "rk")
-    b = keyed.select(F.col("vec_id").alias("dst"), "k", "bv", "rk")
+    keyed = semdedup_keyed(bands).localCheckpoint(eager=False)
+    a = keyed.select(F.col("vec_id").alias("src"), "k", "bv", "rk", "rk2")
+    b = keyed.select(F.col("vec_id").alias("dst"), "k", "bv", "rk", "rk2")
     cand = (
-        a.join(b, ["k", "bv", "rk"])
+        a.join(b, ["k", "bv", "rk", "rk2"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
