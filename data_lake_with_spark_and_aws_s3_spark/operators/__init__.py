@@ -56,11 +56,13 @@ from . import (  # noqa: F401
     sketches,
     sorts,
     stats,
+    testing,
     timeseries,
     tpch_more,
     tpch_rest,
     tpch_subqueries,
     setops,
+    valuation,
     similarity,
     skew,
     text,

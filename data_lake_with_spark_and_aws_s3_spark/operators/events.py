@@ -1067,3 +1067,57 @@ def q_streaming_neardup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits, "q_streaming_neardup_exec_sink", output_mode="complete"
     )
     return spark.table("q_streaming_neardup_exec_sink")
+
+
+@query(
+    "q_streaming_sliding_exec",
+    oracle=f"""
+    SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // {_SLIDE_US}) - g.i)
+                          * {_SLIDE_US}) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(19,2))), 2) AS DOUBLE) AS sum_value
+    FROM events, generate_series(0, 3) AS g(i)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "sliding-window", "executed-stream"),
+)
+def q_streaming_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED Structured Streaming SLIDING window (1 hour / 15 min):
+    events.parquet driven through readStream -> watermark -> sliding
+    window aggregate -> memory sink, availableNow trigger, COMPLETE
+    mode — the overlapping-window twin of q_streaming_tumbling_exec
+    (each event updates size/slide = 4 window states, which is the
+    state-store amplification tumbling doesn't have). The oracle is
+    q_sliding_window's epoch arithmetic, so the STREAMING execution is
+    held to the exact batch answer.
+
+    Exactness: decimal value sums keep the windowed state
+    order-independent across microbatches — complete-mode emission
+    after the bounded input drains is then byte-identical to batch.
+
+    Scale: one stateful operator whose state is |windows|x|types| keyed
+    rows, bounded by the watermark; the 4x row amplification happens
+    map-side BEFORE the state store, so slide ratio is the knob that
+    prices this query (SURVEY §2.9 sliding note). Swap memory ->
+    foreachBatch/parquet and availableNow -> processingTime in
+    production."""
+    from ..streaming import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_to_memory(agg, "q_streaming_sliding_exec_sink", output_mode="complete")
+    return spark.table("q_streaming_sliding_exec_sink")

@@ -820,3 +820,50 @@ def q_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"fact": "idc_customer", "dim": "idc_nation", "grp": "n_name"},
     )
+
+
+@query(
+    "q_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(extract(year FROM CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)
+               AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("modern-sql", "group-by-all", "sql-surface"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.4+/4.x GROUP BY ALL + ORDER BY ALL SQL surface: every
+    non-aggregate select item becomes a grouping key and the output
+    orders by all columns left-to-right — the de-boilerplated
+    exploratory aggregation both modern engines converged on (DuckDB
+    pioneered it; the oracle uses the IDENTICAL statement text, which
+    is itself the point: the same SQL runs unmodified on both).
+
+    Semantics note: ORDER BY ALL makes the result total-order
+    deterministic, and the driver compare is order-insensitive anyway;
+    the grouping keys Catalyst infers here are exactly
+    (l_returnflag, l_linestatus, ship_year) — asserted equal to the
+    explicit GROUP BY in tests.
+
+    Scale: identical plan to the explicit form — one partial->final
+    hash aggregate; the sort is |groups| rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "eng_lineitem_gba"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(extract(year FROM CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)
+               AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM eng_lineitem_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

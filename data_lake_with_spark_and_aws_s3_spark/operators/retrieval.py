@@ -531,3 +531,238 @@ def q_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# q_rank_biased_overlap (round 6)
+# ---------------------------------------------------------------------
+
+_RBO_DEPTH = 10
+_RBO_P9 = [9**d for d in range(1, _RBO_DEPTH + 1)]   # 9^d  (p = 0.9)
+_RBO_P10 = [10**d for d in range(1, _RBO_DEPTH + 1)]  # 10^d
+
+
+@query(
+    "q_rank_biased_overlap",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    ra AS (
+      SELECT l_partkey,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS pos_a
+      FROM agg
+    ),
+    rb AS (
+      SELECT l_partkey,
+             ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey) AS pos_b
+      FROM agg
+    ),
+    depths AS (SELECT CAST(d AS BIGINT) AS d FROM range(1, {_RBO_DEPTH + 1}) t(d)),
+    x AS (
+      SELECT depths.d,
+             CAST((SELECT COUNT(*) FROM ra JOIN rb USING (l_partkey)
+                   WHERE ra.pos_a <= depths.d AND rb.pos_b <= depths.d)
+                  AS BIGINT) AS x_d
+      FROM depths
+    ),
+    terms AS (
+      SELECT d, x_d,
+             CAST(ROUND(CAST(x_d * ({_RBO_P9})[d] AS DOUBLE)
+                        / CAST(d * ({_RBO_P10})[d] AS DOUBLE)
+                        * 1000000000) AS BIGINT) AS term_nano
+      FROM x
+    )
+    SELECT d, x_d, term_nano,
+           CAST(ROUND(CAST(SUM(term_nano) OVER () AS DOUBLE) / 9.0)
+                AS BIGINT) AS rbo_min_nano
+    FROM terms
+    """,
+    tags=("retrieval", "rbo", "rank-comparison", "metrics"),
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, p = 0.9, depth 10)
+    between two part rankings — by revenue and by shipped quantity:
+    the top-weighted similarity of two top-k lists that an offline
+    ranking-change review uses instead of naive set overlap. Emits the
+    per-depth agreement curve X_d plus the RBO_min lower bound
+    (1−p)/p · Σ X_d/d · p^d on every row.
+
+    Exactness: both rankings order exact integer aggregates with
+    partkey tie-breaks; p^d = 9^d/10^d is computed from precomputed
+    INTEGER power literals (both ≤ 1e10, exactly representable), so
+    each term is one IEEE division of exact operands, quantized to
+    nano-units before the exact window sum; the final /9 is one more
+    division of an exactly-equal operand.
+
+    Scale: one lineitem aggregate, two |parts|-row rankings (only the
+    top 10 of each survive the depth filter — expressible as a
+    TakeOrderedAndProject), and a constant 10-row depth spine."""
+    agg = load_table(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    ra = agg.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("l_partkey")))
+        .alias("pos_a"),
+    ).filter(F.col("pos_a") <= _RBO_DEPTH)
+    rb = agg.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("qty"), F.asc("l_partkey")))
+        .alias("pos_b"),
+    ).filter(F.col("pos_b") <= _RBO_DEPTH)
+    both = ra.join(rb, "l_partkey")  # parts in both top-10 prefixes
+    depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    x = (
+        depths.join(
+            F.broadcast(both),
+            (F.col("pos_a") <= F.col("d")) & (F.col("pos_b") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count(F.col("l_partkey")).alias("x_d"))
+    )
+    p9 = F.element_at(F.array(*[F.lit(v) for v in _RBO_P9]), F.col("d").cast("int"))
+    p10 = F.element_at(F.array(*[F.lit(v) for v in _RBO_P10]), F.col("d").cast("int"))
+    terms = x.select(
+        "d",
+        F.col("x_d").cast("long").alias("x_d"),
+        F.round(
+            (F.col("x_d") * p9).cast("double")
+            / (F.col("d") * p10).cast("double")
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("term_nano"),
+    )
+    return terms.withColumn(
+        "rbo_min_nano",
+        F.round(
+            F.sum("term_nano").over(Window.partitionBy()).cast("double") / 9.0
+        ).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_kneser_ney_bigram (round 6)
+# ---------------------------------------------------------------------
+
+_KN_TOPK = 50  # emit the 50 most frequent bigrams with their KN score
+
+
+@query(
+    "q_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w, rn FROM (
+        SELECT doc_id, unnest(words) AS w,
+               generate_subscripts(words, 1) AS rn
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS words
+              FROM documents)
+      )
+    ),
+    bg AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+      GROUP BY 1, 2
+    ),
+    fw AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1fw
+      FROM bg GROUP BY 1
+    ),
+    bw AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM bg GROUP BY 1
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bg)
+    SELECT w1, w2, c12, c1, n1fw, n1bw,
+           CAST(ROUND(1000000.0
+                      * CAST((4 * c12 - 3) * t + 3 * n1fw * n1bw AS DOUBLE)
+                      / CAST(4 * c1 * t AS DOUBLE)) AS BIGINT) AS p_kn_micro
+    FROM bg JOIN fw USING (w1) JOIN bw USING (w2), tt
+    QUALIFY ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2) <= {_KN_TOPK}
+    """,
+    tags=("retrieval", "kneser-ney", "language-model", "llm-pipeline"),
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney-smoothed bigram language model (absolute discount
+    D = 0.75) over the corpus: p_KN(w2|w1) = max(c12−D, 0)/c1 +
+    (D·N1+(w1·)/c1) · (N1+(·w2)/T) — the smoothing that backs off to
+    CONTINUATION counts ("how many contexts has w2 followed?") rather
+    than raw unigrams, which is why it wins perplexity bakeoffs and
+    feeds the KenLM-style quality filters (extends q_bigram_lm_score's
+    add-one model). Emits the 50 most frequent bigrams with their
+    count statistics and KN probability.
+
+    Exactness: with D = 3/4 the whole formula collapses to ONE division
+    of exact integer products — ((4·c12−3)·T + 3·N1fw·N1bw)/(4·c1·T) —
+    quantized to parts-per-million; every bigram in the table has
+    c12 ≥ 1 so the max(·,0) clamp never binds and is elided
+    identically on both sides.
+
+    Scale: token positions explode map-side; the bigram self-join is
+    keyed on (doc, position) — linear; fw/bw/T are three aggregates of
+    the bigram-type table. The model table itself is what ships to the
+    scorer (broadcast if small, term-keyed join if not)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("rn", "w"),
+        )
+    )
+    a = toks.select("doc_id", F.col("rn").alias("rn"), F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("rn") - 1).alias("rn"), F.col("w").alias("w2")
+    )
+    bg = (
+        a.join(b, ["doc_id", "rn"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    fw = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fw")
+    )
+    bw = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    tt = bg.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        bg.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.col("n1fw").cast("long").alias("n1fw"),
+            F.col("n1bw").cast("long").alias("n1bw"),
+            F.round(
+                F.lit(1_000_000.0)
+                * (
+                    (4 * F.col("c12") - 3) * F.col("t")
+                    + 3 * F.col("n1fw") * F.col("n1bw")
+                ).cast("double")
+                / (4 * F.col("c1") * F.col("t")).cast("double")
+            )
+            .cast("long")
+            .alias("p_kn_micro"),
+        )
+    )
+    w_top = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _KN_TOPK)
+        .drop("rn")
+    )

@@ -722,3 +722,127 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err_a_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_spacesaving_merge (round 6)
+# ---------------------------------------------------------------------
+
+_SS_SHARDS = 8  # logical shards (deterministic: doc_id % 8, NOT file
+# partitions — physical partitioning must never change results)
+_SS_K = 30  # summary size per shard
+_SS_TOP = 20  # merged heavy hitters emitted
+
+
+@query(
+    "q_spacesaving_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_SS_SHARDS} AS shard,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    sc AS (
+      SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT shard, tok, c,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY c DESC, tok) AS rn
+      FROM sc
+    ),
+    summ AS (SELECT shard, tok, c FROM ranked WHERE rn <= {_SS_K}),
+    caps AS (
+      SELECT shard,
+             CAST(COALESCE(MAX(CASE WHEN rn > {_SS_K} THEN c END), 0)
+                  AS BIGINT) AS rest_cap
+      FROM ranked GROUP BY shard
+    ),
+    cand AS (SELECT DISTINCT tok FROM summ),
+    est AS (
+      SELECT cand.tok,
+             CAST(SUM(COALESCE(summ.c, 0)) AS BIGINT) AS lower_bound,
+             CAST(SUM(COALESCE(summ.c, caps.rest_cap)) AS BIGINT)
+               AS upper_bound
+      FROM cand
+      CROSS JOIN caps
+      LEFT JOIN summ ON summ.shard = caps.shard AND summ.tok = cand.tok
+      GROUP BY cand.tok
+    ),
+    exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY tok
+    )
+    SELECT est.tok, est.lower_bound, est.upper_bound, exact.exact_count,
+           est.lower_bound <= exact.exact_count
+             AND exact.exact_count <= est.upper_bound AS within_bounds
+    FROM est JOIN exact ON exact.tok = est.tok
+    QUALIFY ROW_NUMBER() OVER (ORDER BY est.lower_bound DESC, est.tok)
+            <= {_SS_TOP}
+    """,
+    tags=("sketches", "spacesaving", "mergeable", "heavy-hitters"),
+)
+def q_spacesaving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable SpaceSaving-style heavy-hitter summaries (Metwally et
+    al. 2005 / Agarwal et al. "Mergeable Summaries" 2012): each of 8
+    DETERMINISTIC logical shards keeps only its top-30 token counts
+    plus the largest truncated count (its error cap); merging sums
+    present counts for the lower bound and substitutes each absent
+    shard's cap for the upper bound. Emits the top 20 merged tokens
+    with (lower, upper, exact) and the guarantee check
+    lower ≤ exact ≤ upper — the bounded-memory distributed top-k that
+    replaces a full global count when the vocabulary is huge.
+
+    Determinism: shards key on doc_id % 8, never on physical
+    partitions, so results are layout-invariant; summaries and caps
+    are exact integers with (count desc, token) tie-breaks.
+
+    Scale: the map-equivalent stage is one (shard, token) aggregate
+    with map-side combine; only 8 × 30-row summaries plus 8 caps cross
+    the final exchange — the whole point of a mergeable summary. The
+    exact join here is the audit (it scans the corpus once more);
+    production keeps only the summary side."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _SS_SHARDS).alias("shard"),
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    sc = toks.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w_sh = Window.partitionBy("shard").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = sc.withColumn("rn", F.row_number().over(w_sh))
+    summ = ranked.filter(F.col("rn") <= _SS_K).select("shard", "tok", "c")
+    caps = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") > _SS_K, F.col("c"))), F.lit(0)
+        ).alias("rest_cap")
+    )
+    cand = summ.select("tok").distinct()
+    grid = cand.crossJoin(F.broadcast(caps))
+    est = (
+        grid.join(summ, ["shard", "tok"], "left")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("lower_bound"),
+            F.sum(F.coalesce(F.col("c"), F.col("rest_cap"))).alias("upper_bound"),
+        )
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    out = est.join(exact, "tok").select(
+        "tok",
+        "lower_bound",
+        "upper_bound",
+        "exact_count",
+        (
+            (F.col("lower_bound") <= F.col("exact_count"))
+            & (F.col("exact_count") <= F.col("upper_bound"))
+        ).alias("within_bounds"),
+    )
+    w_top = Window.orderBy(F.desc("lower_bound"), F.asc("tok"))
+    return (
+        out.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _SS_TOP)
+        .drop("rn")
+    )

@@ -1,0 +1,558 @@
+"""Hypothesis-testing and data-adequacy battery (round 6) — the
+"is this slice of the corpus big enough / different enough" questions a
+100 TB curation pipeline answers before spending GPU-hours: one-way
+ANOVA across strata, a Fisher-style randomization test, a
+Wald–Wolfowitz runs test on a revenue series, a sequential probability
+ratio test (SPRT) over an event stream, and a Hoeffding sample-adequacy
+audit per language (the power/MDE sizing report lives in stats.py).
+
+Cross-engine exactness (the [[oracle-exactness-playbook]] rules used
+throughout this repo): every statistic is assembled from EXACT integer
+moments (cents / counts); any libm call (ln) or multi-term float sum is
+quantized per-term to integer micro-units with ROUND before an exact
+integer SUM (the q_entropy_profile treatment), so the only doubles in
+the hashed surface are single IEEE operations over exactly-equal
+operands — identical on any IEEE-754 engine. Constants that would need
+libm at query time (ln of fixed design parameters, z quantiles) are
+precomputed and embedded as integer literals.
+
+Scale: every query here is scan -> one or two hash aggregates; the
+randomization test's P resamples fan out map-side via
+explode(sequence(...)) and collapse in ONE partial->final aggregate, so
+the shuffle carries P x |groups| rows, never P x N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loader import load_table
+from ._sqlutil import _hex_val_sql
+
+# ---------------------------------------------------------------------
+# q_anova_oneway
+# ---------------------------------------------------------------------
+
+_ANOVA_Q = 1_000_000  # cents^2 are re-scaled by 1e6 before ROUND so the
+# per-group quadratic terms stay far under 2^53 at any plausible SF
+
+
+@query(
+    "q_anova_oneway",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)
+                                 / {_ANOVA_Q}) AS BIGINT)) AS BIGINT) AS syy_sc
+      FROM base GROUP BY grp
+    ),
+    t AS (
+      SELECT grp, n, sy, syy_sc,
+             CAST(ROUND(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE) / {_ANOVA_Q}) AS BIGINT) AS t_sc
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sy) AS BIGINT) AS ssy,
+             CAST(SUM(t_sc) AS BIGINT) AS sum_t,
+             CAST(SUM(syy_sc) AS BIGINT) AS sum_syy,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM t
+    )
+    SELECT t.grp, t.n, t.sy AS sum_cents,
+           CAST(t.sy AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_cents,
+           CAST(tot.sum_t - CAST(ROUND(CAST(tot.ssy AS DOUBLE)
+                                       * CAST(tot.ssy AS DOUBLE)
+                                       / CAST(tot.nn AS DOUBLE)
+                                       / {_ANOVA_Q}) AS BIGINT)
+                AS BIGINT) AS ssb_scaled,
+           CAST(tot.sum_syy - tot.sum_t AS BIGINT) AS ssw_scaled,
+           CAST(tot.sum_t - CAST(ROUND(CAST(tot.ssy AS DOUBLE)
+                                       * CAST(tot.ssy AS DOUBLE)
+                                       / CAST(tot.nn AS DOUBLE)
+                                       / {_ANOVA_Q}) AS BIGINT) AS DOUBLE)
+             * CAST(tot.nn - tot.k AS DOUBLE)
+             / (CAST(tot.sum_syy - tot.sum_t AS DOUBLE)
+                * CAST(tot.k - 1 AS DOUBLE)) AS f_stat
+    FROM t, tot
+    """,
+    tags=("testing", "anova", "statistics"),
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five order-priority
+    strata: per-group moments plus the global F statistic on every row
+    (the decision surface for "does this stratum dimension matter
+    before we stratify the sample on it").
+
+    Exactness: n/Σy are exact BIGINTs; the quadratic terms Σy² and
+    (Σy)²/n leave int64 range at scale, so each is computed as a single
+    IEEE expression over exactly-representable operands, re-scaled by
+    1e-6 and ROUNDed to an integer BEFORE any cross-row/cross-group
+    summation — sums are then exact and order-free. F is one final
+    division of exact integers: F = SSB·(N−k) / (SSW·(k−1)).
+
+    Scale: two hash aggregates (rows→groups→1) plus a broadcastable
+    1-row cross join back onto the k-row group table; the scan is the
+    only data-sized stage."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum(
+            F.round(
+                F.col("cents").cast("double")
+                * F.col("cents").cast("double")
+                / F.lit(_ANOVA_Q)
+            ).cast("long")
+        ).alias("syy_sc"),
+    )
+    t = g.withColumn(
+        "t_sc",
+        F.round(
+            F.col("sy").cast("double")
+            * F.col("sy").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(_ANOVA_Q)
+        ).cast("long"),
+    )
+    tot = t.agg(
+        F.sum("n").alias("nn"),
+        F.sum("sy").alias("ssy"),
+        F.sum("t_sc").alias("sum_t"),
+        F.sum("syy_sc").alias("sum_syy"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = t.crossJoin(F.broadcast(tot))
+    ssb = (
+        F.col("sum_t")
+        - F.round(
+            F.col("ssy").cast("double")
+            * F.col("ssy").cast("double")
+            / F.col("nn").cast("double")
+            / F.lit(_ANOVA_Q)
+        ).cast("long")
+    )
+    ssw = F.col("sum_syy") - F.col("sum_t")
+    return j.select(
+        "grp",
+        "n",
+        F.col("sy").alias("sum_cents"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias("mean_cents"),
+        ssb.cast("long").alias("ssb_scaled"),
+        ssw.cast("long").alias("ssw_scaled"),
+        (
+            ssb.cast("double")
+            * (F.col("nn") - F.col("k")).cast("double")
+            / (ssw.cast("double") * (F.col("k") - 1).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_permutation_test
+# ---------------------------------------------------------------------
+
+_PERM_P = 199  # resamples; p-value granularity 1/200
+_PERM_DENOM = 2**32 + 1
+
+
+def _perm_u(concat: str) -> str:
+    """Deterministic uniform in (0,1) per (doc, permutation) — the
+    sampling.py md5 idiom with the permutation id folded into the
+    salt."""
+    if concat == "spark":
+        h = "md5(concat(cast(doc_id as string), '#p', cast(p as string)))"
+    else:
+        h = "md5(CAST(doc_id AS VARCHAR) || '#p' || CAST(p AS VARCHAR))"
+    return f"(({_hex_val_sql(h, 8)}) + 1.0) / {float(_PERM_DENOM)!r}"
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, n_chars, CAST(lang = 'en' AS INTEGER) AS treat
+      FROM documents
+    ),
+    obs AS (
+      SELECT CAST(SUM(treat) AS BIGINT) AS nt,
+             CAST(SUM(1 - treat) AS BIGINT) AS nc,
+             CAST(SUM(treat * n_chars) AS BIGINT) AS st,
+             CAST(SUM((1 - treat) * n_chars) AS BIGINT) AS sc,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base
+    ),
+    perms AS (
+      SELECT p,
+             CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN u < rate THEN n_chars ELSE 0 END) AS BIGINT)
+               AS st,
+             CAST(SUM(CASE WHEN u < rate THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN u < rate THEN 0 ELSE n_chars END) AS BIGINT)
+               AS sc
+      FROM (
+        SELECT b.doc_id, b.n_chars, g.p,
+               {_perm_u("duck")} AS u,
+               CAST(o.nt AS DOUBLE) / CAST(o.n AS DOUBLE) AS rate
+        FROM base b, range(1, {_PERM_P + 1}) g(p), obs o
+      )
+      GROUP BY p
+    ),
+    stats AS (
+      SELECT p,
+             abs(CAST(st AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE)
+                 - CAST(sc AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE))
+               AS absdiff
+      FROM perms
+    )
+    SELECT o.nt AS n_treat, o.nc AS n_control,
+           CAST(o.st AS DOUBLE) / CAST(o.nt AS DOUBLE)
+             - CAST(o.sc AS DOUBLE) / CAST(o.nc AS DOUBLE) AS obs_diff,
+           CAST((SELECT COUNT(*) FROM stats s, obs o2
+                 WHERE s.absdiff >= abs(CAST(o2.st AS DOUBLE)
+                                          / CAST(o2.nt AS DOUBLE)
+                                        - CAST(o2.sc AS DOUBLE)
+                                          / CAST(o2.nc AS DOUBLE)))
+                AS BIGINT) AS n_as_extreme,
+           (CAST((SELECT COUNT(*) FROM stats s, obs o2
+                  WHERE s.absdiff >= abs(CAST(o2.st AS DOUBLE)
+                                           / CAST(o2.nt AS DOUBLE)
+                                         - CAST(o2.sc AS DOUBLE)
+                                           / CAST(o2.nc AS DOUBLE)))
+                 AS DOUBLE) + 1.0) / {float(_PERM_P + 1)!r} AS p_value
+    FROM obs o
+    """,
+    tags=("testing", "permutation", "randomization", "statistics"),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style randomization test for "are English documents
+    longer?": observed mean n_chars difference (en vs rest) against 199
+    deterministic label reassignments. Reassignment is Bernoulli at the
+    observed treatment rate with an md5(doc_id, perm) coin (the
+    repo-standard derandomized coin — reproducible under retries,
+    engine-identical), i.e. a randomization test with binomial rather
+    than fixed-margin resampling; the docstring states this honestly
+    because exact-size permutations would need a P x N global sort.
+
+    Exactness: every per-perm statistic is a division of exact integer
+    sums; the extreme-count compares identically-derived doubles, so
+    the count and p-value hash exactly.
+
+    Scale: the P resamples are generated map-side with
+    explode(sequence(1, P)) and collapse in ONE partial->final hash
+    aggregate keyed by p — shuffle traffic is P rows of partial sums
+    per task, never P x N rows."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("treat")
+    )
+    obs = base.agg(
+        F.sum("treat").alias("nt"),
+        F.sum(F.lit(1) - F.col("treat")).alias("nc"),
+        F.sum(F.col("treat") * F.col("n_chars")).alias("st"),
+        F.sum((F.lit(1) - F.col("treat")) * F.col("n_chars")).alias("sc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fan = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_P))).alias("p"),
+    ).crossJoin(F.broadcast(obs.select("nt", "n")))
+    fan = fan.withColumn("u", F.expr(_perm_u("spark"))).withColumn(
+        "rate", F.col("nt").cast("double") / F.col("n").cast("double")
+    )
+    hit = F.col("u") < F.col("rate")
+    perms = fan.groupBy("p").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).alias("pnt"),
+        F.sum(F.when(hit, F.col("n_chars")).otherwise(0)).alias("pst"),
+        F.sum(F.when(hit, 0).otherwise(1)).alias("pnc"),
+        F.sum(F.when(hit, 0).otherwise(F.col("n_chars"))).alias("psc"),
+    )
+    absdiff = F.abs(
+        F.col("pst").cast("double") / F.greatest(F.col("pnt"), F.lit(1)).cast("double")
+        - F.col("psc").cast("double") / F.greatest(F.col("pnc"), F.lit(1)).cast("double")
+    )
+    obs_diff = F.col("st").cast("double") / F.col("nt").cast(
+        "double"
+    ) - F.col("sc").cast("double") / F.col("nc").cast("double")
+    scored = perms.crossJoin(F.broadcast(obs)).select(
+        "nt", "nc", "st", "sc", (absdiff >= F.abs(obs_diff)).cast("int").alias("ex")
+    )
+    return scored.groupBy("nt", "nc", "st", "sc").agg(
+        F.sum("ex").alias("n_extreme")
+    ).select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        obs_diff.alias("obs_diff"),
+        F.col("n_extreme").cast("long").alias("n_as_extreme"),
+        (
+            (F.col("n_extreme").cast("double") + F.lit(1.0))
+            / F.lit(float(_PERM_P + 1))
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_runs_test
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    signs AS (
+      SELECT d, CASE WHEN cents > lag(cents) OVER (ORDER BY d)
+                     THEN 1 ELSE 0 END AS s,
+             lag(cents) OVER (ORDER BY d) AS prev
+      FROM daily
+    ),
+    seq AS (
+      SELECT s, lag(s) OVER (ORDER BY d) AS ps
+      FROM signs WHERE prev IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS n_up,
+             CAST(SUM(1 - s) AS BIGINT) AS n_down,
+             CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s <> ps
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq
+    )
+    SELECT n AS n_days, n_up, n_down, runs AS n_runs,
+           (CAST(runs AS DOUBLE)
+            - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               / CAST(n AS DOUBLE) + 1.0))
+           / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                  * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                     - CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n - 1 AS DOUBLE))) AS z_stat
+    FROM m
+    """,
+    tags=("testing", "runs-test", "time-series", "statistics"),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    up/down sequence: a drifting or autocorrelated series produces too
+    few runs, noise produces ~the expected count. Companion to
+    q_mann_kendall (trend) and q_cusum_drift (changepoint) — this one
+    tests the SIGNS, so it is distribution-free.
+
+    Exactness: the up/down sequence and run count are exact integers
+    off two lag windows; z is a single expression over those integers
+    (identical IEEE ops both engines).
+
+    Scale: one date-keyed aggregate (days are few), then single-
+    partition windows over the day table — the window input is
+    |days| rows, not |orders|."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.orderBy("d")
+    signs = daily.select(
+        "d",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1).otherwise(0).alias("s"),
+        F.lag("cents").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    seq = signs.select("s", F.lag("s").over(Window.orderBy("d")).alias("ps"))
+    m = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n_up"),
+        F.sum(F.lit(1) - F.col("s")).alias("n_down"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    nd, ud, dd, rd = (
+        F.col("n").cast("double"),
+        F.col("n_up").cast("double"),
+        F.col("n_down").cast("double"),
+        F.col("runs").cast("double"),
+    )
+    mu = F.lit(2.0) * ud * dd / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * ud
+        * dd
+        * (F.lit(2.0) * ud * dd - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        "n_up",
+        "n_down",
+        F.col("runs").cast("long").alias("n_runs"),
+        ((rd - mu) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_sprt_boundary
+# ---------------------------------------------------------------------
+
+# SPRT design constants, precomputed (python round(ln(x) * 1e6)) and
+# embedded as integer micro-nat literals so no libm runs at query time:
+#   H0: purchase rate p0 = 0.15      H1: p1 = 0.20
+#   alpha = beta = 0.05
+_SPRT_L1 = 287_682  # ln(p1/p0) * 1e6
+_SPRT_L0 = -60_625  # ln((1-p1)/(1-p0)) * 1e6
+_SPRT_A = 2_944_439  # ln((1-beta)/alpha) * 1e6  (accept H1 at/above)
+_SPRT_B = -2_944_439  # ln(beta/(1-alpha)) * 1e6 (accept H0 at/below)
+_SPRT_STEP = 500  # checkpoint every 500 events
+
+
+@query(
+    "q_sprt_boundary",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT CAST(event_type = 'purchase' AS INTEGER) AS hit,
+             ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn
+      FROM events
+    ),
+    cum AS (
+      SELECT rn AS n_seen,
+             CAST(SUM(hit) OVER (ORDER BY rn) AS BIGINT) AS k
+      FROM ordered
+    )
+    SELECT n_seen, k,
+           CAST(k * {_SPRT_L1} + (n_seen - k) * {_SPRT_L0} AS BIGINT)
+             AS llr_mnats,
+           CASE WHEN k * {_SPRT_L1} + (n_seen - k) * {_SPRT_L0}
+                     >= {_SPRT_A} THEN 'accept_h1'
+                WHEN k * {_SPRT_L1} + (n_seen - k) * {_SPRT_L0}
+                     <= {_SPRT_B} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    WHERE n_seen % {_SPRT_STEP} = 0
+    """,
+    tags=("testing", "sprt", "sequential", "streaming-adjacent"),
+)
+def q_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over the event stream in
+    arrival order: is the purchase rate 0.20 (H1) or 0.15 (H0)?
+    Emits the log-likelihood-ratio trajectory at every 500th event with
+    the SPRT decision — the sequential A/B monitor that stops a test as
+    soon as the evidence crosses a boundary instead of waiting for a
+    fixed horizon.
+
+    Exactness: the LLR over Bernoulli trials is k·ln(p1/p0) +
+    (n−k)·ln((1−p1)/(1−p0)); both log factors and both Wald boundaries
+    are DESIGN constants, precomputed to integer micro-nats and
+    embedded as literals, so the whole trajectory is exact integer
+    arithmetic — no libm at query time at all.
+
+    Scale: one global ordering (the same RangePartition sort any
+    sequential audit needs) and a running integer sum; checkpoint rows
+    are |N|/500. In production the same integer LLR update runs inside
+    a stateful streaming operator keyed by experiment id."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").cast("int").alias("hit"),
+        "ts",
+        "event_id",
+    )
+    w = Window.orderBy("ts", "event_id")
+    cum = e.select(
+        F.row_number().over(w).alias("n_seen"),
+        F.sum("hit").over(w).cast("long").alias("k"),
+    ).filter(F.col("n_seen") % _SPRT_STEP == 0)
+    llr = F.col("k") * F.lit(_SPRT_L1) + (F.col("n_seen") - F.col("k")) * F.lit(
+        _SPRT_L0
+    )
+    return cum.select(
+        F.col("n_seen").cast("long").alias("n_seen"),
+        "k",
+        llr.cast("long").alias("llr_mnats"),
+        F.when(llr >= _SPRT_A, F.lit("accept_h1"))
+        .when(llr <= _SPRT_B, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_hoeffding_adequacy
+# ---------------------------------------------------------------------
+
+_HOEFF_LN = 5_298_317  # ln(2/delta)*1e6 at delta = 0.01, precomputed
+_HOEFF_TARGET = 0.02  # want the mean pinned within +-2pp
+_HOEFF_MINLEN = 200  # "long document" proxy threshold
+
+
+@query(
+    "q_hoeffding_adequacy",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars >= {_HOEFF_MINLEN} AS INTEGER)) AS BIGINT)
+             AS n_long,
+           CAST(SUM(CAST(n_chars >= {_HOEFF_MINLEN} AS INTEGER)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS p_hat,
+           sqrt({_HOEFF_LN} / 1e6 / (2.0 * CAST(COUNT(*) AS DOUBLE)))
+             AS epsilon,
+           sqrt({_HOEFF_LN} / 1e6 / (2.0 * CAST(COUNT(*) AS DOUBLE)))
+             <= {_HOEFF_TARGET} AS adequate
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("testing", "hoeffding", "adequacy", "llm-pipeline"),
+)
+def q_hoeffding_adequacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free sample-adequacy audit per language: with
+    probability 1−δ the observed long-document share is within
+    ε = sqrt(ln(2/δ) / 2n) of truth (Hoeffding) — so "is each language
+    slice big enough to trust its quality metrics to ±2pp at δ=0.01?"
+    The question every per-language curation threshold silently
+    assumes; under-sampled languages get flagged instead of filtered
+    on noise.
+
+    Exactness: counts exact; ln(2/δ) is a precomputed integer literal;
+    ε is a single sqrt over exactly-equal operands. One hash aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") >= _HOEFF_MINLEN).cast("int")).alias("n_long"),
+    )
+    eps = F.sqrt(
+        F.lit(_HOEFF_LN) / F.lit(1e6) / (F.lit(2.0) * F.col("n_docs").cast("double"))
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("n_long").cast("long").alias("n_long"),
+        (F.col("n_long").cast("double") / F.col("n_docs").cast("double")).alias(
+            "p_hat"
+        ),
+        eps.alias("epsilon"),
+        (eps <= F.lit(_HOEFF_TARGET)).alias("adequate"),
+    )

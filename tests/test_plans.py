@@ -322,6 +322,18 @@ _NLJ_ALLOWED = {
                             # + constant 4-row probe grid (q_cosine_topk
                             # exactness-baseline pattern)
     "q_lsh_parameter_curve",  # broadcast 1-row pooled-pairs stitch
+    # round-6 additions — all the reviewed 1-row/constant-grid classes:
+    "q_anova_oneway",       # broadcast 1-row grand-moments (N, SY, k) stitch
+    "q_permutation_test",   # broadcast 1-row observed-moments stitch (x2:
+                            # rate for the resample fan-out, extremes count)
+    "q_knn_shapley",        # broadcast 30-row test panel x train corpus
+                            # (q_cosine_topk exactness-baseline pattern)
+    "q_target_encoding_loo",  # broadcast 1-row global-prior (N, S) stitch
+    "q_woe_iv",             # broadcast 1-row goods/bads totals stitch
+    "q_rank_biased_overlap",  # constant 10-row depth spine x <=20-row
+                            # top-10 prefix overlap (both broadcast-sized)
+    "q_kneser_ney_bigram",  # broadcast 1-row bigram-type-count (T) stitch
+    "q_spacesaving_merge",  # candidate tokens x constant 8-shard cap grid
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
