@@ -219,19 +219,20 @@ def _perm_u(concat: str) -> str:
       FROM perms
     )
     SELECT o.nt AS n_treat, o.nc AS n_control,
-           CAST(o.st AS DOUBLE) / CAST(o.nt AS DOUBLE)
-             - CAST(o.sc AS DOUBLE) / CAST(o.nc AS DOUBLE) AS obs_diff,
+           CAST(o.st AS DOUBLE) / CAST(greatest(o.nt, 1) AS DOUBLE)
+             - CAST(o.sc AS DOUBLE) / CAST(greatest(o.nc, 1) AS DOUBLE)
+             AS obs_diff,
            CAST((SELECT COUNT(*) FROM stats s, obs o2
                  WHERE s.absdiff >= abs(CAST(o2.st AS DOUBLE)
-                                          / CAST(o2.nt AS DOUBLE)
+                                          / CAST(greatest(o2.nt, 1) AS DOUBLE)
                                         - CAST(o2.sc AS DOUBLE)
-                                          / CAST(o2.nc AS DOUBLE)))
+                                          / CAST(greatest(o2.nc, 1) AS DOUBLE)))
                 AS BIGINT) AS n_as_extreme,
            (CAST((SELECT COUNT(*) FROM stats s, obs o2
                   WHERE s.absdiff >= abs(CAST(o2.st AS DOUBLE)
-                                           / CAST(o2.nt AS DOUBLE)
+                                           / CAST(greatest(o2.nt, 1) AS DOUBLE)
                                          - CAST(o2.sc AS DOUBLE)
-                                           / CAST(o2.nc AS DOUBLE)))
+                                           / CAST(greatest(o2.nc, 1) AS DOUBLE)))
                  AS DOUBLE) + 1.0) / {float(_PERM_P + 1)!r} AS p_value
     FROM obs o
     """,
@@ -284,9 +285,14 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pst").cast("double") / F.greatest(F.col("pnt"), F.lit(1)).cast("double")
         - F.col("psc").cast("double") / F.greatest(F.col("pnc"), F.lit(1)).cast("double")
     )
-    obs_diff = F.col("st").cast("double") / F.col("nt").cast(
-        "double"
-    ) - F.col("sc").cast("double") / F.col("nc").cast("double")
+    # greatest(.,1) guards: a corpus with zero treated (or control)
+    # docs must yield a DEFINED diff on both engines, not an engine-
+    # divergent 0-division (Spark non-ANSI NULL vs DuckDB inf)
+    obs_diff = F.col("st").cast("double") / F.greatest(
+        F.col("nt"), F.lit(1)
+    ).cast("double") - F.col("sc").cast("double") / F.greatest(
+        F.col("nc"), F.lit(1)
+    ).cast("double")
     scored = perms.crossJoin(F.broadcast(obs)).select(
         "nt", "nc", "st", "sc", (absdiff >= F.abs(obs_diff)).cast("int").alias("ex")
     )
@@ -337,14 +343,17 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq
     )
     SELECT n AS n_days, n_up, n_down, runs AS n_runs,
-           (CAST(runs AS DOUBLE)
-            - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
-               / CAST(n AS DOUBLE) + 1.0))
-           / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
-                  * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
-                     - CAST(n AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                     * CAST(n - 1 AS DOUBLE))) AS z_stat
+           CASE WHEN n_up > 0 AND n_down > 0 AND n > 1
+                 AND 2 * n_up * n_down > n THEN
+             (CAST(runs AS DOUBLE)
+              - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                 / CAST(n AS DOUBLE) + 1.0))
+             / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                    * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                       - CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE)))
+           END AS z_stat
     FROM m
     """,
     tags=("testing", "runs-test", "time-series", "statistics"),
@@ -406,12 +415,21 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(2.0) * ud * dd - nd)
         / (nd * nd * (nd - F.lit(1.0)))
     )
+    # degenerate-series guard: a monotone (or too-short) sign sequence
+    # has Var(R) = 0 — emit a defined NULL on both engines instead of
+    # an engine-divergent 0-division
+    defined = (
+        (F.col("n_up") > 0)
+        & (F.col("n_down") > 0)
+        & (F.col("n") > 1)
+        & (2 * F.col("n_up") * F.col("n_down") > F.col("n"))
+    )
     return m.select(
         F.col("n").alias("n_days"),
         "n_up",
         "n_down",
         F.col("runs").cast("long").alias("n_runs"),
-        ((rd - mu) / F.sqrt(var)).alias("z_stat"),
+        F.when(defined, (rd - mu) / F.sqrt(var)).alias("z_stat"),
     )
 
 

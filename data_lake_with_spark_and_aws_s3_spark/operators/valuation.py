@@ -321,14 +321,17 @@ _CL_MINHITS = 2  # confidence threshold: abstain below this
     )
     SELECT given_lang, pred_lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN pred_lang <> given_lang
-                          AND pred_lang <> 'abstain'
-                         THEN COUNT(*) ELSE 0 END)
-                OVER (PARTITION BY given_lang) AS DOUBLE)
-             / CAST(SUM(CASE WHEN pred_lang <> 'abstain'
-                             THEN COUNT(*) ELSE 0 END)
-                    OVER (PARTITION BY given_lang) AS DOUBLE)
-             AS noise_rate
+           CASE WHEN SUM(CASE WHEN pred_lang <> 'abstain'
+                              THEN COUNT(*) ELSE 0 END)
+                     OVER (PARTITION BY given_lang) > 0 THEN
+             CAST(SUM(CASE WHEN pred_lang <> given_lang
+                            AND pred_lang <> 'abstain'
+                           THEN COUNT(*) ELSE 0 END)
+                  OVER (PARTITION BY given_lang) AS DOUBLE)
+               / CAST(SUM(CASE WHEN pred_lang <> 'abstain'
+                               THEN COUNT(*) ELSE 0 END)
+                      OVER (PARTITION BY given_lang) AS DOUBLE)
+           END AS noise_rate
     FROM pred GROUP BY given_lang, pred_lang
     """,
     tags=("valuation", "label-noise", "confident-learning", "llm-pipeline"),
@@ -399,11 +402,15 @@ def q_confident_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     confident = F.sum(
         F.when(F.col("pred_lang") != "abstain", F.col("n_docs")).otherwise(0)
     ).over(wg)
+    # all-abstain guard: a language whose every doc abstains must emit
+    # a defined NULL rate on both engines, not a divergent 0/0
     return mat.select(
         "given_lang",
         "pred_lang",
         "n_docs",
-        (wrong.cast("double") / confident.cast("double")).alias("noise_rate"),
+        F.when(
+            confident > 0, wrong.cast("double") / confident.cast("double")
+        ).alias("noise_rate"),
     )
 
 
@@ -430,14 +437,18 @@ def q_confident_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     woe AS (
       SELECT b.bin, b.goods, b.bads,
-             CAST(ROUND(ln(CAST(b.goods * tot.bb AS DOUBLE)
-                           / CAST(b.bads * tot.gg AS DOUBLE)) * 1000000)
-                  AS BIGINT) AS woe_mnats,
-             CAST(ROUND((CAST(b.goods AS DOUBLE) / CAST(tot.gg AS DOUBLE)
-                         - CAST(b.bads AS DOUBLE) / CAST(tot.bb AS DOUBLE))
-                        * ROUND(ln(CAST(b.goods * tot.bb AS DOUBLE)
-                                   / CAST(b.bads * tot.gg AS DOUBLE))
-                                * 1000000)) AS BIGINT) AS iv_micro
+             CASE WHEN b.goods > 0 AND b.bads > 0 THEN
+               CAST(ROUND(ln(CAST(b.goods * tot.bb AS DOUBLE)
+                             / CAST(b.bads * tot.gg AS DOUBLE)) * 1000000)
+                    AS BIGINT)
+             END AS woe_mnats,
+             CASE WHEN b.goods > 0 AND b.bads > 0 THEN
+               CAST(ROUND((CAST(b.goods AS DOUBLE) / CAST(tot.gg AS DOUBLE)
+                           - CAST(b.bads AS DOUBLE) / CAST(tot.bb AS DOUBLE))
+                          * ROUND(ln(CAST(b.goods * tot.bb AS DOUBLE)
+                                     / CAST(b.bads * tot.gg AS DOUBLE))
+                                  * 1000000)) AS BIGINT)
+             END AS iv_micro
       FROM b, tot
     )
     SELECT bin, goods, bads, woe_mnats, iv_micro,
@@ -459,8 +470,9 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND-quantized per bin from identically-derived doubles, and the
     total IV is an exact integer window sum. Bins with zero goods or
     bads would need the usual ±0.5 adjustment; the priority × status
-    grid is dense at every SF, and the expression would return NULL
-    (not a wrong number) if that ever changed.
+    grid is dense at every SF, and an explicit CASE guard on BOTH
+    sides pins the latent empty-cell path to NULL (unguarded it would
+    diverge: Spark ln(0) is NULL, DuckDB ln(0) is -inf).
 
     Scale: one hash aggregate to |bins| rows; everything after is
     constant-size."""
@@ -471,20 +483,31 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = b.agg(F.sum("goods").alias("gg"), F.sum("bads").alias("bb"))
     j = b.crossJoin(F.broadcast(tot))
-    woe_mnats = F.round(
-        F.log(
-            (F.col("goods") * F.col("bb")).cast("double")
-            / (F.col("bads") * F.col("gg")).cast("double")
-        )
-        * 1_000_000
-    ).cast("long")
-    iv_micro = F.round(
-        (
-            F.col("goods").cast("double") / F.col("gg").cast("double")
-            - F.col("bads").cast("double") / F.col("bb").cast("double")
-        )
-        * woe_mnats.cast("double")
-    ).cast("long")
+    # empty-cell guard: a bin with zero goods or zero bads gets a
+    # defined NULL WOE on both engines (Spark ln(0) -> NULL but DuckDB
+    # ln(0) -> -inf — the CASE keeps the latent path engine-agreed);
+    # the usual +-0.5 adjustment is the caller's modeling choice
+    nonempty = (F.col("goods") > 0) & (F.col("bads") > 0)
+    woe_mnats = F.when(
+        nonempty,
+        F.round(
+            F.log(
+                (F.col("goods") * F.col("bb")).cast("double")
+                / (F.col("bads") * F.col("gg")).cast("double")
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    iv_micro = F.when(
+        nonempty,
+        F.round(
+            (
+                F.col("goods").cast("double") / F.col("gg").cast("double")
+                - F.col("bads").cast("double") / F.col("bb").cast("double")
+            )
+            * woe_mnats.cast("double")
+        ).cast("long"),
+    )
     woe = j.select(
         "bin",
         F.col("goods").cast("long").alias("goods"),
