@@ -519,3 +519,235 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iv_total_micro",
         F.sum("iv_micro").over(Window.partitionBy()).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_bradley_terry (round 6)
+# ---------------------------------------------------------------------
+
+_BT_ITEMS = 12  # rating pool: top parts by comparison volume
+_BT_ITERS = 3  # fixed MM iterations (Hunter 2004), statically unrolled
+_BT_R0 = 1_000_000  # initial rating, micro-units
+
+
+def _bt_iter_sql(prev: str, out: str) -> str:
+    """One integer-quantized MM update as a pair of CTE blocks:
+    t_ij = ROUND(1e12 * n_ij / (r_i + r_j)) summed exactly per i,
+    r_raw_i = ROUND(1e12 * (2*W_i + 1) / (2*D_i)) (half-win prior),
+    then renormalized so ratings sum to K * 1e6."""
+    return f"""
+    d_{out} AS (
+      SELECT dp.i,
+             CAST(SUM(CAST(ROUND(1e12 * CAST(dp.n AS DOUBLE)
+                                 / CAST(ri.r + rj.r AS DOUBLE))
+                           AS BIGINT)) AS BIGINT) AS dsum
+      FROM dpairs dp
+      JOIN {prev} ri ON ri.part = dp.i
+      JOIN {prev} rj ON rj.part = dp.j
+      GROUP BY dp.i
+    ),
+    raw_{out} AS (
+      SELECT w.part,
+             CAST(ROUND(1e12 * (2.0 * CAST(w.wins AS DOUBLE) + 1.0)
+                        / (2.0 * CAST(d.dsum AS DOUBLE))) AS BIGINT) AS rr
+      FROM wins w JOIN d_{out} d ON d.i = w.part
+    ),
+    {out} AS (
+      SELECT part,
+             CAST(ROUND(CAST({_BT_ITEMS} AS DOUBLE) * 1e6 * CAST(rr AS DOUBLE)
+                        / CAST((SELECT SUM(rr) FROM raw_{out}) AS DOUBLE))
+                  AS BIGINT) AS r
+      FROM raw_{out}
+    )"""
+
+
+_BT_ORACLE_HEAD = f"""
+    WITH cmp AS (
+      SELECT a.l_partkey AS pw, b.l_partkey AS pl
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+       AND a.l_quantity > b.l_quantity
+    ),
+    vol AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_cmp FROM (
+        SELECT pw AS part FROM cmp UNION ALL SELECT pl AS part FROM cmp
+      ) GROUP BY part
+    ),
+    items AS (
+      SELECT part FROM vol
+      QUALIFY ROW_NUMBER() OVER (ORDER BY n_cmp DESC, part) <= {_BT_ITEMS}
+    ),
+    kept AS (
+      SELECT pw, pl FROM cmp
+      WHERE pw IN (SELECT part FROM items)
+        AND pl IN (SELECT part FROM items)
+    ),
+    upairs AS (
+      SELECT LEAST(pw, pl) AS a, GREATEST(pw, pl) AS b,
+             CAST(SUM(CASE WHEN pw < pl THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM kept GROUP BY 1, 2
+    ),
+    dpairs AS (
+      SELECT a AS i, b AS j, n FROM upairs
+      UNION ALL
+      SELECT b AS i, a AS j, n FROM upairs
+    ),
+    wins AS (
+      SELECT i.part,
+             CAST(COALESCE(SUM(k.won), 0) AS BIGINT) AS wins,
+             CAST(COALESCE(SUM(k.cnt), 0) AS BIGINT) AS n_comparisons
+      FROM items i LEFT JOIN (
+        SELECT pw AS part, 1 AS won, 1 AS cnt FROM kept
+        UNION ALL
+        SELECT pl AS part, 0 AS won, 1 AS cnt FROM kept
+      ) k ON k.part = i.part
+      GROUP BY i.part
+    ),
+    r0 AS (SELECT part, CAST({_BT_R0} AS BIGINT) AS r FROM items),"""
+
+
+@query(
+    "q_bradley_terry",
+    oracle=_BT_ORACLE_HEAD
+    + ",".join(
+        _bt_iter_sql(f"r{k}", f"r{k + 1}") for k in range(_BT_ITERS)
+    )
+    + f"""
+    SELECT w.part, w.wins, w.n_comparisons,
+           r.r AS rating_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.r DESC, w.part) AS BIGINT)
+             AS rank
+    FROM wins w JOIN r{_BT_ITERS} r ON r.part = w.part
+    """,
+    tags=("valuation", "bradley-terry", "preference-model", "llm-pipeline"),
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference ratings via Hunter's MM algorithm — the
+    model behind RLHF reward-model preference data and chat-arena
+    leaderboards, run on derived pairwise preferences (within an order,
+    the part with the larger quantity "wins"). Top-12 parts by
+    comparison volume are rated with 3 statically-unrolled MM updates
+    r_i <- (W_i + 1/2) / Σ_j n_ij/(r_i + r_j), half-a-win regularized
+    (so an all-losses item keeps a positive rating), renormalized each
+    step so ratings sum to K·1e6.
+
+    Exactness: every MM update is division of exact operands quantized
+    back to integer micro-units BEFORE any cross-row sum — ratings stay
+    exact integers between iterations, so both engines run the
+    identical integer dynamical system (the float fixpoint would
+    diverge engine-to-engine in summation order). Fixed iteration
+    count, not convergence-tested: determinism over MLE polish.
+
+    Scale: the comparison derivation is the co-purchase self-join
+    (order-size-bounded, linear in lineitem); everything after operates
+    on a K-item pool — constant-size rating table per iteration, the
+    same driver-loop shape as PageRank/Lloyd with broadcastable state.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pw"),
+        F.col("l_quantity").alias("qw"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pl"),
+        F.col("l_quantity").alias("ql"),
+    )
+    cmp_ = (
+        a.join(b, "ok")
+        .filter((F.col("pw") != F.col("pl")) & (F.col("qw") > F.col("ql")))
+        .select("pw", "pl")
+    )
+    vol = (
+        cmp_.select(F.col("pw").alias("part"))
+        .unionAll(cmp_.select(F.col("pl").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_cmp"))
+    )
+    w_items = Window.orderBy(F.desc("n_cmp"), F.asc("part"))
+    items = (
+        vol.withColumn("rn", F.row_number().over(w_items))
+        .filter(F.col("rn") <= _BT_ITEMS)
+        .select("part")
+    )
+    kept = cmp_.join(
+        F.broadcast(items.select(F.col("part").alias("pw"))), "pw", "left_semi"
+    ).join(
+        F.broadcast(items.select(F.col("part").alias("pl"))), "pl", "left_semi"
+    )
+    upairs = kept.groupBy(
+        F.least("pw", "pl").alias("a"), F.greatest("pw", "pl").alias("b")
+    ).agg(
+        F.sum(F.when(F.col("pw") < F.col("pl"), 1).otherwise(0)).alias("wa"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dpairs = upairs.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n"
+    ).unionAll(upairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "n"))
+    outcomes = kept.select(
+        F.col("pw").alias("part"), F.lit(1).alias("won")
+    ).unionAll(kept.select(F.col("pl").alias("part"), F.lit(0).alias("won")))
+    wins = (
+        items.join(outcomes, "part", "left")
+        .groupBy("part")
+        .agg(
+            F.coalesce(F.sum("won"), F.lit(0)).alias("wins"),
+            F.count(F.col("won")).alias("n_comparisons"),
+        )
+    )
+    # the K-item rating state and pair matrix are tiny — materialize
+    # once, iterate as broadcast joins (the PageRank driver-loop shape)
+    dpairs = dpairs.localCheckpoint(eager=True)
+    wins = wins.localCheckpoint(eager=True)
+    r = items.select("part", F.lit(_BT_R0).cast("long").alias("r"))
+    for _ in range(_BT_ITERS):
+        ri = r.select(F.col("part").alias("i"), F.col("r").alias("r_i"))
+        rj = r.select(F.col("part").alias("j"), F.col("r").alias("r_j"))
+        d = (
+            dpairs.join(F.broadcast(ri), "i")
+            .join(F.broadcast(rj), "j")
+            .select(
+                "i",
+                F.round(
+                    F.lit(1e12)
+                    * F.col("n").cast("double")
+                    / (F.col("r_i") + F.col("r_j")).cast("double")
+                ).cast("long").alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("dsum"))
+        )
+        raw = wins.join(d, wins["part"] == d["i"]).select(
+            "part",
+            F.round(
+                F.lit(1e12)
+                * (2.0 * F.col("wins").cast("double") + 1.0)
+                / (2.0 * F.col("dsum").cast("double"))
+            ).cast("long").alias("rr"),
+        )
+        s = raw.agg(F.sum("rr").alias("s"))
+        r = raw.crossJoin(F.broadcast(s)).select(
+            "part",
+            F.round(
+                F.lit(float(_BT_ITEMS))
+                * 1e6
+                * F.col("rr").cast("double")
+                / F.col("s").cast("double")
+            ).cast("long").alias("r"),
+        )
+    w_rank = Window.orderBy(F.desc("r"), F.asc("part"))
+    return (
+        wins.join(r, "part")
+        .select(
+            "part",
+            F.col("wins").cast("long").alias("wins"),
+            F.col("n_comparisons").cast("long").alias("n_comparisons"),
+            F.col("r").alias("rating_micro"),
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+    )
