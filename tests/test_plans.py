@@ -334,6 +334,8 @@ _NLJ_ALLOWED = {
                             # top-10 prefix overlap (both broadcast-sized)
     "q_kneser_ney_bigram",  # broadcast 1-row bigram-type-count (T) stitch
     "q_spacesaving_merge",  # candidate tokens x constant 8-shard cap grid
+    "q_bradley_terry",      # broadcast 1-row rating-sum normalizer stitch
+                            # per MM iteration (constant 12-item state)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
