@@ -247,3 +247,153 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " <= qhat_cents THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_nn_matching_att (round 6)
+# ---------------------------------------------------------------------
+
+_NN_CALIPER_DAYS = 7  # widest admissible date distance for a match
+
+
+@query(
+    "q_nn_matching_att",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS stratum,
+             CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS treated,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    t AS (SELECT * FROM base WHERE treated = 1),
+    c AS (SELECT * FROM base WHERE treated = 0),
+    cand AS (
+      SELECT t.o_orderkey AS t_key, t.stratum, t.cents AS t_cents,
+             c.cents AS c_cents,
+             abs(datediff('day', c.d, t.d)) AS dist,
+             c.d AS c_d, c.o_orderkey AS c_key
+      FROM t JOIN c
+        ON c.stratum = t.stratum
+       AND abs(datediff('day', c.d, t.d)) <= {_NN_CALIPER_DAYS}
+    ),
+    matched AS (
+      SELECT t_key, stratum, t_cents, c_cents
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY t_key
+                 ORDER BY dist, c_d, c_key) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(t_cents - c_cents) AS BIGINT) AS diff_cents
+      FROM matched GROUP BY stratum
+    ),
+    tn AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_treated
+      FROM t GROUP BY stratum
+    )
+    SELECT tn.stratum, tn.n_treated, agg.n_matched,
+           CAST(tn.n_treated - agg.n_matched AS BIGINT) AS n_unmatched,
+           CAST(agg.diff_cents AS DOUBLE)
+             / CAST(agg.n_matched AS DOUBLE) AS att_cents
+    FROM tn JOIN agg ON agg.stratum = tn.stratum
+    """,
+    tags=("estimation", "matching", "causal", "att"),
+)
+def q_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching ATT estimator — the causal-inference
+    companion to q_ipw_ate: each treated order (1-URGENT priority)
+    matches the nearest control order in calendar time within the same
+    status stratum and a ±7-day caliper (with replacement, 1-NN), and
+    the effect is the mean matched outcome difference per stratum.
+    Matching is what an IPW skeptic runs to check weighting bias; both
+    estimators sharing one surface is the point.
+
+    Determinism: distance is integer days; ties break on (distance,
+    control date, control key) — a total order. The ATT is one division
+    of exact cent sums.
+
+    Scale: the candidate stage is a band join (stratum equi-key +
+    bounded date distance) — the same bucket-prejoin currency as
+    q_range_join_events, with per-treated candidates bounded by the
+    caliper window's order density, never |T|x|C|; the 1-NN pick is a
+    per-treated-key window over those bounded candidates."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("stratum"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("treated"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = base.filter(F.col("treated") == 1).select(
+        F.col("o_orderkey").alias("t_key"),
+        "stratum",
+        F.col("d").alias("t_d"),
+        F.col("cents").alias("t_cents"),
+    )
+    c = base.filter(F.col("treated") == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        "stratum",
+        F.col("d").alias("c_d"),
+        F.col("cents").alias("c_cents"),
+    )
+    # bucket prejoin (the q_range_join_events recipe): day buckets of
+    # caliper+1 width; a treated order probes its own and both adjacent
+    # buckets, so the equi-join carries (stratum, bucket) keys and the
+    # residual distance filter sees only ~3-bucket-local candidates —
+    # never the |T| x |C| per-stratum cross product a bare stratum join
+    # would materialize.
+    bwidth = _NN_CALIPER_DAYS + 1
+    t_b = t.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    (F.datediff("t_d", F.lit("1970-01-01")) / bwidth).cast("long")
+                    + off
+                    for off in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    c_b = c.withColumn(
+        "bucket", (F.datediff("c_d", F.lit("1970-01-01")) / bwidth).cast("long")
+    )
+    dist = F.abs(F.datediff("t_d", "c_d"))
+    cand = (
+        t_b.join(c_b, ["stratum", "bucket"])
+        .filter(dist <= _NN_CALIPER_DAYS)
+        .select(
+            "t_key",
+            "stratum",
+            "t_cents",
+            "c_cents",
+            dist.alias("dist"),
+            "c_d",
+            "c_key",
+        )
+    )
+    w_nn = Window.partitionBy("t_key").orderBy("dist", "c_d", "c_key")
+    matched = (
+        cand.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") == 1)
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.col("t_cents") - F.col("c_cents")).alias("diff_cents"),
+        )
+    )
+    tn = t.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_treated"))
+    return tn.join(matched, "stratum").select(
+        "stratum",
+        "n_treated",
+        F.col("n_matched").cast("long").alias("n_matched"),
+        (F.col("n_treated") - F.col("n_matched")).cast("long").alias("n_unmatched"),
+        (
+            F.col("diff_cents").cast("double") / F.col("n_matched").cast("double")
+        ).alias("att_cents"),
+    )

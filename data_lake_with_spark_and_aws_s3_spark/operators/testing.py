@@ -574,3 +574,123 @@ def q_hoeffding_adequacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         eps.alias("epsilon"),
         (eps <= F.lit(_HOEFF_TARGET)).alias("adequate"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_friedman_test (round 6)
+# ---------------------------------------------------------------------
+
+_FRIEDMAN_K = 5  # treatments = the five order priorities
+_FRIEDMAN_CRIT = 9.487729036781154  # chi2_{0.95, df=4}, precomputed
+
+
+@query(
+    "q_friedman_test",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS trt,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT d FROM cell GROUP BY d HAVING COUNT(*) = {_FRIEDMAN_K}
+    ),
+    ranked AS (
+      SELECT c.d, c.trt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.d
+                                     ORDER BY c.cents, c.trt) AS BIGINT)
+               AS rk
+      FROM cell c JOIN complete USING (d)
+    ),
+    rsum AS (
+      SELECT trt,
+             CAST(SUM(rk) AS BIGINT) AS rank_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY trt
+    ),
+    q AS (
+      SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS sr2,
+             CAST(MAX(n_blocks) AS BIGINT) AS n
+      FROM rsum
+    )
+    SELECT r.trt, r.rank_sum, r.n_blocks,
+           CAST(12 * q.sr2
+                - 3 * q.n * q.n * {_FRIEDMAN_K}
+                    * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1) AS DOUBLE)
+             / CAST(q.n * {_FRIEDMAN_K} * ({_FRIEDMAN_K} + 1) AS DOUBLE)
+             AS q_stat,
+           CAST(12 * q.sr2
+                - 3 * q.n * q.n * {_FRIEDMAN_K}
+                    * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1) AS DOUBLE)
+             / CAST(q.n * {_FRIEDMAN_K} * ({_FRIEDMAN_K} + 1) AS DOUBLE)
+             > {_FRIEDMAN_CRIT!r} AS significant
+    FROM rsum r, q
+    """,
+    tags=("testing", "friedman", "rank-test", "statistics"),
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the five order priorities with days as
+    blocks: within each complete day (all five priorities present) the
+    priorities are ranked by daily revenue, and Q = 12/(nk(k+1))·ΣR_j²
+    − 3n(k+1) asks whether any priority SYSTEMATICALLY out-earns the
+    others across days — the non-parametric repeated-measures ANOVA
+    that pairs with q_anova_oneway (raw values) and q_mann_kendall
+    (single-series trend).
+
+    Determinism: daily cells are exact cent sums; ranks are row_number
+    with a priority-name tie-break (exact-cents ties between two
+    priorities on one day are possible in principle — the mid-rank
+    correction is deliberately omitted and this estimator documented,
+    keeping every rank an exact integer). Q is one division of exact
+    integer products; the critical value chi2_{{0.95,4}} is a
+    precomputed literal.
+
+    Scale: one (day, priority) aggregate, a per-day rank window over
+    5-row partitions, and a k-row rollup — windows never see more than
+    k rows per partition."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    complete = (
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == _FRIEDMAN_K)
+        .select("d")
+    )
+    ranked = cell.join(complete, "d").select(
+        "d",
+        "trt",
+        F.row_number()
+        .over(Window.partitionBy("d").orderBy("cents", "trt"))
+        .cast("long")
+        .alias("rk"),
+    )
+    rsum = ranked.groupBy("trt").agg(
+        F.sum("rk").alias("rank_sum"), F.count(F.lit(1)).alias("n_blocks")
+    )
+    q = rsum.agg(
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).alias("sr2"),
+        F.max("n_blocks").alias("n"),
+    )
+    k = _FRIEDMAN_K
+    j = rsum.crossJoin(F.broadcast(q))
+    q_stat = (
+        12 * F.col("sr2") - 3 * F.col("n") * F.col("n") * k * (k + 1) * (k + 1)
+    ).cast("double") / (F.col("n") * k * (k + 1)).cast("double")
+    return j.select(
+        "trt",
+        "rank_sum",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        q_stat.alias("q_stat"),
+        (q_stat > F.lit(_FRIEDMAN_CRIT)).alias("significant"),
+    )

@@ -336,6 +336,7 @@ _NLJ_ALLOWED = {
     "q_spacesaving_merge",  # candidate tokens x constant 8-shard cap grid
     "q_bradley_terry",      # broadcast 1-row rating-sum normalizer stitch
                             # per MM iteration (constant 12-item state)
+    "q_friedman_test",      # broadcast 1-row (sum R^2, n-blocks) stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
