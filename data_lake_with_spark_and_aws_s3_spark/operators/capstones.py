@@ -436,3 +436,137 @@ def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_ab_test_report (round 6)
+# ---------------------------------------------------------------------
+
+
+def _ab_report_oracle() -> str:
+    from ..registry import REGISTRY
+
+    srm = REGISTRY["q_srm_check"].oracle
+    welch = REGISTRY["q_welch_ttest"].oracle
+    cuped = REGISTRY["q_cuped_adjustment"].oracle
+    power = REGISTRY["q_power_mde"].oracle
+    sprt = REGISTRY["q_sprt_boundary"].oracle
+    return f"""
+    WITH srm AS ({srm}),
+    welch AS ({welch}),
+    cuped AS ({cuped}),
+    power AS ({power}),
+    sprt AS ({sprt})
+    SELECT 'srm_flagged_segments' AS metric,
+           CAST(SUM(CASE WHEN srm_flag THEN 1 ELSE 0 END) AS BIGINT)
+             AS value
+    FROM srm
+    UNION ALL SELECT 'srm_max_chi2_micro',
+           CAST(MAX(chi2_micro) AS BIGINT) FROM srm
+    UNION ALL SELECT 'welch_mean_diff_cents',
+           CAST(ROUND(MAX(mean_diff_cents)) AS BIGINT) FROM welch
+    UNION ALL SELECT 'welch_t2_micro',
+           CAST(MAX(t2_micro) AS BIGINT) FROM welch
+    UNION ALL SELECT 'cuped_max_var_reduction_ppm',
+           CAST(MAX(var_reduction_ppm) AS BIGINT) FROM cuped
+    UNION ALL SELECT 'cuped_min_var_reduction_ppm',
+           CAST(MIN(var_reduction_ppm) AS BIGINT) FROM cuped
+    UNION ALL SELECT 'power_max_mde_millicents',
+           CAST(MAX(mde_millicents) AS BIGINT) FROM power
+    UNION ALL SELECT 'power_min_rel_mde_ppm',
+           CAST(MIN(rel_mde_ppm) AS BIGINT) FROM power
+    UNION ALL SELECT 'sprt_final_llr_mnats',
+           CAST(MAX(CASE WHEN n_seen = (SELECT MAX(n_seen) FROM sprt)
+                         THEN llr_mnats END) AS BIGINT) FROM sprt
+    UNION ALL SELECT 'sprt_decided_checkpoints',
+           CAST(SUM(CASE WHEN decision <> 'continue' THEN 1 ELSE 0 END)
+                AS BIGINT) FROM sprt
+    """
+
+
+@query(
+    "q_ab_test_report",
+    oracle=_ab_report_oracle(),
+    tags=("capstone", "ab-testing", "statistics", "composition"),
+)
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B EXPERIMENT report — the statistics family's capstone,
+    stacking the full experiment lifecycle from five registered
+    queries into hash-stable long (metric, value) form: assignment
+    health (q_srm_check — sample-ratio-mismatch flags), the primary
+    read-out (q_welch_ttest — mean difference and t²), variance
+    reduction available from pre-period covariates
+    (q_cuped_adjustment), sensitivity (q_power_mde — minimum
+    detectable effect per segment), and the sequential monitor's final
+    state (q_sprt_boundary — terminal LLR and how many checkpoints had
+    already crossed a boundary). One surface a decision meeting reads
+    top to bottom; component semantics stay synchronized by
+    construction because the oracle nests the component oracles —
+    change any component and this capstone's parity breaks loudly.
+
+    Scale: the cost is the components' cost (each documented in
+    SCALE.md); the report layer adds only scalar reductions over their
+    group-count-sized outputs."""
+    from ..registry import REGISTRY
+
+    srm = REGISTRY["q_srm_check"].fn(spark, sf_dir)
+    welch = REGISTRY["q_welch_ttest"].fn(spark, sf_dir)
+    cuped = REGISTRY["q_cuped_adjustment"].fn(spark, sf_dir)
+    power = REGISTRY["q_power_mde"].fn(spark, sf_dir)
+    sprt = REGISTRY["q_sprt_boundary"].fn(spark, sf_dir)
+
+    def row(metric, df_agg):
+        return df_agg.select(
+            F.lit(metric).alias("metric"),
+            F.col("v").cast("long").alias("value"),
+        )
+
+    last_n = sprt.agg(F.max("n_seen").alias("last_n"))
+    parts = [
+        row(
+            "srm_flagged_segments",
+            srm.agg(
+                F.sum(F.expr("CASE WHEN srm_flag THEN 1 ELSE 0 END")).alias("v")
+            ),
+        ),
+        row("srm_max_chi2_micro", srm.agg(F.max("chi2_micro").alias("v"))),
+        row(
+            "welch_mean_diff_cents",
+            welch.agg(F.round(F.max("mean_diff_cents")).alias("v")),
+        ),
+        row("welch_t2_micro", welch.agg(F.max("t2_micro").alias("v"))),
+        row(
+            "cuped_max_var_reduction_ppm",
+            cuped.agg(F.max("var_reduction_ppm").alias("v")),
+        ),
+        row(
+            "cuped_min_var_reduction_ppm",
+            cuped.agg(F.min("var_reduction_ppm").alias("v")),
+        ),
+        row(
+            "power_max_mde_millicents",
+            power.agg(F.max("mde_millicents").alias("v")),
+        ),
+        row(
+            "power_min_rel_mde_ppm",
+            power.agg(F.min("rel_mde_ppm").alias("v")),
+        ),
+        row(
+            "sprt_final_llr_mnats",
+            sprt.crossJoin(F.broadcast(last_n))
+            .filter(F.col("n_seen") == F.col("last_n"))
+            .agg(F.max("llr_mnats").alias("v")),
+        ),
+        row(
+            "sprt_decided_checkpoints",
+            sprt.agg(
+                F.sum(
+                    F.expr("CASE WHEN decision <> 'continue' THEN 1 ELSE 0 END")
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

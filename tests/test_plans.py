@@ -337,6 +337,8 @@ _NLJ_ALLOWED = {
     "q_bradley_terry",      # broadcast 1-row rating-sum normalizer stitch
                             # per MM iteration (constant 12-item state)
     "q_friedman_test",      # broadcast 1-row (sum R^2, n-blocks) stitch
+    "q_ab_test_report",     # broadcast 1-row last-checkpoint stitch
+                            # (+ inherits q_welch_ttest's moments stitch)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
