@@ -9,8 +9,12 @@ re-partitioning cannot reorder its way into different floats.
 
 Representatives cover the shapes that are most partition-sensitive:
 multi-stage aggregation (q1), join+topk (q3), window ranks, LSH-banded
-clustering (star CC rounds), stratified sampling, and the round-5
-Shapley lattice (window + bit_or aggregation over users).
+clustering (star CC rounds), stratified sampling, the round-5
+Shapley lattice (window + bit_or aggregation over users), and two
+round-6 shapes: the KNN-Shapley cumulative-window recursion (whose
+nano-unit quantization exists exactly so re-partitioning cannot
+reorder a float cumsum) and the Bradley-Terry integer MM iteration
+(driver-loop state re-derived under both partition counts).
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ REPRESENTATIVES = [
     "q_dedup_clusters",
     "q_stratified_sample",
     "q_shapley_attribution",
+    "q_knn_shapley",
+    "q_bradley_terry",
 ]
 
 
