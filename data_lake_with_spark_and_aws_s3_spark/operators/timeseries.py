@@ -1139,3 +1139,155 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             " seasonal long, fc7 long"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# q_dtw_distance (round 6)
+# ---------------------------------------------------------------------
+
+_DTW_INF = 1_000_000_000_000_000  # boundary big-M, far above any path sum
+_DTW_MONTHS = 24  # fixed 1995-01 .. 1996-12 spine
+_DTW_A, _DTW_B = "NATION_7", "NATION_8"
+
+
+@query(
+    "q_dtw_distance",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT n.n_name AS nation,
+             (extract(year FROM CAST(o.o_orderdate AS TIMESTAMP)) - 1995) * 12
+               + extract(month FROM CAST(o.o_orderdate AS TIMESTAMP)) - 1
+               AS mo,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_name IN ('{_DTW_A}', '{_DTW_B}')
+        AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    spine AS (SELECT CAST(g.mo AS BIGINT) AS mo
+              FROM range(0, {_DTW_MONTHS}) g(mo)),
+    series AS (
+      SELECT
+        (SELECT list(COALESCE(m.cents, 0) ORDER BY spine.mo)
+         FROM spine LEFT JOIN monthly m
+           ON m.mo = spine.mo AND m.nation = '{_DTW_A}') AS a,
+        (SELECT list(COALESCE(m.cents, 0) ORDER BY spine.mo)
+         FROM spine LEFT JOIN monthly m
+           ON m.mo = spine.mo AND m.nation = '{_DTW_B}') AS b
+    ),
+    dp(i, row) AS (
+      SELECT 0,
+             list_concat([CAST(0 AS BIGINT)],
+                         list_transform(range(1, {_DTW_MONTHS} + 1),
+                                        j -> CAST({_DTW_INF} AS BIGINT)))
+      FROM series
+      UNION ALL
+      SELECT dp.i + 1,
+             list_reduce(
+               list_prepend([CAST({_DTW_INF} AS BIGINT)],
+                            list_transform(range(1, {_DTW_MONTHS} + 1),
+                                           j -> [CAST(j AS BIGINT)])),
+               (acc, x) -> list_append(
+                 acc,
+                 abs(s.a[dp.i + 1] - s.b[x[1]])
+                 + least(dp.row[x[1] + 1], dp.row[x[1]], acc[x[1]])))
+      FROM dp, series s WHERE dp.i < {_DTW_MONTHS}
+    )
+    SELECT CAST({_DTW_MONTHS} AS BIGINT) AS n_months,
+           CAST(dp.row[{_DTW_MONTHS} + 1] AS BIGINT) AS dtw_cents,
+           CAST(dp.row[{_DTW_MONTHS} + 1] AS DOUBLE)
+             / CAST(2 * {_DTW_MONTHS} AS DOUBLE) AS dtw_per_step_cents
+    FROM dp WHERE dp.i = {_DTW_MONTHS}
+    """,
+    tags=("timeseries", "dtw", "alignment", "recurrence"),
+)
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between {a} and {b} monthly revenue curves
+    (fixed 24-month spine, zero-filled gaps): the elastic alignment
+    distance that matches two series whose shapes agree but whose
+    timing drifts — what a naive month-by-month L1 penalizes and a
+    curve comparison wants. Full O(n·m) DP, Manhattan cost in exact
+    cents, big-M boundary.
+
+    Engineering note — the DP runs as ONE Catalyst expression: an outer
+    `aggregate` over rows threads the previous DP row through an inner
+    `aggregate` that folds left-to-right within the row (the same
+    nested-HOF threading the oracle expresses with a recursive CTE +
+    a list_reduce whose accumulator is seeded by list_prepend, since
+    DuckDB 1.0's two-arg list_reduce initializes from the first
+    element). No Python boundary, no shuffle beyond the two tiny
+    series aggregates. HOFs are CodegenFallback (SCALE.md round-4
+    lesson) — acceptable here by design because the lambda runs
+    n·m = 576 times on ONE row, not per input row; this is the
+    documented pattern for small-state recurrences over AGGREGATED
+    series, the same class as q_holt_winters.
+
+    Exactness: both series are exact cent sums on a fixed month spine;
+    every DP cell is integer min/add — the whole table is exact on
+    both engines by construction.
+
+    Scale: the data-sized work is one (nation, month) aggregate; the
+    DP state is months², constant. For thousands of series pairs, the
+    same expression vectorizes per-row over a pair table (each row
+    carries its own a/b arrays — embarrassingly parallel, still no
+    shuffle).""".format(a=_DTW_A, b=_DTW_B)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .filter(
+            F.col("n_name").isin(_DTW_A, _DTW_B)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("mo"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    per_nation = monthly.groupBy("nation").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("mo", "cents")))
+        ).alias("m")
+    )
+    fill = lambda m: F.transform(
+        F.sequence(F.lit(0), F.lit(_DTW_MONTHS - 1)),
+        lambda i: F.coalesce(F.element_at(m, i.cast("long")), F.lit(0).cast("long")),
+    )
+    series = per_nation.agg(
+        F.max(F.when(F.col("nation") == _DTW_A, fill(F.col("m")))).alias("a"),
+        F.max(F.when(F.col("nation") == _DTW_B, fill(F.col("m")))).alias("b"),
+    )
+    dtw = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {_DTW_MONTHS}),
+          concat(array(0L),
+                 transform(sequence(1, {_DTW_MONTHS}), j -> {_DTW_INF}L)),
+          (prev, i) -> aggregate(
+            sequence(1, {_DTW_MONTHS}),
+            array({_DTW_INF}L),
+            (acc, j) -> concat(acc, array(
+              abs(element_at(a, i) - element_at(b, j))
+              + least(element_at(prev, j + 1),
+                      element_at(prev, j),
+                      element_at(acc, j))))),
+          dprow -> element_at(dprow, {_DTW_MONTHS} + 1))
+        """
+    )
+    return series.select(
+        F.lit(_DTW_MONTHS).cast("long").alias("n_months"),
+        dtw.cast("long").alias("dtw_cents"),
+        (dtw.cast("double") / F.lit(float(2 * _DTW_MONTHS))).alias(
+            "dtw_per_step_cents"
+        ),
+    )
