@@ -588,7 +588,9 @@ _FRIEDMAN_CRIT = 9.487729036781154  # chi2_{0.95, df=4}, precomputed
     "q_friedman_test",
     oracle=f"""
     WITH cell AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority AS trt,
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                  AS DATE) AS d,
+             o_orderpriority AS trt,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders GROUP BY 1, 2
@@ -630,29 +632,31 @@ _FRIEDMAN_CRIT = 9.487729036781154  # chi2_{0.95, df=4}, precomputed
     tags=("testing", "friedman", "rank-test", "statistics"),
 )
 def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Friedman rank test across the five order priorities with days as
-    blocks: within each complete day (all five priorities present) the
-    priorities are ranked by daily revenue, and Q = 12/(nk(k+1))·ΣR_j²
+    """Friedman rank test across the five order priorities with MONTHS
+    as blocks: within each complete month (all five priorities present)
+    the priorities are ranked by monthly revenue, and Q = 12/(nk(k+1))·ΣR_j²
     − 3n(k+1) asks whether any priority SYSTEMATICALLY out-earns the
-    others across days — the non-parametric repeated-measures ANOVA
+    others across months — the non-parametric repeated-measures ANOVA
     that pairs with q_anova_oneway (raw values) and q_mann_kendall
     (single-series trend).
 
-    Determinism: daily cells are exact cent sums; ranks are row_number
-    with a priority-name tie-break (exact-cents ties between two
-    priorities on one day are possible in principle — the mid-rank
+    Determinism: monthly cells are exact cent sums (months, not days,
+    so every shipped SF has complete, non-vacuous blocks — the
+    round-3 sweep lesson); ranks are row_number with a priority-name
+    tie-break (exact-cents ties between two priorities are possible
+    in principle — the mid-rank
     correction is deliberately omitted and this estimator documented,
     keeping every rank an exact integer). Q is one division of exact
     integer products; the critical value chi2_{{0.95,4}} is a
     precomputed literal.
 
-    Scale: one (day, priority) aggregate, a per-day rank window over
-    5-row partitions, and a k-row rollup — windows never see more than
-    k rows per partition."""
+    Scale: one (month, priority) aggregate, a per-month rank window
+    over 5-row partitions, and a k-row rollup — windows never see more
+    than k rows per partition."""
     cell = (
         load_table(spark, sf_dir, "orders")
         .groupBy(
-            F.col("o_orderdate").cast("date").alias("d"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("d"),
             F.col("o_orderpriority").alias("trt"),
         )
         .agg(

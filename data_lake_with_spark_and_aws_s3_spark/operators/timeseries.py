@@ -1263,9 +1263,21 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(_DTW_MONTHS - 1)),
         lambda i: F.coalesce(F.element_at(m, i.cast("long")), F.lit(0).cast("long")),
     )
+    # coalesce to the zero series: a nation with no orders in the
+    # window must mean "flat zero curve" on BOTH engines (the oracle's
+    # left-joined spine zero-fills by construction; without this the
+    # Spark side would emit NULL arrays on such an SF)
+    zeros = F.transform(
+        F.sequence(F.lit(0), F.lit(_DTW_MONTHS - 1)),
+        lambda _: F.lit(0).cast("long"),
+    )
     series = per_nation.agg(
-        F.max(F.when(F.col("nation") == _DTW_A, fill(F.col("m")))).alias("a"),
-        F.max(F.when(F.col("nation") == _DTW_B, fill(F.col("m")))).alias("b"),
+        F.coalesce(
+            F.max(F.when(F.col("nation") == _DTW_A, fill(F.col("m")))), zeros
+        ).alias("a"),
+        F.coalesce(
+            F.max(F.when(F.col("nation") == _DTW_B, fill(F.col("m")))), zeros
+        ).alias("b"),
     )
     dtw = F.expr(
         f"""
