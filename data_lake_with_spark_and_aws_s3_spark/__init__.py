@@ -53,54 +53,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (full 50-query prefix 178.1s, 50/50 ok — see SCALE.md). The
     # single most user-facing composition now carries the hard signal.
     "q_pretrain_corpus",
-    # round-6 rotation (VERDICT r5 #1): the 20 round-5 operators were
-    # never driver-graded (the r5 prefix was rotated before they
-    # landed). Sixteen rotate IN — the attribution trio + capstone,
-    # the executed streaming near-dup gate, the two LSH/ANN dial
-    # curves, t-closeness, the IVM join-delta, the trend/multiple-
-    # testing trio, and the four queries that took round-5 ADVICE
-    # fixes (q_session_variables exact-integer cutoff,
-    # q_tokenizer_fertility zero-word filter, q_ngram_coverage_curve
-    # zero-denominator guard, q_effective_sample_size decimal second
-    # moment) so the FIXED code is what gets graded.
-    "q_shapley_attribution",
-    "q_markov_removal",
-    "q_touch_roles",
-    "q_attribution_report",
-    "q_streaming_neardup_exec",
-    "q_ann_recall_curve",
-    "q_lsh_parameter_curve",
-    "q_t_closeness",
-    "q_ivm_join_delta",
-    "q_mann_kendall",
-    "q_theil_sen",
-    "q_bh_fdr",
-    "q_tokenizer_fertility",
-    "q_session_variables",
-    "q_ngram_coverage_curve",
-    "q_effective_sample_size",
-    # Rotated OUT this round — all 17 graded green in CORRECTNESS_r05
-    # (and most in earlier rounds too), all stay pytest-parity-checked
-    # (tests/test_parity.py, 400/400); their §2 rows move to
-    # pass-D(r<=5) where no second in-prefix rep remains:
-    #   q_filtered_agg, q_json_extract, q_approx_percentiles (r1-fix
-    #     trio, green r2-r5), q_udtf_table_argument,
-    #     q_neardup_decontaminate, q_stratified_quota_twophase,
-    #     q_waterfill_budget, q_incremental_agg_merge,
-    #     q_xml_sink_roundtrip (r4 flagships, green r5),
-    #   q_duplicate_span_scrub, q_bm25_topk (green r3-r5),
-    #   q_theta_join (joins keep 5 reps: inner/outer/semi/range/as-of),
-    #   q_simhash (near-dup row keeps q_dedup_clusters + q_semdedup),
-    #   q_setops_matrix, q_math_array_funcs, q_cuboid_selection,
-    #   q_bitmap_overlap (green r3-r5).
-    # round-3 session-5: the curation-family representative (Gopher
-    # rule battery) takes q_data_card's slot — the data card is a
-    # composite of metrics whose components are all prefix-covered,
-    # and it stays pytest-parity-checked
+    # round-7 rotation (VERDICT r6 next-round #1): the 19 round-6
+    # operators were never driver-graded (the r6 prefix was rotated
+    # before they landed). All 19 rotate IN — the testing battery
+    # (ANOVA / permutation / runs / Friedman / SPRT / Hoeffding), the
+    # data-valuation suite (KNN-Shapley / LOO target encoding /
+    # confident-label noise / WOE-IV / Bradley-Terry), caliper 1-NN
+    # matching ATT, RBO + Kneser-Ney, mergeable SpaceSaving,
+    # GROUP BY ALL, the executed sliding stream, the A/B capstone, and
+    # DTW. Five of them additionally carry this round's fixes so the
+    # FIXED code is what gets graded: q_sprt_boundary (two-phase
+    # distributed prefix sums — no more single-task window),
+    # q_knn_shapley + q_kneser_ney_bigram + q_rank_biased_overlap
+    # (TakeOrderedAndProject top-k), q_confident_label_noise
+    # (zero-hit docs now counted as 'abstain'), q_nn_matching_att
+    # (floor-correct date bucketing).
+    "q_anova_oneway",
+    "q_permutation_test",
+    "q_runs_test",
+    "q_friedman_test",
+    "q_sprt_boundary",
+    "q_hoeffding_adequacy",
+    "q_knn_shapley",
+    "q_target_encoding_loo",
+    "q_confident_label_noise",
+    "q_woe_iv",
+    "q_bradley_terry",
+    "q_nn_matching_att",
+    "q_rank_biased_overlap",
+    "q_kneser_ney_bigram",
+    "q_spacesaving_merge",
+    "q_group_by_all",
+    "q_streaming_sliding_exec",
+    "q_ab_test_report",
+    "q_dtw_distance",
+    # Rotated OUT this round — the 16 round-5 operators just graded
+    # green in CORRECTNESS_r06 (q_shapley_attribution, q_markov_removal,
+    # q_touch_roles, q_attribution_report, q_streaming_neardup_exec,
+    # q_ann_recall_curve, q_lsh_parameter_curve, q_t_closeness,
+    # q_ivm_join_delta, q_mann_kendall, q_theil_sen, q_bh_fdr,
+    # q_tokenizer_fertility, q_session_variables,
+    # q_ngram_coverage_curve, q_effective_sample_size) plus three
+    # second representatives of §2 rows that stay covered in-prefix:
+    #   q_full_outer_join (graded r6; joins keep inner/semi/range/as-of),
+    #   q_moving_sum (graded r6; windows keep q_window_rank + q_lag_gap),
+    #   q_stream_dedup (graded r6; streaming keeps session_window,
+    #     late_data_filter, sessionize_gaps + the executed sliding
+    #     stream rotating in).
+    # All stay pytest-parity-checked (tests/test_parity.py, 419/419).
     "q_gopher_rules",
     "q_label_propagation",
     # new / reworked operators
-    "q_full_outer_join",
     "q_multimodal_binary",
     "q_text_normalize_tokens",
     # §2.1 sources/sinks
@@ -116,15 +119,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_latest_per_user",
     "q_rollup_revenue",
     "q_collect_set_types",
-    # §2.5 windows
+    # §2.5 windows (q_moving_sum rotated out — graded r6)
     "q_lag_gap",
-    "q_moving_sum",
     # §2.6 sort/limit
     "q_global_sort",
-    # §2.9 event-time family
+    # §2.9 event-time family (q_stream_dedup rotated out — graded r6)
     "q_session_window",
     "q_late_data_filter",
-    "q_stream_dedup",
     "q_sessionize_gaps",
     # §2.10 LLM-data pipeline
     "q_dedup_md5",

@@ -81,13 +81,14 @@ def q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .distinct()
     )
-    w_df = Window.orderBy(F.col("n_docs_tok").desc(), F.col("tok"))
+    # top-K document-frequency tokens over the vocab-sized aggregate:
+    # TakeOrderedAndProject via orderBy().limit(), not a global-rank
+    # window over every token type (round-7 plan lint).
     df_top = (
         dt.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_docs_tok"))
-        .withColumn("rn", F.row_number().over(w_df))
-        .filter(F.col("rn") <= _VOCAB_K)
-        .drop("rn")
+        .orderBy(F.col("n_docs_tok").desc(), F.col("tok"))
+        .limit(_VOCAB_K)
     )
     vt = dt.join(F.broadcast(df_top), "tok")
     a = vt.select(
@@ -103,7 +104,8 @@ def q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     n_docs = dt.select(F.countDistinct("doc_id").alias("n_docs"))
-    w = Window.orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+    # top pairs by lift: TakeOrderedAndProject over the pair-sized
+    # frame, not a global-rank window (round-7 plan lint).
     return (
         pairs.crossJoin(F.broadcast(n_docs))
         .select(
@@ -117,9 +119,8 @@ def q_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("lift"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_PAIRS)
-        .drop("rn")
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(_TOP_PAIRS)
     )
 
 

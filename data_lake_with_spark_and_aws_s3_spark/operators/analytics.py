@@ -101,20 +101,43 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly exceeds the running max size of all preceding pairs
     (every preceding pair has price <=, so any with size >= dominates;
     equal-price larger-size pairs sort earlier, so ties are handled).
-    Identical points are collapsed by the pre-aggregation, which also
-    caps the global window's input at the pair cardinality."""
+    Identical points are collapsed by the pre-aggregation.
+
+    The sweep's running max is TWO-PHASE (the _twophase.py idiom,
+    specialized to max): range-partition on the sweep order,
+    per-partition exclusive local running max, per-partition maxima ->
+    broadcast exclusive prefix max, global exclusive max =
+    greatest(prefix, local). No single-task window anywhere; max is
+    associative, and the (price, size) key is unique post-aggregation,
+    so the output is boundary-independent."""
     p = load_table(spark, sf_dir, "part")
     pairs = (
         p.groupBy("p_retailprice", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
-    w = (
-        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"))
+    ranged = pairs.repartitionByRange(16, F.asc("p_retailprice"), F.desc("p_size"))
+    part = ranged.withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.asc("p_retailprice"), F.desc("p_size"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    mx = F.max("p_size").over(w)
+    local = part.withColumn("lmx", F.max("p_size").over(w_local))
+    # exclusive prefix max over <= 16 per-partition maxima (bounded
+    # keyless window — allowlisted class)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.max("p_size").alias("pmax"))
+        .withColumn("off_mx", F.max("pmax").over(w_off))
+        .select("pid", "off_mx")
+    )
+    # greatest() skips NULLs: first partition / first row see only the
+    # non-null side, all-null (global first row) stays null
+    mx = F.greatest("off_mx", "lmx")
     return (
-        pairs.withColumn("mx", mx)
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("mx", mx)
         .filter(F.col("mx").isNull() | (F.col("p_size") > F.col("mx")))
         .select("p_retailprice", "p_size", "n_parts")
     )

@@ -383,9 +383,9 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's paired test for comparing two classifiers on the SAME
     examples (predicting lang = en): classifier A votes by its
     source's majority language, classifier B by document length at or
-    above the corpus median (the exact LOWER order statistic via a
-    rank window — engine MEDIAN interpolates even-count middles and
-    the engines round the .5 differently). Only the DISAGREEMENT cells matter — b (A
+    above the corpus median (the exact LOWER order statistic from the
+    length histogram — engine MEDIAN interpolates even-count middles
+    and the engines round the .5 differently). Only the DISAGREEMENT cells matter — b (A
     right, B wrong) and c (A wrong, B right) — and the statistic
     (b-c)^2/(b+c) in exact milli-units against the chi-square(1) 5%
     bar of 3.841. This is the right test when two models share an
@@ -404,13 +404,23 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # Exact lower-median via the length HISTOGRAM, not a row_number
+    # over every document (round-7 plan lint: that window held the
+    # whole corpus in one task). The cumulative runs over |distinct
+    # lengths| rows — value-domain-bounded, the q_auc_mann_whitney
+    # precedent — and the lower median is the smallest length whose
+    # cumulative count reaches ceil(n/2).
+    h = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
     med = (
-        d.withColumn(
-            "rn", F.row_number().over(W.orderBy("n_chars", "doc_id"))
+        h.select(
+            "n_chars",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n_total"),
         )
-        .withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy()))
-        .filter(F.expr("rn = (cnt + 1) div 2"))
-        .select(F.col("n_chars").alias("med_chars"))
+        .filter(F.expr("cum >= (n_total + 1) div 2"))
+        .agg(F.min("n_chars").alias("med_chars"))
     )
     paired = (
         d.join(F.broadcast(src), "source")

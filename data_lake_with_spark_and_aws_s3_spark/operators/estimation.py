@@ -353,7 +353,9 @@ def q_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    (F.datediff("t_d", F.lit("1970-01-01")) / bwidth).cast("long")
+                    F.floor(F.datediff("t_d", F.lit("1970-01-01")) / bwidth).cast(
+                        "long"
+                    )
                     + off
                     for off in (-1, 0, 1)
                 ]
@@ -361,7 +363,8 @@ def q_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c_b = c.withColumn(
-        "bucket", (F.datediff("c_d", F.lit("1970-01-01")) / bwidth).cast("long")
+        "bucket",
+        F.floor(F.datediff("c_d", F.lit("1970-01-01")) / bwidth).cast("long"),
     )
     dist = F.abs(F.datediff("t_d", "c_d"))
     cand = (

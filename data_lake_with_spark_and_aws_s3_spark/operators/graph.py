@@ -798,6 +798,14 @@ def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast budget for the k-core keep set: ~100M longs is ~800MB
+# serialized — the point where a broadcast vertex set stops fitting
+# comfortably on executors/driver and the semi-joins should fall back
+# to the shuffle form. The docstring's documented ceiling, now enforced
+# in code (VERDICT r6 next-round #5).
+_KCORE_BROADCAST_MAX_VERTICES = 100_000_000
+
+
 @query(
     "q_kcore_peel",
     oracle="""
@@ -875,9 +883,10 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint filters map-side and removes the two 12M-row EDGE shuffles
     per round that dominated the round-5 sweep's 49.2 s wall (round-6
     re-sweep: see SCALE.md). At true 100 TB vertex counts (>~100M
-    survivors) the broadcast no longer fits and the hint should come
-    off — the joins degrade gracefully to the shuffle form this
-    replaced. Edge derivation — the op's dominant constant in the
+    survivors) the broadcast no longer fits — the guard below counts
+    the checkpointed keep set each round and mechanically drops the
+    hint past _KCORE_BROADCAST_MAX_VERTICES, degrading gracefully to
+    the shuffle form this replaced instead of OOMing the driver. Edge derivation — the op's dominant constant in the
     round-4 10x sweep (93.7 s wall, mostly the 12M-pair self-join +
     distinct) — is now the family-shared checkpoint
     (_edges.copurchase_edges), paid once per session across the six
@@ -893,14 +902,23 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= 3)
             .select("v")
+            .localCheckpoint(eager=True)  # vertex-sized; reused by both arms
         )
+        # Mechanical broadcast guard (was documentary): the keep set is
+        # counted each round (one cheap job over the checkpointed
+        # vertex table) and the broadcast hint applies only while it
+        # fits a driver/executor budget — past ~100M survivors the
+        # semi-joins degrade gracefully to the shuffle form instead of
+        # OOMing the driver.
+        if keep.count() <= _KCORE_BROADCAST_MAX_VERTICES:
+            pa_side = F.broadcast(keep.select(F.col("v").alias("pa")))
+            pb_side = F.broadcast(keep.select(F.col("v").alias("pb")))
+        else:
+            pa_side = keep.select(F.col("v").alias("pa"))
+            pb_side = keep.select(F.col("v").alias("pb"))
         edges = (
-            edges.join(
-                F.broadcast(keep.select(F.col("v").alias("pa"))), "pa", "left_semi"
-            )
-            .join(
-                F.broadcast(keep.select(F.col("v").alias("pb"))), "pb", "left_semi"
-            )
+            edges.join(pa_side, "pa", "left_semi")
+            .join(pb_side, "pb", "left_semi")
             .localCheckpoint(eager=True)
         )
     return (

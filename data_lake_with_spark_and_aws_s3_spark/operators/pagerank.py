@@ -167,12 +167,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_scaled"),
         )
 
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("rank_scaled").desc(), F.col("node"))
+    # top-N over the node-sized rank table: orderBy().limit() plans as
+    # TakeOrderedAndProject, not a global-rank window holding every
+    # vertex in one task (round-7 plan lint). Total tie-broken order,
+    # so output is identical.
     return (
-        ranks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_N)
+        ranks.orderBy(F.col("rank_scaled").desc(), F.col("node"))
+        .limit(TOP_N)
         .select(
             F.col("node").alias("node_id"),
             F.when(F.col("node") % 2 == 0, F.lit("customer"))

@@ -348,8 +348,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_slope matches the closed form from its exact moments.
 
     Scale: one tf hash aggregate over the token scan (map-side
-    partials), then a rank window and the moment aggregate over
-    |vocabulary| rows — domain-bounded, not corpus-bounded."""
+    partials), then TWO-PHASE global ranks (range partition + local
+    row_number + broadcast prefix offsets — no single-task window)
+    and the moment aggregate over |vocabulary| rows — domain-bounded,
+    not corpus-bounded."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
@@ -357,11 +359,14 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    rk = tf.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), "term"))
-        .cast("long"),
+    # Global frequency ranks over the whole vocabulary via the
+    # two-phase range-partition idiom (_twophase.py) — a bare global
+    # window would hold every token type in one task (round-7 plan
+    # lint). (freq desc, term) is total, so ranks are deterministic.
+    from ._twophase import global_order_stats
+
+    rk = global_order_stats(
+        tf, [F.desc("freq"), F.asc("term")], rn_col="rnk"
     )
     q = rk.select(
         F.expr(

@@ -599,25 +599,39 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-units before the exact window sum; the final /9 is one more
     division of an exactly-equal operand.
 
-    Scale: one lineitem aggregate, two |parts|-row rankings (only the
-    top 10 of each survive the depth filter — expressible as a
-    TakeOrderedAndProject), and a constant 10-row depth spine."""
+    Scale: one lineitem aggregate, two |parts|-row top-10 prefixes
+    each planned as TakeOrderedAndProject (orderBy+limit, per-partition
+    heaps), positions assigned by a window over the <= 10 survivors,
+    and a constant 10-row depth spine."""
     agg = load_table(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
     )
-    ra = agg.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rev"), F.asc("l_partkey")))
-        .alias("pos_a"),
-    ).filter(F.col("pos_a") <= _RBO_DEPTH)
-    rb = agg.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.orderBy(F.desc("qty"), F.asc("l_partkey")))
-        .alias("pos_b"),
-    ).filter(F.col("pos_b") <= _RBO_DEPTH)
+    # Each prefix: TakeOrderedAndProject (orderBy().limit(depth)) over
+    # the |parts|-row ranking, THEN rank the <= depth survivors with a
+    # window over at most 10 rows (VERDICT r6 #3 fix — the orderings
+    # are total, so positions are identical to a global-rank window
+    # without ever holding the full ranking in one task).
+    ra = (
+        agg.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .limit(_RBO_DEPTH)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rev"), F.asc("l_partkey")))
+            .alias("pos_a"),
+        )
+    )
+    rb = (
+        agg.orderBy(F.desc("qty"), F.asc("l_partkey"))
+        .limit(_RBO_DEPTH)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.desc("qty"), F.asc("l_partkey")))
+            .alias("pos_b"),
+        )
+    )
     both = ra.join(rb, "l_partkey")  # parts in both top-10 prefixes
     depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
     x = (
@@ -760,9 +774,9 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_kn_micro"),
         )
     )
-    w_top = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= _KN_TOPK)
-        .drop("rn")
-    )
+    # top-K of an unbounded frame: orderBy().limit() plans as
+    # TakeOrderedAndProject (per-partition heaps + driver merge) — NOT
+    # a global-rank window, which would funnel every bigram TYPE in
+    # the corpus through one task (VERDICT r6 #3 fix). The ordering is
+    # total (c12 desc, w1, w2), so output is identical.
+    return scored.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")).limit(_KN_TOPK)

@@ -77,10 +77,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_chars"), F.lit(1))
         ).alias("k"),
     )
-    w = Window.orderBy(F.col("k").desc(), F.col("doc_id"))
+    # A-ES selection = top-K by exponential key: TakeOrderedAndProject
+    # via orderBy().limit() — per-partition heaps over the corpus, not
+    # a global-rank window in one task (round-7 plan lint).
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= K)
+        keyed.orderBy(F.col("k").desc(), F.col("doc_id"))
+        .limit(K)
         .select("doc_id", "lang", "n_chars")
     )
 

@@ -114,15 +114,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     sketch = cms_sketch(toks)
 
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+    # top-N over the vocab-sized exact counts: orderBy().limit() plans
+    # as TakeOrderedAndProject (per-partition heaps), not a global-rank
+    # window holding every token type in one task (round-7 plan lint).
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_N)
-        .drop("rn")
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(TOP_N)
     )
 
     seeds = F.explode(F.array(*[F.lit(i) for i in range(DEPTH)])).alias("seed")

@@ -195,10 +195,14 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_nano").alias("shapley_nano"),
         F.count(F.lit(1)).alias("n_test"),
     )
-    w_top = Window.orderBy(F.desc("shapley_nano"), F.asc("vec_id"))
+    # top-K over the train-corpus-sized valuation table: plain
+    # orderBy().limit() -> TakeOrderedAndProject (per-partition heaps
+    # + driver merge), not a global-rank window that would hold the
+    # whole table in one task (VERDICT r6 #3 fix). The ordering is
+    # total (shapley_nano desc, vec_id asc), so output is identical.
     return (
-        total.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= _KS_TOPK)
+        total.orderBy(F.desc("shapley_nano"), F.asc("vec_id"))
+        .limit(_KS_TOPK)
         .select("vec_id", "label", "shapley_nano", "n_test")
     )
 
@@ -318,6 +322,12 @@ _CL_MINHITS = 2  # confidence threshold: abstain below this
                          plang))
                   ELSE 'abstain' END AS pred_lang
       FROM hits GROUP BY 1, 2
+    ),
+    pred_all AS (
+      SELECT d.doc_id, d.lang AS given_lang,
+             COALESCE(p.pred_lang, 'abstain') AS pred_lang
+      FROM documents d LEFT JOIN pred p
+        ON p.doc_id = d.doc_id AND p.given_lang = d.lang
     )
     SELECT given_lang, pred_lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -332,7 +342,7 @@ _CL_MINHITS = 2  # confidence threshold: abstain below this
                                THEN COUNT(*) ELSE 0 END)
                       OVER (PARTITION BY given_lang) AS DOUBLE)
            END AS noise_rate
-    FROM pred GROUP BY given_lang, pred_lang
+    FROM pred_all GROUP BY given_lang, pred_lang
     """,
     tags=("valuation", "label-noise", "confident-learning", "llm-pipeline"),
 )
@@ -352,8 +362,10 @@ def q_confident_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the noise rate is one division of exact window sums.
 
     Scale: profile table is |langs| × 20 rows — broadcast; doc tokens
-    explode map-side and collapse in one (doc, lang) aggregate.
-    The matrix is |langs|² + abstain rows."""
+    explode map-side and collapse in one (doc, lang) aggregate; a
+    left join against the full doc population folds zero-hit docs
+    into 'abstain' so every given-label count is complete. The matrix
+    is |langs|² + abstain rows."""
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -388,7 +400,22 @@ def q_confident_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pred_lang"),
         )
     )
-    mat = pred.groupBy("given_lang", "pred_lang").agg(
+    # Docs with ZERO profile hits never reach `hits` (inner join) —
+    # left-join the full doc population back so they count as
+    # 'abstain' rows instead of silently vanishing from the matrix
+    # (ADVICE r6). Narrow 2-column re-scan; pred is doc-keyed so the
+    # join adds no skew.
+    pred_all = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("lang").alias("given_lang"))
+        .join(pred, ["doc_id", "given_lang"], "left")
+        .select(
+            "doc_id",
+            "given_lang",
+            F.coalesce("pred_lang", F.lit("abstain")).alias("pred_lang"),
+        )
+    )
+    mat = pred_all.groupBy("given_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     wg = Window.partitionBy("given_lang")

@@ -1,5 +1,7 @@
 from .explain import (  # noqa: F401
     count_exchanges,
+    count_keyless_windows,
+    count_keyless_windows_in,
     count_scans,
     executed_plan,
     formatted_plan,

@@ -83,6 +83,60 @@ def count_exchanges(df: DataFrame) -> int:
     )
 
 
+def count_keyless_windows(df: DataFrame) -> int:
+    """Number of Window exec nodes with an EMPTY partition spec — the
+    single-task collapse trap: Spark plans `OVER (ORDER BY ...)` with
+    no PARTITION BY as Exchange SinglePartition + one task holding
+    every row that reaches it. Fine over a bounded frame (days, bins,
+    constant grids, <= num_partitions offset rows); fatal over a
+    data-proportional one.
+
+    Detection: in `explain("formatted")` detail sections, a Window
+    node's Arguments line is `[exprs], [partitionSpec], [orderSpec]`
+    when fully keyed but drops the empty list: keyless-with-order is
+    `[exprs], [orderSpec]` and keyed-without-order is `[exprs],
+    [partitionSpec]`. Two top-level groups whose SECOND contains a
+    sort direction (ASC/DESC) = keyless — verified against Spark 4.x
+    output."""
+    return count_keyless_windows_in(formatted_plan(df))
+
+
+def count_keyless_windows_in(plan_text: str) -> int:
+    """String-level form of count_keyless_windows for callers that
+    already hold the formatted plan (avoids re-planning)."""
+    plan = plan_text.splitlines()
+    n = 0
+    for i, line in enumerate(plan):
+        s = line.strip()
+        if not (s.startswith("(") and s.split(") ", 1)[-1] == "Window"):
+            continue
+        for detail in plan[i + 1 : i + 6]:
+            d = detail.strip()
+            if not d.startswith("Arguments:"):
+                continue
+            depth, groups, buf = 0, [], []
+            for ch in d:
+                if ch == "[":
+                    if depth == 0:
+                        buf = []
+                    depth += 1
+                    if depth == 1:
+                        continue
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append("".join(buf))
+                        continue
+                if depth >= 1:
+                    buf.append(ch)
+            if len(groups) == 2 and (
+                " ASC" in groups[1] or " DESC" in groups[1]
+            ):
+                n += 1
+            break
+    return n
+
+
 def executed_plan(df: DataFrame) -> str:
     """Run the query, then return the FINAL adaptive plan. AQE rewrites
     (ReusedExchange, skew-join splits, runtime broadcast promotion)

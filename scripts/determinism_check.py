@@ -13,7 +13,8 @@ Usage: python scripts/determinism_check.py          # ~2x suite scan cost
        (child mode: --child <sf_dir> <start> <end>, prints one JSON line)
 
 The registry is chunked across several fresh JVMs per run: one session
-executing all 193 queries at sf0.1 accumulates localCheckpoint blocks
+executing the full registry (419 queries as of round 7) at sf0.1
+accumulates localCheckpoint blocks
 and shuffle files until the JVM falls over — chunking also mirrors how
 the driver actually executes (bounded work per session).
 """

@@ -200,11 +200,24 @@ def test_gap_fill_keyed_plan(spark):
 
 
 def test_skyline_preaggregates_before_window(spark):
-    """The global sweep window must consume the distinct-pair
-    aggregate, not raw parts: pair agg exchange + single-partition
-    sort exchange only."""
+    """The sweep must consume the distinct-pair aggregate, not raw
+    parts, and (round 7) run the running max TWO-PHASE: a range
+    exchange feeds partition-parallel local maxima — never an
+    Exchange SinglePartition over the pair frame; the only keyless
+    window left is the <=16-row prefix-max one."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import (
+        count_keyless_windows_in,
+        formatted_plan,
+    )
+
     df = REGISTRY["q_skyline"].fn(spark, SF)
-    assert count_exchanges(df) == 2
+    plan = formatted_plan(df)
+    assert "rangepartitioning(p_retailprice" in plan, (
+        "sweep must be range-partitioned on the sort key"
+    )
+    assert count_keyless_windows_in(plan) == 1, (
+        "expected exactly the <=16-row prefix-max window"
+    )
 
 
 def test_triangles_materialize_edges_once(spark):
@@ -349,6 +362,69 @@ _ROW_PYTHON_ALLOWED = {
     "q_udtf_table_argument",
 }
 
+# Keyless windows (`OVER (ORDER BY ...)` with no PARTITION BY) plan as
+# Exchange SinglePartition + ONE task holding every row that reaches
+# them — the single-task collapse trap (VERDICT r6 #2/#3). Every
+# registered plan is walked; a keyless Window exec is allowed ONLY
+# here, with the bounded-frame argument written down. Acceptable
+# classes: <= num_partitions two-phase prefix offsets, calendar/bin/
+# threshold/constant grids, value-domain histograms, post-limit
+# constant frames, dim-sized post-aggregation frames with a documented
+# tradeoff. Anything data-proportional must use TakeOrderedAndProject
+# (orderBy+limit) or the _twophase.py range-partition idiom instead.
+_KEYLESS_WINDOW_ALLOWED = {
+    # --- two-phase prefix offsets: <= 16 per-partition rows ---
+    "q_global_row_number": "<=16 two-phase prefix-offset rows (sorts.py idiom)",
+    "q_gini_revenue": "<=16 two-phase prefix-offset rows",
+    "q_ks_test": "<=16 two-phase prefix-offset rows",
+    "q_sprt_boundary": "<=16 two-phase prefix-offset rows (r7 rewrite)",
+    "q_zipf_slope": "<=16 two-phase prefix-offset rows (_twophase.py, r7 rewrite)",
+    "q_skyline": "<=16 two-phase prefix-max rows (r7 rewrite)",
+    # --- calendar / daily / monthly frames ---
+    "q_binseg_split": "daily revenue series — calendar-bounded frame",
+    "q_runs_test": "daily sign sequence — calendar-bounded frame",
+    "q_sax_symbols": "daily series + 1-row breakpoint stitch",
+    "q_kaplan_meier": "distinct event days — calendar-bounded",
+    "q_nelson_aalen": "distinct event days — calendar-bounded",
+    "q_vocab_growth": "corpus growth buckets — constant bucket grid",
+    "q_compaction_bins": "monthly partition manifest — calendar-bounded",
+    "q_waterfill_budget": "month x source allocation grid",
+    # --- value-domain histograms (distinct values, not rows) ---
+    "q_auc_mann_whitney": "distinct-length histogram frame (value-domain)",
+    "q_decile_lift": "distinct-score histogram frame (value-domain)",
+    "q_mcnemar_test": "distinct-length histogram median (r7 rewrite)",
+    "q_quantile_normalize": "distinct-value CDF frames + ppm grid forward fill",
+    "q_wasserstein_1d": "bounded value-domain dense CDF grid",
+    "q_weighted_percentile": "value histogram x constant percentile grid",
+    "q_join_key_skew_audit": "frequency-of-frequency histogram frames",
+    # --- constant / small grids and stitches ---
+    "q_bh_fdr": "|nations|-row hypothesis family",
+    "q_bradley_terry": "constant 12-item rating state per MM iteration",
+    "q_brier_decomposition": "constant calibration-bin grid",
+    "q_roc_youden": "threshold-grid frames (ROC table)",
+    "q_isotonic_calibration": "constant 32-bin PAV grid",
+    "q_time_to_convert": "constant 9-row decile grid",
+    "q_hamilton_apportionment": "|sources| remainder rows",
+    "q_neyman_allocation": "|strata| allocation rows",
+    "q_theta_join": "band-count offset table (constant bands)",
+    "q_spacesaving_merge": "<= 8 shards x k candidate rows (constant)",
+    "q_rank_biased_overlap": "<=10 rows post-TakeOrderedAndProject (r7 rewrite)",
+    "q_curriculum_interleave": "limit(60) precedes the window — constant 60 rows",
+    "q_vocab_coverage": "top-10000 limit precedes the window — constant frame",
+    "q_approx_top_k": "sketch output <= maxItemsTracked=10k rows by construction",
+    "q_ab_test_report": "inherits component queries' bounded stitch windows",
+    # --- dim-sized post-aggregation frames with documented tradeoff ---
+    "q15_top_supplier": (
+        "supplier-dim post-aggregation frame; docstring documents the "
+        "measured double-scan cost of the max+join alternative"
+    ),
+    "q_rfm_segments": (
+        "per-customer aggregate quartile cuts — customer-dim frame "
+        "(VERDICT r6 audit: acceptable; two-phase rewrite is the "
+        "upgrade path if customer cardinality ever rivals fact size)"
+    ),
+}
+
 
 def test_registry_wide_plan_lint(spark):
     """Global plan-shape net over EVERY registered query: no
@@ -356,8 +432,14 @@ def test_registry_wide_plan_lint(spark):
     reviewed justification exists (see allowlist); row-at-a-time
     Python (BatchEvalPython) only in the deliberate UDTF. A new query
     that accidentally plans a quadratic join or a pickled-row UDF
-    fails here before it ever ships."""
-    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+    fails here before it ever ships. Round 7 adds the keyless-window
+    walk (VERDICT r6 #3): a Window exec with an empty partition spec
+    is a single-task collapse and must carry a written bounded-frame
+    justification in _KEYLESS_WINDOW_ALLOWED."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import (
+        count_keyless_windows_in,
+        formatted_plan,
+    )
 
     offenders = []
     for name, spec in REGISTRY.items():
@@ -368,7 +450,60 @@ def test_registry_wide_plan_lint(spark):
             offenders.append((name, "BroadcastNestedLoopJoin"))
         if "BatchEvalPython" in plan and name not in _ROW_PYTHON_ALLOWED:
             offenders.append((name, "BatchEvalPython (row-at-a-time Python)"))
+        if (
+            name not in _KEYLESS_WINDOW_ALLOWED
+            and count_keyless_windows_in(plan) > 0
+        ):
+            offenders.append((name, "keyless Window (single-task collapse)"))
     assert not offenders, f"unjustified plan shapes: {offenders}"
+
+
+def test_r7_topk_rewrites_plan_take_ordered(spark):
+    """VERDICT r6 #3 + round-7 sweep: every top-k-of-an-unbounded-frame
+    stage must plan TakeOrderedAndProject (per-partition heaps), with
+    no keyless window over the data-proportional frame."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import (
+        count_keyless_windows_in,
+        formatted_plan,
+    )
+
+    no_window_at_all = [
+        "q_kneser_ney_bigram",
+        "q_knn_shapley",
+        "q_pagerank",
+        "q_cms_heavy_hitters",
+        "q_token_lift",
+        "q_weighted_sample",
+    ]
+    for name in no_window_at_all:
+        df = REGISTRY[name].fn(spark, SF)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k not TakeOrdered"
+        assert count_keyless_windows_in(plan) == 0, (
+            f"{name}: keyless window survived the rewrite"
+        )
+    # RBO keeps two <=10-row rank windows AFTER its TakeOrdered limits
+    df = REGISTRY["q_rank_biased_overlap"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_keyless_windows_in(plan) <= 2
+
+
+def test_sprt_two_phase_no_fact_table_window(spark):
+    """VERDICT r6 #2: the SPRT trajectory must come from the two-phase
+    range-partition idiom — the only keyless window left is the
+    <=16-row prefix-offset one, never a window over the events scan."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import (
+        count_keyless_windows_in,
+        formatted_plan,
+    )
+
+    df = REGISTRY["q_sprt_boundary"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_keyless_windows_in(plan) == 1, (
+        "expected exactly the <=16-row offset window"
+    )
+    assert "rangepartitioning(ts" in plan, "events must be range-partitioned"
 
 
 def test_bloom_semijoin_broadcasts_filter(spark):
