@@ -754,3 +754,230 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_winnowing_fingerprint (round 7)
+# ---------------------------------------------------------------------
+
+_WIN_K = 4  # token k-gram grain (matches the repo's shingle size)
+_WIN_W = 4  # winnowing window: guarantee a fingerprint every w grams
+
+
+@query(
+    "q_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) AS h
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS i
+        FROM toks WHERE len(t) >= {_WIN_K}
+      )
+    ),
+    sel AS (
+      SELECT doc_id, pos, h,
+             h = MIN(h) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+               AS selected
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CAST(selected AS INTEGER)) AS BIGINT) AS n_selected,
+           CAST(COUNT(DISTINCT CASE WHEN selected THEN h END) AS BIGINT)
+             AS n_distinct_fp,
+           CAST((1000000 * SUM(CAST(selected AS INTEGER))) // COUNT(*)
+                AS BIGINT) AS density_ppm
+    FROM sel GROUP BY doc_id
+    """,
+    tags=("corpus", "winnowing", "fingerprint", "llm-pipeline"),
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS selection rule in its local-minimum form): hash every
+    token {_WIN_K}-gram, then select position p iff its digest is the
+    minimum of the trailing window of {_WIN_W} digests — guaranteeing
+    at least one fingerprint per window while keeping expected density
+    near 2/(w+1), position-robust under edits (an insertion only
+    perturbs selections inside w positions of it). Emits the per-doc
+    fingerprint profile: gram count, selected count, distinct selected
+    digests, density. The overlap-detection primitive plagiarism /
+    clone scanners build pair indexes from; ties select every minimal
+    position (deterministic on both engines, no rightmost-tie rule
+    needed).
+
+    Exactness: md5 digests compare as strings identically everywhere;
+    counts and the density ppm division are exact integers.
+
+    Scale: grams explode map-side; the min-window is PARTITIONED by
+    doc (parallel across docs, frame w rows); one per-doc aggregate.
+    The cross-doc pair index this feeds is a fingerprint-keyed join —
+    posting-bounded, like q_minhash_containment's verify stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: i <= F.size(toks) - (_WIN_K - 1),
+    )
+    grams_arr = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _WIN_K)))
+    )
+    grams = d.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h")
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        (F.col("h") == F.min("h").over(w_min)).alias("selected"),
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("selected").cast("int")).alias("n_selected"),
+        F.countDistinct(F.when(F.col("selected"), F.col("h"))).alias(
+            "n_distinct_fp"
+        ),
+        F.expr(
+            "CAST((1000000 * SUM(CAST(selected AS INT))) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("density_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_doc_perplexity_filter (round 7)
+# ---------------------------------------------------------------------
+
+_PPL_MARGIN_MICRO = 100_000  # flag docs 0.1 nats/token above corpus CE
+
+
+@query(
+    "q_doc_perplexity_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size
+      FROM vocab
+    ),
+    lp AS (
+      SELECT term,
+             CAST(ROUND(-ln((CAST(c AS DOUBLE) + 1.0)
+                            / (CAST(tot.n_total AS DOUBLE)
+                               + CAST(tot.v_size AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS nll_micro
+      FROM vocab, tot
+    ),
+    doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(lp.nll_micro) AS BIGINT) AS nll_sum_micro,
+             CAST(SUM(lp.nll_micro) // COUNT(*) AS BIGINT) AS ce_micro
+      FROM tok t JOIN lp USING (term)
+      GROUP BY t.doc_id
+    ),
+    corpus AS (
+      SELECT CAST(SUM(nll_sum_micro) // SUM(n_toks) AS BIGINT)
+               AS corpus_ce_micro
+      FROM doc
+    )
+    SELECT d.doc_id, d.n_toks, d.nll_sum_micro, d.ce_micro,
+           c.corpus_ce_micro,
+           d.ce_micro > c.corpus_ce_micro + {_PPL_MARGIN_MICRO} AS flagged
+    FROM doc d, corpus c
+    """,
+    tags=("corpus", "perplexity", "quality-filter", "llm-pipeline"),
+)
+def q_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed UNIGRAM
+    language model trained on the corpus itself, flagged when a doc
+    runs 0.1 nats/token above the CORPUS-LEVEL cross-entropy (a
+    relative threshold, so the gate stays meaningful as vocabulary —
+    and with it absolute CE — grows with corpus size) — the CCNet-style "does a cheap
+    LM find this document surprising" quality gate (production swaps
+    in a held-out KenLM; the relational shape — train counts, score by
+    join, per-doc reduce — is identical). High-CE docs are rare-token
+    soup (boilerplate, codes, noise); the flag column is what the
+    curation pipeline drops or down-weights.
+
+    Exactness: token counts exact; -ln p quantized ONCE PER VOCAB
+    ENTRY to integer micro-nats (the q_entropy_profile treatment —
+    ln over exactly-equal doubles rounds identically on both engines),
+    then per-doc totals are exact integer sums and ce_micro one
+    truncating division.
+
+    Scale: two hash aggregates build the LM (map-side partials); the
+    scoring join is keyed by term — shuffle proportional to postings,
+    never docs x vocab; the (N, V) totals are a 1-row broadcast
+    stitch. This is the distributed layout of a real LM-filter pass."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            -F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (
+                    F.col("n_total").cast("double")
+                    + F.col("v_size").cast("double")
+                )
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    doc = (
+        tok.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("nll_micro").alias("nll_sum_micro"),
+            F.expr("CAST(SUM(nll_micro) div COUNT(*) AS BIGINT)").alias(
+                "ce_micro"
+            ),
+        )
+    )
+    corpus = doc.agg(
+        F.expr(
+            "CAST(SUM(nll_sum_micro) div SUM(n_toks) AS BIGINT)"
+        ).alias("corpus_ce_micro")
+    )
+    return doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_toks",
+        "nll_sum_micro",
+        "ce_micro",
+        "corpus_ce_micro",
+        (
+            F.col("ce_micro")
+            > F.col("corpus_ce_micro") + F.lit(_PPL_MARGIN_MICRO)
+        ).alias("flagged"),
+    )

@@ -400,3 +400,210 @@ def q_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("diff_cents").cast("double") / F.col("n_matched").cast("double")
         ).alias("att_cents"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_rdd_sharp (round 7)
+# ---------------------------------------------------------------------
+
+_RDD_CUT = 30_000_00  # cutoff on order value, in cents ($30,000)
+_RDD_BW = 15_000_00  # local-linear bandwidth: +- $15,000 around the cut
+
+
+@query(
+    "q_rdd_sharp",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) - {_RDD_CUT} AS x,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders
+      WHERE ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) - {_RDD_CUT})
+              < {_RDD_BW}
+    ),
+    g AS (
+      SELECT CASE WHEN x >= 0 THEN 'right' ELSE 'left' END AS side,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM base GROUP BY 1
+    ),
+    a AS (
+      SELECT side, n, sx, sy,
+             CASE WHEN sy * sxx - sx * sxy >= 0 THEN 1 ELSE -1 END
+               * ((1000000 * ABS(sy * sxx - sx * sxy))
+                  // (n * sxx - sx * sx)) AS alpha_ppm
+      FROM g
+    )
+    SELECT a.side, CAST(a.n AS BIGINT) AS n, CAST(a.sx AS BIGINT) AS sx,
+           CAST(a.sy AS BIGINT) AS sy,
+           CAST(a.alpha_ppm AS BIGINT) AS alpha_ppm,
+           CAST((SELECT MAX(CASE WHEN side = 'right' THEN alpha_ppm END)
+                   - MAX(CASE WHEN side = 'left' THEN alpha_ppm END)
+                 FROM a) AS BIGINT) AS jump_ppm
+    FROM a
+    """,
+    tags=("estimation", "rdd", "causal", "regression-discontinuity"),
+)
+def q_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate of the "finished" rate
+    jump at a $30k order-value cutoff: separate local-linear fits on
+    each side of the cut (bandwidth +-$15k), each evaluated AT the
+    boundary, and the causal jump = alpha_right - alpha_left. The
+    design that identifies a treatment effect from a deterministic
+    assignment rule — here illustrative (TPC-H has no real cutoff; a
+    near-zero jump is the expected answer and the honest placebo
+    check).
+
+    Exactness: the OLS intercept at x=0 is alpha = (Σy·Σx² − Σx·Σxy) /
+    (n·Σx² − (Σx)²) — a ratio of exact integer moment products (x in
+    cents, y in {{0,1}}), accumulated in DECIMAL(38,0)/HUGEINT and
+    resolved with ONE truncating division per side, sign split out so
+    both engines truncate identically (the q_zipf_slope precedent).
+
+    Scale: the bandwidth filter pushes to the scan; one hash aggregate
+    to a 2-row side table; 1-row stitch for the jump. Nothing after
+    the scan is data-sized."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long") - F.lit(_RDD_CUT)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            cents.alias("x"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+        .filter(F.abs(F.col("x")) < _RDD_BW)
+    )
+    g = base.groupBy(
+        F.when(F.col("x") >= 0, F.lit("right")).otherwise(F.lit("left")).alias(
+            "side"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    a = g.select(
+        "side",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CASE WHEN sy * sxx - sx * sxy >= 0 THEN 1 ELSE -1 END"
+            " * ((CAST(1000000 AS DECIMAL(38,0)) * abs(sy * sxx - sx * sxy))"
+            "    div (n * sxx - sx * sx))"
+        ).alias("alpha_ppm"),
+    )
+    jump = a.agg(
+        (
+            F.max(F.when(F.col("side") == "right", F.col("alpha_ppm")))
+            - F.max(F.when(F.col("side") == "left", F.col("alpha_ppm")))
+        ).alias("jump_ppm")
+    )
+    return a.crossJoin(F.broadcast(jump)).select(
+        "side",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("alpha_ppm").cast("long").alias("alpha_ppm"),
+        F.col("jump_ppm").cast("long").alias("jump_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_iv_wald (round 7)
+# ---------------------------------------------------------------------
+
+_IV_ERA = "1995-01-01"  # instrument: order placed before the 1995 era split
+
+
+@query(
+    "q_iv_wald",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(o_orderdate < DATE '{_IV_ERA}' AS BIGINT) AS z,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS t,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT z,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(t) AS HUGEINT) AS st,
+             CAST(SUM(y) AS HUGEINT) AS sy
+      FROM base GROUP BY z
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN z = 1 THEN n END) AS n1,
+             MAX(CASE WHEN z = 0 THEN n END) AS n0,
+             MAX(CASE WHEN z = 1 THEN st END) AS st1,
+             MAX(CASE WHEN z = 0 THEN st END) AS st0,
+             MAX(CASE WHEN z = 1 THEN sy END) AS sy1,
+             MAX(CASE WHEN z = 0 THEN sy END) AS sy0
+      FROM g
+    )
+    SELECT g.z, CAST(g.n AS BIGINT) AS n, CAST(g.st AS BIGINT) AS n_treated,
+           CAST(g.sy AS BIGINT) AS sum_cents,
+           CAST(CASE WHEN (w.sy1 * w.n0 - w.sy0 * w.n1) >= 0
+                     THEN 1 ELSE -1 END
+                * ((1000 * ABS(w.sy1 * w.n0 - w.sy0 * w.n1))
+                   // ABS(w.st1 * w.n0 - w.st0 * w.n1))
+                * (CASE WHEN (w.st1 * w.n0 - w.st0 * w.n1) >= 0
+                        THEN 1 ELSE -1 END)
+                AS BIGINT) AS wald_milli_cents
+    FROM g, w
+    """,
+    tags=("estimation", "instrumental-variable", "wald", "causal"),
+)
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald instrumental-variable estimator: effect of order COMPLETION
+    (t = status F) on order value (y, cents), instrumented by the 1995
+    era split (z = ordered before 1995 — strongly predictive of t
+    because old orders have all finished, plausibly unrelated to y's
+    other drivers). Wald = (E[y|z=1]−E[y|z=0]) / (E[t|z=1]−E[t|z=0]) —
+    the 2-group IV special case, and the core of every encouragement-
+    design readout.
+
+    Exactness: both difference-of-means are assembled as cross-
+    multiplied exact integer products over DECIMAL(38,0)/HUGEINT —
+    (Σy₁n₀ − Σy₀n₁) / (Σt₁n₀ − Σt₀n₁) after the common 1/(n₁n₀)
+    cancels — with signs split out so the single truncating division
+    is over positive operands on both engines.
+
+    Scale: one hash aggregate to a 2-row arm table; 1-row stitch. The
+    scan is the only data-sized stage."""
+    base = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") < F.lit(_IV_ERA).cast("date"))
+        .cast("long")
+        .alias("z"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    g = base.groupBy("z").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("z") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("z") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("z") == 1, F.col("st"))).alias("st1"),
+        F.max(F.when(F.col("z") == 0, F.col("st"))).alias("st0"),
+        F.max(F.when(F.col("z") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("z") == 0, F.col("sy"))).alias("sy0"),
+    )
+    return g.crossJoin(F.broadcast(w)).select(
+        "z",
+        F.col("n").cast("long").alias("n"),
+        F.col("st").cast("long").alias("n_treated"),
+        F.col("sy").cast("long").alias("sum_cents"),
+        F.expr(
+            "CAST(CASE WHEN (sy1 * n0 - sy0 * n1) >= 0 THEN 1 ELSE -1 END"
+            " * ((CAST(1000 AS DECIMAL(38,0)) * abs(sy1 * n0 - sy0 * n1))"
+            "    div abs(st1 * n0 - st0 * n1))"
+            " * (CASE WHEN (st1 * n0 - st0 * n1) >= 0 THEN 1 ELSE -1 END)"
+            " AS BIGINT)"
+        ).alias("wald_milli_cents"),
+    )

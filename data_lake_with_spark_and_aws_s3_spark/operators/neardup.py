@@ -1147,3 +1147,132 @@ def q_lsh_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_vs_pool_x100"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_minhash_containment (round 7)
+# ---------------------------------------------------------------------
+
+_CONT_SHINGLE = 4  # token 4-gram shingles (repo-wide near-dup grain)
+_CONT_DFMAX = 20  # candidate blocking: only shingles in <= 20 docs seed pairs
+_CONT_THRESH_PPM = 500_000  # emit pairs with containment >= 50%
+
+
+@query(
+    "q_minhash_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]) AS shingle
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_CONT_SHINGLE - 1}))
+                 AS i
+        FROM toks WHERE len(t) >= {_CONT_SHINGLE}
+      )
+    ),
+    size_a AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND {_CONT_DFMAX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b, m.n_common, s.n_sh AS n_shingles_a,
+           CAST((1000000 * m.n_common) // s.n_sh AS BIGINT)
+             AS containment_ppm
+    FROM common m JOIN size_a s ON s.doc_id = m.doc_a
+    WHERE (1000000 * m.n_common) // s.n_sh >= {_CONT_THRESH_PPM}
+    """,
+    tags=("neardup", "containment", "asymmetric", "llm-pipeline"),
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A,B) = |S(A) ∩ S(B)| / |S(A)|
+    over token 4-gram shingle sets — the doc-inside-doc detector that
+    resemblance-based Jaccard dedup misses (a paragraph fully quoted
+    inside a larger page has high containment but low Jaccard; Broder's
+    original distinction). Directed pairs with C >= 50% survive.
+
+    Candidate generation is RARE-SHINGLE BLOCKING: only shingles
+    appearing in 2..{_CONT_DFMAX} docs seed pairs (the posting join's
+    fan-out is df-capped, so its cost is Σ df² over rare shingles —
+    never all-pairs); the true intersection is then recomputed EXACTLY
+    for candidates from the full shingle sets. Pairs sharing only
+    ultra-common shingles are missed by design — documented recall
+    trade, standard in production dedup (common shingles carry no
+    containment evidence worth the quadratic postings).
+
+    Exactness: distinct-shingle sets and intersection counts are exact
+    integers; containment_ppm is one truncating division of positive
+    integers — identical on both engines.
+
+    Scale: shingling explodes map-side; the df-capped posting join and
+    the (doc_a, shingle)-keyed verify join shuffle posting rows, not
+    the corpus squared; every aggregate has map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: i <= F.size(toks) - 3,
+    )
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 4)))
+    )
+    sh = (
+        d.select("doc_id", F.explode(shingles).alias("shingle"))
+        .localCheckpoint(eager=True)  # feeds sizes, postings AND verify
+    )
+    size_a = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _CONT_DFMAX))
+        .select("shingle")
+    )
+    post = sh.join(rare, "shingle")
+    cand = (
+        post.select("shingle", F.col("doc_id").alias("doc_a"))
+        .join(
+            post.select("shingle", F.col("doc_id").alias("doc_b")), "shingle"
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = common.join(
+        size_a.select(F.col("doc_id").alias("doc_a"), "n_sh"), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("n_sh").alias("n_shingles_a"),
+        F.expr("CAST((1000000 * n_common) div n_sh AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+    )
+    return out.filter(F.col("containment_ppm") >= _CONT_THRESH_PPM)

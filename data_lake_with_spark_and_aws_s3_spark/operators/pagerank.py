@@ -317,3 +317,163 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= _HITS_TOP
     )
+
+
+# ---------------------------------------------------------------------
+# q_personalized_pagerank (round 7)
+# ---------------------------------------------------------------------
+
+_PPR_SEED_CUSTS = (1, 2, 3, 4, 5)  # seed customers (node ids 2k)
+_PPR_SEED_SHARE = ONE // len(_PPR_SEED_CUSTS)
+_PPR_RESTART = (15 * ONE // 100) // len(_PPR_SEED_CUSTS)  # per-seed teleport
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    i{cur} AS (
+      SELECT s.dst AS node,
+             CAST(SUM(r.rank_scaled // d.outdeg) AS BIGINT) AS inc
+      FROM sym s
+      JOIN p{prev} r ON s.src = r.node AND r.rank_scaled > 0
+      JOIN deg d ON s.src = d.node
+      GROUP BY s.dst
+    ),
+    p{cur} AS (
+      SELECT v.node,
+             CAST(COALESCE(sd.restart, 0)
+                  + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT)
+               AS rank_scaled
+      FROM v
+      LEFT JOIN i{cur} i ON v.node = i.node
+      LEFT JOIN seeds sd ON v.node = sd.node
+    )
+    """
+
+
+def _ppr_oracle() -> str:
+    seed_rows = ", ".join(f"({2 * k})" for k in _PPR_SEED_CUSTS)
+    steps = ",".join(_ppr_iter_sql(str(i), str(i + 1)) for i in range(ITERS))
+    return f"""
+    WITH {_GRAPH_SQL},
+    seeds AS (
+      SELECT CAST(node AS BIGINT) AS node,
+             CAST({_PPR_RESTART} AS BIGINT) AS restart
+      FROM (VALUES {seed_rows}) AS t(node)
+    ),
+    p0 AS (
+      SELECT v.node,
+             CAST(CASE WHEN sd.node IS NOT NULL
+                       THEN {_PPR_SEED_SHARE} ELSE 0 END AS BIGINT)
+               AS rank_scaled
+      FROM v LEFT JOIN seeds sd ON v.node = sd.node
+    ),
+    {steps}
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           rank_scaled
+    FROM p{ITERS}
+    WHERE rank_scaled > 0
+    QUALIFY ROW_NUMBER() OVER (ORDER BY rank_scaled DESC, node) <= {TOP_N}
+    """
+
+
+@query(
+    "q_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative", "pagerank", "personalized"),
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a fixed 5-customer seed set: teleport
+    mass returns ONLY to the seeds, so ranks measure proximity to that
+    neighborhood — the "similar items / audiences" graph primitive
+    behind recommendation and label-propagation-style expansion
+    (q_pagerank's global variant answers importance; this answers
+    importance TO WHOM). Top-100 nonzero nodes by scaled-int rank.
+
+    Exactness: the q_pagerank integer treatment verbatim — scaled-int
+    ranks (1.0 = 1e12), floor-div contributions, per-seed restart mass
+    a precomputed integer literal; every step order-independent exact
+    integer arithmetic.
+
+    Scale: identical dataflow to q_pagerank (edge join + per-node agg
+    per iteration, two key-shuffles), with one PPR-specific advantage:
+    rank vectors stay SPARSE (only nodes reached from the seeds carry
+    mass — the r.rank_scaled > 0 join filter both engines apply), so
+    early iterations touch a neighborhood, not the whole graph. Final
+    top-k is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    e0 = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    vertices = (
+        c.select((F.col("c_custkey") * 2).alias("node"))
+        .unionAll(s.select((F.col("s_suppkey") * 2 + 1).alias("node")))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    edges = (
+        sym.join(deg, sym["src"] == deg["node"])
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    seeds = spark.createDataFrame(
+        [(2 * k, _PPR_RESTART) for k in _PPR_SEED_CUSTS],
+        "node long, restart long",
+    )
+    ranks = vertices.join(F.broadcast(seeds), "node", "left").select(
+        "node",
+        F.when(F.col("restart").isNotNull(), F.lit(_PPR_SEED_SHARE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_scaled"),
+    )
+    for _ in range(ITERS):
+        inc = (
+            edges.join(
+                ranks.filter(F.col("rank_scaled") > 0),
+                edges["src"] == ranks["node"],
+            )
+            .select(
+                F.col("dst"),
+                F.expr("rank_scaled div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            vertices.join(inc, vertices["node"] == inc["dst"], "left")
+            .join(F.broadcast(seeds), "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("restart"), F.lit(0))
+                    + F.expr("85 * coalesce(inc, 0L) div 100")
+                ).cast("long").alias("rank_scaled"),
+            )
+        )
+    return (
+        ranks.filter(F.col("rank_scaled") > 0)
+        .orderBy(F.col("rank_scaled").desc(), F.col("node"))
+        .limit(TOP_N)
+        .select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank_scaled",
+        )
+    )

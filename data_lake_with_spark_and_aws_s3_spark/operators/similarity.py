@@ -1769,3 +1769,117 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("candidates_scanned"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_embedding_outlier_prune (round 7)
+# ---------------------------------------------------------------------
+
+_EOP_BOTTOM_K = 5  # flag the 5 least-central vectors per label
+
+
+@query(
+    "q_embedding_outlier_prune",
+    oracle=f"""
+    WITH ei AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, label, unnest(v) AS val,
+             CAST(unnest(generate_series(1, len(v))) AS INTEGER) AS pos
+      FROM ei
+    ),
+    cent AS (
+      SELECT label, pos, CAST(SUM(val) AS BIGINT) AS sval
+      FROM pos GROUP BY label, pos
+    ),
+    cnorm AS (
+      SELECT label, CAST(SUM(sval * sval) AS BIGINT) AS ns2 FROM cent
+      GROUP BY label
+    ),
+    dots AS (
+      SELECT p.vec_id, p.label,
+             CAST(SUM(p.val * c.sval) AS BIGINT) AS dot,
+             CAST(SUM(p.val * p.val) AS BIGINT) AS nx2
+      FROM pos p JOIN cent c ON c.label = p.label AND c.pos = p.pos
+      GROUP BY p.vec_id, p.label
+    ),
+    cos AS (
+      SELECT d.vec_id, d.label,
+             CAST(ROUND(1000000000.0 * CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(d.nx2 AS DOUBLE))
+                        / sqrt(CAST(n.ns2 AS DOUBLE))) AS BIGINT)
+               AS cos_nano
+      FROM dots d JOIN cnorm n USING (label)
+    )
+    SELECT label, vec_id, cos_nano, CAST(rk AS BIGINT) AS outlier_rank
+    FROM (
+      SELECT label, vec_id, cos_nano,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos_nano, vec_id) AS rk
+      FROM cos
+    ) WHERE rk <= {_EOP_BOTTOM_K}
+    """,
+    tags=("similarity", "outlier", "curation", "llm-pipeline"),
+)
+def q_embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier pruning: the {_EOP_BOTTOM_K} vectors per label
+    FARTHEST from their label's centroid direction (lowest cosine to
+    the per-label SUM vector — same direction as the mean, no division
+    needed). The label-consistency curation pass that drops mislabeled
+    or degenerate embeddings before contrastive training — the
+    geometric sibling of q_confident_label_noise's token-profile test.
+
+    Exactness: elements quantized to 1e-4 grid ints (the q_ann_ivf
+    treatment); dot products and squared norms are exact BIGINTs; the
+    cosine is one identical double expression (dot / sqrt(nx2) /
+    sqrt(ns2)) over exactly-equal operands, quantized to nano-units.
+
+    Scale: one (label, dim) centroid aggregate (map-side partials),
+    a label+dim-keyed dot join — shuffle proportional to |vectors| x
+    dims, never pairs — and a per-label bottom-k window (keyed,
+    parallel across labels)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "fval"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("fval").cast("double") * 10000).cast("long").alias("val"),
+    )
+    cent = pos.groupBy("label", "pos").agg(F.sum("val").alias("sval"))
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("sval") * F.col("sval")).alias("ns2")
+    )
+    dots = (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("sval")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("nx2"),
+        )
+    )
+    cos = dots.join(cnorm, "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.lit(1_000_000_000.0)
+            * F.col("dot").cast("double")
+            / F.sqrt(F.col("nx2").cast("double"))
+            / F.sqrt(F.col("ns2").cast("double"))
+        )
+        .cast("long")
+        .alias("cos_nano"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_nano", "vec_id")
+    return (
+        cos.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= _EOP_BOTTOM_K)
+        .select("label", "vec_id", "cos_nano", "outlier_rank")
+    )

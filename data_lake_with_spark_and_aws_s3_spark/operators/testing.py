@@ -737,3 +737,437 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_stat.alias("q_stat"),
         (q_stat > F.lit(_FRIEDMAN_CRIT)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_kruskal_wallis (round 7)
+# ---------------------------------------------------------------------
+
+_KW_Q = 1000  # per-group quadratic terms re-scaled by 1e3 before ROUND:
+# R2_j^2/n_j <= 4N^3, so the scaled term stays under 2^53 to N ~ 1.3e6
+# rows per tested tile; the quantization error (<= k*Q/2 in S) is the
+# documented estimator choice, identical on both engines.
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH base AS (
+      SELECT source AS grp, n_chars AS x FROM documents
+    ),
+    vg AS (
+      SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT x, CAST(SUM(cnt) AS BIGINT) AS tcnt FROM vg GROUP BY x
+    ),
+    r AS (
+      SELECT x, tcnt,
+             CAST(2 * SUM(tcnt) OVER (ORDER BY x) - tcnt + 1 AS BIGINT)
+               AS r2
+      FROM v
+    ),
+    g AS (
+      SELECT grp,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * r.r2) AS BIGINT) AS r2_sum
+      FROM vg JOIN r USING (x) GROUP BY grp
+    ),
+    t AS (
+      SELECT grp, n, r2_sum,
+             CAST(ROUND(CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE)
+                        / CAST(n AS DOUBLE) / {_KW_Q}) AS BIGINT) AS term_sc
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(term_sc) AS BIGINT) AS s_sc,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM t
+    ),
+    ties AS (
+      SELECT SUM(CAST(tcnt AS HUGEINT) * tcnt * tcnt - tcnt) AS sum_t3
+      FROM v
+    )
+    SELECT t.grp, t.n, t.r2_sum,
+           CAST(ROUND(1000.0 * (3.0 * CAST(tot.s_sc AS DOUBLE) * {_KW_Q}
+                                / (CAST(tot.nn AS DOUBLE)
+                                   * CAST(tot.nn + 1 AS DOUBLE))
+                                - 3.0 * CAST(tot.nn + 1 AS DOUBLE)))
+                AS BIGINT) AS h_milli,
+           CAST(ROUND(1000.0 * (3.0 * CAST(tot.s_sc AS DOUBLE) * {_KW_Q}
+                                / (CAST(tot.nn AS DOUBLE)
+                                   * CAST(tot.nn + 1 AS DOUBLE))
+                                - 3.0 * CAST(tot.nn + 1 AS DOUBLE))
+                      / (1.0 - CAST(ties.sum_t3 AS DOUBLE)
+                               / (CAST(tot.nn AS DOUBLE)
+                                  * CAST(tot.nn AS DOUBLE)
+                                  * CAST(tot.nn AS DOUBLE)
+                                  - CAST(tot.nn AS DOUBLE))))
+                AS BIGINT) AS h_corr_milli
+    FROM t, tot, ties
+    """,
+    tags=("testing", "kruskal-wallis", "rank-test", "statistics"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across document SOURCES on document length:
+    the non-parametric one-way test ("do the sources draw from the
+    same length distribution?") that q_anova_oneway's normal-theory F
+    cannot answer for the heavy-tailed length column. Emits per-source
+    doubled rank sums plus H and the tie-corrected H on every row.
+
+    Ranks are TIE-CORRECTED average ranks computed from the length
+    HISTOGRAM — and the histogram's cumulative runs through the
+    TWO-PHASE range-partition idiom (_twophase.py), so no single-task
+    window exists even if the value domain were unbounded: doubled
+    average rank r2(v) = 2*cum(v) - t(v) + 1 is an exact BIGINT.
+
+    Exactness: counts and rank sums exact; each group's quadratic
+    R2_j^2/n_j is one IEEE expression over exactly-representable
+    operands re-scaled by 1e3 and ROUNDed before the exact cross-group
+    sum (the q_anova_oneway treatment); the tie term sum(t^3 - t)
+    accumulates in DECIMAL(38,0)/HUGEINT; H and H_corr are the same
+    arithmetic expression evaluated over identical exact inputs on
+    both engines, quantized to milli-units.
+
+    Scale: one (value, group) hash aggregate over the scan, a
+    value-histogram two-phase prefix sum, one k-row group aggregate,
+    and 1-row stitches. The scan is the only data-sized stage."""
+    from ._twophase import global_order_stats
+
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("grp"), F.col("n_chars").alias("x")
+    )
+    vg = base.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    v = vg.groupBy("x").agg(F.sum("cnt").alias("tcnt"))
+    r = global_order_stats(
+        v, [F.asc("x")], running_sums={"cum": F.col("tcnt")}, rn_col=None
+    ).select("x", "tcnt", (2 * F.col("cum") - F.col("tcnt") + 1).alias("r2"))
+    g = (
+        vg.join(r.select("x", "r2"), "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("cnt") * F.col("r2")).alias("r2_sum"),
+        )
+    )
+    t = g.select(
+        "grp",
+        "n",
+        "r2_sum",
+        F.round(
+            F.col("r2_sum").cast("double")
+            * F.col("r2_sum").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(_KW_Q)
+        )
+        .cast("long")
+        .alias("term_sc"),
+    )
+    tot = t.agg(
+        F.sum("n").alias("nn"),
+        F.sum("term_sc").alias("s_sc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ties = v.agg(
+        F.sum(
+            F.col("tcnt").cast("decimal(38,0)") * F.col("tcnt") * F.col("tcnt")
+            - F.col("tcnt")
+        ).alias("sum_t3")
+    )
+    h = (
+        F.lit(3.0)
+        * F.col("s_sc").cast("double")
+        * F.lit(_KW_Q)
+        / (F.col("nn").cast("double") * (F.col("nn") + 1).cast("double"))
+        - F.lit(3.0) * (F.col("nn") + 1).cast("double")
+    )
+    c = F.lit(1.0) - F.col("sum_t3").cast("double") / (
+        F.col("nn").cast("double")
+        * F.col("nn").cast("double")
+        * F.col("nn").cast("double")
+        - F.col("nn").cast("double")
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "grp",
+            "n",
+            "r2_sum",
+            F.round(F.lit(1000.0) * h).cast("long").alias("h_milli"),
+            F.round(F.lit(1000.0) * h / c).cast("long").alias("h_corr_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# q_levene_test (round 7, Brown-Forsythe variant)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_levene_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    vg AS (
+      SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT grp, CAST(MIN(cents) AS BIGINT) AS med_cents
+      FROM (
+        SELECT grp, cents,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY cents) AS cum,
+               SUM(cnt) OVER (PARTITION BY grp) AS ng
+        FROM vg
+      )
+      WHERE cum >= (ng + 1) // 2
+      GROUP BY grp
+    ),
+    z AS (
+      SELECT b.grp, ABS(b.cents - m.med_cents) AS zv
+      FROM base b JOIN med m ON b.grp = m.grp
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zv) AS BIGINT) AS sz,
+             CAST(SUM(CAST(ROUND(CAST(zv AS DOUBLE) * CAST(zv AS DOUBLE)
+                                 / {_ANOVA_Q}) AS BIGINT)) AS BIGINT)
+               AS szz_sc
+      FROM z GROUP BY grp
+    ),
+    t AS (
+      SELECT grp, n, sz, szz_sc,
+             CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                        / CAST(n AS DOUBLE) / {_ANOVA_Q}) AS BIGINT) AS t_sc
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sz) AS BIGINT) AS ssz,
+             CAST(SUM(t_sc) AS BIGINT) AS sum_t,
+             CAST(SUM(szz_sc) AS BIGINT) AS sum_szz,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM t
+    )
+    SELECT t.grp, t.n, t.sz AS sum_absdev,
+           CAST(t.sz AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_absdev,
+           CAST(tot.sum_t - CAST(ROUND(CAST(tot.ssz AS DOUBLE)
+                                       * CAST(tot.ssz AS DOUBLE)
+                                       / CAST(tot.nn AS DOUBLE)
+                                       / {_ANOVA_Q}) AS BIGINT) AS DOUBLE)
+             * CAST(tot.nn - tot.k AS DOUBLE)
+             / (CAST(tot.sum_szz - tot.sum_t AS DOUBLE)
+                * CAST(tot.k - 1 AS DOUBLE)) AS w_stat
+    FROM t, tot
+    """,
+    tags=("testing", "levene", "brown-forsythe", "variance", "statistics"),
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centred Levene) test for EQUAL SPREAD of
+    order value across the five priorities — the homoscedasticity
+    check q_anova_oneway silently assumes: W is the one-way F computed
+    on z = |cents - group median| instead of the raw values. A
+    significant W says the priorities differ in dispersion even if
+    their means agree.
+
+    The group median is the exact LOWER order statistic from each
+    group's value histogram (cumulative window PARTITIONED by group —
+    parallel across groups; engine MEDIAN interpolates even counts and
+    rounds the .5 differently on the two engines, so it is avoided).
+    z is then an exact BIGINT and the whole q_anova_oneway exactness
+    treatment applies verbatim: quadratics quantized per group before
+    exact sums, W one final division of exact integers.
+
+    Scale: one (group, value) histogram aggregate, a per-group
+    cumulative over distinct values, a 5-row broadcast median join
+    back onto the scan, then the two ANOVA hash aggregates. At 100 TB
+    the per-group cumulative upgrades to the _twophase.py idiom keyed
+    by group."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vg = base.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_grp = Window.partitionBy("grp")
+    med = (
+        vg.select(
+            "grp",
+            "cents",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_grp).alias("ng"),
+        )
+        .filter(F.expr("cum >= (ng + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    z = base.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("cents") - F.col("med_cents")).alias("zv")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("zv").alias("sz"),
+        F.sum(
+            F.round(
+                F.col("zv").cast("double")
+                * F.col("zv").cast("double")
+                / F.lit(_ANOVA_Q)
+            ).cast("long")
+        ).alias("szz_sc"),
+    )
+    t = g.select(
+        "grp",
+        "n",
+        "sz",
+        "szz_sc",
+        F.round(
+            F.col("sz").cast("double")
+            * F.col("sz").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(_ANOVA_Q)
+        )
+        .cast("long")
+        .alias("t_sc"),
+    )
+    tot = t.agg(
+        F.sum("n").alias("nn"),
+        F.sum("sz").alias("ssz"),
+        F.sum("t_sc").alias("sum_t"),
+        F.sum("szz_sc").alias("sum_szz"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    gm_sc = F.round(
+        F.col("ssz").cast("double")
+        * F.col("ssz").cast("double")
+        / F.col("nn").cast("double")
+        / F.lit(_ANOVA_Q)
+    ).cast("long")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n",
+        F.col("sz").alias("sum_absdev"),
+        (F.col("sz").cast("double") / F.col("n").cast("double")).alias(
+            "mean_absdev"
+        ),
+        (
+            (F.col("sum_t") - gm_sc).cast("double")
+            * (F.col("nn") - F.col("k")).cast("double")
+            / (
+                (F.col("sum_szz") - F.col("sum_t")).cast("double")
+                * (F.col("k") - 1).cast("double")
+            )
+        ).alias("w_stat"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_cochran_armitage (round 7)
+# ---------------------------------------------------------------------
+
+_CA_CRIT_MILLI = 3841  # chi2_{0.95, df=1} * 1000, precomputed
+
+
+@query(
+    "q_cochran_armitage",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_orderstatus = 'F' AS INTEGER)) AS BIGINT)
+               AS cases
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(cases) AS HUGEINT) AS rr,
+             CAST(SUM(w * cases) AS HUGEINT) AS swr,
+             CAST(SUM(w * n) AS HUGEINT) AS swn,
+             CAST(SUM(w * w * n) AS HUGEINT) AS sw2n
+      FROM g
+    ),
+    s AS (
+      SELECT nn, rr,
+             nn * swr - rr * swn AS nt,
+             nn * sw2n - swn * swn AS sp
+      FROM tot
+    )
+    SELECT g.grp, g.w, g.n, g.cases,
+           CAST((1000 * s.nt * s.nt * s.nn)
+                // (s.rr * (s.nn - s.rr) * s.sp) AS BIGINT) AS z2_milli,
+           CAST((1000 * s.nt * s.nt * s.nn)
+                // (s.rr * (s.nn - s.rr) * s.sp) AS BIGINT)
+             > {_CA_CRIT_MILLI} AS trend_significant
+    FROM g, s
+    """,
+    tags=("testing", "cochran-armitage", "trend", "statistics"),
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the share of FINISHED orders
+    move MONOTONICALLY with order priority (scores w = 1..5 parsed
+    from the priority label)? The ordered-categories companion to
+    q_chi_square — chi-square asks "any difference", this asks
+    "a directional trend", with one df instead of k-1.
+
+    Exactness: the statistic is assembled ENTIRELY from exact integer
+    moments — N·T = N·Σw·r − R·Σw·n and s' = N·Σw²n − (Σwn)², giving
+    z² = (N·T)²·N / (R·(N−R)·s'); products run in DECIMAL(38,0) on
+    Spark and HUGEINT in the oracle (the q_zipf_slope precedent —
+    truncating div verified to agree), and N·T enters SQUARED so no
+    sign split is needed. z²_milli is one truncating integer division.
+
+    Scale: one hash aggregate to the 5-row priority table, 1-row
+    stitches after. The scan is the only data-sized stage."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int")).alias("cases"),
+        )
+        .select(
+            F.substring("grp", 1, 1).cast("long").alias("w"),
+            "grp",
+            "n",
+            "cases",
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("cases").cast("decimal(38,0)").alias("rr"),
+        F.sum(F.col("w") * F.col("cases")).cast("decimal(38,0)").alias("swr"),
+        F.sum(F.col("w") * F.col("n")).cast("decimal(38,0)").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("sw2n"),
+    )
+    s = tot.select(
+        "nn",
+        "rr",
+        (F.col("nn") * F.col("swr") - F.col("rr") * F.col("swn")).alias("nt"),
+        (F.col("nn") * F.col("sw2n") - F.col("swn") * F.col("swn")).alias("sp"),
+    )
+    z2 = F.expr(
+        "CAST((CAST(1000 AS DECIMAL(38,0)) * nt * nt * nn)"
+        " div (rr * (nn - rr) * sp) AS BIGINT)"
+    )
+    return g.crossJoin(F.broadcast(s)).select(
+        "grp",
+        "w",
+        "n",
+        "cases",
+        z2.alias("z2_milli"),
+        (z2 > F.lit(_CA_CRIT_MILLI)).alias("trend_significant"),
+    )

@@ -1303,3 +1303,115 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtw_per_step_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# q_page_hinkley (round 7)
+# ---------------------------------------------------------------------
+
+_PH_ALARM_PCT = 10  # alarm when deviation mass > 10% of cumulative revenue
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    runs AS (
+      SELECT day, cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM daily
+    ),
+    dev AS (
+      SELECT day, cents, i, cum,
+             CAST(ROUND(1000.0 * (CAST(cents AS DOUBLE) * i - cum)
+                        / CAST(i AS DOUBLE)) AS BIGINT) AS dev_milli
+      FROM runs
+    ),
+    m AS (
+      SELECT day, cents, i, cum, dev_milli,
+             CAST(SUM(dev_milli) OVER (ORDER BY day) AS BIGINT) AS m_milli
+      FROM dev
+    )
+    SELECT day, cents, dev_milli, m_milli,
+           CAST(MAX(m_milli) OVER (ORDER BY day) - m_milli AS BIGINT)
+             AS ph_milli,
+           (MAX(m_milli) OVER (ORDER BY day) - m_milli)
+             * {_PH_ALARM_PCT} > CAST(cum AS BIGINT) * 10 AS alarm
+    FROM m
+    """,
+    tags=("timeseries", "page-hinkley", "drift", "changepoint"),
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley downward-drift monitor over daily revenue: the
+    cumulative deviation from the RUNNING mean, m_t = Σ_i (x_i − x̄_i),
+    and the PH statistic max_s m_s − m_t — alarming when the deviation
+    mass exceeds {_PH_ALARM_PCT}% of cumulative revenue (a RELATIVE
+    bound, so the gate means the same thing at every SF). The
+    sequential changepoint detector that complements q_cusum_drift
+    (fixed reference mean) by tracking the mean as it drifts — the
+    standard data-stream drift test (Page 1954; Gama et al. 2014).
+
+    Exactness: daily cents exact; each deviation (x_i·i − cum_i)/i is
+    ONE IEEE division of exact integer operands quantized to
+    milli-units (numerator < 2^63 while daily-cents × day-count stays
+    under ~9e18 — holds through every shipped tile; the 100 TB form
+    re-scales to dollar units first); m and the running max are then
+    exact integer window sums; the alarm is an exact integer
+    cross-multiplication.
+
+    Scale: one hash aggregate to the calendar-bounded daily frame
+    (~2.4k rows at any SF), then keyless windows over that bounded
+    frame — the allowlisted class; nothing data-proportional follows
+    the scan. In production the same integer update runs as a
+    stateful streaming operator."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("timestamp").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    runs = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.sum("cents").over(w_run).cast("long").alias("cum"),
+    )
+    dev = runs.select(
+        "day",
+        "cents",
+        "i",
+        "cum",
+        F.round(
+            F.lit(1000.0)
+            * (F.col("cents").cast("double") * F.col("i") - F.col("cum"))
+            / F.col("i").cast("double")
+        )
+        .cast("long")
+        .alias("dev_milli"),
+    )
+    m = dev.select(
+        "day",
+        "cents",
+        "dev_milli",
+        "cum",
+        F.sum("dev_milli").over(w_run).cast("long").alias("m_milli"),
+    )
+    ph = F.max("m_milli").over(w_run) - F.col("m_milli")
+    return m.select(
+        "day",
+        "cents",
+        "dev_milli",
+        "m_milli",
+        ph.cast("long").alias("ph_milli"),
+        (ph * _PH_ALARM_PCT > F.col("cum") * 10).alias("alarm"),
+    )

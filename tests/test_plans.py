@@ -413,6 +413,10 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_vocab_coverage": "top-10000 limit precedes the window — constant frame",
     "q_approx_top_k": "sketch output <= maxItemsTracked=10k rows by construction",
     "q_ab_test_report": "inherits component queries' bounded stitch windows",
+    # --- round-7 additions ---
+    "q_kruskal_wallis": "<=16 two-phase prefix-offset rows (_twophase.py)",
+    "q_err_at_k": "windows over the <=10-row post-TakeOrdered prefix",
+    "q_page_hinkley": "daily revenue series — calendar-bounded frame",
     # --- dim-sized post-aggregation frames with documented tradeoff ---
     "q15_top_supplier": (
         "supplier-dim post-aggregation frame; docstring documents the "
