@@ -1,10 +1,13 @@
-"""Hypothesis-testing and data-adequacy battery (round 6) — the
+"""Hypothesis-testing and data-adequacy battery (rounds 6-7) — the
 "is this slice of the corpus big enough / different enough" questions a
 100 TB curation pipeline answers before spending GPU-hours: one-way
 ANOVA across strata, a Fisher-style randomization test, a
 Wald–Wolfowitz runs test on a revenue series, a sequential probability
 ratio test (SPRT) over an event stream, and a Hoeffding sample-adequacy
 audit per language (the power/MDE sizing report lives in stats.py).
+Round 7 adds the non-parametric / robustness row: Kruskal-Wallis
+(rank-based one-way, two-phase distributed ranks), Brown-Forsythe
+Levene (equal spread), and Cochran-Armitage (ordered trend).
 
 Cross-engine exactness (the [[oracle-exactness-playbook]] rules used
 throughout this repo): every statistic is assembled from EXACT integer

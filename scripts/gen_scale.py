@@ -184,13 +184,66 @@ def gen_graph(out_dir: str, mult: int) -> None:
     print(f"wrote {out_dir}: {mult}x tiled relational graph")
 
 
+def gen_planted(out_dir: str, n_planted: int = 10_000) -> None:
+    """Embeddings tile with a PLANTED SRP mega-bucket (VERDICT r6 #6):
+    the real sf0.1 embeddings plus `n_planted` vectors of the form
+    base*(1-t) + noise*t with t=0.5 — measured against the actual
+    srp_signatures pipeline (seed 777, base drawn like the corpus):
+    the largest (k, bv) band bucket holds ~4.0k of the planted rows
+    (>> the 256 split threshold, so semdedup's depth-1 refinement
+    FIRES) and its largest rv-leaf ~1.3k (so depth-2 fires too) —
+    the regime no shipped SF reaches (max bucket 312 at 10x). Other
+    tables symlink sf0.1. Deterministic (fixed RandomState)."""
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(777)
+    base = (rng.rand(64).astype(np.float32) - 0.5) * 0.8
+    t = 0.5
+    noise = (rng.rand(n_planted, 64).astype(np.float32) - 0.5) * 0.8
+    planted = base[None, :] * (1 - t) + noise * t
+    real = _pq.read_table("/root/testdata/sf0.1/embeddings.parquet")
+    n_real = real.num_rows
+    emb_col = list(real.column("embedding").to_pylist()) + [
+        [float(x) for x in v] for v in planted
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    list(real.column("vec_id").to_pylist())
+                    + list(range(n_real, n_real + n_planted)),
+                    pa.int64(),
+                ),
+                "embedding": pa.array(emb_col, pa.list_(pa.float32())),
+                "label": pa.array(
+                    list(real.column("label").to_pylist())
+                    + [int(x) for x in rng.randint(0, 10, size=n_planted)],
+                    pa.int32(),
+                ),
+            }
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+    for t_name in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "events",
+    ]:
+        dst = f"{out_dir}/{t_name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t_name}.parquet", dst)
+    print(f"wrote {out_dir}: emb={n_real + n_planted} ({n_planted} planted)")
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--graph"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     mult = int(args[0]) if args else 10
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
     )
     if "--graph" in sys.argv:
         gen_graph(os.path.join(scratch, f"graph{mult}x"), mult)
+    elif "--planted" in sys.argv:
+        gen_planted(os.path.join(scratch, "planted1x"))
     else:
         gen(os.path.join(scratch, f"sf{mult}x"), mult)

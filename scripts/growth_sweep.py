@@ -141,6 +141,41 @@ FAMILIES = {
     "q_semdedup": lambda spark, d: {
         "vectors": load_table(spark, d, "embeddings").count()
     },
+    # round 7 (VERDICT r6 #4): the round-6 heavy shapes whose scale
+    # stories were argued, not measured.
+    # KNN-Shapley: pair stage = 30-test panel x train corpus -> linear
+    # in train vectors (the q_cosine_topk cost class)
+    "q_knn_shapley": lambda spark, d: {
+        "train_vectors": load_table(spark, d, "embeddings").count()
+    },
+    # SpaceSaving: shard summaries are capped (8 x 31 rows) regardless
+    # of corpus size — the exact-twin side's token aggregate is the
+    # only data-proportional stage
+    "q_spacesaving_merge": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)
+    },
+    # Kneser-Ney: continuation counts + the bigram-type aggregate;
+    # currency is bigram tokens (~corpus tokens), and the final top-50
+    # is TakeOrdered after the round-7 rewrite
+    "q_kneser_ney_bigram": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)
+    },
+    # round-7 additions with posting-bounded claims to verify
+    "q_minhash_containment": lambda spark, d: {
+        "posting_rows": shingle_stats(spark, d)
+    },
+    "q_winnowing_fingerprint": lambda spark, d: {
+        "gram_positions": gram_positions(spark, d)
+    },
+    "q_doc_perplexity_filter": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)
+    },
+    # two-phase global ranks must stay partition-parallel as the
+    # value histogram grows
+    "q_kruskal_wallis": lambda spark, d: {
+        "distinct_lengths": load_table(spark, d, "documents")
+        .select("n_chars").distinct().count()
+    },
 }
 
 
@@ -231,6 +266,12 @@ GRAPH_FAMILIES = {
     },
     "q_kcore_peel": lambda spark, d: {
         "copurchase_edges": copurchase_edges(spark, d)
+    },
+    # round 7: seed-teleport PPR — same per-iteration dataflow as
+    # q_pagerank but rank vectors stay sparse; the sweep shows wall
+    # growing with the edge list, not with reached-set blowup
+    "q_personalized_pagerank": lambda spark, d: {
+        "trade_edges": trade_edges(spark, d)
     },
 }
 
