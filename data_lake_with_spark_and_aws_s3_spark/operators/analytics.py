@@ -6,13 +6,10 @@ Scale posture (100 TB):
 - YoY growth is one keyed aggregate plus a tiny per-key lag window —
   the window input is |nations| x |years| rows, already reduced.
 - Skyline uses the sort-based O(n log n) formulation (running max over
-  a price-ordered window) instead of the O(n^2) dominance self-join
-  the oracle spells out. The global window runs AFTER pre-aggregation
-  to distinct (price, size) pairs, so its single-task input is the
-  pair count, not the row count; at extreme pair cardinality the
-  textbook refinement is range-partition by price, per-partition
-  skyline, then re-run on the union of survivors (noted, not needed
-  here).
+  the price order) instead of the O(n^2) dominance self-join the
+  oracle spells out — and since round 7 the running max is TWO-PHASE
+  (range partition + per-partition maxima + broadcast prefix max), so
+  no stage holds the pair table in one task at any cardinality.
 - Histogram is a single hash aggregate on a computed bucket key; the
   share-of-total window sees |buckets| rows.
 """
@@ -1150,4 +1147,99 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "hazard_step_ppm",
         F.sum("hazard_step_ppm").over(w_cum).cast("long").alias("cumhaz_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_daily_streaks (round 7)
+# ---------------------------------------------------------------------
+
+_STREAK_MIN = 2  # report streaks of at least 2 consecutive active days
+
+
+@query(
+    "q_daily_streaks",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    numbered AS (
+      SELECT user_id, day,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+               AS day_num,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id,
+             CAST(MIN(day) AS TIMESTAMP) AS streak_start,
+             CAST(MAX(day) AS TIMESTAMP) AS streak_end,
+             CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM numbered
+      GROUP BY user_id, day_num - rn
+    )
+    SELECT user_id, streak_start, streak_end, streak_len,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak_len DESC, streak_start)
+                AS BIGINT) AS streak_rank
+    FROM islands
+    QUALIFY streak_len >= {_STREAK_MIN}
+    """,
+    tags=("analytics", "gaps-islands", "streaks", "retention"),
+)
+def q_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day purchase streaks per user via the classic
+    gaps-and-islands idiom: distinct active days, per-user row numbers,
+    and the invariant that day_number − row_number is CONSTANT within a
+    run of consecutive days — each distinct value is one island. Emits
+    every streak of ≥{_STREAK_MIN} days with its per-user rank — the
+    engagement-streak primitive behind "7-day streak" retention
+    features. Complements q_sessionize_gaps (time-GAP islands on raw
+    event timestamps) with the integer-difference form on the calendar
+    grain.
+
+    Exactness: day arithmetic and counts are exact integers; ranks are
+    fully tie-broken (len desc, start).
+
+    Scale: one distinct aggregate to (user, day) grain — map-side
+    partials absorb the raw event volume — then windows and the island
+    aggregate all PARTITIONED by user (parallel, no global ordering
+    anywhere)."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.select(
+        "user_id",
+        "day",
+        F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_num"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    islands = numbered.groupBy(
+        "user_id", (F.col("day_num") - F.col("rn")).alias("grp")
+    ).agg(
+        F.min("day").cast("timestamp").alias("streak_start"),
+        F.max("day").cast("timestamp").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_len"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    return (
+        islands.filter(F.col("streak_len") >= _STREAK_MIN)
+        .select(
+            "user_id",
+            "streak_start",
+            "streak_end",
+            "streak_len",
+            F.row_number().over(w_rank).cast("long").alias("streak_rank"),
+        )
     )

@@ -446,3 +446,101 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ess_ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_systematic_pps_sample (round 7)
+# ---------------------------------------------------------------------
+
+_PPS_N = 100  # target draws
+
+
+@query(
+    "q_systematic_pps_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM base
+    ),
+    cum AS (
+      SELECT doc_id, lang, w,
+             CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum_w
+      FROM base
+    ),
+    step AS (
+      SELECT total_w // {_PPS_N} AS step,
+             (total_w // {_PPS_N}) // 2 AS start
+      FROM tot
+    )
+    SELECT c.doc_id, c.lang, c.w,
+           CAST(CASE WHEN c.cum_w > s.start
+                THEN (c.cum_w - s.start - 1) // s.step + 1 ELSE 0 END
+                - CASE WHEN c.cum_w - c.w > s.start
+                THEN (c.cum_w - c.w - s.start - 1) // s.step + 1 ELSE 0 END
+                AS BIGINT) AS n_hits
+    FROM cum c, step s
+    WHERE CASE WHEN c.cum_w > s.start
+          THEN (c.cum_w - s.start - 1) // s.step + 1 ELSE 0 END
+          > CASE WHEN c.cum_w - c.w > s.start
+          THEN (c.cum_w - c.w - s.start - 1) // s.step + 1 ELSE 0 END
+    """,
+    tags=("sampling", "pps", "systematic", "llm-pipeline"),
+)
+def q_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    documents end to end on a line scaled by weight (n_chars), then
+    take every step-th point starting at step/2 — doc i is drawn once
+    for every sample point inside its [cum−w, cum) interval, so
+    inclusion probability is exactly proportional to weight and heavy
+    docs can be drawn multiple times (n_hits > 1). The classic π-ps
+    design survey samplers and data-mixture builders use when
+    independent draws (q_weighted_sample's A-ES) waste budget on
+    variance.
+
+    Exactness: hits-in-interval is counted by the closed form
+    #{{j : start + j·step ∈ (cum−w, cum]}} = f(cum) − f(cum−w) with
+    f(x) = (x−start−1)//step + 1 for x > start — pure integer floor
+    arithmetic, identical on both engines; step truncation (total_w
+    mod n lost off the line's tail) is the documented bias of the
+    textbook design.
+
+    Scale: the cumulative weight runs through the TWO-PHASE
+    range-partition idiom (_twophase.py) keyed on doc_id — no
+    single-task window; everything after is map-side arithmetic. In
+    the fixed doc_id order the design is deterministic end to end."""
+    from ._twophase import global_order_stats
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    tot = base.agg(F.sum("w").alias("total_w"))
+    cum = global_order_stats(
+        base, [F.asc("doc_id")], running_sums={"cum_w": F.col("w")}, rn_col=None
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        "w",
+        "cum_w",
+        F.expr(f"total_w div {_PPS_N}").alias("step"),
+        F.expr(f"(total_w div {_PPS_N}) div 2").alias("start"),
+    )
+    f_hi = F.when(
+        F.col("cum_w") > F.col("start"),
+        F.expr("(cum_w - start - 1) div step + 1"),
+    ).otherwise(F.lit(0))
+    f_lo = F.when(
+        F.col("cum_w") - F.col("w") > F.col("start"),
+        F.expr("(cum_w - w - start - 1) div step + 1"),
+    ).otherwise(F.lit(0))
+    return (
+        j.select(
+            "doc_id",
+            "lang",
+            "w",
+            (f_hi - f_lo).cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

@@ -1883,3 +1883,206 @@ def q_embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("outlier_rank") <= _EOP_BOTTOM_K)
         .select("label", "vec_id", "cos_nano", "outlier_rank")
     )
+
+
+# ---------------------------------------------------------------------
+# q_mmr_diversify (round 7)
+# ---------------------------------------------------------------------
+
+_MMR_QUERY_ID = 0  # the query vector
+_MMR_CAND = 8  # relevance candidates fed to the diversifier
+_MMR_K = 4  # final diversified result size; lambda = 0.5
+
+
+def _mmr_sql_round(prev_sel: str, cur: str) -> str:
+    """One oracle MMR round: among unselected candidates, argmax of
+    2*MMR = simq − max-sim-to-selected (lambda = 0.5 scaled by 2 stays
+    integer), tie-break vec_id."""
+    return f"""
+    sel{cur} AS (
+      SELECT c.vec_id, c.simq_nano, {cur} AS mmr_round
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+      ORDER BY c.simq_nano
+        - (SELECT MAX(p.sim_nano) FROM pair p
+           WHERE p.a = c.vec_id
+             AND p.b IN (SELECT vec_id FROM {prev_sel})) DESC,
+        c.vec_id
+      LIMIT 1
+    ),
+    acc{cur} AS (
+      SELECT vec_id, simq_nano, mmr_round FROM {prev_sel}
+      UNION ALL SELECT vec_id, simq_nano, mmr_round FROM sel{cur}
+    )
+    """
+
+
+def _mmr_oracle() -> str:
+    rounds = "".join(
+        "," + _mmr_sql_round(f"acc{i}", str(i + 1)) for i in range(1, _MMR_K)
+    )
+    return f"""
+    WITH ei AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM ei WHERE vec_id = {_MMR_QUERY_ID}),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(ROUND(1000000000.0
+                  * CAST(list_reduce(list_transform(range(1, 65),
+                          i -> e.v[i] * q.qv[i]), (s, x) -> s + x) AS DOUBLE)
+                  / sqrt(CAST(list_reduce(list_transform(range(1, 65),
+                          i -> e.v[i] * e.v[i]), (s, x) -> s + x) AS DOUBLE))
+                  / sqrt(CAST(list_reduce(list_transform(range(1, 65),
+                          i -> q.qv[i] * q.qv[i]), (s, x) -> s + x) AS DOUBLE)))
+               AS BIGINT) AS simq_nano
+      FROM ei e, q WHERE e.vec_id <> {_MMR_QUERY_ID}
+    ),
+    cand AS (
+      SELECT vec_id, simq_nano FROM scored
+      ORDER BY simq_nano DESC, vec_id LIMIT {_MMR_CAND}
+    ),
+    pair AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(ROUND(1000000000.0
+                  * CAST(list_reduce(list_transform(range(1, 65),
+                          i -> ea.v[i] * eb.v[i]), (s, x) -> s + x) AS DOUBLE)
+                  / sqrt(CAST(list_reduce(list_transform(range(1, 65),
+                          i -> ea.v[i] * ea.v[i]), (s, x) -> s + x) AS DOUBLE))
+                  / sqrt(CAST(list_reduce(list_transform(range(1, 65),
+                          i -> eb.v[i] * eb.v[i]), (s, x) -> s + x) AS DOUBLE)))
+               AS BIGINT) AS sim_nano
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN ei ea ON ea.vec_id = a.vec_id
+      JOIN ei eb ON eb.vec_id = b.vec_id
+    ),
+    acc1 AS (
+      SELECT vec_id, simq_nano, 1 AS mmr_round FROM cand
+      ORDER BY simq_nano DESC, vec_id LIMIT 1
+    )
+    {rounds}
+    SELECT vec_id, CAST(simq_nano AS BIGINT) AS simq_nano,
+           CAST(mmr_round AS BIGINT) AS mmr_round
+    FROM acc{_MMR_K}
+    """
+
+
+@query(
+    "q_mmr_diversify",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "mmr", "diversification", "retrieval"),
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    re-ranking: fetch the top-{_MMR_CAND} cosine candidates for one
+    query vector, then greedily pick {_MMR_K} results maximizing
+    λ·sim(q,d) − (1−λ)·max_{{s∈S}} sim(d,s) with λ = 0.5 — the
+    diversification stage between ANN retrieval and the user, trading
+    raw relevance against redundancy (three near-duplicates of the
+    best hit waste two slots).
+
+    Exactness: with λ = 0.5 the argmax of MMR equals the argmax of
+    2·MMR = simq − max_sel — a PURE INTEGER comparison of nano-
+    quantized cosines (each cosine one identical IEEE expression over
+    exact integer dot products), so every selection round is exact and
+    tie-broken on vec_id; no float accumulates across rounds.
+
+    Scale: the candidate fetch is the q_cosine_topk pattern (broadcast
+    query × corpus scan, TakeOrderedAndProject); everything after runs
+    on a CONSTANT {_MMR_CAND}-row frame ({_MMR_CAND}² pair grid, {_MMR_K}
+    unrolled selection rounds) — driver-side plan size, data-side
+    nothing."""
+    ei = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        dot_int(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    q = ei.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm2").alias("q_norm2")
+    )
+    scored = (
+        ei.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm2",
+            F.round(
+                F.lit(1_000_000_000.0)
+                * cosine_expr(
+                    dot_int(F.col("embedding"), F.col("q_emb")),
+                    F.col("norm2"),
+                    F.col("q_norm2"),
+                )
+            )
+            .cast("long")
+            .alias("simq_nano"),
+        )
+    )
+    cand = (
+        scored.orderBy(F.desc("simq_nano"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)  # constant 8-row frame, reused per round
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm2").alias("na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm2").alias("nb"),
+    )
+    pair = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.lit(1_000_000_000.0)
+                * cosine_expr(
+                    dot_int(F.col("ea"), F.col("eb")),
+                    F.col("na"),
+                    F.col("nb"),
+                )
+            )
+            .cast("long")
+            .alias("sim_nano"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cands = cand.select("vec_id", "simq_nano")
+    selected = (
+        cands.orderBy(F.desc("simq_nano"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "simq_nano", F.lit(1).alias("mmr_round"))
+    )
+    for r in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("b"))
+        max_sel = (
+            pair.join(F.broadcast(sel_ids), "b")
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim_nano").alias("max_sel"))
+        )
+        nxt = (
+            cands.join(
+                F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
+            )
+            .join(F.broadcast(max_sel), "vec_id")
+            .orderBy(
+                F.desc(F.col("simq_nano") - F.col("max_sel")), F.asc("vec_id")
+            )
+            .limit(1)
+            .select("vec_id", "simq_nano", F.lit(r).alias("mmr_round"))
+        )
+        selected = selected.unionAll(nxt).localCheckpoint(eager=True)
+    return selected.select(
+        "vec_id",
+        F.col("simq_nano").cast("long").alias("simq_nano"),
+        F.col("mmr_round").cast("long").alias("mmr_round"),
+    )

@@ -845,3 +845,199 @@ def q_spacesaving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SS_TOP)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------
+# q_bloom_fpp_curve (round 7)
+# ---------------------------------------------------------------------
+
+_FPP_SIZES = (1024, 4096, 16384)  # bits m; k = _BLOOM_K probes throughout
+
+
+def _fpp_probe(key: str, i: int, dialect: str) -> str:
+    """Bit position of probe i for `key` with the bit count as the SQL
+    column `m` — the q_bloom_semijoin double-hash scheme with variable
+    filter size."""
+    h = f"md5(CAST({key} AS {'STRING' if dialect == 'spark' else 'VARCHAR'}))"
+    h1 = _hex_val_sql(f"{h}", 4)
+    h2 = "CAST(0 AS BIGINT)"
+    for d in range(4, 8):
+        h2 = f"(({h2}) * 16 + instr('{_HEX}', substr({h}, {d + 1}, 1)) - 1)"
+    return f"(({h1}) + {i} * ({h2})) % m"
+
+
+def _fpp_rows(key: str, dialect: str, src: str, extra_col: str = "") -> str:
+    div = "div" if dialect == "spark" else "//"
+    shift = (
+        "shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 32 AS INT))"
+        if dialect == "spark"
+        else "(CAST(1 AS BIGINT) << CAST(({pos}) % 32 AS INT))"
+    )
+    parts = []
+    for i in range(_BLOOM_K):
+        pos = _fpp_probe(key, i, dialect)
+        parts.append(
+            f"SELECT {extra_col} m, CAST(({pos}) {div} 32 AS INT) AS word_idx,"
+            f" {shift.format(pos=pos)} AS mask FROM {src}"
+        )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+def _fpp_oracle() -> str:
+    sizes = ", ".join(f"({m})" for m in _FPP_SIZES)
+    build = _fpp_rows("o_custkey", "duck", "hi, sizes")
+    probe = _fpp_rows("c_custkey", "duck", "customer, sizes", "c_custkey,")
+    return f"""
+    WITH sizes AS (SELECT CAST(m AS BIGINT) AS m FROM (VALUES {sizes}) t(m)),
+    hi AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_totalprice > {_HIVAL_THRESHOLD}
+    ),
+    build AS ({build}),
+    bloom AS (
+      SELECT m, word_idx, bit_or(mask) AS word_val
+      FROM build GROUP BY m, word_idx
+    ),
+    probes AS ({probe}),
+    cand AS (
+      SELECT p.m, p.c_custkey,
+             (COUNT(*) FILTER (WHERE (b.word_val & p.mask) <> 0))
+               = {_BLOOM_K} AS hit
+      FROM probes p
+      LEFT JOIN bloom b ON b.m = p.m AND b.word_idx = p.word_idx
+      GROUP BY p.m, p.c_custkey
+    ),
+    truth AS (
+      SELECT c.c_custkey, (h.o_custkey IS NOT NULL) AS is_member
+      FROM customer c LEFT JOIN hi h ON h.o_custkey = c.c_custkey
+    ),
+    agg AS (
+      SELECT c.m,
+             CAST(COUNT(*) AS BIGINT) AS n_probed,
+             CAST(COUNT(*) FILTER (WHERE t.is_member) AS BIGINT) AS n_members,
+             CAST(COUNT(*) FILTER (WHERE c.hit) AS BIGINT) AS n_candidates,
+             CAST(COUNT(*) FILTER (WHERE c.hit AND NOT t.is_member) AS BIGINT)
+               AS n_false_positives,
+             CAST(COUNT(*) FILTER (WHERE t.is_member AND NOT c.hit) AS BIGINT)
+               AS n_false_negatives
+      FROM cand c JOIN truth t ON t.c_custkey = c.c_custkey
+      GROUP BY c.m
+    )
+    SELECT m AS bits, n_probed, n_members, n_candidates, n_false_positives,
+           n_false_negatives,
+           CAST(CASE WHEN n_probed - n_members > 0
+                THEN (1000000 * n_false_positives) // (n_probed - n_members)
+                ELSE 0 END AS BIGINT) AS fpp_ppm
+    FROM agg
+    """
+
+
+@query(
+    "q_bloom_fpp_curve",
+    oracle=_fpp_oracle(),
+    tags=("sketch", "bloom", "parameter-curve", "dial"),
+)
+def q_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing dial: the SAME build/probe workload as
+    q_bloom_semijoin run at m = 1024 / 4096 / 16384 bits (k = 3), with
+    the measured false-positive rate per size — the load-factor curve
+    an engineer reads before sizing a semi-join reduction filter
+    (q_lsh_parameter_curve's pattern applied to the membership
+    sketch). False negatives are provably zero at every size and
+    asserted as a column.
+
+    Exactness: positions are md5-double-hash integer arithmetic (the
+    q_bloom_semijoin scheme with the bit count as a grid column);
+    words, masks, and counts exact; fpp_ppm one truncating division.
+
+    Scale: the grid multiplies build and probe rows by |sizes| × k —
+    map-side explode, one (m, word) aggregate whose output is at most
+    Σ m/32 words (a few KB, broadcast), one probe aggregate keyed by
+    (m, custkey). Measuring all sizes costs ONE pass over each side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sizes = spark.createDataFrame([(m,) for m in _FPP_SIZES], "m long")
+    hi = (
+        o.filter(F.col("o_totalprice") > _HIVAL_THRESHOLD)
+        .select("o_custkey")
+        .distinct()
+        .crossJoin(F.broadcast(sizes))
+    )
+    probes_src = c.select("c_custkey").crossJoin(F.broadcast(sizes))
+
+    def _rows(df, key, keep):
+        parts = []
+        for i in range(_BLOOM_K):
+            pos = _fpp_probe(key, i, "spark")
+            parts.append(
+                df.select(
+                    *keep,
+                    "m",
+                    F.expr(f"CAST(({pos}) div 32 AS INT)").alias("word_idx"),
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(({pos}) % 32 AS INT))"
+                    ).alias("mask"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    bloom = (
+        _rows(hi, "o_custkey", [])
+        .groupBy("m", "word_idx")
+        .agg(F.bit_or("mask").alias("word_val"))
+    )
+    cand = (
+        _rows(probes_src, "c_custkey", ["c_custkey"])
+        .join(F.broadcast(bloom), ["m", "word_idx"], "left")
+        .groupBy("m", "c_custkey")
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("word_val").isNotNull()
+                        & (F.col("word_val").bitwiseAND(F.col("mask")) != 0),
+                        F.lit(1),
+                    )
+                )
+                == _BLOOM_K
+            ).alias("hit")
+        )
+    )
+    truth = c.select("c_custkey").join(
+        hi.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).withColumn("is_member", F.lit(True))
+    agg = (
+        cand.join(F.broadcast(truth), "c_custkey", "left")
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("is_member").cast("int")).alias("n_members"),
+            F.sum(F.col("hit").cast("int")).alias("n_candidates"),
+            F.sum(
+                (F.col("hit") & ~F.col("is_member")).cast("int")
+            ).alias("n_false_positives"),
+            F.sum(
+                (F.col("is_member") & ~F.col("hit")).cast("int")
+            ).alias("n_false_negatives"),
+        )
+    )
+    return agg.select(
+        F.col("m").alias("bits"),
+        "n_probed",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_false_positives").cast("long").alias("n_false_positives"),
+        F.col("n_false_negatives").cast("long").alias("n_false_negatives"),
+        F.expr(
+            "CAST(CASE WHEN n_probed - n_members > 0"
+            " THEN (1000000 * n_false_positives) div (n_probed - n_members)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("fpp_ppm"),
+    )

@@ -352,6 +352,18 @@ _NLJ_ALLOWED = {
     "q_friedman_test",      # broadcast 1-row (sum R^2, n-blocks) stitch
     "q_ab_test_report",     # broadcast 1-row last-checkpoint stitch
                             # (+ inherits q_welch_ttest's moments stitch)
+    # round-7 additions (verified: each plans exactly the broadcast
+    # 1-row/constant-grid stitch named; q_mmr_diversify's query stitch
+    # and pair grid plan as BroadcastHashJoins after checkpointing, so
+    # it needs no entry):
+    "q_doc_perplexity_filter",  # broadcast 1-row (N, V) LM-totals stitch
+    "q_rdd_sharp",          # broadcast 1-row jump stitch onto 2-row sides
+    "q_iv_wald",            # broadcast 1-row arm-moments stitch
+    "q_kruskal_wallis",     # broadcast 1-row totals + tie-term stitches
+    "q_levene_test",        # broadcast 1-row grand-moments stitch
+    "q_cochran_armitage",   # broadcast 1-row trend-moments stitch
+    "q_systematic_pps_sample",  # broadcast 1-row total-weight stitch
+    "q_bloom_fpp_curve",    # constant 3-row bit-size grid x build/probe
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
@@ -417,6 +429,9 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_kruskal_wallis": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_err_at_k": "windows over the <=10-row post-TakeOrdered prefix",
     "q_page_hinkley": "daily revenue series — calendar-bounded frame",
+    "q_systematic_pps_sample": (
+        "<=16 two-phase prefix-offset rows (_twophase.py)"
+    ),
     # --- dim-sized post-aggregation frames with documented tradeoff ---
     "q15_top_supplier": (
         "supplier-dim post-aggregation frame; docstring documents the "
