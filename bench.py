@@ -105,6 +105,16 @@ EXTENDED_FAMILIES: dict[str, list[str]] = {
         "q_bm25_topk",
         "q_bigram_lm_score",
     ],
+    # round 7: the new LLM-curation ops with data-proportional cost
+    # (containment's df-capped posting join, winnowing's per-doc
+    # min-windows, the unigram-LM CE gate) plus the histogram-ranked
+    # statistic — first benched in r7, compare forward from there.
+    "curation7": [
+        "q_minhash_containment",
+        "q_winnowing_fingerprint",
+        "q_doc_perplexity_filter",
+        "q_kruskal_wallis",
+    ],
 }
 
 EXTENDED = [n for fam in EXTENDED_FAMILIES.values() for n in fam]

@@ -731,7 +731,13 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, iterate as broadcast joins (the PageRank driver-loop shape)
     dpairs = dpairs.localCheckpoint(eager=True)
     wins = wins.localCheckpoint(eager=True)
-    r = items.select("part", F.lit(_BT_R0).cast("long").alias("r"))
+    # seed ratings from the CHECKPOINTED wins table (same 12 parts) —
+    # seeding from `items` would re-derive the whole lineitem
+    # self-join pipeline once per iteration (round-7 fix: this plus
+    # the per-iteration checkpoint below cut the warm sf0.01 wall
+    # ~17s -> ~2s; the old chained plan re-ran the comparison build
+    # inside every broadcast)
+    r = wins.select("part", F.lit(_BT_R0).cast("long").alias("r"))
     for _ in range(_BT_ITERS):
         ri = r.select(F.col("part").alias("i"), F.col("r").alias("r_i"))
         rj = r.select(F.col("part").alias("j"), F.col("r").alias("r_j"))
@@ -758,14 +764,20 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("rr"),
         )
         s = raw.agg(F.sum("rr").alias("s"))
-        r = raw.crossJoin(F.broadcast(s)).select(
-            "part",
-            F.round(
-                F.lit(float(_BT_ITEMS))
-                * 1e6
-                * F.col("rr").cast("double")
-                / F.col("s").cast("double")
-            ).cast("long").alias("r"),
+        r = (
+            raw.crossJoin(F.broadcast(s))
+            .select(
+                "part",
+                F.round(
+                    F.lit(float(_BT_ITEMS))
+                    * 1e6
+                    * F.col("rr").cast("double")
+                    / F.col("s").cast("double")
+                ).cast("long").alias("r"),
+            )
+            # 12-row state: checkpoint per step so iteration plans stay
+            # flat instead of nesting every prior step's windows
+            .localCheckpoint(eager=True)
         )
     w_rank = Window.orderBy(F.desc("r"), F.asc("part"))
     return (

@@ -36,6 +36,15 @@ REPRESENTATIVES = [
     "q_shapley_attribution",
     "q_knn_shapley",
     "q_bradley_terry",
+    # round-7: the two-phase range-partition rewrites — their whole
+    # determinism claim is that sampled range boundaries (which move
+    # with partition count) cannot change the output
+    "q_sprt_boundary",
+    "q_zipf_slope",
+    "q_skyline",
+    "q_kruskal_wallis",
+    "q_systematic_pps_sample",
+    "q_mmr_diversify",
 ]
 
 
