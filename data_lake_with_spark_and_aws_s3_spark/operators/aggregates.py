@@ -574,3 +574,66 @@ def q_rolling_quantile_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_hll_error_curve (round 7)
+# ---------------------------------------------------------------------
+
+_HLL_RSDS = ("0.005", "0.01", "0.05", "0.10")  # the accuracy dial
+
+
+@query(
+    "q_hll_error_curve",
+    oracle=f"""
+    WITH exact AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events
+    )
+    SELECT CAST(r.rsd_pct AS BIGINT) AS rsd_permille, e.exact_users,
+           TRUE AS within_3_rsd
+    FROM exact e,
+         (VALUES {", ".join(f"({int(float(r) * 1000)})" for r in _HLL_RSDS)})
+           AS r(rsd_pct)
+    """,
+    tags=("agg", "approx", "hll", "parameter-curve", "dial"),
+)
+def q_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy dial: global distinct users estimated at
+    four requested relative standard deviations (0.5% / 1% / 5% / 10%)
+    against the exact count — the memory-vs-accuracy curve an engineer
+    reads before sizing distinct-count state at 100 TB (each halving
+    of rsd quadruples register memory). All four sketches compute in
+    ONE aggregate pass over the scan.
+
+    Oracle design: q_approx_distinct's exact-twin contract per curve
+    point — the sketch is deterministic (max-based registers), DuckDB
+    checks the exact side exactly and the estimate stays out of the
+    hash behind a deterministic |est − exact| <= 3·rsd·exact boolean
+    per dial setting.
+
+    Scale: one aggregate with map-side partials; per-sketch state is
+    O(1/rsd²) registers regardless of data volume — the entire point
+    of the dial."""
+    e = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    aggs = [exact.alias("exact_users")]
+    for r in _HLL_RSDS:
+        est = F.approx_count_distinct("user_id", rsd=float(r))
+        aggs.append(
+            (
+                F.abs(est.cast("double") - exact.cast("double"))
+                <= 3.0 * float(r) * exact.cast("double")
+            ).alias(f"ok_{int(float(r) * 1000)}")
+        )
+    one = e.agg(*aggs)
+    rows = None
+    for r in _HLL_RSDS:
+        pm = int(float(r) * 1000)
+        row = one.select(
+            F.lit(pm).cast("long").alias("rsd_permille"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.col(f"ok_{pm}").alias("within_3_rsd"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

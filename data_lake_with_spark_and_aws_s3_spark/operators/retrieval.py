@@ -914,3 +914,128 @@ def q_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_nano",
         F.sum("term_nano").over(w_all).cast("long").alias("err_nano"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_entropy_rate_bigram (round 7)
+# ---------------------------------------------------------------------
+
+_ER_TOP = 20  # emit the 20 highest-volume contexts
+
+
+@query(
+    "q_entropy_rate_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (
+        SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+    ),
+    terms AS (
+      SELECT c12.w1, c12.c12, c1.c1,
+             c12.c12 * CAST(ROUND(-ln(CAST(c12.c12 AS DOUBLE)
+                                      / CAST(c1.c1 AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS t_micro
+      FROM c12 JOIN c1 USING (w1)
+    ),
+    ctx AS (
+      SELECT w1, CAST(MAX(c1) AS BIGINT) AS c1,
+             CAST(SUM(t_micro) AS BIGINT) AS h_sum_micro,
+             CAST(SUM(t_micro) // MAX(c1) AS BIGINT) AS h_ctx_micro
+      FROM terms GROUP BY w1
+    ),
+    corpus AS (
+      SELECT CAST(SUM(h_sum_micro) // SUM(c1) AS BIGINT)
+               AS entropy_rate_micro
+      FROM ctx
+    )
+    SELECT x.w1, x.c1, x.h_ctx_micro, c.entropy_rate_micro
+    FROM ctx x, corpus c
+    ORDER BY x.c1 DESC, x.w1 LIMIT {_ER_TOP}
+    """,
+    tags=("retrieval", "entropy-rate", "language-model", "llm-pipeline"),
+)
+def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate of the corpus: H(W₂|W₁) = −Σ p(w1,w2)·ln
+    p(w2|w1) under MLE counts — the one-number "how predictable is the
+    next token" health metric (natural text sits well below the
+    unigram entropy; template floods drive it toward 0, shuffled noise
+    toward ln V). Emits the {_ER_TOP} highest-volume contexts with
+    their per-context conditional entropy plus the corpus rate on
+    every row — the diagnostic slice a curation run reads next to
+    q_doc_perplexity_filter (model-based) and q_entropy_profile
+    (unigram).
+
+    Exactness: each bigram's −ln(c12/c1) is quantized ONCE PER BIGRAM
+    TYPE to integer micro-nats (ln over exactly-equal doubles —
+    identical on both engines), weighted by the exact integer c12, and
+    summed exactly; both divisions are truncating integer divisions.
+
+    Scale: two hash aggregates over the bigram explode (map-side
+    partials), a w1-keyed join — shuffle proportional to bigram TYPES
+    — a context aggregate, a 1-row stitch, and a TakeOrdered top-20."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: i <= F.size(toks) - 1,
+    )
+    bg = d.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    terms = c12.join(c1, "w1").select(
+        "w1",
+        "c12",
+        "c1",
+        (
+            F.col("c12")
+            * F.round(
+                -F.log(
+                    F.col("c12").cast("double") / F.col("c1").cast("double")
+                )
+                * F.lit(1_000_000)
+            ).cast("long")
+        ).alias("t_micro"),
+    )
+    ctx = terms.groupBy("w1").agg(
+        F.max("c1").alias("c1"),
+        F.sum("t_micro").alias("h_sum_micro"),
+        F.expr("CAST(SUM(t_micro) div MAX(c1) AS BIGINT)").alias(
+            "h_ctx_micro"
+        ),
+    )
+    corpus = ctx.agg(
+        F.expr(
+            "CAST(SUM(h_sum_micro) div SUM(c1) AS BIGINT)"
+        ).alias("entropy_rate_micro")
+    )
+    return (
+        ctx.crossJoin(F.broadcast(corpus))
+        .orderBy(F.desc("c1"), F.asc("w1"))
+        .limit(_ER_TOP)
+        .select("w1", "c1", "h_ctx_micro", "entropy_rate_micro")
+    )

@@ -345,3 +345,153 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("bigint").alias("rnk"),
         (F.col("rnk") <= F.col("kmax")).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_seasonal_mann_kendall (round 7)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_mann_kendall",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    sd AS (
+      SELECT event_type, day, y,
+             -- dialect offset: DuckDB dayofweek is 0-6 (Sun=0), Spark
+             -- is 1-7 (Sun=1) — normalize to Spark's convention
+             CAST(dayofweek(day) + 1 AS BIGINT) AS season
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, a.season,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_season
+      FROM sd a JOIN sd b
+        ON a.event_type = b.event_type AND a.season = b.season
+           AND a.day < b.day
+      GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT event_type, season,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, season, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM sd GROUP BY event_type, season, y)
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, season, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM sd GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT n.event_type, n.season, n.n_days, p.s_season,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - t.tie_term AS BIGINT) AS var_x18
+      FROM n
+      JOIN pairs p ON p.event_type = n.event_type AND p.season = n.season
+      JOIN ties t ON t.event_type = n.event_type AND t.season = n.season
+    )
+    SELECT event_type, season, n_days, s_season, var_x18,
+           CAST(SUM(s_season) OVER (PARTITION BY event_type) AS BIGINT)
+             AS s_total,
+           CAST(SUM(var_x18) OVER (PARTITION BY event_type) AS BIGINT)
+             AS var_total_x18,
+           CAST(CASE WHEN SUM(s_season) OVER (PARTITION BY event_type) > 0
+                     THEN 1
+                     WHEN SUM(s_season) OVER (PARTITION BY event_type) < 0
+                     THEN -1 ELSE 0 END AS BIGINT) AS trend_sign
+    FROM per
+    """,
+    tags=("stats", "trend", "seasonal-mann-kendall", "timeseries"),
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) per event type with
+    DAY-OF-WEEK seasons: the plain MK statistic computed WITHIN each
+    weekday (so Monday only ever compares against other Mondays) and
+    summed — the trend test that stays valid when the series has a
+    weekly cycle q_mann_kendall's all-pairs form would read as noise
+    or false trend. Emits per-season S and variance plus the combined
+    S_total / Var_total (18-scaled, the q_mann_kendall convention: no
+    division or sqrt anywhere) and the trend sign.
+
+    Exactness: sign sums, tie terms, and the variance identity are all
+    exact integer arithmetic — bit-identical across engines.
+
+    Scale: the day-pair self-join runs on the daily rollup SPLIT BY
+    season, so it is O(types x Σ_s days_s²) on a calendar-bounded
+    table — 7x fewer pairs than unseasoned MK on the same span; the
+    only event-volume shuffle is the daily hash aggregate."""
+    sd = _daily_counts(spark, sf_dir).withColumn(
+        "season", F.dayofweek("day").cast("long")
+    )
+    a = sd.select(
+        "event_type", "season", F.col("day").alias("d1"), F.col("y").alias("y1")
+    )
+    b = sd.select(
+        F.col("event_type").alias("et2"),
+        F.col("season").alias("se2"),
+        F.col("day").alias("d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("season") == F.col("se2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .groupBy("event_type", "season")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            ).alias("s_season")
+        )
+    )
+    ties = (
+        sd.groupBy("event_type", "season", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type", "season")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = sd.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    per = (
+        n.join(pairs, ["event_type", "season"])
+        .join(ties, ["event_type", "season"])
+        .select(
+            "event_type",
+            "season",
+            "n_days",
+            F.col("s_season").cast("long").alias("s_season"),
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_x18"),
+        )
+    )
+    w_t = Window.partitionBy("event_type")
+    s_total = F.sum("s_season").over(w_t)
+    return per.select(
+        "event_type",
+        "season",
+        "n_days",
+        "s_season",
+        "var_x18",
+        s_total.cast("long").alias("s_total"),
+        F.sum("var_x18").over(w_t).cast("long").alias("var_total_x18"),
+        F.when(s_total > 0, 1)
+        .when(s_total < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("trend_sign"),
+    )
