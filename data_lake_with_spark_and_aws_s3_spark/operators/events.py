@@ -1121,3 +1121,130 @@ def q_streaming_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_sliding_exec_sink", output_mode="complete")
     return spark.table("q_streaming_sliding_exec_sink")
+
+
+# ---------------------------------------------------------------------
+# q_streaming_page_hinkley_exec (round 7)
+# ---------------------------------------------------------------------
+
+_SPH_ALARM_PCT = 10  # same relative bound as batch q_page_hinkley
+
+
+@query(
+    "q_streaming_page_hinkley_exec",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    runs AS (
+      SELECT day, cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM daily
+    ),
+    dev AS (
+      SELECT day, cents, i, cum,
+             CAST(ROUND(1000.0 * (CAST(cents AS DOUBLE) * i - cum)
+                        / CAST(i AS DOUBLE)) AS BIGINT) AS dev_milli
+      FROM runs
+    ),
+    m AS (
+      SELECT day, cents, cum, dev_milli,
+             CAST(SUM(dev_milli) OVER (ORDER BY day) AS BIGINT) AS m_milli
+      FROM dev
+    )
+    SELECT day, cents, m_milli,
+           CAST(MAX(m_milli) OVER (ORDER BY day) - m_milli AS BIGINT)
+             AS ph_milli,
+           (MAX(m_milli) OVER (ORDER BY day) - m_milli)
+             * {_SPH_ALARM_PCT} > CAST(cum AS BIGINT) * 1000 AS alarm
+    FROM m
+    """,
+    tags=("streaming", "executed", "page-hinkley", "drift", "stateful"),
+)
+def q_streaming_page_hinkley_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED custom stateful streaming drift monitor: the
+    q_page_hinkley integer recurrence run INSIDE a Structured
+    Streaming query via applyInPandasWithState — events.parquet
+    through readStream, one logical series key, integer PH state
+    evolved in the state store, day rows appended — held to the exact
+    batch SQL answer over the SAME daily series (here the events
+    value stream; batch q_page_hinkley monitors order revenue).
+
+    Exactness: the state function re-implements the recurrence with
+    the engines' ROUND (half away from zero, NOT python banker's
+    rounding) over the same exact integer operands, so the streaming
+    emission is hash-identical to the windowed batch SQL.
+
+    Scale/state: state per series is THREE integers (day count,
+    cumulative cents, cumulative deviation) plus the running max —
+    O(1) regardless of stream length; days arrive time-ordered within
+    the bounded replay (availableNow drains the directory in one
+    batch here; a live deployment keys by series id and relies on the
+    same per-batch sort + monotonic day guard). This is the
+    production form the batch docstring promises."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming import run_to_memory, stream_events
+
+    def _ph(key, pdfs, state: GroupState):
+        if state.exists:
+            i0, cum0, m0, mx0 = state.get
+        else:
+            i0, cum0, m0, mx0 = 0, 0, 0, 0
+        frames = [pdf for pdf in pdfs]
+        df = pd.concat(frames) if frames else pd.DataFrame()
+        if len(df) == 0:
+            state.update((i0, cum0, m0, mx0))
+            yield pd.DataFrame(
+                columns=["day", "cents", "m_milli", "ph_milli", "alarm"]
+            )
+            return
+        df["day"] = df["ts"].dt.floor("D")
+        daily = (
+            df.assign(cents=np.round(df["value"] * 100).astype("int64"))
+            .groupby("day", as_index=False)["cents"]
+            .sum()
+            .sort_values("day")
+        )
+        out = []
+        i, cum, m, mx = i0, cum0, m0, mx0
+        for day, cents in zip(daily["day"], daily["cents"]):
+            i += 1
+            cum += int(cents)
+            v = 1000.0 * (float(cents) * i - cum) / float(i)
+            # engines' ROUND: half away from zero (python round() is
+            # banker's — would diverge on exact .5 boundaries)
+            dev = int(np.sign(v) * np.floor(np.abs(v) + 0.5))
+            m += dev
+            mx = max(mx, m)
+            ph = mx - m
+            out.append(
+                (day, int(cents), m, ph, ph * _SPH_ALARM_PCT > cum * 1000)
+            )
+        state.update((i, cum, m, mx))
+        yield pd.DataFrame(
+            out, columns=["day", "cents", "m_milli", "ph_milli", "alarm"]
+        )
+
+    ev = stream_events(spark, sf_dir).select(
+        F.lit(1).alias("series"), "ts", "value"
+    )
+    monitored = ev.groupBy("series").applyInPandasWithState(
+        _ph,
+        outputStructType=(
+            "day timestamp, cents long, m_milli long, ph_milli long,"
+            " alarm boolean"
+        ),
+        stateStructType="i long, cum long, m long, mx long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(monitored, "q_streaming_page_hinkley_exec_sink")
+    return spark.table("q_streaming_page_hinkley_exec_sink")

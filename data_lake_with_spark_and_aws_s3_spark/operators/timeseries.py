@@ -1342,7 +1342,7 @@ _PH_ALARM_PCT = 10  # alarm when deviation mass > 10% of cumulative revenue
            CAST(MAX(m_milli) OVER (ORDER BY day) - m_milli AS BIGINT)
              AS ph_milli,
            (MAX(m_milli) OVER (ORDER BY day) - m_milli)
-             * {_PH_ALARM_PCT} > CAST(cum AS BIGINT) * 10 AS alarm
+             * {_PH_ALARM_PCT} > CAST(cum AS BIGINT) * 1000 AS alarm
     FROM m
     """,
     tags=("timeseries", "page-hinkley", "drift", "changepoint"),
@@ -1413,5 +1413,5 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev_milli",
         "m_milli",
         ph.cast("long").alias("ph_milli"),
-        (ph * _PH_ALARM_PCT > F.col("cum") * 10).alias("alarm"),
+        (ph * _PH_ALARM_PCT > F.col("cum") * 1000).alias("alarm"),
     )
