@@ -52,7 +52,19 @@ def global_order_stats(
     """
     running_sums = running_sums or {}
     ranged = df.repartitionByRange(parts, *order_cols)
-    part = ranged.withColumn("_tp_pid", F.spark_partition_id())
+    # CRITICAL: materialize (pid, row) ONCE. The offsets branch runs in
+    # a separate broadcast job from the local-window branch; two
+    # independent materializations of the range exchange can assign
+    # DIFFERENT partition ids (sampled boundaries + runtime re-planning
+    # differences between jobs), and offsets keyed under partitioning A
+    # joined against local ranks under partitioning B silently corrupt
+    # the totals — observed as a nondeterministic off-by-a-few at
+    # sf0.1 in round 7. localCheckpoint pins one pid assignment that
+    # both branches read.
+    part = (
+        ranged.withColumn("_tp_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     w_local = Window.partitionBy("_tp_pid").orderBy(*order_cols)
 
     local = part

@@ -113,7 +113,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
     ranged = pairs.repartitionByRange(16, F.asc("p_retailprice"), F.desc("p_size"))
-    part = ranged.withColumn("pid", F.spark_partition_id())
+    # pin ONE pid assignment for both the local-window branch and the
+    # broadcast offsets branch (round-7 fix, see _twophase.py: two
+    # independent materializations of the range exchange can disagree)
+    part = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     w_local = (
         Window.partitionBy("pid")
         .orderBy(F.asc("p_retailprice"), F.desc("p_size"))

@@ -250,7 +250,12 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(F.substring("text", 1, 16)).alias("k")
     )
     ranged = keyed.repartitionByRange(16, F.asc("k"), F.asc("doc_id"))
-    part = ranged.withColumn("pid", F.spark_partition_id())
+    # pin ONE pid assignment for both the local-window branch and the
+    # broadcast offsets branch (round-7 fix, see _twophase.py: two
+    # independent materializations of the range exchange can disagree)
+    part = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     w_local = Window.partitionBy("pid").orderBy(F.asc("k"), F.asc("doc_id"))
     local = part.withColumn("local_rn", F.row_number().over(w_local))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -68,7 +68,12 @@ def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset exchange; every stage is partition-parallel."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranged = o.repartitionByRange(16, F.desc("o_totalprice"), F.asc("o_orderkey"))
-    part = ranged.withColumn("pid", F.spark_partition_id())
+    # pin ONE pid assignment for both the local-window branch and the
+    # broadcast offsets branch (round-7 fix, see _twophase.py: two
+    # independent materializations of the range exchange can disagree)
+    part = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
     from pyspark.sql import Window
 

@@ -413,8 +413,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    part = per_x.repartitionByRange(16, F.asc("x")).withColumn(
-        "pid", F.spark_partition_id()
+    # pin ONE pid assignment for both branches (round-7 fix, see
+    # _twophase.py: independent materializations of the range exchange
+    # can disagree)
+    part = (
+        per_x.repartitionByRange(16, F.asc("x"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = W.partitionBy("pid").orderBy("x").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -502,9 +507,13 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    part = cust.repartitionByRange(
-        16, F.asc("cents"), F.asc("o_custkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # pin ONE pid assignment for both branches (round-7 fix, see
+    # _twophase.py)
+    part = (
+        cust.repartitionByRange(16, F.asc("cents"), F.asc("o_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     w_local = W.partitionBy("pid").orderBy("cents", "o_custkey")
     local = part.withColumn("local_rn", F.row_number().over(w_local))
     w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)  # <= 16 rows

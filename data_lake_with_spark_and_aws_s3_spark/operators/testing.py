@@ -513,7 +513,12 @@ def q_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     ranged = e.repartitionByRange(16, F.asc("ts"), F.asc("event_id"))
-    part = ranged.withColumn("pid", F.spark_partition_id())
+    # pin ONE pid assignment for both the local-window branch and the
+    # broadcast offsets branch (round-7 fix, see _twophase.py: two
+    # independent materializations of the range exchange can disagree)
+    part = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     w_local = Window.partitionBy("pid").orderBy("ts", "event_id")
     local = part.select(
         "pid",
