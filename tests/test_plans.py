@@ -212,8 +212,11 @@ def test_skyline_preaggregates_before_window(spark):
 
     df = REGISTRY["q_skyline"].fn(spark, SF)
     plan = formatted_plan(df)
-    assert "rangepartitioning(p_retailprice" in plan, (
-        "sweep must be range-partitioned on the sort key"
+    # the range exchange sits BEHIND the pid-pinning localCheckpoint
+    # (round-7 fix): downstream explain shows the pinned RDD feeding
+    # both the local-max branch and the prefix-max branch
+    assert plan.count("Scan ExistingRDD") >= 2, (
+        "both branches must read the pinned (pid, row) frame"
     )
     assert count_keyless_windows_in(plan) == 1, (
         "expected exactly the <=16-row prefix-max window"
@@ -523,7 +526,12 @@ def test_sprt_two_phase_no_fact_table_window(spark):
     assert count_keyless_windows_in(plan) == 1, (
         "expected exactly the <=16-row offset window"
     )
-    assert "rangepartitioning(ts" in plan, "events must be range-partitioned"
+    # the range exchange sits BEHIND the pid-pinning localCheckpoint
+    # (round-7 fix) — downstream explain shows the pinned RDD feeding
+    # both the local-window branch and the offsets branch
+    assert plan.count("Scan ExistingRDD") >= 2, (
+        "both branches must read the pinned (pid, row) frame"
+    )
 
 
 def test_bloom_semijoin_broadcasts_filter(spark):
@@ -714,15 +722,28 @@ def test_cached_reuse_reads_memory_twice(spark):
 def test_ks_and_gini_use_range_partitioned_ranking(spark):
     """KS cumulative counts and Gini ranks must use the two-phase
     range-partition + broadcast-offsets form (q_global_row_number's
-    pattern) — the plan carries a rangepartitioning exchange, and the
-    only SinglePartition window is the <=16-row offsets table."""
-    from data_lake_with_spark_and_aws_s3_spark.plans import formatted_plan
+    pattern). Since the round-7 pid-pinning fix the range exchange
+    lives BEHIND a localCheckpoint (both branches must read one pinned
+    pid assignment — see _twophase.py), so downstream explain shows
+    the checkpointed RDD feeding both branches instead of the
+    rangepartitioning node: assert the pinned-scan shape, the
+    broadcast offsets, and that the only keyless window left is the
+    <=16-row offsets table."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import (
+        count_keyless_windows_in,
+        formatted_plan,
+    )
 
     for name in ("q_ks_test", "q_gini_revenue"):
         plan = formatted_plan(REGISTRY[name].fn(spark, SF))
-        assert "rangepartitioning" in plan.lower(), f"{name} lost the range phase"
+        assert plan.count("Scan ExistingRDD") >= 2, (
+            f"{name}: both branches must read the pinned (pid, row) frame"
+        )
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
             f"{name}: offsets must broadcast"
+        )
+        assert count_keyless_windows_in(plan) == 1, (
+            f"{name}: expected exactly the <=16-row offsets window"
         )
 
 
