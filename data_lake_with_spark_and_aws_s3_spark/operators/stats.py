@@ -2209,3 +2209,117 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("seats"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_cramers_v (round 7)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY source),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT CAST(ROUND(1000000 * (CAST(o.obs AS DOUBLE)
+                    - (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                      / CAST(n.n AS DOUBLE))
+                  * (CAST(o.obs AS DOUBLE)
+                    - (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                      / CAST(n.n AS DOUBLE))
+                  / ((CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+                      / CAST(n.n AS DOUBLE))) AS BIGINT) AS contrib_micro
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    ),
+    agg AS (
+      SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS r,
+             CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS c,
+             CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+      FROM cells
+    )
+    SELECT n, r, c, chi2_micro,
+           CAST(ROUND(1000000.0 * sqrt(
+               (CAST(chi2_micro AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE) * CAST(LEAST(r, c) - 1 AS DOUBLE))))
+             AS BIGINT) AS cramers_v_micro
+    FROM agg
+    """,
+    tags=("stats", "cramers-v", "effect-size", "association"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the lang × source association —
+    V = sqrt(χ² / (N·(min(r,c)−1))) in [0,1]: the magnitude readout
+    that q_chi_square's significance test deliberately omits (at
+    corpus scale EVERYTHING is significant; what matters is whether
+    the association is V≈0.05 trivia or V≈0.5 structure before anyone
+    stratifies on it).
+
+    Exactness: reuses q_chi_square's cell treatment verbatim (each
+    (o−e)²/e one shared-expression double quantized to micro units,
+    exact integer sum); V is then one sqrt over an exactly-equal
+    operand, re-quantized to micro units.
+
+    Scale: one contingency aggregate over the scan (map-side
+    partials); everything after runs on |langs|×|sources| rows and
+    1-row stitches."""
+    o = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    cells = (
+        o.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.lit(1_000_000)
+                * (F.col("obs").cast("double") - e)
+                * (F.col("obs").cast("double") - e)
+                / e
+            )
+            .cast("long")
+            .alias("contrib_micro")
+        )
+    )
+    r_c = rt.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).alias("c")))
+    )
+    agg = (
+        cells.agg(F.sum("contrib_micro").alias("chi2_micro"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(r_c))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        "chi2_micro",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.sqrt(
+                (F.col("chi2_micro").cast("double") / F.lit(1_000_000.0))
+                / (
+                    F.col("n").cast("double")
+                    * (F.least("r", "c") - 1).cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("cramers_v_micro"),
+    )

@@ -1233,3 +1233,147 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * SUM(n_chars)) div SUM(n_subwords) AS BIGINT)"
         ).alias("chars_per_token_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_source_jsd (round 7)
+# ---------------------------------------------------------------------
+
+_JSD_LN2_MICRO = 693_147  # round(ln(2) * 1e6), precomputed literal
+
+
+@query(
+    "q_source_jsd",
+    oracle=f"""
+    WITH tf AS MATERIALIZED (
+      SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY source, t
+    ),
+    tot AS MATERIALIZED (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf
+      GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(a.tf) AS BIGINT) AS sa,
+             CAST(SUM(b.tf) AS BIGINT) AS sb,
+             CAST(SUM(a.tf * CAST(ROUND(1000000.0 * ln(
+                    2.0 * CAST(a.tf AS DOUBLE) * tb.tf_total
+                    / (CAST(a.tf AS DOUBLE) * tb.tf_total
+                       + CAST(b.tf AS DOUBLE) * ta.tf_total)))
+                  AS BIGINT)) AS BIGINT) AS k1_micro,
+             CAST(SUM(b.tf * CAST(ROUND(1000000.0 * ln(
+                    2.0 * CAST(b.tf AS DOUBLE) * ta.tf_total
+                    / (CAST(a.tf AS DOUBLE) * tb.tf_total
+                       + CAST(b.tf AS DOUBLE) * ta.tf_total)))
+                  AS BIGINT)) AS BIGINT) AS k2_micro
+      FROM tf a
+      JOIN tf b ON b.term = a.term AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT c.s1, c.s2, c.n_common,
+           CAST(ROUND((
+             (CAST(c.k1_micro AS DOUBLE)
+              + CAST(ta.tf_total - c.sa AS DOUBLE) * {_JSD_LN2_MICRO})
+               / (2.0 * CAST(ta.tf_total AS DOUBLE))
+             + (CAST(c.k2_micro AS DOUBLE)
+                + CAST(tb.tf_total - c.sb AS DOUBLE) * {_JSD_LN2_MICRO})
+               / (2.0 * CAST(tb.tf_total AS DOUBLE)))) AS BIGINT)
+             AS jsd_micro
+    FROM common c
+    JOIN tot ta ON ta.source = c.s1
+    JOIN tot tb ON tb.source = c.s2
+    """,
+    tags=("text", "jensen-shannon", "corpus-similarity", "llm-pipeline"),
+)
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source term
+    distributions — the bounded, symmetric KL the mixture-design
+    literature actually uses (0 = identical distributions, ln 2 =
+    disjoint support): the information-theoretic companion to
+    q_source_tv_distance's L1 — TV bounds mass moved, JSD weighs
+    WHERE it moved (rare-term disagreements count more).
+
+    Exactness: with p = a/A, q = b/B, each KL argument 2p/(p+q)
+    reduces to the EXACT integer ratio 2aB/(aB+bA) — one ln per
+    (pair, term) over exactly-equal doubles, quantized to micro-nats,
+    weighted by the exact integer count; exclusive-support terms
+    contribute ln 2 exactly, folded in closed form via (A − Σ_common
+    a)·ln2 with a precomputed integer literal. The final combination
+    is the same arithmetic expression over identical exact operands
+    on both engines, rounded once.
+
+    Scale: one (source, term) aggregate (map-side partials), a
+    term-keyed self-join whose shuffle is posting-bounded (never
+    |corpus|²), |sources|-row total stitches."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.groupBy("source").agg(F.sum("tf").alias("tf_total"))
+    a = tf.select(
+        F.col("source").alias("s1"), "term", F.col("tf").alias("tfa")
+    )
+    b = tf.select(
+        F.col("source").alias("s2"), "term", F.col("tf").alias("tfb")
+    )
+    ta = tot.select(F.col("source").alias("s1"), F.col("tf_total").alias("ta"))
+    tb = tot.select(F.col("source").alias("s2"), F.col("tf_total").alias("tb"))
+    denom = (
+        F.col("tfa").cast("double") * F.col("tb")
+        + F.col("tfb").cast("double") * F.col("ta")
+    )
+    k1 = F.col("tfa") * F.round(
+        F.lit(1_000_000.0)
+        * F.log(F.lit(2.0) * F.col("tfa").cast("double") * F.col("tb") / denom)
+    ).cast("long")
+    k2 = F.col("tfb") * F.round(
+        F.lit(1_000_000.0)
+        * F.log(F.lit(2.0) * F.col("tfb").cast("double") * F.col("ta") / denom)
+    ).cast("long")
+    common = (
+        a.join(b, "term")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("tfa").alias("sa"),
+            F.sum("tfb").alias("sb"),
+            F.sum(k1).alias("k1_micro"),
+            F.sum(k2).alias("k2_micro"),
+        )
+    )
+    out = (
+        common.join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                (
+                    F.col("k1_micro").cast("double")
+                    + (F.col("ta") - F.col("sa")).cast("double")
+                    * F.lit(_JSD_LN2_MICRO)
+                )
+                / (F.lit(2.0) * F.col("ta").cast("double"))
+                + (
+                    F.col("k2_micro").cast("double")
+                    + (F.col("tb") - F.col("sb")).cast("double")
+                    * F.lit(_JSD_LN2_MICRO)
+                )
+                / (F.lit(2.0) * F.col("tb").cast("double"))
+            )
+            .cast("long")
+            .alias("jsd_micro"),
+        )
+    )
+    return out

@@ -368,6 +368,7 @@ _NLJ_ALLOWED = {
     "q_systematic_pps_sample",  # broadcast 1-row total-weight stitch
     "q_bloom_fpp_curve",    # constant 3-row bit-size grid x build/probe
     "q_entropy_rate_bigram",  # broadcast 1-row corpus-rate stitch
+    "q_cramers_v",          # broadcast 1-row N + (r, c) count stitches
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
