@@ -40,69 +40,68 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_rank",
     "q_events_tumbling",
     "q_distinct_users",
-    # round-4 flagships under continuing validation (graded green r4+r5)
+    # flagship compositions under continuing validation (semdedup
+    # graded r4/r5/r7; dedup_clusters r4+; the capstone reads the LSH
+    # cluster midframe dedup_clusters warms — see round-6 note in git
+    # history)
     "q_semdedup",
-    "q_bpe_train",
     "q_dedup_clusters",
-    # round-6 promotion (VERDICT r5 #2): q_pretrain_corpus's stated
-    # exclusion reason is obsolete — q_dedup_clusters (directly above)
-    # warms the shared per-(session, sf_dir) LSH cluster midframe
-    # (graph.py _lsh_cluster_frame), so in the driver's single-session
-    # in-order gate the capstone's marginal cost is the warm cost:
-    # 7.12s at this slot under scripts/gate_rehearsal.py --load 16
-    # (full 50-query prefix 178.1s, 50/50 ok — see SCALE.md). The
-    # single most user-facing composition now carries the hard signal.
     "q_pretrain_corpus",
-    # round-7 rotation (VERDICT r6 next-round #1): the 19 round-6
-    # operators were never driver-graded (the r6 prefix was rotated
-    # before they landed). All 19 rotate IN — the testing battery
-    # (ANOVA / permutation / runs / Friedman / SPRT / Hoeffding), the
-    # data-valuation suite (KNN-Shapley / LOO target encoding /
-    # confident-label noise / WOE-IV / Bradley-Terry), caliper 1-NN
-    # matching ATT, RBO + Kneser-Ney, mergeable SpaceSaving,
-    # GROUP BY ALL, the executed sliding stream, the A/B capstone, and
-    # DTW. Five of them additionally carry this round's fixes so the
-    # FIXED code is what gets graded: q_sprt_boundary (two-phase
-    # distributed prefix sums — no more single-task window),
-    # q_knn_shapley + q_kneser_ney_bigram + q_rank_biased_overlap
-    # (TakeOrderedAndProject top-k), q_confident_label_noise
-    # (zero-hit docs now counted as 'abstain'), q_nn_matching_att
-    # (floor-correct date bucketing).
-    "q_anova_oneway",
-    "q_permutation_test",
-    "q_runs_test",
-    "q_friedman_test",
-    "q_sprt_boundary",
-    "q_hoeffding_adequacy",
-    "q_knn_shapley",
-    "q_target_encoding_loo",
-    "q_confident_label_noise",
-    "q_woe_iv",
-    "q_bradley_terry",
-    "q_nn_matching_att",
-    "q_rank_biased_overlap",
-    "q_kneser_ney_bigram",
-    "q_spacesaving_merge",
-    "q_group_by_all",
-    "q_streaming_sliding_exec",
-    "q_ab_test_report",
-    "q_dtw_distance",
-    # Rotated OUT this round — the 16 round-5 operators just graded
-    # green in CORRECTNESS_r06 (q_shapley_attribution, q_markov_removal,
-    # q_touch_roles, q_attribution_report, q_streaming_neardup_exec,
-    # q_ann_recall_curve, q_lsh_parameter_curve, q_t_closeness,
-    # q_ivm_join_delta, q_mann_kendall, q_theil_sen, q_bh_fdr,
-    # q_tokenizer_fertility, q_session_variables,
-    # q_ngram_coverage_curve, q_effective_sample_size) plus three
-    # second representatives of §2 rows that stay covered in-prefix:
-    #   q_full_outer_join (graded r6; joins keep inner/semi/range/as-of),
-    #   q_moving_sum (graded r6; windows keep q_window_rank + q_lag_gap),
-    #   q_stream_dedup (graded r6; streaming keeps session_window,
-    #     late_data_filter, sessionize_gaps + the executed sliding
-    #     stream rotating in).
-    # All stay pytest-parity-checked (tests/test_parity.py, 419/419).
-    "q_gopher_rules",
-    "q_label_propagation",
+    # round-8 rotation (VERDICT r7 next-round #1): the 22 round-7
+    # operators were never driver-graded (the standing one-round
+    # grading lag). All 22 rotate IN — the stats battery
+    # (Kruskal-Wallis / Levene / Cochran-Armitage / Cramér's V /
+    # seasonal Mann-Kendall), causal designs (sharp RDD, IV/Wald),
+    # ranking ERR@k + MMR, the curation ops (shingle containment,
+    # winnowing fingerprints, perplexity filter, embedding outlier
+    # pruning, source JSD), personalized PageRank, Page-Hinkley batch
+    # AND executed-streaming (the streaming one additionally carries
+    # this round's day-split merge guard + half-away-from-zero cents
+    # fix, so the FIXED code is what gets graded), daily streaks,
+    # systematic PPS, the Bloom FPP and HLL error parameter curves
+    # (HLL carries this round's 4·rsd bound), and bigram entropy rate.
+    # q_minhash_containment carries this round's persist(DISK_ONLY)
+    # lineage-keeping posture fix.
+    "q_kruskal_wallis",
+    "q_levene_test",
+    "q_cochran_armitage",
+    "q_rdd_sharp",
+    "q_iv_wald",
+    "q_err_at_k",
+    "q_minhash_containment",
+    "q_winnowing_fingerprint",
+    "q_doc_perplexity_filter",
+    "q_embedding_outlier_prune",
+    "q_personalized_pagerank",
+    "q_page_hinkley",
+    "q_streaming_page_hinkley_exec",
+    "q_daily_streaks",
+    "q_systematic_pps_sample",
+    "q_mmr_diversify",
+    "q_bloom_fpp_curve",
+    "q_seasonal_mann_kendall",
+    "q_entropy_rate_bigram",
+    "q_hll_error_curve",
+    "q_cramers_v",
+    "q_source_jsd",
+    # Rotated OUT this round — the 19 round-6 operators just graded
+    # green in CORRECTNESS_r07 (q_anova_oneway, q_permutation_test,
+    # q_runs_test, q_friedman_test, q_sprt_boundary,
+    # q_hoeffding_adequacy, q_knn_shapley, q_target_encoding_loo,
+    # q_confident_label_noise, q_woe_iv, q_bradley_terry,
+    # q_nn_matching_att, q_rank_biased_overlap, q_kneser_ney_bigram,
+    # q_spacesaving_merge, q_group_by_all, q_streaming_sliding_exec,
+    # q_ab_test_report, q_dtw_distance) plus three multiply-graded
+    # representatives whose §2 rows stay covered in-prefix:
+    #   q_gopher_rules (graded r4+r7; quality/curation row now carried
+    #     by q_doc_perplexity_filter rotating in),
+    #   q_label_propagation (graded r4+r7; graph row now carried by
+    #     q_personalized_pagerank rotating in),
+    #   q_bpe_train (graded r4/r5/r7; corpus/tokenizer family now
+    #     carried by q_entropy_rate_bigram + q_winnowing_fingerprint
+    #     rotating in).
+    # All stay pytest-parity-checked (tests/test_parity.py, full
+    # registry at sf0.01 with the driver's hash rules).
     # new / reworked operators
     "q_multimodal_binary",
     "q_text_normalize_tokens",

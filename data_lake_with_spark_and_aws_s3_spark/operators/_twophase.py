@@ -49,8 +49,24 @@ def global_order_stats(
     for the output to be deterministic. Returns the input columns
     plus the requested stat columns; the helper's internal pid /
     local columns are dropped.
+
+    CONTRACT: every `running_sums` expression must be of integral type
+    (byte/short/int/long). Both the local-window and per-partition
+    total stages cast the sum to `long` so exact-integer arithmetic
+    survives the two-phase split; a fractional expression would be
+    silently truncated, so it is rejected here at analysis time.
     """
     running_sums = running_sums or {}
+    _integral = ("byte", "tinyint", "short", "smallint", "int", "integer",
+                 "bigint", "long")
+    for name, expr in running_sums.items():
+        dt = df.select(expr.alias("_tp_chk")).schema[0].dataType.simpleString()
+        if dt not in _integral:
+            raise TypeError(
+                f"global_order_stats running_sums[{name!r}] must be an "
+                f"integral expression (got {dt}); the helper's exact "
+                f"long-cast prefix arithmetic would truncate it"
+            )
     ranged = df.repartitionByRange(parts, *order_cols)
     # CRITICAL: materialize (pid, row) ONCE. The offsets branch runs in
     # a separate broadcast job from the local-window branch; two

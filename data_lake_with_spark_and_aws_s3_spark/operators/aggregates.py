@@ -591,7 +591,7 @@ _HLL_RSDS = ("0.005", "0.01", "0.05", "0.10")  # the accuracy dial
       FROM events
     )
     SELECT CAST(r.rsd_pct AS BIGINT) AS rsd_permille, e.exact_users,
-           TRUE AS within_3_rsd
+           TRUE AS within_4_rsd
     FROM exact e,
          (VALUES {", ".join(f"({int(float(r) * 1000)})" for r in _HLL_RSDS)})
            AS r(rsd_pct)
@@ -609,8 +609,16 @@ def q_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle design: q_approx_distinct's exact-twin contract per curve
     point — the sketch is deterministic (max-based registers), DuckDB
     checks the exact side exactly and the estimate stays out of the
-    hash behind a deterministic |est − exact| <= 3·rsd·exact boolean
-    per dial setting.
+    hash behind a deterministic |est − exact| <= 4·rsd·exact boolean
+    per dial setting. The bound is probabilistic only across DATA
+    regeneration (the sketch itself is order/partition-independent);
+    measured worst observed |err|/rsd across all three testdata scale
+    factors and all four dials is 1.33 (sf0.1, rsd 5%), so 4·rsd
+    carries 3× headroom while still failing loudly on a genuinely
+    broken sketch. tests/test_sketches.py::test_hll_error_curve_headroom
+    asserts the raw ratio with a readable message so any future breach
+    diagnoses as a clear assertion, not an opaque parity hash
+    mismatch (ADVICE r7).
 
     Scale: one aggregate with map-side partials; per-sketch state is
     O(1/rsd²) registers regardless of data volume — the entire point
@@ -623,7 +631,7 @@ def q_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             (
                 F.abs(est.cast("double") - exact.cast("double"))
-                <= 3.0 * float(r) * exact.cast("double")
+                <= 4.0 * float(r) * exact.cast("double")
             ).alias(f"ok_{int(float(r) * 1000)}")
         )
     one = e.agg(*aggs)
@@ -633,7 +641,7 @@ def q_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = one.select(
             F.lit(pm).cast("long").alias("rsd_permille"),
             F.col("exact_users").cast("long").alias("exact_users"),
-            F.col(f"ok_{pm}").alias("within_3_rsd"),
+            F.col(f"ok_{pm}").alias("within_4_rsd"),
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows

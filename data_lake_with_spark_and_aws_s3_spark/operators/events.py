@@ -1130,6 +1130,112 @@ def q_streaming_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPH_ALARM_PCT = 10  # same relative bound as batch q_page_hinkley
 
 
+_SPH_NS_PER_DAY = 86_400_000_000_000
+
+
+def _sph_state_fn(key, pdfs, state):
+    """applyInPandasWithState fn for q_streaming_page_hinkley_exec.
+
+    Module-level (not a closure) so tests can drive the multi-batch
+    day-split semantics directly with a fake GroupState — see
+    tests/test_streaming.py::test_page_hinkley_day_split_merge."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        i, cum, m, mx, held_day, held_cents, seq = state.get
+    else:
+        i, cum, m, mx, held_day, held_cents, seq = 0, 0, 0, 0, -1, 0, 0
+    frames = [pdf for pdf in pdfs]
+    df = pd.concat(frames) if frames else pd.DataFrame()
+    if len(df) == 0:
+        state.update((i, cum, m, mx, held_day, held_cents, seq))
+        yield pd.DataFrame(
+            columns=["day", "cents", "m_milli", "ph_milli", "alarm",
+                     "seq"]
+        )
+        return
+    df["day"] = df["ts"].dt.floor("D")
+    # engines' ROUND: half away from zero (np.round is banker's —
+    # would diverge from the batch SQL on exact .5 cent boundaries)
+    v100 = (df["value"] * 100).to_numpy()
+    daily = (
+        df.assign(
+            cents=(np.sign(v100) * np.floor(np.abs(v100) + 0.5))
+            .astype("int64")
+        )
+        .groupby("day", as_index=False)["cents"]
+        .sum()
+        .sort_values("day")
+    )
+    days = [
+        (int(d.value // _SPH_NS_PER_DAY), d, int(c))
+        for d, c in zip(daily["day"], daily["cents"])
+    ]
+    if held_day >= 0:
+        first_epoch = days[0][0]
+        if first_epoch < held_day:
+            raise ValueError(
+                "q_streaming_page_hinkley_exec: batch contains day "
+                f"{first_epoch} before the held day {held_day}; the "
+                "ordered-replay contract is broken"
+            )
+        if first_epoch == held_day:
+            # boundary-split day: merge into the held accumulator
+            # and re-emit the corrected row below
+            days[0] = (held_day, days[0][1], days[0][2] + held_cents)
+        else:
+            # held day is complete (monotonic contract) — fold it
+            # into the snapshot silently; its emitted row stands
+            days.insert(
+                0,
+                (held_day, pd.Timestamp(held_day * _SPH_NS_PER_DAY), held_cents),
+            )
+            days[0] = days[0] + ("silent",)
+    out = []
+
+    def _fold(cents_):
+        nonlocal i, cum, m, mx
+        i += 1
+        cum += cents_
+        v = 1000.0 * (float(cents_) * i - cum) / float(i)
+        # half away from zero again (see above)
+        dev = int(np.sign(v) * np.floor(np.abs(v) + 0.5))
+        m += dev
+        mx = max(mx, m)
+        return mx - m
+
+    # fold every day except the last into the snapshot; the last
+    # day stays HELD (it may continue in the next batch)
+    for entry in days[:-1]:
+        epoch_d, ts_d, cents_d = entry[:3]
+        ph = _fold(cents_d)
+        if len(entry) == 3:  # not the silent held-day refold
+            out.append(
+                (ts_d, cents_d, m, ph,
+                 ph * _SPH_ALARM_PCT > cum * 1000, seq)
+            )
+            seq += 1
+    # last day: emit from a scratch copy of the snapshot
+    epoch_d, ts_d, cents_d = days[-1][:3]
+    i2, cum2 = i + 1, cum + cents_d
+    v = 1000.0 * (float(cents_d) * i2 - cum2) / float(i2)
+    dev = int(np.sign(v) * np.floor(np.abs(v) + 0.5))
+    m2 = m + dev
+    mx2 = max(mx, m2)
+    ph2 = mx2 - m2
+    out.append(
+        (ts_d, cents_d, m2, ph2,
+         ph2 * _SPH_ALARM_PCT > cum2 * 1000, seq)
+    )
+    seq += 1
+    state.update((i, cum, m, mx, epoch_d, cents_d, seq))
+    yield pd.DataFrame(
+        out,
+        columns=["day", "cents", "m_milli", "ph_milli", "alarm", "seq"],
+    )
+
+
 @query(
     "q_streaming_page_hinkley_exec",
     oracle=f"""
@@ -1177,74 +1283,54 @@ def q_streaming_page_hinkley_exec(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Exactness: the state function re-implements the recurrence with
     the engines' ROUND (half away from zero, NOT python banker's
-    rounding) over the same exact integer operands, so the streaming
-    emission is hash-identical to the windowed batch SQL.
+    rounding) over the same exact integer operands — BOTH for the
+    per-day cents quantization and for the deviation term — so the
+    streaming emission is hash-identical to the windowed batch SQL.
 
-    Scale/state: state per series is THREE integers (day count,
-    cumulative cents, cumulative deviation) plus the running max —
-    O(1) regardless of stream length; days arrive time-ordered within
-    the bounded replay (availableNow drains the directory in one
-    batch here; a live deployment keys by series id and relies on the
-    same per-batch sort + monotonic day guard). This is the
-    production form the batch docstring promises."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    Day-split correctness (a calendar day spanning two micro-batches):
+    the state keeps the accumulator SNAPSHOT taken before the most
+    recent day was folded in, plus that day's (epoch-day, cents-so-far)
+    and an emission sequence number. When a later batch continues the
+    same day, its cents merge into the held day and the corrected row
+    re-emits with a higher seq; the reader keeps only the max-seq row
+    per day, so a boundary-split day converges to the exact batch
+    answer instead of double-incrementing i. A batch whose first day
+    PRECEDES the held day violates the ordered-replay contract and
+    raises rather than silently diverging. availableNow drains the
+    directory in one batch here, so the single-batch trajectory equals
+    the pre-guard form row for row.
+
+    Scale/state: state per series is SEVEN integers (snapshot day
+    count / cum cents / cum deviation / running max, held epoch-day,
+    held cents, next seq) — O(1) regardless of stream length. This is
+    the production form the batch docstring promises."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..streaming import run_to_memory, stream_events
-
-    def _ph(key, pdfs, state: GroupState):
-        if state.exists:
-            i0, cum0, m0, mx0 = state.get
-        else:
-            i0, cum0, m0, mx0 = 0, 0, 0, 0
-        frames = [pdf for pdf in pdfs]
-        df = pd.concat(frames) if frames else pd.DataFrame()
-        if len(df) == 0:
-            state.update((i0, cum0, m0, mx0))
-            yield pd.DataFrame(
-                columns=["day", "cents", "m_milli", "ph_milli", "alarm"]
-            )
-            return
-        df["day"] = df["ts"].dt.floor("D")
-        daily = (
-            df.assign(cents=np.round(df["value"] * 100).astype("int64"))
-            .groupby("day", as_index=False)["cents"]
-            .sum()
-            .sort_values("day")
-        )
-        out = []
-        i, cum, m, mx = i0, cum0, m0, mx0
-        for day, cents in zip(daily["day"], daily["cents"]):
-            i += 1
-            cum += int(cents)
-            v = 1000.0 * (float(cents) * i - cum) / float(i)
-            # engines' ROUND: half away from zero (python round() is
-            # banker's — would diverge on exact .5 boundaries)
-            dev = int(np.sign(v) * np.floor(np.abs(v) + 0.5))
-            m += dev
-            mx = max(mx, m)
-            ph = mx - m
-            out.append(
-                (day, int(cents), m, ph, ph * _SPH_ALARM_PCT > cum * 1000)
-            )
-        state.update((i, cum, m, mx))
-        yield pd.DataFrame(
-            out, columns=["day", "cents", "m_milli", "ph_milli", "alarm"]
-        )
 
     ev = stream_events(spark, sf_dir).select(
         F.lit(1).alias("series"), "ts", "value"
     )
     monitored = ev.groupBy("series").applyInPandasWithState(
-        _ph,
+        _sph_state_fn,
         outputStructType=(
             "day timestamp, cents long, m_milli long, ph_milli long,"
-            " alarm boolean"
+            " alarm boolean, seq long"
         ),
-        stateStructType="i long, cum long, m long, mx long",
+        stateStructType=(
+            "i long, cum long, m long, mx long, held_day long,"
+            " held_cents long, seq long"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     run_to_memory(monitored, "q_streaming_page_hinkley_exec_sink")
-    return spark.table("q_streaming_page_hinkley_exec_sink")
+    # a split day may have been emitted more than once (partial row
+    # superseded by the corrected max-seq row) — keep the latest
+    t = spark.table("q_streaming_page_hinkley_exec_sink")
+    w = Window.partitionBy("day").orderBy(F.col("seq").desc())
+    return (
+        t.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("day", "cents", "m_milli", "ph_milli", "alarm")
+    )

@@ -130,9 +130,12 @@ def test_driver_prefix_wall_budget(spark):
     # 150s margin flaked when this test ran after a long suite on a
     # busy box; round-6's gate passed at 178s loaded, so 180 stays a
     # meaningful canary without being a coin flip.
-    assert total_cold < 180, f"whole prefix took {total_cold:.1f}s cold at sf0.01"
+    cold_budget = 180.0
+    assert total_cold < cold_budget, (
+        f"whole prefix took {total_cold:.1f}s cold at sf0.01"
+    )
     # headroom on the record (VERDICT r3 #7): visible with `pytest -s`
     print(
-        f"\n[prefix budget] cold total {total_cold:.1f}s / 150s budget; "
-        f"worst warm {worst[0]:.2f}s ({worst[1]}) / 4.0s budget"
+        f"\n[prefix budget] cold total {total_cold:.1f}s / {cold_budget:.0f}s "
+        f"budget; worst warm {worst[0]:.2f}s ({worst[1]}) / 4.0s budget"
     )

@@ -298,6 +298,8 @@ _NLJ_ALLOWED = {
                             # (bounded value domains, broadcast-sized)
     "q_isotonic_calibration",  # |bins|^2 interval grid (constant 32 bins)
     "q_hill_tail_index",    # broadcast 1-row order-statistic cutoff stitch
+    "q_rfm_segments",       # broadcast 1-row customer-count scalar (exact
+                            # NTILE arithmetic needs N — r8 two-phase rewrite)
     "q_consistent_resharding",  # keys x 80-vnode broadcast ring lookup
     "q_submodular_coverage",  # per-round broadcast 1-row coverage-count stitch
     "q_sax_symbols",        # broadcast 1-row quartile-breakpoint stitch
@@ -437,15 +439,15 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_systematic_pps_sample": (
         "<=16 two-phase prefix-offset rows (_twophase.py)"
     ),
+    # --- round-8 additions ---
+    "q_rfm_segments": (
+        "<=16 two-phase prefix-offset rows x3 (_twophase.py, r8 "
+        "rewrite of the customer-dim ntile windows — VERDICT r7 #2)"
+    ),
     # --- dim-sized post-aggregation frames with documented tradeoff ---
     "q15_top_supplier": (
         "supplier-dim post-aggregation frame; docstring documents the "
         "measured double-scan cost of the max+join alternative"
-    ),
-    "q_rfm_segments": (
-        "per-customer aggregate quartile cuts — customer-dim frame "
-        "(VERDICT r6 audit: acceptable; two-phase rewrite is the "
-        "upgrade path if customer cardinality ever rivals fact size)"
     ),
 }
 

@@ -55,3 +55,24 @@ def test_kmv_estimate_within_sketch_error(spark):
     for r in REGISTRY["q_kmv_sketch"].fn(spark, sf).collect():
         assert abs(r.est_a - r.n_a_exact) <= max(4, 0.52 * r.n_a_exact), r
         assert abs(r.est_b - r.n_b_exact) <= max(4, 0.52 * r.n_b_exact), r
+
+
+def test_hll_error_curve_headroom(spark):
+    """q_hll_error_curve's oracle hardcodes TRUE for within_4_rsd, so a
+    bound breach would otherwise surface as an opaque parity hash
+    mismatch (ADVICE r7). Assert the RAW |err|/rsd ratio here with a
+    readable message: measured worst across all SFs/dials is 1.33, the
+    driver-facing bound is 4.0 — this canary fires first (at 3.0) and
+    names the dial."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = e.select(F.countDistinct("user_id")).first()[0]
+    for rsd in (0.005, 0.01, 0.05, 0.10):
+        est = e.select(F.approx_count_distinct("user_id", rsd=rsd)).first()[0]
+        ratio = abs(est - exact) / (rsd * exact)
+        assert ratio < 3.0, (
+            f"HLL estimate at rsd={rsd} drifted to {ratio:.2f}x rsd "
+            f"(est {est} vs exact {exact}); q_hll_error_curve's 4x-rsd "
+            "oracle bound is about to breach — re-measure and re-justify"
+        )

@@ -310,3 +310,78 @@ def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
     assert out.select("event_id").distinct().count() == ev.count(), (
         "duplicate event_ids: file A was reprocessed after resume"
     )
+
+
+def test_page_hinkley_day_split_merge():
+    """The stateful PH fn must converge to the single-batch trajectory
+    when a calendar day spans two micro-batches (the ADVICE r7 latent
+    divergence): the split day re-emits corrected with a higher seq,
+    and max-seq-per-day equals the one-batch reference exactly. Also
+    pins the silent held-day fold (later batch starts on a NEW day)
+    and the ordered-replay guard (out-of-order day raises)."""
+    import pandas as pd
+
+    from data_lake_with_spark_and_aws_s3_spark.operators.events import (
+        _sph_state_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["series", "ts", "value"])
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01 03:00"), 1.25),
+        (1, pd.Timestamp("2024-01-01 09:00"), 2.00),
+        (1, pd.Timestamp("2024-01-01 21:00"), 0.75),  # same day, batch 2
+        (1, pd.Timestamp("2024-01-02 04:00"), 5.00),
+        (1, pd.Timestamp("2024-01-03 01:00"), 0.10),  # batch 3 (new day)
+    ]
+    st = FakeState()
+    out = pd.concat(
+        [
+            pd.concat(list(_sph_state_fn((1,), iter([batch(rows[:2])]), st))),
+            pd.concat(list(_sph_state_fn((1,), iter([batch(rows[2:4])]), st))),
+            pd.concat(list(_sph_state_fn((1,), iter([batch(rows[4:])]), st))),
+        ]
+    )
+    # reader semantics: latest seq wins per day
+    got = (
+        out.sort_values("seq")
+        .groupby("day", as_index=False)
+        .last()
+        .drop(columns=["seq"])
+        .reset_index(drop=True)
+    )
+    st_ref = FakeState()
+    ref = (
+        pd.concat(list(_sph_state_fn((1,), iter([batch(rows)]), st_ref)))
+        .drop(columns=["seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+    # split day emitted twice: partial (325 cents) then corrected (400)
+    d1 = out[out["day"] == pd.Timestamp("2024-01-01")]
+    assert list(d1["cents"]) == [325, 400]
+    # ordered-replay guard: a day BEFORE the held day raises
+    with pytest.raises(ValueError, match="ordered-replay"):
+        list(
+            _sph_state_fn(
+                (1,),
+                iter([batch([(1, pd.Timestamp("2024-01-01 05:00"), 9.0)])]),
+                st,
+            )
+        )
