@@ -455,3 +455,125 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END > 3841"
         ).alias("models_differ"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_fleiss_kappa (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle="""
+    WITH votes AS (
+      SELECT doc_id,
+             (CASE WHEN len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) BETWEEN 50 AND 100000
+                   THEN 1 ELSE 0 END
+              + CASE WHEN len(list_distinct(list_filter(
+                       string_split(text, ' '),
+                       t -> t IN ('the','and','of','to','a','in','is'))))
+                        >= 2
+                     THEN 1 ELSE 0 END
+              + CASE WHEN 5 * len(list_filter(string_split(text, ' '),
+                                              t -> regexp_matches(t, '[a-z]')))
+                          >= 4 * len(list_filter(string_split(text, ' '),
+                                                 t -> t <> ''))
+                     THEN 1 ELSE 0 END) AS n_pass
+      FROM documents
+    ),
+    per_item AS (
+      SELECT doc_id, n_pass,
+             -- P_i * 6 = n_pass^2 + (3-n_pass)^2 - 3  (n = 3 raters)
+             CAST(n_pass * n_pass + (3 - n_pass) * (3 - n_pass) - 3
+               AS BIGINT) AS p_i6
+      FROM votes
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(p_i6) AS BIGINT) AS s6,
+             CAST(SUM(n_pass) AS BIGINT) AS c_pass
+      FROM per_item
+    )
+    SELECT n_items, s6, c_pass,
+           CAST(3 * n_items - c_pass AS BIGINT) AS c_fail,
+           CAST(ROUND(1000.0
+             * (3.0 * CAST(n_items AS DOUBLE) * CAST(s6 AS DOUBLE)
+                - 2.0 * (CAST(c_pass AS DOUBLE) * CAST(c_pass AS DOUBLE)
+                         + CAST(3 * n_items - c_pass AS DOUBLE)
+                           * CAST(3 * n_items - c_pass AS DOUBLE)))
+             / (2.0 * (9.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+                - (CAST(c_pass AS DOUBLE) * CAST(c_pass AS DOUBLE)
+                   + CAST(3 * n_items - c_pass AS DOUBLE)
+                     * CAST(3 * n_items - c_pass AS DOUBLE)))))
+             AS BIGINT) AS kappa_milli
+    FROM agg
+    """,
+    tags=("stats", "agreement", "fleiss-kappa", "labeling", "llm-pipeline"),
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa agreement among THREE deterministic quality
+    raters (word-count gate, stopword gate, alpha-ratio gate — integer
+    predicates shared with the Gopher battery) voting pass/fail per
+    document — the multi-rater generalization of q_cohens_kappa and
+    the statistic a labeling pipeline reads before trusting
+    majority-vote labels (RLHF preference data, eval judgments):
+    kappa near 0 means the raters' agreement is what chance predicts.
+
+    Exactness: with n=3 raters and 2 categories, per-item agreement
+    P_i has exact denominator 6 (P_i*6 = n_pass^2 + n_fail^2 - 3) and
+    the closed form kappa = (3*N*S6 - 2*C) / (2*(9*N^2 - C)) with
+    C = c_pass^2 + c_fail^2 is a ratio of exact integers — evaluated
+    as ONE shared-tree double expression, milli-quantized.
+
+    Scale: the three votes are map-side HOFs on the scan; the
+    reduction is a single 1-row aggregate. Nothing shuffles but three
+    longs per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_words = F.size(toks)
+    vote1 = F.when(n_words.between(50, 100000), 1).otherwise(0)
+    stop = F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    vote2 = F.when(F.size(stop) >= 2, 1).otherwise(0)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    vote3 = F.when(5 * n_alpha >= 4 * n_words, 1).otherwise(0)
+    votes = d.select((vote1 + vote2 + vote3).alias("n_pass"))
+    per_item = votes.select(
+        "n_pass",
+        (
+            F.col("n_pass") * F.col("n_pass")
+            + (3 - F.col("n_pass")) * (3 - F.col("n_pass"))
+            - 3
+        ).cast("long").alias("p_i6"),
+    )
+    agg = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("p_i6").alias("s6"),
+        F.sum("n_pass").alias("c_pass"),
+    )
+    c_expr = (
+        "(CAST(c_pass AS DOUBLE) * CAST(c_pass AS DOUBLE)"
+        " + CAST(3 * n_items - c_pass AS DOUBLE)"
+        " * CAST(3 * n_items - c_pass AS DOUBLE))"
+    )
+    kappa = (
+        "CAST(ROUND(1000.0"
+        f" * (3.0 * CAST(n_items AS DOUBLE) * CAST(s6 AS DOUBLE)"
+        f" - 2.0 * {c_expr})"
+        f" / (2.0 * (9.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)"
+        f" - {c_expr}))) AS BIGINT)"
+    )
+    return agg.select(
+        "n_items",
+        "s6",
+        "c_pass",
+        (F.lit(3) * F.col("n_items") - F.col("c_pass"))
+        .cast("long")
+        .alias("c_fail"),
+        F.expr(kappa).alias("kappa_milli"),
+    )

@@ -864,6 +864,47 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_MARGIN_MICRO = 100_000  # flag docs 0.1 nats/token above corpus CE
 
 
+def _unigram_doc_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus-trained add-one
+    unigram LM, in exact integer micro-nats — the shared midframe of
+    q_doc_perplexity_filter and q_ccnet_perplexity_buckets (r8).
+    Returns (doc_id, n_toks, nll_sum_micro, ce_micro)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            -F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (
+                    F.col("n_total").cast("double")
+                    + F.col("v_size").cast("double")
+                )
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("nll_micro").alias("nll_sum_micro"),
+            F.expr("CAST(SUM(nll_micro) div COUNT(*) AS BIGINT)").alias(
+                "ce_micro"
+            ),
+        )
+    )
+
+
 @query(
     "q_doc_perplexity_filter",
     oracle=f"""
@@ -931,40 +972,7 @@ def q_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring join is keyed by term — shuffle proportional to postings,
     never docs x vocab; the (N, V) totals are a 1-row broadcast
     stitch. This is the distributed layout of a real LM-filter pass."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(
-        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
-    )
-    lp = vocab.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(
-            -F.log(
-                (F.col("c").cast("double") + F.lit(1.0))
-                / (
-                    F.col("n_total").cast("double")
-                    + F.col("v_size").cast("double")
-                )
-            )
-            * F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("nll_micro"),
-    )
-    doc = (
-        tok.join(lp, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum("nll_micro").alias("nll_sum_micro"),
-            F.expr("CAST(SUM(nll_micro) div COUNT(*) AS BIGINT)").alias(
-                "ce_micro"
-            ),
-        )
-    )
+    doc = _unigram_doc_ce(spark, sf_dir)
     corpus = doc.agg(
         F.expr(
             "CAST(SUM(nll_sum_micro) div SUM(n_toks) AS BIGINT)"
@@ -980,4 +988,103 @@ def q_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ce_micro")
             > F.col("corpus_ce_micro") + F.lit(_PPL_MARGIN_MICRO)
         ).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_ccnet_perplexity_buckets (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_ccnet_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size
+      FROM vocab
+    ),
+    lp AS (
+      SELECT term,
+             CAST(ROUND(-ln((CAST(c AS DOUBLE) + 1.0)
+                            / (CAST(tot.n_total AS DOUBLE)
+                               + CAST(tot.v_size AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS nll_micro
+      FROM vocab, tot
+    ),
+    doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(lp.nll_micro) // COUNT(*) AS BIGINT) AS ce_micro
+      FROM tok t JOIN lp USING (term)
+      GROUP BY t.doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, doc.n_toks, doc.ce_micro,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY doc.ce_micro, doc.doc_id) AS b
+      FROM doc JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(b AS BIGINT) AS bucket,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket_name,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(ce_micro) AS BIGINT) AS min_ce_micro,
+           CAST(MAX(ce_micro) AS BIGINT) AS max_ce_micro
+    FROM bucketed
+    GROUP BY lang, b
+    """,
+    tags=("corpus", "perplexity", "ccnet", "curation", "llm-pipeline"),
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per LANGUAGE, docs sorted by
+    LM cross-entropy are cut into equal-count terciles — 'head' is the
+    cleanest third a pretraining recipe keeps outright, 'middle' gets
+    sampled, 'tail' is dropped or heavily down-weighted (Wenzek et al.
+    2020). Reads the same exact-integer unigram-CE midframe as
+    q_doc_perplexity_filter (_unigram_doc_ce).
+
+    Exactness: ce_micro is an exact integer (see the filter's
+    docstring); the tercile cut is a fully tie-broken ntile
+    (ce_micro, doc_id) so bucket membership is deterministic; all
+    reported aggregates are integer counts/sums/extrema.
+
+    Scale: the LM build is two hash aggregates + a term-keyed scoring
+    join (postings-proportional); the ntile window is LANG-KEYED
+    (partition-parallel — per-language frames, never a global sort);
+    output is |langs| x 3 rows."""
+    doc = _unigram_doc_ce(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("ce_micro", "doc_id")
+    bucketed = (
+        doc.join(d, "doc_id")
+        .select("lang", "n_toks", "ce_micro", F.ntile(3).over(w).alias("b"))
+    )
+    return bucketed.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("ce_micro").alias("min_ce_micro"),
+        F.max("ce_micro").alias("max_ce_micro"),
+    ).select(
+        "lang",
+        F.col("b").cast("long").alias("bucket"),
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket_name"),
+        "n_docs",
+        "n_tokens",
+        "min_ce_micro",
+        "max_ce_micro",
     )

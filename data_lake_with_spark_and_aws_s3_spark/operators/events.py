@@ -1334,3 +1334,163 @@ def q_streaming_page_hinkley_exec(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("_rk") == 1)
         .select("day", "cents", "m_milli", "ph_milli", "alarm")
     )
+
+
+# ---------------------------------------------------------------------
+# q_streaming_quality_gate_exec (round 8)
+# ---------------------------------------------------------------------
+
+
+from .curation import (  # noqa: E402  (shared rule constants — one source of truth)
+    _G_MAX_WORDS,
+    _G_MIN_STOP,
+    _G_MIN_WORDS,
+    _G_MWL_HI,
+    _G_MWL_LO,
+)
+from .text import _SW_SQL  # noqa: E402
+
+
+_SQGE_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT CASE WHEN tok IN ({_SW_SQL}) THEN tok END)
+                  AS BIGINT) AS n_stop_distinct,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_alpha_words
+      FROM tok GROUP BY doc_id
+    ),
+    top_tf AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_tf FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT d.source,
+             (p.n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+               AS word_count_ok,
+             (p.n_chars >= {_G_MWL_LO} * p.n_words
+              AND p.n_chars <= {_G_MWL_HI} * p.n_words) AS mean_word_len_ok,
+             (p.n_stop_distinct >= {_G_MIN_STOP}) AS stopword_ok,
+             (5 * p.n_alpha_words >= 4 * p.n_words) AS alpha_ratio_ok,
+             (10 * t.max_tf <= 3 * p.n_words) AS top_token_ok
+      FROM per_doc p
+      JOIN top_tf t ON t.doc_id = p.doc_id
+      JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(word_count_ok AND mean_word_len_ok AND stopword_ok
+                         AND alpha_ratio_ok AND top_token_ok) AS BIGINT)
+             AS n_keep,
+           CAST(count_if(NOT word_count_ok) AS BIGINT) AS n_word_count_fail,
+           CAST(count_if(NOT mean_word_len_ok) AS BIGINT)
+             AS n_mean_word_len_fail,
+           CAST(count_if(NOT stopword_ok) AS BIGINT) AS n_stopword_fail,
+           CAST(count_if(NOT alpha_ratio_ok) AS BIGINT) AS n_alpha_ratio_fail,
+           CAST(count_if(NOT top_token_ok) AS BIGINT) AS n_top_token_fail
+    FROM flags
+    GROUP BY source
+"""
+
+
+@query(
+    "q_streaming_quality_gate_exec",
+    oracle=_SQGE_ORACLE,
+    tags=("streaming", "executed", "quality", "gopher", "curation",
+          "llm-pipeline"),
+)
+def q_streaming_quality_gate_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED streaming quality gate: the q_gopher_rules battery run
+    INSIDE a Structured Streaming query — documents.parquet through
+    readStream, every rule evaluated MAP-SIDE per micro-batch row
+    (even the most-frequent-token share, rewritten as a HOF over the
+    per-row token array instead of the batch twin's (doc, token)
+    aggregate), per-doc flags appended to the sink, per-source gate
+    report aggregated from the sink — held to the exact batch SQL
+    answer. This is the ingestion-time curation shape at 100 TB: the
+    gate costs zero shuffle and zero state, so it rides the ingest
+    stream at wire speed and only survivors reach the (expensive)
+    dedup/decontamination stages downstream.
+
+    Exactness: every predicate is the batch twin's integer
+    cross-multiplication (curation.py constants, imported — one
+    source of truth); the HOF max_tf is the same integer the batch
+    (doc, token) aggregate produces.
+
+    Scale/state: stateless append stream — no watermark, no state
+    store; per-row HOF cost is O(tokens * distinct tokens) on the
+    one row it owns. The per-source report is a batch aggregate over
+    the sink (|sources| rows)."""
+    from ..streaming import run_to_memory, stream_documents
+    from .text import _STOPWORDS
+
+    d = stream_documents(spark, sf_dir).select("doc_id", "source", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_words = F.size(toks).cast("long")
+    n_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    # the batch twin's (doc, token) aggregate, map-side: every row owns
+    # its whole document, so max term frequency is a per-row HOF
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ).cast("long")
+    flagged = d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        n_alpha.alias("n_alpha_words"),
+        max_tf.alias("max_tf"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS).alias(
+            "word_count_ok"
+        ),
+        (
+            (F.col("n_chars") >= _G_MWL_LO * F.col("n_words"))
+            & (F.col("n_chars") <= _G_MWL_HI * F.col("n_words"))
+        ).alias("mean_word_len_ok"),
+        (F.col("n_stop_distinct") >= _G_MIN_STOP).alias("stopword_ok"),
+        (5 * F.col("n_alpha_words") >= 4 * F.col("n_words")).alias(
+            "alpha_ratio_ok"
+        ),
+        (10 * F.col("max_tf") <= 3 * F.col("n_words")).alias("top_token_ok"),
+    ).withColumn(
+        "keep",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("stopword_ok")
+        & F.col("alpha_ratio_ok")
+        & F.col("top_token_ok"),
+    )
+    run_to_memory(flagged, "q_streaming_quality_gate_exec_sink")
+    t = spark.table("q_streaming_quality_gate_exec_sink")
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_keep"),
+        F.count_if(~F.col("word_count_ok")).alias("n_word_count_fail"),
+        F.count_if(~F.col("mean_word_len_ok")).alias("n_mean_word_len_fail"),
+        F.count_if(~F.col("stopword_ok")).alias("n_stopword_fail"),
+        F.count_if(~F.col("alpha_ratio_ok")).alias("n_alpha_ratio_fail"),
+        F.count_if(~F.col("top_token_ok")).alias("n_top_token_fail"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -299,4 +299,288 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, in_w long, in_h long, out_w long, out_h long, "
             "out_bytes long, out_checksum long"
         ),
+    )
+
+
+_PHASH_HAMMING_MAX = 3  # pigeonhole-complete: <=3 bit flips across 4 bands
+
+
+@query(
+    "q_image_phash_dedup",
+    # The aHash is a pure integer function of the payload bytes (cell
+    # mean vs global mean by cross-multiplication), so the whole
+    # pipeline — hash, banded blocking, exact Hamming verify — is
+    # value-checked against DuckDB byte arithmetic. ASCII payloads =>
+    # ord(substr) mirrors byte indexing (q_multimodal_frames pattern).
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, text, strlen(text) // {_RASTER_W} AS in_h
+      FROM documents WHERE strlen(text) // {_RASTER_W} >= 8
+    ),
+    bytes AS (
+      SELECT doc_id, in_h, i // {_RASTER_W} AS r, i % {_RASTER_W} AS c,
+             ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS b
+      FROM dims, UNNEST(range(0, in_h * {_RASTER_W})) t(i)
+    ),
+    cells AS (
+      SELECT doc_id, (r * 8) // in_h AS gr, c // 2 AS gc,
+             CAST(SUM(b) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bytes GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM cells GROUP BY 1
+    ),
+    bits AS (
+      SELECT c.doc_id, gr, gc,
+             CASE WHEN c.s * t.nt > t.st * c.n THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, gr // 2 AS band_id,
+             CAST(SUM(bit << ((gr % 2) * 8 + gc)) AS BIGINT) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band_id = 0 THEN band_val END) AS h0,
+             MAX(CASE WHEN band_id = 1 THEN band_val END) AS h1,
+             MAX(CASE WHEN band_id = 2 THEN band_val END) AS h2,
+             MAX(CASE WHEN band_id = 3 THEN band_val END) AS h3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+                + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
+               AS BIGINT) AS hamming
+      FROM cand
+      JOIN hashes ha ON ha.doc_id = doc_a
+      JOIN hashes hb ON hb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM verified
+    WHERE hamming <= {_PHASH_HAMMING_MAX}
+    """,
+    tags=("multimodal", "neardup", "phash", "lsh", "llm-pipeline"),
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the IMAGE modality
+    (VERDICT r7 #7 — the one LLM-pipeline dedup modality not yet
+    covered): 64-bit average-hash (aHash) over each payload's byte
+    raster, Hamming-banded LSH blocking, exact bit_count verify.
+
+    Hash: the {_RASTER_W}-byte-wide raster (q_multimodal_resize's
+    scheme) is partitioned into an 8x8 block grid (raster row r ->
+    grid row (r*8) div in_h; col c -> c div 2); bit(g) = 1 iff the
+    cell's byte mean exceeds the global mean, decided by EXACT integer
+    cross-multiplication (s_cell * n_total > s_total * n_cell) — no
+    float means, so the 64 bits are bit-identical on both engines. A
+    real deployment swaps the raster source for decoded luma pixels at
+    the decode_image_stub boundary; every distributed mechanism stays.
+
+    Blocking (the scale path): the 64 bits split into four 16-bit
+    bands; candidate pairs = band-equality self-join (the SimHash
+    pigeonhole idiom, neardup.py) — a pair within Hamming distance
+    {_PHASH_HAMMING_MAX} differs in at most 3 bands, so at least one
+    band matches: 100% recall at the threshold with O(n·4) shuffle
+    rows, never all-pairs. Verify recomputes the EXACT Hamming
+    distance (xor + bit_count per band) on candidates only.
+
+    Scale: hashing is map-only Arrow-batched mapInPandas (constant
+    memory; payload bytes never shuffle — only 4 longs per doc leave
+    the scan); the band join shuffles 4 rows/doc; hot bands (e.g.
+    monochrome images all hashing to 0) would salt exactly like the
+    SimHash chunk join."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                in_h = len(buf) // _RASTER_W
+                if in_h < 8:
+                    continue
+                raster = buf[: in_h * _RASTER_W].reshape(in_h, _RASTER_W)
+                gr = (np.arange(in_h) * 8) // in_h           # row -> grid row
+                gc = np.arange(_RASTER_W) // 2               # col -> grid col
+                s = np.zeros((8, 8), dtype=np.int64)
+                n = np.zeros((8, 8), dtype=np.int64)
+                np.add.at(s, (gr[:, None], gc[None, :]), raster.astype(np.int64))
+                np.add.at(n, (gr[:, None], gc[None, :]), 1)
+                st, nt = int(s.sum()), int(n.sum())
+                bits = (s * nt) > (st * n)                   # exact integers
+                bands = [0, 0, 0, 0]
+                for g in range(8):
+                    for c in range(8):
+                        if bits[g, c]:
+                            bands[g // 2] |= 1 << ((g % 2) * 8 + c)
+                rows.append((int(doc_id), bands[0], bands[1], bands[2], bands[3]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "h0", "h1", "h2", "h3"]
+            )
+
+    hashes = d.mapInPandas(
+        ahash, "doc_id long, h0 long, h1 long, h2 long, h3 long"
+    )
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.col(f"h{i}").alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{i} ^ b{i}")) for i in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+    )
+
+
+_VAD_FRAME = 16  # bytes per analysis frame
+
+
+@query(
+    "q_audio_vad_segments",
+    # ASCII payloads: ord(substr) mirrors byte indexing, so the frame
+    # energies — and the segmentation built on them — check exactly.
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             CAST(list_reduce(list_transform(range(1, {_VAD_FRAME + 1}),
+                    j -> ord(substr(text,
+                               CAST(i * {_VAD_FRAME} + j AS INTEGER), 1))),
+                  (s, x) -> s + x) AS BIGINT) AS energy
+      FROM documents, UNNEST(range(0, strlen(text) // {_VAD_FRAME})) t(i)
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(SUM(energy) AS BIGINT) AS e_tot
+      FROM frames
+    ),
+    active AS (
+      SELECT f.doc_id, f.frame_idx, f.energy
+      FROM frames f CROSS JOIN tot
+      WHERE f.energy * tot.n_tot > tot.e_tot
+    ),
+    islands AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS seg_key
+      FROM active
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY MIN(frame_idx)) AS BIGINT) AS segment_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy_sum
+    FROM islands
+    GROUP BY doc_id, seg_key
+    """,
+    tags=("multimodal", "audio", "vad", "segmentation", "gaps-islands"),
+)
+def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over opaque audio-like
+    payloads: each payload is framed ({_VAD_FRAME} bytes/frame), frame
+    ENERGY = byte sum, frames louder than the corpus-mean energy
+    (exact cross-multiplication energy*n_total > e_total — no float
+    mean) are 'speech', and consecutive active frames merge into
+    segments via the gaps-and-islands idiom — the audio-ingest shape
+    (silence trimming / utterance splitting before an ASR or audio
+    tokenizer). As with decode_image_stub, the energy math is a
+    deterministic stand-in for a real decoder, and every distributed
+    mechanism — frame fan-out, corpus-relative threshold, per-doc
+    island windows — is the real pipeline.
+
+    Exactness: energies, the threshold comparison, and all segment
+    aggregates are exact integers; segment_id is a fully tie-broken
+    per-doc rank.
+
+    Scale: frame fan-out is map-side (HOF sequence/aggregate in
+    codegen — no Python); the threshold is a 1-row broadcast; island
+    windows are DOC-KEYED (partition-parallel); shuffle volume is
+    active frames only."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(length(text) / {_VAD_FRAME} AS INT) - 1),"
+                f" i -> aggregate(sequence(1, {_VAD_FRAME}), 0L,"
+                f" (s, j) -> s + ascii(substring(text, i * {_VAD_FRAME} + j, 1))))"
+            )
+        ).alias("frame_idx", "energy"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("energy").cast("long").alias("energy"),
+    )
+    tot = frames.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("energy").alias("e_tot")
+    )
+    active = frames.crossJoin(F.broadcast(tot)).filter(
+        F.col("energy") * F.col("n_tot") > F.col("e_tot")
+    )
+    w_rn = Window.partitionBy("doc_id").orderBy("frame_idx")
+    islands = active.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        (F.col("frame_idx") - F.row_number().over(w_rn)).alias("seg_key"),
+    )
+    segs = islands.groupBy("doc_id", "seg_key").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("energy_sum"),
+    )
+    w_seg = Window.partitionBy("doc_id").orderBy("start_frame")
+    return segs.select(
+        "doc_id",
+        F.row_number().over(w_seg).cast("long").alias("segment_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "energy_sum",
     )

@@ -1039,3 +1039,105 @@ def q_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ER_TOP)
         .select("w1", "c1", "h_ctx_micro", "entropy_rate_micro")
     )
+
+
+# ---------------------------------------------------------------------
+# q_mrr_at_10 (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_mrr_at_10",
+    oracle=f"""
+    WITH q(query_id, t1, t2) AS (VALUES {_NDCG_Q_SQL}),
+    judged AS (
+      SELECT q.query_id, d.doc_id, d.n_chars,
+             (CASE WHEN ' ' || d.text || ' ' LIKE '% ' || q.t1 || ' %'
+                   THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || d.text || ' ' LIKE '% ' || q.t2 || ' %'
+                     THEN 1 ELSE 0 END) AS rel
+      FROM documents d CROSS JOIN q
+    ),
+    ranked AS (  -- same system under evaluation as q_ndcg_at_10
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_chars DESC, doc_id) AS pos
+      FROM judged
+    ),
+    first_hit AS (
+      SELECT query_id,
+             CAST(MIN(CASE WHEN rel >= 1 AND pos <= 10 THEN pos END)
+               AS BIGINT) AS first_rel_pos
+      FROM ranked WHERE pos <= 10 GROUP BY query_id
+    ),
+    rr AS (
+      SELECT query_id, COALESCE(first_rel_pos, 0) AS first_rel_pos,
+             CAST(CASE WHEN first_rel_pos IS NULL THEN 0
+                       ELSE 1000000 // first_rel_pos END AS BIGINT) AS rr_ppm
+      FROM first_hit
+    )
+    SELECT query_id, first_rel_pos, rr_ppm,
+           CAST((SELECT SUM(rr_ppm) FROM rr) // (SELECT COUNT(*) FROM rr)
+             AS BIGINT) AS mrr_ppm
+    FROM rr
+    """,
+    tags=("retrieval", "evaluation", "mrr", "ranking-quality"),
+)
+def q_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 (mean reciprocal rank) of the q_ndcg_at_10 ranking
+    system over the same five term queries — the metric a search
+    engineer reads when only the FIRST relevant hit matters
+    (known-item lookup), completing the evaluation trio
+    NDCG (graded) / ERR (cascade) / MRR (first-hit).
+
+    Exactness: relevance (>= 1 query term present) and positions are
+    exact integers; the reciprocal rank is a truncating integer
+    division to ppm (1000000 div pos), queries with no relevant doc in
+    the top 10 score 0, and the mean is one more truncating integer
+    division — the whole surface hashes.
+
+    Scale: |queries| broadcast onto one corpus scan; the ranking is a
+    per-query-KEYED window (WindowGroupLimit heap at the top-10 cut);
+    the reduction is |queries| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        list(_NDCG_QUERIES), "query_id int, t1 string, t2 string"
+    )
+    judged = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "(CASE WHEN ' ' || text || ' ' LIKE '% ' || t1 || ' %'"
+            " THEN 1 ELSE 0 END"
+            " + CASE WHEN ' ' || text || ' ' LIKE '% ' || t2 || ' %'"
+            " THEN 1 ELSE 0 END)"
+        ).alias("rel"),
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    first_hit = (
+        judged.withColumn("pos", F.row_number().over(w_sys))
+        .filter(F.col("pos") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("rel") >= 1, F.col("pos"))
+            ).cast("long").alias("first_rel_pos")
+        )
+    )
+    rr = first_hit.select(
+        "query_id",
+        F.coalesce("first_rel_pos", F.lit(0)).alias("first_rel_pos"),
+        F.expr(
+            "CAST(CASE WHEN first_rel_pos IS NULL THEN 0"
+            " ELSE 1000000 div first_rel_pos END AS BIGINT)"
+        ).alias("rr_ppm"),
+    )
+    mrr = rr.agg(
+        F.expr("CAST(SUM(rr_ppm) div COUNT(*) AS BIGINT)").alias("mrr_ppm")
+    )
+    return rr.crossJoin(F.broadcast(mrr)).select(
+        "query_id", "first_rel_pos", "rr_ppm", "mrr_ppm"
+    )

@@ -2323,3 +2323,255 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cramers_v_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_cliffs_delta (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cliffs_delta",
+    oracle="""
+    WITH pick AS (
+      SELECT MIN(source) AS src_a, MAX(source) AS src_b FROM (
+        SELECT DISTINCT source FROM documents ORDER BY source LIMIT 2
+      )
+    ),
+    hist AS (
+      SELECT n_chars AS x,
+             CAST(count_if(source = (SELECT src_a FROM pick)) AS BIGINT)
+               AS cnt_a,
+             CAST(count_if(source = (SELECT src_b FROM pick)) AS BIGINT)
+               AS cnt_b
+      FROM documents
+      WHERE source IN (SELECT src_a FROM pick UNION ALL
+                       SELECT src_b FROM pick)
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT x, cnt_a, cnt_b,
+             CAST(COALESCE(SUM(cnt_b) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumb_lt
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS n_b
+      FROM hist
+    ),
+    pairs AS (
+      SELECT CAST(SUM(cnt_a * cumb_lt) AS BIGINT) AS gt_pairs,
+             CAST(SUM(cnt_a * ((SELECT n_b FROM tot) - cumb_lt - cnt_b))
+               AS BIGINT) AS lt_pairs,
+             CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS tie_pairs
+      FROM cum
+    )
+    SELECT p.src_a, p.src_b, t.n_a, t.n_b,
+           r.gt_pairs, r.lt_pairs, r.tie_pairs,
+           CAST(r.gt_pairs - r.lt_pairs AS DOUBLE)
+             / CAST(t.n_a * t.n_b AS DOUBLE) AS cliffs_delta,
+           CASE
+             WHEN abs(CAST(r.gt_pairs - r.lt_pairs AS DOUBLE)
+                      / CAST(t.n_a * t.n_b AS DOUBLE)) < 0.147
+               THEN 'negligible'
+             WHEN abs(CAST(r.gt_pairs - r.lt_pairs AS DOUBLE)
+                      / CAST(t.n_a * t.n_b AS DOUBLE)) < 0.33
+               THEN 'small'
+             WHEN abs(CAST(r.gt_pairs - r.lt_pairs AS DOUBLE)
+                      / CAST(t.n_a * t.n_b AS DOUBLE)) < 0.474
+               THEN 'medium'
+             ELSE 'large'
+           END AS magnitude
+    FROM pick p CROSS JOIN tot t CROSS JOIN pairs r
+    """,
+    tags=("stats", "effect-size", "nonparametric", "cliffs-delta"),
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the two
+    (lexicographically first) document sources on length:
+    delta = (#{x_a > x_b} - #{x_a < x_b}) / (n_a * n_b) — the
+    companion NUMBER to q_mood_median_test / q_kruskal_wallis's
+    yes-no answers ("the sources differ — by how much?"), robust to
+    any monotone transform of length. Romano et al. magnitude labels
+    (0.147 / 0.33 / 0.474) as an interpretive column.
+
+    Exactness: pair counts come from the length HISTOGRAM — gt pairs
+    = sum over values of cnt_a(v) * cumB(<v) — all exact BIGINTs;
+    delta is ONE double division of exactly-representable integers
+    (IEEE-identical cross-engine), and the magnitude thresholds
+    compare that same double to identical literals.
+
+    Scale: one scan -> value-domain histogram; the cumulative window
+    runs over |distinct lengths| rows (value-domain, not data-sized —
+    the q_auc_mann_whitney posture), everything after is 1-row
+    stitches. Never materializes the n_a * n_b pair space."""
+    d = load_table(spark, sf_dir, "documents")
+    pick = (
+        d.select("source")
+        .distinct()
+        .orderBy("source")
+        .limit(2)
+        .agg(F.min("source").alias("src_a"), F.max("source").alias("src_b"))
+    )
+    base = d.crossJoin(F.broadcast(pick)).filter(
+        (F.col("source") == F.col("src_a")) | (F.col("source") == F.col("src_b"))
+    )
+    hist = base.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count_if(F.col("source") == F.col("src_a")).alias("cnt_a"),
+        F.count_if(F.col("source") == F.col("src_b")).alias("cnt_b"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "x",
+        "cnt_a",
+        "cnt_b",
+        F.coalesce(F.sum("cnt_b").over(w_cum), F.lit(0)).alias("cumb_lt"),
+    )
+    tot = hist.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    pairs = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("cnt_a") * F.col("cumb_lt")).alias("gt_pairs"),
+        F.sum(
+            F.col("cnt_a") * (F.col("n_b") - F.col("cumb_lt") - F.col("cnt_b"))
+        ).alias("lt_pairs"),
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("tie_pairs"),
+    )
+    delta = (F.col("gt_pairs") - F.col("lt_pairs")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        pick.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "gt_pairs",
+            "lt_pairs",
+            "tie_pairs",
+            delta.alias("cliffs_delta"),
+            F.when(F.abs(delta) < 0.147, "negligible")
+            .when(F.abs(delta) < 0.33, "small")
+            .when(F.abs(delta) < 0.474, "medium")
+            .otherwise("large")
+            .alias("magnitude"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# q_kendall_w (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_kendall_w",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS judge,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS item,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT j.judge, i.item, CAST(COALESCE(c.cents, 0) AS BIGINT) AS cents
+      FROM (SELECT DISTINCT judge FROM cells) j
+      CROSS JOIN (SELECT DISTINCT item FROM cells) i
+      LEFT JOIN cells c ON c.judge = j.judge AND c.item = i.item
+    ),
+    ranked AS (
+      SELECT judge, item,
+             CAST(ROW_NUMBER() OVER (PARTITION BY judge
+                    ORDER BY cents DESC, item) AS BIGINT) AS rk
+      FROM grid
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT judge) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT item) AS BIGINT) AS n
+      FROM grid
+    ),
+    sums AS (
+      SELECT item, CAST(SUM(rk) AS BIGINT) AS r_item FROM ranked GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM((2 * r.r_item - d.k * (d.n + 1))
+                      * (2 * r.r_item - d.k * (d.n + 1))) AS BIGINT) AS s4
+      FROM sums r CROSS JOIN dims d
+    )
+    SELECT d.k, d.n, s.s4,
+           CAST(3 * s.s4 AS DOUBLE)
+             / CAST(d.k * d.k * (d.n * d.n * d.n - d.n) AS DOUBLE) AS w
+    FROM dims d CROSS JOIN s
+    """,
+    tags=("stats", "concordance", "kendall-w", "rank"),
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W: do the five order
+    PRIORITY classes ("judges") agree on the revenue ranking of
+    calendar months ("items")? W = 1 means every priority class ranks
+    months identically (seasonality is priority-independent); W = 0
+    means no agreement — the multi-rater generalization of Spearman
+    that q_friedman_test's chi-square tests for significance
+    (chi2 = k(n-1)W).
+
+    Exactness: per-(judge, item) exact revenue cents; ranks are fully
+    tie-broken ROW_NUMBER per judge (cents ties broken by month) over
+    the completed judge x item grid (missing cells rank as 0 revenue);
+    the doubled deviation 2R_i - k(n+1) keeps S4 = sum of squared
+    doubled deviations an exact BIGINT; W = 3*S4 / (k^2(n^3-n)) is ONE
+    double division of exactly-representable integers.
+
+    Scale: one scan -> (judge, month) aggregate (calendar x 5 cells);
+    ranking windows are JUDGE-KEYED (partition-parallel, calendar-
+    bounded frames); everything after runs on the tiny grid."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("judge"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("item"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    judges = cells.select("judge").distinct()
+    items = cells.select("item").distinct()
+    grid = (
+        items.crossJoin(F.broadcast(judges))
+        .join(cells, ["judge", "item"], "left")
+        .select(
+            "judge", "item", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("judge").orderBy(
+        F.col("cents").desc(), F.col("item")
+    )
+    ranked = grid.select(
+        "judge", "item", F.row_number().over(w_rank).cast("long").alias("rk")
+    )
+    dims = grid.agg(
+        F.countDistinct("judge").alias("k"),
+        F.countDistinct("item").alias("n"),
+    )
+    sums = ranked.groupBy("item").agg(F.sum("rk").alias("r_item"))
+    s = (
+        sums.crossJoin(F.broadcast(dims))
+        .select(
+            (2 * F.col("r_item") - F.col("k") * (F.col("n") + 1)).alias("d2")
+        )
+        .agg(F.sum(F.col("d2") * F.col("d2")).alias("s4"))
+    )
+    return dims.crossJoin(F.broadcast(s)).select(
+        "k",
+        "n",
+        "s4",
+        (
+            (3 * F.col("s4")).cast("double")
+            / (
+                F.col("k") * F.col("k")
+                * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+            ).cast("double")
+        ).alias("w"),
+    )

@@ -1179,3 +1179,318 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         z2.alias("z2_milli"),
         (z2 > F.lit(_CA_CRIT_MILLI)).alias("trend_significant"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_mood_median_test (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_mood_median_test",
+    oracle="""
+    WITH base AS (
+      SELECT source AS grp, n_chars AS x FROM documents
+    ),
+    hist AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS tcnt FROM base GROUP BY x
+    ),
+    cum AS (
+      SELECT x, CAST(SUM(tcnt) OVER (ORDER BY x) AS BIGINT) AS c FROM hist
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    med AS (
+      SELECT MIN(x) AS median FROM cum CROSS JOIN n WHERE 2 * c >= n.n
+    ),
+    g AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n_grp,
+             CAST(count_if(x > (SELECT median FROM med)) AS BIGINT)
+               AS n_above
+      FROM base GROUP BY grp
+    ),
+    marg AS (
+      SELECT CAST(SUM(n_above) AS BIGINT) AS a,
+             CAST(SUM(n_grp) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    cells AS (
+      SELECT g.grp, g.n_grp, g.n_above,
+             CAST(ROUND(1000000 * (
+               CASE WHEN m.a > 0 THEN
+                 (CAST(g.n_above AS DOUBLE)
+                  - CAST(g.n_grp AS DOUBLE) * CAST(m.a AS DOUBLE)
+                    / CAST(m.nn AS DOUBLE))
+                 * (CAST(g.n_above AS DOUBLE)
+                  - CAST(g.n_grp AS DOUBLE) * CAST(m.a AS DOUBLE)
+                    / CAST(m.nn AS DOUBLE))
+                 / (CAST(g.n_grp AS DOUBLE) * CAST(m.a AS DOUBLE)
+                    / CAST(m.nn AS DOUBLE))
+               ELSE 0 END
+               +
+               CASE WHEN m.a < m.nn THEN
+                 (CAST(g.n_grp - g.n_above AS DOUBLE)
+                  - CAST(g.n_grp AS DOUBLE) * CAST(m.nn - m.a AS DOUBLE)
+                    / CAST(m.nn AS DOUBLE))
+                 * (CAST(g.n_grp - g.n_above AS DOUBLE)
+                  - CAST(g.n_grp AS DOUBLE) * CAST(m.nn - m.a AS DOUBLE)
+                    / CAST(m.nn AS DOUBLE))
+                 / (CAST(g.n_grp AS DOUBLE) * CAST(m.nn - m.a AS DOUBLE)
+                    / CAST(m.nn AS DOUBLE))
+               ELSE 0 END)) AS BIGINT) AS contrib_micro
+      FROM g CROSS JOIN marg m
+    )
+    SELECT c.grp, c.n_grp, c.n_above,
+           (SELECT median FROM med) AS grand_median,
+           CAST((SELECT SUM(contrib_micro) FROM cells) AS BIGINT)
+             AS chi2_micro,
+           CAST((SELECT k - 1 FROM marg) AS BIGINT) AS dof
+    FROM cells c
+    """,
+    tags=("stats", "testing", "median-test", "nonparametric"),
+)
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across document SOURCES on document length:
+    classify every doc against the corpus GRAND median (above / not
+    above), then Pearson chi-square on the resulting 2 x k table —
+    the coarser, outlier-immune sibling of q_kruskal_wallis (it only
+    looks at which side of the median each value falls).
+
+    Grand median: smallest x with 2*cum(x) >= N over the length
+    HISTOGRAM, with the cumulative running through the two-phase
+    range-partition idiom (_twophase.py) — deterministic, exact, and
+    no single-task window even on an unbounded value domain.
+
+    Exactness: all counts exact integers; each cell's (o-e)^2/e is a
+    shared-expression-tree double over exactly-representable operands,
+    quantized to MICRO units per group row before the
+    order-independent integer SUM (the q_chi_square treatment). Empty
+    margins (median = max, so zero 'above') contribute 0 by the same
+    CASE guard on both engines.
+
+    Scale: one scan -> value histogram (two-phase cumulative) + one
+    k-row group aggregate; median and marginals broadcast as 1-row
+    frames. The scan is the only data-sized stage."""
+    from ._twophase import global_order_stats
+
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("grp"), F.col("n_chars").alias("x")
+    )
+    hist = base.groupBy("x").agg(F.count(F.lit(1)).alias("tcnt"))
+    cum = global_order_stats(
+        hist, [F.asc("x")], running_sums={"c": F.col("tcnt")}, rn_col=None
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(2 * F.col("c") >= F.col("n"))
+        .agg(F.min("x").alias("grand_median"))
+    )
+    g = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_grp"),
+            F.count_if(F.col("x") > F.col("grand_median")).alias("n_above"),
+        )
+    )
+    marg = g.agg(
+        F.sum("n_above").alias("a"),
+        F.sum("n_grp").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    e_above = "(CAST(n_grp AS DOUBLE) * CAST(a AS DOUBLE) / CAST(nn AS DOUBLE))"
+    e_le = (
+        "(CAST(n_grp AS DOUBLE) * CAST(nn - a AS DOUBLE) / CAST(nn AS DOUBLE))"
+    )
+    contrib = (
+        "CAST(ROUND(1000000 * ("
+        f"CASE WHEN a > 0 THEN (CAST(n_above AS DOUBLE) - {e_above})"
+        f" * (CAST(n_above AS DOUBLE) - {e_above}) / {e_above} ELSE 0 END"
+        " + "
+        f"CASE WHEN a < nn THEN (CAST(n_grp - n_above AS DOUBLE) - {e_le})"
+        f" * (CAST(n_grp - n_above AS DOUBLE) - {e_le}) / {e_le} ELSE 0 END"
+        ")) AS BIGINT)"
+    )
+    cells = g.crossJoin(F.broadcast(marg)).select(
+        "grp", "n_grp", "n_above", F.expr(contrib).alias("contrib_micro"),
+        "k",
+    )
+    summary = cells.agg(
+        F.sum("contrib_micro").alias("chi2_micro"), F.max("k").alias("k")
+    )
+    return (
+        cells.select("grp", "n_grp", "n_above")
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "grp",
+            "n_grp",
+            "n_above",
+            "grand_median",
+            "chi2_micro",
+            (F.col("k") - 1).cast("long").alias("dof"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# q_jonckheere_terpstra (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_jonckheere_terpstra",
+    oracle="""
+    WITH base AS (
+      SELECT source AS grp, n_chars AS x FROM documents
+    ),
+    hist AS (
+      SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY grp, x
+    ),
+    grid AS (
+      SELECT g.grp, v.x, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT grp FROM base) g
+      CROSS JOIN (SELECT DISTINCT x FROM base) v
+      LEFT JOIN hist h ON h.grp = g.grp AND h.x = v.x
+    ),
+    cum AS (
+      SELECT grp, x, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumlt
+      FROM grid
+    ),
+    jt AS (
+      SELECT CAST(SUM(CAST(j.cnt AS DECIMAL(38,0))
+                      * (2 * i.cumlt + i.cnt)) AS DECIMAL(38,0)) AS jt2
+      FROM cum i JOIN cum j ON j.x = i.x AND i.grp < j.grp
+    ),
+    sizes AS (
+      SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_grp
+      FROM hist GROUP BY grp
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_grp) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_grp AS DECIMAL(38,0)) * n_grp)
+               AS DECIMAL(38,0)) AS sn2,
+             CAST(SUM(CAST(n_grp AS DECIMAL(38,0)) * n_grp
+                      * (2 * n_grp + 3)) AS DECIMAL(38,0)) AS sn23
+      FROM sizes
+    )
+    SELECT a.k, a.n,
+           CAST(j.jt2 AS BIGINT) AS jt2,
+           CAST((CAST(a.n AS DECIMAL(38,0)) * a.n - a.sn2) / 2 AS BIGINT)
+             AS e2,
+           CAST(ROUND(1000.0 * (CAST(j.jt2 AS DOUBLE)
+                  - CAST((CAST(a.n AS DECIMAL(38,0)) * a.n - a.sn2) / 2
+                      AS DOUBLE))
+                / sqrt((CAST(CAST(a.n AS DECIMAL(38,0)) * a.n * (2 * a.n + 3)
+                          AS DOUBLE)
+                        - CAST(a.sn23 AS DOUBLE)) / 18.0)) AS BIGINT)
+             AS z_milli,
+           CAST(ROUND(1000.0 * (CAST(j.jt2 AS DOUBLE)
+                  - CAST((CAST(a.n AS DECIMAL(38,0)) * a.n - a.sn2) / 2
+                      AS DOUBLE))
+                / sqrt((CAST(CAST(a.n AS DECIMAL(38,0)) * a.n * (2 * a.n + 3)
+                          AS DOUBLE)
+                        - CAST(a.sn23 AS DOUBLE)) / 18.0)) AS BIGINT) > 1645
+             AS increasing_trend
+    FROM jt j CROSS JOIN agg a
+    """,
+    tags=("stats", "testing", "trend", "nonparametric", "ordered-groups"),
+)
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: do document
+    lengths INCREASE along the (lexicographic) source ordering? The
+    directional sibling of q_kruskal_wallis — when the grouping has a
+    natural order (curation tiers, snapshot epochs), JT pools the
+    pairwise Mann-Whitney statistics U_ij in that order and buys real
+    power over the omnibus H. Lexicographic source order stands in for
+    a tier ordering here; the operator is order-generic.
+
+    Exactness: the doubled statistic JT2 = sum over group pairs i<j of
+    [2*#{x_i < x_j} + #{ties}] counts pairs from per-group HISTOGRAMS
+    over the merged value grid (cnt_j(v) * (2*cumlt_i(v) + cnt_i(v)) —
+    exact integers, DECIMAL(38,0) accumulation); E2 = (N^2 - sum n^2)/2
+    is exact; the tie-free null variance [N^2(2N+3) - sum n^2(2n+3)]/72
+    enters only the milli-quantized z (shared expression tree over
+    decimal-cast operands — the q_kruskal_wallis treatment, same
+    documented >2^53 cast caveat).
+
+    Scale: one scan -> (grp, value) histogram; the grid is |values| x
+    |groups| (value-domain bounded, broadcast group dim); cumulatives
+    are GROUP-KEYED windows (partition-parallel); the pair join is
+    value-equi with a group inequality — never data-sized squared."""
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("grp"), F.col("n_chars").alias("x")
+    )
+    hist = base.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    grps = base.select("grp").distinct()
+    vals = base.select("x").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(grps))
+        .join(hist, ["grp", "x"], "left")
+        .select("grp", "x", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "grp",
+        "x",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cumlt"),
+    )
+    i = cum.select(
+        F.col("grp").alias("grp_i"), "x",
+        F.col("cnt").alias("cnt_i"), F.col("cumlt").alias("cumlt_i"),
+    )
+    j = cum.select(
+        F.col("grp").alias("grp_j"), "x", F.col("cnt").alias("cnt_j")
+    )
+    jt = (
+        i.join(j, "x")
+        .filter(F.col("grp_i") < F.col("grp_j"))
+        .agg(
+            F.sum(
+                F.col("cnt_j").cast("decimal(38,0)")
+                * (2 * F.col("cumlt_i") + F.col("cnt_i"))
+            ).alias("jt2")
+        )
+    )
+    sizes = hist.groupBy("grp").agg(F.sum("cnt").alias("n_grp"))
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_grp").alias("n"),
+        F.sum(F.col("n_grp").cast("decimal(38,0)") * F.col("n_grp")).alias(
+            "sn2"
+        ),
+        F.sum(
+            F.col("n_grp").cast("decimal(38,0)")
+            * F.col("n_grp")
+            * (2 * F.col("n_grp") + 3)
+        ).alias("sn23"),
+    )
+    e2 = "(CAST(n AS DECIMAL(38,0)) * n - sn2) / 2"
+    var4 = (
+        "((CAST(CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) AS DOUBLE)"
+        " - CAST(sn23 AS DOUBLE)) / 18.0)"
+    )
+    z = (
+        f"CAST(ROUND(1000.0 * (CAST(jt2 AS DOUBLE) - CAST({e2} AS DOUBLE))"
+        f" / sqrt({var4})) AS BIGINT)"
+    )
+    return jt.crossJoin(F.broadcast(agg)).select(
+        "k",
+        "n",
+        F.col("jt2").cast("long").alias("jt2"),
+        F.expr(f"CAST({e2} AS BIGINT)").alias("e2"),
+        F.expr(z).alias("z_milli"),
+        (F.expr(z) > 1645).alias("increasing_trend"),
+    )

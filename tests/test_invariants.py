@@ -239,3 +239,56 @@ def test_length_batches_are_bounded_and_padding_nonneg(spark):
     assert (out["padding_tokens"] >= 0).all()
     zmax = out.groupby(["band", "batch_in_band"])["padding_tokens"].min()
     assert (zmax == 0).all()
+
+
+def test_image_phash_banding_is_recall_complete(spark):
+    """Pigeonhole guarantee of q_image_phash_dedup's 4x16-bit banding:
+    any pair within Hamming distance 3 differs in at most 3 bands, so
+    at least one band matches — the banded candidate join must find
+    EXACTLY the pairs brute-force all-pairs Hamming finds at the
+    threshold (100% recall; precision is exact by the verify step)."""
+    from itertools import combinations
+
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_image_phash_dedup"].fn(spark, SF).collect()
+    }
+    # brute force over the per-doc hashes (re-derive them through the
+    # registered plan's own hash stage by reading the verified pairs'
+    # source: recompute hashes via the public query at threshold 64 is
+    # not exposed, so rebuild the 4-band hash with the same mapInPandas
+    # body applied through the module internals)
+    from data_lake_with_spark_and_aws_s3_spark.operators import multimodal as mm
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+    import numpy as np
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    hashes = {}
+    for row in docs:
+        buf = np.frombuffer(row.text.encode(), dtype=np.uint8)
+        in_h = len(buf) // mm._RASTER_W
+        if in_h < 8:
+            continue
+        raster = buf[: in_h * mm._RASTER_W].reshape(in_h, mm._RASTER_W)
+        gr = (np.arange(in_h) * 8) // in_h
+        gc = np.arange(mm._RASTER_W) // 2
+        s = np.zeros((8, 8), dtype=np.int64)
+        n = np.zeros((8, 8), dtype=np.int64)
+        np.add.at(s, (gr[:, None], gc[None, :]), raster.astype(np.int64))
+        np.add.at(n, (gr[:, None], gc[None, :]), 1)
+        bits = (s * int(n.sum())) > (int(s.sum()) * n)
+        h = 0
+        for g in range(8):
+            for c in range(8):
+                if bits[g, c]:
+                    h |= 1 << (g * 8 + c)
+        hashes[row.doc_id] = h
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= mm._PHASH_HAMMING_MAX
+    }
+    assert banded == brute, (
+        f"banding missed {brute - banded} / spurious {banded - brute}"
+    )
+    assert len(brute) > 0, "corpus has no near-dup rasters — test is vacuous"

@@ -300,6 +300,18 @@ _NLJ_ALLOWED = {
     "q_hill_tail_index",    # broadcast 1-row order-statistic cutoff stitch
     "q_rfm_segments",       # broadcast 1-row customer-count scalar (exact
                             # NTILE arithmetic needs N — r8 two-phase rewrite)
+    "q_ccnet_perplexity_buckets",  # broadcast 1-row (N, V) LM-constants stitch
+                                   # (inherited from _unigram_doc_ce)
+    "q_cliffs_delta",       # broadcast 1-row source-pick / totals / pair-count
+                            # stitches
+    "q_kendall_w",          # |judges| grid broadcast + 1-row dims/S4 stitches
+    "q_mrr_at_10",          # broadcast 5-query judgment batch (q_ndcg_at_10
+                            # pattern) + 1-row MRR stitch
+    "q_mood_median_test",   # broadcast 1-row N / grand-median / marginal
+                            # stitches
+    "q_jonckheere_terpstra",  # value-grid x |groups| broadcast completion +
+                              # 1-row JT2/moment stitches
+    "q_audio_vad_segments",   # broadcast 1-row corpus-energy threshold
     "q_consistent_resharding",  # keys x 80-vnode broadcast ring lookup
     "q_submodular_coverage",  # per-round broadcast 1-row coverage-count stitch
     "q_sax_symbols",        # broadcast 1-row quartile-breakpoint stitch
@@ -444,6 +456,8 @@ _KEYLESS_WINDOW_ALLOWED = {
         "<=16 two-phase prefix-offset rows x3 (_twophase.py, r8 "
         "rewrite of the customer-dim ntile windows — VERDICT r7 #2)"
     ),
+    "q_mood_median_test": "<=16 two-phase prefix-offset rows (_twophase.py)",
+    "q_cliffs_delta": "distinct-length histogram frame (value-domain)",
     # --- dim-sized post-aggregation frames with documented tradeoff ---
     "q15_top_supplier": (
         "supplier-dim post-aggregation frame; docstring documents the "
