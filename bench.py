@@ -115,6 +115,15 @@ EXTENDED_FAMILIES: dict[str, list[str]] = {
         "q_doc_perplexity_filter",
         "q_kruskal_wallis",
     ],
+    # round 8: the new data-proportional shapes — image phash banding,
+    # audio VAD frame fan-out (16x map-side explosion), CCNet
+    # perplexity buckets (postings-proportional LM scoring join).
+    # First benched in r8; compare forward from there.
+    "multimodal8": [
+        "q_image_phash_dedup",
+        "q_audio_vad_segments",
+        "q_ccnet_perplexity_buckets",
+    ],
 }
 
 EXTENDED = [n for fam in EXTENDED_FAMILIES.values() for n in fam]

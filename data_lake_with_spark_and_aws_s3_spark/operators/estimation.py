@@ -607,3 +607,132 @@ def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("wald_milli_cents"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_did_estimator (round 8)
+# ---------------------------------------------------------------------
+
+_DID_ERA = "1995-01-01"  # pre/post split (the q_iv_wald era boundary)
+_DID_SEGMENT = "BUILDING"  # "treated" customer segment
+
+
+@query(
+    "q_did_estimator",
+    oracle=f"""
+    WITH cells AS (
+      SELECT (c.c_mktsegment = '{_DID_SEGMENT}') AS treated,
+             (o.o_orderdate >= DATE '{_DID_ERA}') AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT treated, post, n, cents,
+             CAST(ROUND(1000000.0 * CAST(cents AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS BIGINT) AS mean_micro
+      FROM cells
+    )
+    SELECT
+      CAST((SELECT n FROM means WHERE treated AND post) AS BIGINT)
+        AS n_treated_post,
+      CAST((SELECT n FROM means WHERE treated AND NOT post) AS BIGINT)
+        AS n_treated_pre,
+      CAST((SELECT n FROM means WHERE NOT treated AND post) AS BIGINT)
+        AS n_control_post,
+      CAST((SELECT n FROM means WHERE NOT treated AND NOT post) AS BIGINT)
+        AS n_control_pre,
+      CAST((SELECT mean_micro FROM means WHERE treated AND post) AS BIGINT)
+        AS mean_treated_post_micro,
+      CAST((SELECT mean_micro FROM means WHERE treated AND NOT post)
+        AS BIGINT) AS mean_treated_pre_micro,
+      CAST((SELECT mean_micro FROM means WHERE NOT treated AND post)
+        AS BIGINT) AS mean_control_post_micro,
+      CAST((SELECT mean_micro FROM means WHERE NOT treated AND NOT post)
+        AS BIGINT) AS mean_control_pre_micro,
+      CAST(((SELECT mean_micro FROM means WHERE treated AND post)
+            - (SELECT mean_micro FROM means WHERE treated AND NOT post))
+           - ((SELECT mean_micro FROM means WHERE NOT treated AND post)
+              - (SELECT mean_micro FROM means WHERE NOT treated AND NOT post))
+        AS BIGINT) AS did_micro
+    """,
+    tags=("estimation", "causal", "did", "difference-in-differences"),
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the change in mean order value across
+    the {_DID_ERA} era boundary for '{_DID_SEGMENT}'-segment customers
+    (treated) MINUS the same change for everyone else (control) — the
+    parallel-trends causal design that completes the estimation family
+    (IPW / sharp RDD / IV-Wald / 1-NN matching). On TPC-H this is a
+    placebo (no real intervention — the estimate should hover near
+    zero), exactly like q_rdd_sharp's documented placebo posture.
+
+    Exactness: cell counts and cents are exact; each cell mean is ONE
+    IEEE division of exactly-representable integers quantized to
+    integer MICRO-cents, and the DiD contrast is pure integer
+    arithmetic over those four quantized means — deterministic on both
+    engines at any scale.
+
+    Scale: one fact-dim equi-join (customer side broadcastable), one
+    4-cell hash aggregate with map-side partials, then a 4-row stitch.
+    The scan is the only data-sized stage."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            (F.col("c_mktsegment") == _DID_SEGMENT).alias("treated"),
+            (F.col("o_orderdate") >= F.lit(_DID_ERA).cast("date")).alias(
+                "post"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            "cents",
+            F.round(
+                1000000.0 * F.col("cents").cast("double")
+                / F.col("n").cast("double")
+            )
+            .cast("long")
+            .alias("mean_micro"),
+        )
+    )
+
+    def cell(tr: bool, po: bool, col: str, alias: str):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col(col))
+        ).alias(alias)
+
+    wide = cells.agg(
+        cell(True, True, "n", "n_treated_post"),
+        cell(True, False, "n", "n_treated_pre"),
+        cell(False, True, "n", "n_control_post"),
+        cell(False, False, "n", "n_control_pre"),
+        cell(True, True, "mean_micro", "mean_treated_post_micro"),
+        cell(True, False, "mean_micro", "mean_treated_pre_micro"),
+        cell(False, True, "mean_micro", "mean_control_post_micro"),
+        cell(False, False, "mean_micro", "mean_control_pre_micro"),
+    )
+    return wide.select(
+        "*",
+        (
+            (
+                F.col("mean_treated_post_micro")
+                - F.col("mean_treated_pre_micro")
+            )
+            - (
+                F.col("mean_control_post_micro")
+                - F.col("mean_control_pre_micro")
+            )
+        ).alias("did_micro"),
+    )

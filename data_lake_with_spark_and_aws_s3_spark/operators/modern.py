@@ -867,3 +867,67 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------
+# q_observation_metrics (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_observation_metrics",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases
+    FROM events
+    """,
+    tags=("modern", "observation", "metrics", "api-surface"),
+)
+def q_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark Observation API (pyspark.sql.Observation): named
+    metrics ATTACHED to a DataFrame with df.observe() are harvested as
+    a side effect of the job that was running anyway — the
+    production pattern for pipeline health counters (row counts,
+    money totals, gate rates) WITHOUT a second scan. Here the 'real'
+    job is a per-type aggregate; the observed metrics ride it and are
+    emitted alongside the job's own output cardinality to prove the
+    single pass.
+
+    Exactness: every observed metric is an exact integer aggregate
+    (count / cents sum / conditional count).
+
+    Scale: observe() adds a CollectMetrics node — map-side accumulator
+    semantics, zero extra shuffle and zero extra scan; the harvesting
+    collect() is the |event_types|-row job output (dim-bounded, the
+    documented O(1)-collect class)."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("pipeline_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "cents_total"
+        ),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )
+    per_type = observed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_types = len(per_type.collect())  # triggers the job; metrics land
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                n_types,
+                int(m["n_rows"]),
+                int(m["cents_total"]),
+                int(m["n_purchases"]),
+            )
+        ],
+        "n_event_types long, n_rows long, cents_total long, n_purchases long",
+    )

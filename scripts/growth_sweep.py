@@ -161,6 +161,17 @@ FAMILIES = {
         "corpus_tokens": corpus_tokens(spark, d)
     },
     # round-7 additions with posting-bounded claims to verify
+    # round 8: the new data-proportional shapes — phash banding (4
+    # band rows/doc), VAD frame fan-out (16x bytes), CCNet buckets
+    # (postings-proportional scoring join), JT (value-grid histogram)
+    "q_image_phash_dedup": lambda spark, d: {
+        "band_rows": load_table(spark, d, "documents").count() * 4
+    },
+    "q_audio_vad_segments": lambda spark, d: {},
+    "q_ccnet_perplexity_buckets": lambda spark, d: {
+        "corpus_tokens": corpus_tokens(spark, d)
+    },
+    "q_jonckheere_terpstra": lambda spark, d: {},
     "q_minhash_containment": lambda spark, d: {
         "posting_rows": shingle_stats(spark, d)
     },

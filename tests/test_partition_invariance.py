@@ -45,6 +45,14 @@ REPRESENTATIVES = [
     "q_kruskal_wallis",
     "q_systematic_pps_sample",
     "q_mmr_diversify",
+    # round-8: the two-phase rfm rewrite (three independent range
+    # exchanges joined back on custkey — the exact shape the r7
+    # pid-pinning fix protects), phash banding (band-hash candidate
+    # order must not leak into output), mood's median (two-phase
+    # histogram cumulative feeding a broadcast threshold)
+    "q_rfm_segments",
+    "q_image_phash_dedup",
+    "q_mood_median_test",
 ]
 
 

@@ -68,7 +68,11 @@ def test_hll_error_curve_headroom(spark):
 
     e = spark.read.parquet(f"{SF_DIR}/events.parquet")
     exact = e.select(F.countDistinct("user_id")).first()[0]
-    for rsd in (0.005, 0.01, 0.05, 0.10):
+    from data_lake_with_spark_and_aws_s3_spark.operators.aggregates import (
+        _HLL_RSDS,
+    )
+
+    for rsd in (float(r) for r in _HLL_RSDS):
         est = e.select(F.approx_count_distinct("user_id", rsd=rsd)).first()[0]
         ratio = abs(est - exact) / (rsd * exact)
         assert ratio < 3.0, (
