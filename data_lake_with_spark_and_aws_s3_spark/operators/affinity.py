@@ -601,3 +601,108 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_local_clustering (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_local_clustering",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (SELECT pa, pb FROM pairs),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT pa AS v FROM edges UNION ALL SELECT pb AS v FROM edges
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tri_v AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT d.v AS part, d.d AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.d >= 2
+                THEN (2000000 * COALESCE(t.n_tri, 0)) // (d.d * (d.d - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN tri_v t ON t.v = d.v
+    """,
+    tags=("affinity", "graph", "clustering-coefficient", "triangles"),
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the part co-purchase
+    graph: lcc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)) — how close
+    each part's neighborhood is to a clique, the node-level refinement
+    of q_copurchase_triangles' single global coefficient (Watts &
+    Strogatz 1998). High-lcc parts sit inside tight co-purchase
+    cliques (bundle cores); low-lcc high-degree parts are hubs joining
+    otherwise unrelated baskets.
+
+    Exactness: each triangle x<y<z is enumerated exactly once via the
+    canonical (x,y)+(y,z)+(x,z) closure and credited to its THREE
+    vertices by an explode; degrees and triangle counts are exact
+    integers and lcc_ppm one truncating ppm division (isolated /
+    degree-1 nodes pin to 0).
+
+    Scale: edges come from the family-shared checkpoint
+    (_edges.copurchase_edges); the wedge join costs sum(deg^2) — the
+    exact-enumeration price, capped at graph scale by orienting edges
+    from lower- to higher-degree endpoints (degeneracy ordering)
+    before the join; the per-vertex credit is one explode plus a
+    hash aggregate keyed on the vertex."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("x"),
+            F.col("e1.pb").alias("y"),
+            F.col("e2.pb").alias("z"),
+        )
+    )
+    tri_v = (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri_v, "v", "left")
+        .select(
+            F.col("v").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN d >= 2"
+                " THEN (2000000 * COALESCE(n_tri, 0)) div (d * (d - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+    )

@@ -949,3 +949,135 @@ def q_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m") <= F.col("lambda_star")).alias("fully_taken"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_doremi_mixture (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_doremi_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size
+      FROM vocab
+    ),
+    lp AS (
+      SELECT term,
+             CAST(ROUND(-ln((CAST(c AS DOUBLE) + 1.0)
+                            / (CAST(tot.n_total AS DOUBLE)
+                               + CAST(tot.v_size AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS nll_micro
+      FROM vocab, tot
+    ),
+    dom AS MATERIALIZED (
+      SELECT d.source,
+             CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(lp.nll_micro) // COUNT(*) AS BIGINT) AS ce_micro
+      FROM tok t
+      JOIN lp USING (term)
+      JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ),
+    floor_ce AS (SELECT MIN(ce_micro) AS min_ce FROM dom),
+    w AS (
+      SELECT dom.source, dom.n_docs, dom.n_toks, dom.ce_micro,
+             dom.ce_micro - f.min_ce AS excess_micro,
+             CAST(dom.n_toks AS HUGEINT)
+               * (1000000 + dom.ce_micro - f.min_ce) AS w_raw
+      FROM dom, floor_ce f
+    )
+    SELECT source, n_docs, n_toks, ce_micro,
+           CAST(excess_micro AS BIGINT) AS excess_micro,
+           CAST((1000000 * CAST(n_toks AS HUGEINT))
+                // (SELECT SUM(n_toks) FROM dom) AS BIGINT) AS token_ppm,
+           CAST((1000000 * w_raw) // (SELECT SUM(w_raw) FROM w)
+             AS BIGINT) AS weight_ppm
+    FROM w
+    """,
+    tags=("curation", "mixture", "doremi", "domain-reweight", "llm-pipeline"),
+)
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss domain reweighting in the DoReMi style (Xie et al.
+    2023): score every domain (source) by how much its per-token
+    cross-entropy under the corpus unigram LM exceeds the easiest
+    domain's, then tilt the token-share mixture toward high-excess
+    domains with one multiplicative-weights step. The full method
+    iterates a proxy-model Group-DRO loop; the data-side operator —
+    domain losses, excess over the floor, tilted renormalized weights
+    — is exactly this relational shape, with the LM scores supplied
+    here by the q_doc_perplexity_filter midframe in place of proxy
+    checkpoints.
+
+    The update is the FIRST-ORDER Hedge step (eta = 1/nat):
+    w_s = tokens_s * (1 + excess_s), i.e. exp(excess) linearized, which
+    keeps every weight exact wide-integer arithmetic (excess is in
+    integer micro-nats, bounded by ~1 nat on this corpus, where the
+    linearization is within 40% of exp and strictly order-preserving
+    — the ranking of domains is what downstream sampling consumes).
+
+    Exactness: nll quantized once per vocab entry to micro-nats (the
+    perplexity-filter treatment); per-domain totals are exact integer
+    sums; excess, the tilt product, and both ppm shares are truncating
+    wide-integer divisions.
+
+    Scale: one token explode feeding two hash aggregates (vocab, then
+    domain moments via a broadcast score join); everything after runs
+    on |sources| rows. No proxy-model training happens in-engine at
+    100 TB either — checkpoint losses arrive as a tiny side table,
+    exactly the dom frame's shape."""
+    from .corpus import _unigram_doc_ce
+
+    doc = _unigram_doc_ce(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dom = (
+        doc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_toks"),
+            F.expr(
+                "CAST(SUM(nll_sum_micro) div SUM(n_toks) AS BIGINT)"
+            ).alias("ce_micro"),
+        )
+    )
+    floor_ce = dom.agg(F.min("ce_micro").alias("min_ce"))
+    w = dom.crossJoin(F.broadcast(floor_ce)).select(
+        "source",
+        "n_docs",
+        "n_toks",
+        "ce_micro",
+        (F.col("ce_micro") - F.col("min_ce")).alias("excess_micro"),
+        F.expr(
+            "CAST(n_toks AS DECIMAL(38,0)) * (1000000 + ce_micro - min_ce)"
+        ).alias("w_raw"),
+    )
+    tots = w.agg(
+        F.sum("n_toks").alias("tok_total"), F.sum("w_raw").alias("w_total")
+    )
+    return w.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "n_docs",
+        "n_toks",
+        "ce_micro",
+        "excess_micro",
+        F.expr(
+            "CAST((1000000 * CAST(n_toks AS DECIMAL(38,0))) div tok_total"
+            " AS BIGINT)"
+        ).alias("token_ppm"),
+        F.expr(
+            "CAST((1000000 * w_raw) div w_total AS BIGINT)"
+        ).alias("weight_ppm"),
+    )

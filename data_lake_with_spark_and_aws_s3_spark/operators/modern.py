@@ -931,3 +931,71 @@ def q_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_event_types long, n_rows long, cents_total long, n_purchases long",
     )
+
+
+# ---------------------------------------------------------------------
+# q_transpose (round 8)
+# ---------------------------------------------------------------------
+
+_TRANSPOSE_TYPES = ("click", "error", "purchase", "signup", "view")
+_TRANSPOSE_METRICS = ("n_rows", "n_users", "cents_total")
+
+
+def _transpose_oracle() -> str:
+    rows = []
+    for metric in _TRANSPOSE_METRICS:
+        cols = ", ".join(
+            f"(SELECT {metric} FROM m WHERE event_type = '{t}') AS {t}"
+            for t in _TRANSPOSE_TYPES
+        )
+        rows.append(f"SELECT '{metric}' AS key, {cols}")
+    union = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+      FROM events GROUP BY event_type
+    )
+    {union}
+    """
+
+
+@query(
+    "q_transpose",
+    oracle=_transpose_oracle(),
+    tags=("modern-api", "transpose", "reshape"),
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): a per-type metric summary
+    (rows = event types, columns = metrics) flipped so metrics become
+    rows and event types become columns — the report-orientation
+    reshape analysts otherwise hand-roll with unpivot + pivot.
+    Complements q_pivot / q_unpivot: transpose is the composition of
+    both with the schema derived from the data (column names come from
+    the index column's values, here the five stable event types).
+
+    Exactness: counts and cent sums are exact integers; transpose
+    itself moves values without arithmetic. The oracle spells out the
+    same reshape as one scalar-subquery row per metric.
+
+    Scale: the input to transpose is the |types| x |metrics| summary —
+    transpose is a DRIVER-SIDE reshape of an already-reduced frame
+    (it collects the index column to name the output columns), so it
+    is only ever legal after the aggregate, never on raw data; the
+    heavy lifting stays in the one hash aggregate before it."""
+    e = load_table(spark, sf_dir, "events")
+    m = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "cents_total"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    return m.transpose("event_type")

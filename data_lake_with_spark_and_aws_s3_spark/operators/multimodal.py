@@ -584,3 +584,252 @@ def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "energy_sum",
     )
+
+
+# ---------------------------------------------------------------------
+# q_audio_fingerprint_dedup (round 8)
+# ---------------------------------------------------------------------
+
+_AFP_FRAME = 8  # bytes per fingerprint frame
+_AFP_BITS = 32  # sign-of-energy-difference bits per doc
+_AFP_MIN_CHARS = (_AFP_BITS + 1) * _AFP_FRAME  # 33 frames needed
+_AFP_HAMMING_MAX = 1  # pigeonhole-complete with 2 16-bit bands
+
+_AFP_E_DUCK = (
+    "list_reduce(list_transform(range(1, {f1}), j -> ord(substr(text,"
+    " CAST({i} * {f} + j AS INTEGER), 1))), (s, x) -> s + x)"
+)
+
+
+def _afp_duck_fp() -> str:
+    e = _AFP_E_DUCK
+    e_hi = e.format(i="(i + 1)", f=_AFP_FRAME, f1=_AFP_FRAME + 1)
+    e_lo = e.format(i="i", f=_AFP_FRAME, f1=_AFP_FRAME + 1)
+    return (
+        f"list_reduce(list_transform(range(0, {_AFP_BITS}), i -> "
+        f"CASE WHEN {e_hi} > {e_lo} THEN (CAST(1 AS BIGINT) << i)"
+        f" ELSE CAST(0 AS BIGINT) END), (s, x) -> s + x)"
+    )
+
+
+@query(
+    "q_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_afp_duck_fp()} AS fp
+      FROM documents WHERE strlen(text) >= {_AFP_MIN_CHARS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(CAST(xor(a.fp, b.fp) AS BIGINT)) AS BIGINT)
+             AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.fp, b.fp) AS BIGINT)) <= {_AFP_HAMMING_MAX}
+    """,
+    tags=("multimodal", "audio", "fingerprint", "near-dup", "llm-pipeline"),
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by acoustic fingerprint — the
+    Chromaprint idea (sign of the energy DIFFERENCE between adjacent
+    analysis frames, robust to gain/offset because only the direction
+    survives) on the container's deterministic byte-energy stand-in:
+    {_AFP_BITS} sign bits over {_AFP_FRAME}-byte frames pack into one
+    64-bit-resident fingerprint per clip, fingerprints block by two
+    16-bit bands, and banded candidates verify by exact xor+bit_count
+    Hamming distance <= {_AFP_HAMMING_MAX}. Completes the modality set:
+    exact (md5), text near-dup (MinHash), embedding (SemDeDup), image
+    (q_image_phash_dedup), audio (this). Pigeonhole: a pair within
+    Hamming 1 differs in at most one band, so band-equality blocking
+    is COMPLETE — verified against the all-pairs oracle (which, like
+    the phash oracle, states the truth as the full self-join the
+    banded plan must reproduce).
+
+    Exactness: frame energies, sign bits, the packed fingerprint, and
+    Hamming distances are all exact integers on both engines.
+
+    Scale: the fingerprint is one nested HOF (codegen, no Python, no
+    explode — payload bytes never leave the scan projection); only
+    (doc_id, fp, band) longs shuffle; band buckets bound the candidate
+    join (65,536 buckets per band), and verify touches candidates
+    only. At 100 TB this is the same banded-blocking contract as
+    q_image_phash_dedup and SemDeDup's SRP bands."""
+    d = load_table(spark, sf_dir, "documents")
+    e_lo = (
+        f"aggregate(sequence(1, {_AFP_FRAME}), 0L,"
+        f" (s, j) -> s + ascii(substring(text, i * {_AFP_FRAME} + j, 1)))"
+    )
+    e_hi = (
+        f"aggregate(sequence(1, {_AFP_FRAME}), 0L,"
+        f" (s, j) -> s + ascii(substring(text,"
+        f" (i + 1) * {_AFP_FRAME} + j, 1)))"
+    )
+    fp_expr = (
+        f"aggregate(sequence(0, {_AFP_BITS - 1}), 0L,"
+        f" (s, i) -> s + CASE WHEN {e_hi} > {e_lo}"
+        f" THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    fps = d.filter(F.length("text") >= _AFP_MIN_CHARS).select(
+        "doc_id", F.expr(fp_expr).alias("fp")
+    )
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.expr("fp % 65536").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.expr("shiftright(fp, 16) % 65536").alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_id", "band.band_val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("fp_a ^ fp_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= _AFP_HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------
+# q_video_scene_cuts (round 8)
+# ---------------------------------------------------------------------
+
+_SCENE_FRAME = 16  # bytes per video frame stand-in
+_SCENE_CUT_X = 2  # cut when |delta| exceeds 2x the corpus mean delta
+
+
+@query(
+    "q_video_scene_cuts",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             CAST(list_reduce(list_transform(range(1, {_SCENE_FRAME + 1}),
+                    j -> ord(substr(text,
+                               CAST(i * {_SCENE_FRAME} + j AS INTEGER), 1))),
+                  (s, x) -> s + x) AS BIGINT) AS energy
+      FROM documents, UNNEST(range(0, strlen(text) // {_SCENE_FRAME})) t(i)
+    ),
+    deltas AS (
+      SELECT doc_id, frame_idx, energy,
+             abs(energy - LAG(energy) OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx)) AS delta
+      FROM frames
+    ),
+    tot AS (
+      SELECT CAST(COUNT(delta) AS BIGINT) AS n_d,
+             CAST(SUM(delta) AS BIGINT) AS s_d
+      FROM deltas
+    ),
+    flagged AS (
+      SELECT d.doc_id, d.frame_idx, d.energy,
+             CASE WHEN d.delta IS NOT NULL
+                   AND d.delta * t.n_d > {_SCENE_CUT_X} * t.s_d
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM deltas d CROSS JOIN tot t
+    ),
+    scenes AS (
+      SELECT doc_id, frame_idx, energy,
+             1 + SUM(is_cut) OVER (PARTITION BY doc_id
+                                   ORDER BY frame_idx) AS scene_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy_sum
+    FROM scenes
+    GROUP BY doc_id, scene_id
+    """,
+    tags=("multimodal", "video", "scene-detection", "segmentation"),
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video-like frame streams: each payload
+    is framed ({_SCENE_FRAME} bytes/frame), a CUT fires where the
+    absolute frame-to-frame energy change exceeds {_SCENE_CUT_X}x the
+    corpus-mean change (exact cross-multiplication — no float mean),
+    and scene_id is 1 + the running cut count, so every frame belongs
+    to exactly one scene. The video-ingest shape (shot segmentation
+    before keyframe extraction / captioning); differs from
+    q_audio_vad_segments structurally — THRESHOLD ON THE DERIVATIVE
+    with cumulative-sum segmentation, vs threshold on the level with
+    gaps-and-islands.
+
+    Exactness: energies, deltas, the threshold comparison, the running
+    cut count, and all per-scene aggregates are exact integers.
+
+    Scale: frame fan-out is map-side (HOF in codegen); the corpus
+    threshold is a 1-row broadcast; lag and the running cut count are
+    DOC-KEYED windows (partition-parallel); scenes aggregate with a
+    doc-keyed hash aggregate. First frames (delta NULL) are never
+    cuts, so docs contribute scene 1 from frame 0."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(length(text) / {_SCENE_FRAME}"
+                f" AS INT) - 1), i -> aggregate(sequence(1, {_SCENE_FRAME}),"
+                f" 0L, (s, j) -> s + ascii(substring(text,"
+                f" i * {_SCENE_FRAME} + j, 1))))"
+            )
+        ).alias("frame_idx", "energy"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("energy").cast("long").alias("energy"),
+    )
+    w_lag = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.abs(F.col("energy") - F.lag("energy").over(w_lag)).alias("delta"),
+    )
+    tot = deltas.agg(
+        F.count("delta").alias("n_d"), F.sum("delta").alias("s_d")
+    )
+    flagged = deltas.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.when(
+            F.col("delta").isNotNull()
+            & (F.col("delta") * F.col("n_d") > _SCENE_CUT_X * F.col("s_d")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    w_cum = Window.partitionBy("doc_id").orderBy("frame_idx")
+    scenes = flagged.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        (F.lit(1) + F.sum("is_cut").over(w_cum)).alias("scene_id"),
+    )
+    return scenes.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("energy_sum"),
+    )

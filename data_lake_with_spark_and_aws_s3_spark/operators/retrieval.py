@@ -1141,3 +1141,124 @@ def q_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rr.crossJoin(F.broadcast(mrr)).select(
         "query_id", "first_rel_pos", "rr_ppm", "mrr_ppm"
     )
+
+
+# ---------------------------------------------------------------------
+# q_map_at_10 (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_map_at_10",
+    oracle=f"""
+    WITH q(query_id, t1, t2) AS (VALUES {_NDCG_Q_SQL}),
+    judged AS (
+      SELECT q.query_id, d.doc_id, d.n_chars,
+             (CASE WHEN ' ' || d.text || ' ' LIKE '% ' || q.t1 || ' %'
+                   THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || d.text || ' ' LIKE '% ' || q.t2 || ' %'
+                     THEN 1 ELSE 0 END) AS rel
+      FROM documents d CROSS JOIN q
+    ),
+    totals AS (
+      SELECT query_id, CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rel_total
+      FROM judged GROUP BY query_id
+    ),
+    ranked AS (  -- same system under evaluation as q_ndcg_at_10
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_chars DESC, doc_id) AS pos
+      FROM judged
+    ),
+    cum AS (
+      SELECT query_id, rel, pos,
+             SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY query_id ORDER BY pos) AS cum_rel
+      FROM ranked WHERE pos <= 10
+    ),
+    ap AS (
+      SELECT c.query_id, t.n_rel_total,
+             CAST(CASE WHEN t.n_rel_total = 0 THEN 0
+                  ELSE SUM(CASE WHEN c.rel >= 1
+                                THEN (1000000 * c.cum_rel) // c.pos
+                                ELSE 0 END)
+                       // LEAST(t.n_rel_total, 10) END AS BIGINT) AS ap_ppm
+      FROM cum c JOIN totals t USING (query_id)
+      GROUP BY c.query_id, t.n_rel_total
+    )
+    SELECT query_id, n_rel_total, ap_ppm,
+           CAST((SELECT SUM(ap_ppm) FROM ap) // (SELECT COUNT(*) FROM ap)
+             AS BIGINT) AS map_ppm
+    FROM ap
+    """,
+    tags=("retrieval", "evaluation", "map", "ranking-quality"),
+)
+def q_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 (mean average precision) of the q_ndcg_at_10 ranking
+    system over the same five term queries: AP@10 averages precision-
+    at-k over the relevant positions in the top 10, normalized by
+    min(total relevant, 10) — the recall-aware summary that completes
+    the evaluation quartet NDCG (graded) / ERR (cascade) / MRR
+    (first-hit) / MAP (all-hits).
+
+    Exactness: relevance, positions, and the running relevant count
+    are exact integers; each precision-at-k is a truncating ppm
+    division, AP one more truncating division by min(R, 10), and the
+    mean over queries a final truncating division — every column
+    hashes.
+
+    Scale: |queries| broadcast onto one corpus scan; the per-query
+    ranking window cuts at 10 (WindowGroupLimit heap); the relevant
+    totals are one map-side-combinable aggregate; reductions are
+    |queries| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        list(_NDCG_QUERIES), "query_id int, t1 string, t2 string"
+    )
+    judged = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "(CASE WHEN ' ' || text || ' ' LIKE '% ' || t1 || ' %'"
+            " THEN 1 ELSE 0 END"
+            " + CASE WHEN ' ' || text || ' ' LIKE '% ' || t2 || ' %'"
+            " THEN 1 ELSE 0 END)"
+        ).alias("rel"),
+    )
+    totals = judged.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_total")
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w_cum = Window.partitionBy("query_id").orderBy("pos")
+    cum = (
+        judged.withColumn("pos", F.row_number().over(w_sys))
+        .filter(F.col("pos") <= 10)
+        .withColumn(
+            "cum_rel",
+            F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0)).over(w_cum),
+        )
+    )
+    ap = (
+        cum.join(F.broadcast(totals), "query_id")
+        .groupBy("query_id", "n_rel_total")
+        .agg(
+            F.expr(
+                "CAST(CASE WHEN n_rel_total = 0 THEN 0"
+                " ELSE SUM(CASE WHEN rel >= 1"
+                " THEN (1000000 * cum_rel) div pos ELSE 0 END)"
+                " div LEAST(n_rel_total, 10) END AS BIGINT)"
+            ).alias("ap_ppm")
+        )
+    )
+    mean = ap.agg(
+        F.expr("CAST(SUM(ap_ppm) div COUNT(*) AS BIGINT)").alias("map_ppm")
+    )
+    return ap.crossJoin(F.broadcast(mean)).select(
+        "query_id", "n_rel_total", "ap_ppm", "map_ppm"
+    )

@@ -1041,3 +1041,123 @@ def q_bloom_fpp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("fpp_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_cms_error_curve (round 8)
+# ---------------------------------------------------------------------
+
+_CMS_CURVE_WIDTHS = (64, 256, 1024)
+_CMS_CURVE_TOP = 10
+
+# one md5 per (tok, seed); the bucket is hexval % width, so all three
+# sketch widths share the same hash column
+_CURVE_HEXVAL = _hex_val_sql("md5(concat(tok, '#', CAST(seed AS STRING)))")
+_CURVE_HEXVAL_DUCK = _hex_val_sql("md5(tok || '#' || CAST(seed AS VARCHAR))")
+
+_CMS_CURVE_ORACLE = f"""
+    WITH tok AS (
+      SELECT t.tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    seeds AS (SELECT unnest([{", ".join(str(i) for i in range(DEPTH))}]) AS seed),
+    widths AS (SELECT unnest([{", ".join(str(w) for w in _CMS_CURVE_WIDTHS)}]) AS width),
+    sketch AS (
+      SELECT width, seed, ({_CURVE_HEXVAL_DUCK}) % width AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok CROSS JOIN seeds CROSS JOIN widths
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY tok
+      QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+                <= {_CMS_CURVE_TOP}
+    ),
+    probes AS (
+      SELECT w.width, e.tok, e.exact_cnt, sd.seed,
+             ({_hex_val_sql("md5(e.tok || '#' || CAST(sd.seed AS VARCHAR))")})
+               % w.width AS bucket
+      FROM exact e CROSS JOIN seeds sd CROSS JOIN widths w
+    )
+    SELECT CAST(p.width AS BIGINT) AS width, p.tok AS token, p.exact_cnt,
+           CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(s.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p
+    JOIN sketch s ON s.width = p.width AND s.seed = p.seed
+                 AND s.bucket = p.bucket
+    GROUP BY p.width, p.tok, p.exact_cnt
+"""
+
+
+@query(
+    "q_cms_error_curve",
+    oracle=_CMS_CURVE_ORACLE,
+    tags=("sketch", "count-min", "accuracy-curve", "llm-pipeline"),
+)
+def q_cms_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min accuracy as a function of sketch width — the
+    space/error dial (est - exact <= 2N/w with probability 1 - 2^-d),
+    measured: the SAME token stream sketched at widths {64, 256, 1024}
+    (depth 4), probed at the top-10 exact heavy hitters. Completes the
+    sketch parameter-curve trio — Bloom FPP vs bits/key
+    (q_bloom_fpp_curve), HLL error vs rsd (q_hll_error_curve), CMS
+    overestimate vs width (this) — the evidence for choosing sketch
+    sizes before a 100 TB run instead of guessing.
+
+    Exactness: one md5 per (token, seed) shared by all widths (the
+    bucket is hexval % width), so every counter, estimate, and
+    overestimate is deterministic integer arithmetic on both engines;
+    overestimate >= 0 on every row is the CMS guarantee.
+
+    Scale: the (width, seed, bucket) projection partial-aggregates
+    map-side to at most depth * sum(widths) = 5,376 counter rows
+    regardless of corpus size; the probe step broadcast-joins that
+    constant-size table. Tripling the widths triples the counter
+    table, not the scan."""
+    toks = _tokens(spark, sf_dir)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(DEPTH)])).alias("seed")
+    widths = F.explode(
+        F.array(*[F.lit(w) for w in _CMS_CURVE_WIDTHS])
+    ).alias("width")
+    sketch = (
+        toks.select("tok", seeds)
+        .select("tok", "seed", widths)
+        .select(
+            "width",
+            "seed",
+            F.expr(f"({_CURVE_HEXVAL}) % width").alias("bucket"),
+        )
+        .groupBy("width", "seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(_CMS_CURVE_TOP)
+    )
+    probes = (
+        exact.select("tok", "exact_cnt", seeds)
+        .select("tok", "exact_cnt", "seed", widths)
+        .select(
+            "width",
+            "tok",
+            "exact_cnt",
+            "seed",
+            F.expr(f"({_CURVE_HEXVAL}) % width").alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["width", "seed", "bucket"])
+        .groupBy("width", "tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("width").cast("long").alias("width"),
+            F.col("tok").alias("token"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

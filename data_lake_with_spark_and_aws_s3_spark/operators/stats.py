@@ -2575,3 +2575,158 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("w"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_tost_equivalence (round 8)
+# ---------------------------------------------------------------------
+
+# z_{0.95}^2 in micro units: TOST at alpha = 0.05 rejects each one-sided
+# null when |t| > 1.645 (large-sample normal approximation; both group
+# sizes here are in the thousands, so the t quantile is z to 4 digits).
+_TOST_Z2_MICRO = 2_706_025
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE WHEN r.r_name = 'EUROPE' THEN 'treat'
+                  ELSE 'control' END AS grp,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    m AS MATERIALIZED (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM labeled GROUP BY grp
+    ),
+    w AS (
+      SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+             b.n AS n2, b.s AS s2, b.ss AS ss2
+      FROM m a JOIN m b ON a.grp = 'treat' AND b.grp = 'control'
+    ),
+    terms AS (
+      SELECT n1, n2,
+             -- mean gap +/- margin, truncated to whole cents:
+             -- diff = s1/n1 - s2/n2, margin = (s2/n2)/20 (5% of control)
+             (20 * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+              + CAST(s2 AS HUGEINT) * n1)
+               // (20 * CAST(n1 AS HUGEINT) * n2) AS g_lo,
+             (20 * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+              - CAST(s2 AS HUGEINT) * n1)
+               // (20 * CAST(n1 AS HUGEINT) * n2) AS g_hi,
+             CAST(s1 // n1 - s2 // n2 AS BIGINT) AS mean_diff_cents,
+             CAST(s2 // (20 * n2) AS BIGINT) AS margin_cents,
+             -- Welch variance of the mean difference, cents^2
+             ((n1 * ss1 - CAST(s1 AS HUGEINT) * s1)
+                // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+              + (n2 * ss2 - CAST(s2 AS HUGEINT) * s2)
+                // (CAST(n2 AS HUGEINT) * n2 * (n2 - 1))) AS v
+      FROM w
+    )
+    SELECT n1, n2, mean_diff_cents, margin_cents,
+           CAST((1000000 * g_lo * g_lo) // v AS BIGINT) AS t_lo_sq_micro,
+           CAST((1000000 * g_hi * g_hi) // v AS BIGINT) AS t_hi_sq_micro,
+           (g_lo > 0 AND g_hi < 0
+            AND (1000000 * g_lo * g_lo) // v > {_TOST_Z2_MICRO}
+            AND (1000000 * g_hi * g_hi) // v > {_TOST_Z2_MICRO})
+             AS equivalent
+    FROM terms
+    """,
+    tags=("stats", "hypothesis-test", "tost", "equivalence", "ab-test"),
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) for order value, EUROPE
+    vs rest, margin = 5% of the control mean: two one-sided Welch
+    tests, H0_lo: diff <= -margin and H0_hi: diff >= +margin; the
+    groups are EQUIVALENT only when BOTH reject (diff + margin
+    significantly > 0 AND diff - margin significantly < 0). The
+    inferential complement of q_welch_ttest — "is there a difference"
+    vs "is the difference provably inside the margin" — the readout an
+    A/B platform needs for non-inferiority launches.
+
+    Exactness: the mean gap +/- margin is reduced over the common
+    denominator 20*n1*n2 and truncated ONCE to whole cents (g_lo,
+    g_hi); the Welch variance-of-the-difference reuses q_welch_ttest's
+    rationalized wide-integer moments; each squared t is one more
+    truncating micro division. The z^2 threshold is a fixed constant.
+    Every column is exact integer/boolean arithmetic on DECIMAL(38,0)
+    moments — bit-identical across engines.
+
+    Scale: one broadcast star join, one 2-group moment aggregate
+    (map-side combinable), scalar arithmetic on 2 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.when(F.col("r_name") == "EUROPE", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    m = labeled.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("ss"),
+    )
+    a = m.filter(F.col("grp") == "treat").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    b = m.filter(F.col("grp") == "control").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("ss").alias("ss2")
+    )
+    w = a.join(F.broadcast(b))
+    terms = w.select(
+        "n1",
+        "n2",
+        F.expr(
+            "(20 * (CAST(s1 AS DECIMAL(38,0)) * n2"
+            " - CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " + CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " div (20 * CAST(n1 AS DECIMAL(38,0)) * n2)"
+        ).alias("g_lo"),
+        F.expr(
+            "(20 * (CAST(s1 AS DECIMAL(38,0)) * n2"
+            " - CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " - CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " div (20 * CAST(n1 AS DECIMAL(38,0)) * n2)"
+        ).alias("g_hi"),
+        F.expr("CAST(s1 div n1 - s2 div n2 AS BIGINT)").alias(
+            "mean_diff_cents"
+        ),
+        F.expr("CAST(s2 div (20 * n2) AS BIGINT)").alias("margin_cents"),
+        F.expr(
+            "((n1 * ss1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " div (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1))"
+            " + (n2 * ss2 - CAST(s2 AS DECIMAL(38,0)) * s2)"
+            " div (CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1)))"
+        ).alias("v"),
+    )
+    return terms.select(
+        "n1",
+        "n2",
+        "mean_diff_cents",
+        "margin_cents",
+        F.expr("CAST((1000000 * g_lo * g_lo) div v AS BIGINT)").alias(
+            "t_lo_sq_micro"
+        ),
+        F.expr("CAST((1000000 * g_hi * g_hi) div v AS BIGINT)").alias(
+            "t_hi_sq_micro"
+        ),
+        F.expr(
+            "g_lo > 0 AND g_hi < 0"
+            f" AND (1000000 * g_lo * g_lo) div v > {_TOST_Z2_MICRO}"
+            f" AND (1000000 * g_hi * g_hi) div v > {_TOST_Z2_MICRO}"
+        ).alias("equivalent"),
+    )

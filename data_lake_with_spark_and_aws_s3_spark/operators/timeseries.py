@@ -1415,3 +1415,216 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.cast("long").alias("ph_milli"),
         (ph * _PH_ALARM_PCT > F.col("cum") * 1000).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_durbin_watson (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ),
+    mom AS MATERIALIZED (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(t) AS HUGEINT) AS st,
+             CAST(SUM(t * t) AS HUGEINT) AS stt,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(t AS HUGEINT) * y) AS sty
+      FROM seq GROUP BY event_type
+    ),
+    res AS (
+      -- residual of the OLS fit y ~ a + b t, scaled by n*D (exact),
+      -- then quantized ONCE per row to milli-cents
+      SELECT s.event_type, s.t,
+             (1000 * (m.n * (m.n * m.stt - m.st * m.st) * s.y
+                      - (m.n * m.stt - m.st * m.st) * m.sy
+                      + (m.n * m.sty - m.st * m.sy) * m.st
+                      - m.n * (m.n * m.sty - m.st * m.sy) * s.t))
+               // (m.n * (m.n * m.stt - m.st * m.st)) AS e_milli
+      FROM seq s JOIN mom m USING (event_type)
+    ),
+    lagged AS (
+      SELECT event_type, e_milli,
+             LAG(e_milli) OVER (PARTITION BY event_type
+                                ORDER BY t) AS e_prev
+      FROM res
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST((1000 * SUM(CASE WHEN e_prev IS NULL THEN 0
+                                 ELSE (e_milli - e_prev) * (e_milli - e_prev)
+                            END))
+                // SUM(e_milli * e_milli) AS BIGINT) AS dw_milli,
+           (1000 * SUM(CASE WHEN e_prev IS NULL THEN 0
+                            ELSE (e_milli - e_prev) * (e_milli - e_prev)
+                       END))
+             // SUM(e_milli * e_milli) < 1500 AS positive_autocorr
+    FROM lagged GROUP BY event_type
+    """,
+    tags=("timeseries", "durbin-watson", "autocorrelation", "diagnostics"),
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic of the residuals of
+    a per-type linear trend fit over the daily revenue series: detrend
+    with OLS (y ~ a + b t), then DW = sum (e_t - e_{t-1})^2 / sum e_t^2
+    — near 2 means uncorrelated residuals, well below 2 means the
+    trend fit leaves positively autocorrelated structure (the classic
+    "your regression standard errors are lies" regression diagnostic,
+    complementing q_autocorrelation's raw-series ACF).
+
+    Exactness: the OLS residual is computed in closed form scaled by
+    the exact integer n*D (D = n*Stt - St^2), so the only rounding is
+    ONE truncating division per row quantizing the residual to
+    milli-cents; both difference and level sums of squares are then
+    exact DECIMAL(38,0)/HUGEINT integer sums, and dw_milli one more
+    truncating division. Both engines truncate integer division toward
+    zero (verified), so negative residuals quantize identically.
+
+    Scale: one daily hash aggregate; moments are one map-side-
+    combinable reduction per type; the residual join broadcasts
+    |types| rows; the lag is a TYPE-KEYED window (partition-parallel,
+    frame 1 row). Nothing is driver-side or data-proportional in one
+    task."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("y")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "y", F.row_number().over(w_t).cast("long").alias("t")
+    )
+    mom = seq.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("st"),
+        F.expr("CAST(SUM(t * t) AS DECIMAL(38,0))").alias("stt"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * y)").alias("sty"),
+    )
+    res = seq.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "t",
+        F.expr(
+            "(1000 * (n * (n * stt - st * st) * y"
+            " - (n * stt - st * st) * sy"
+            " + (n * sty - st * sy) * st"
+            " - n * (n * sty - st * sy) * t))"
+            " div (n * (n * stt - st * st))"
+        ).alias("e_milli"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("t")
+    lagged = res.select(
+        "event_type",
+        "e_milli",
+        F.lag("e_milli").over(w_lag).alias("e_prev"),
+    )
+    d2 = (
+        "SUM(CASE WHEN e_prev IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+        " ELSE CAST(e_milli - e_prev AS DECIMAL(38,0))"
+        " * (e_milli - e_prev) END)"
+    )
+    lvl = "SUM(CAST(e_milli AS DECIMAL(38,0)) * e_milli)"
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            f"CAST((1000 * {d2}) div {lvl} AS BIGINT)"
+        ).alias("dw_milli"),
+        F.expr(
+            f"(1000 * {d2}) div {lvl} < 1500"
+        ).alias("positive_autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_theil_u_forecast (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_theil_u_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT event_type, y,
+             LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+             LAG(y, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2
+      FROM daily
+    ),
+    scored AS (
+      -- MA2 forecast error scaled x2: (y1 + y2 - 2y); naive error: (y - y1)
+      SELECT event_type,
+             CAST(y1 + y2 - 2 * y AS HUGEINT) AS a,
+             CAST(y - y1 AS HUGEINT) AS b
+      FROM lagged WHERE y2 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST((1000 * SUM(a * a)) // (4 * SUM(b * b)) AS BIGINT)
+             AS u2_sq_milli,
+           (1000 * SUM(a * a)) // (4 * SUM(b * b)) < 1000 AS beats_naive
+    FROM scored GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast-accuracy", "theil-u", "evaluation"),
+)
+def q_theil_u_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U^2 forecast-accuracy ratio of a 2-day moving-average
+    forecast against the naive (last-value) forecast on each type's
+    daily revenue: U^2 = sum (yhat_t - y_t)^2 / sum (y_t - y_{t-1})^2.
+    U^2 < 1 means the model adds information over persistence — the
+    standard sanity gate before shipping any forecaster
+    (q_forecast_backtest measures a model against actuals; this
+    measures it against the do-nothing baseline).
+
+    Exactness: with yhat = (y_{t-1} + y_{t-2}) / 2 both error terms
+    clear denominators exactly — numerator (y1 + y2 - 2y)^2 carries the
+    x4, so u2_sq_milli = (1000 * sum a^2) div (4 * sum b^2) is pure
+    wide-integer arithmetic on exact daily cent sums.
+
+    Scale: one daily hash aggregate; lags are a TYPE-KEYED window
+    (2-row frame); the scoring reduction is map-side combinable; output
+    is |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+    )
+    scored = lagged.filter(F.col("y2").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(y1 + y2 - 2 * y AS DECIMAL(38,0))").alias("a"),
+        F.expr("CAST(y - y1 AS DECIMAL(38,0))").alias("b"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.expr(
+            "CAST((1000 * SUM(a * a)) div (4 * SUM(b * b)) AS BIGINT)"
+        ).alias("u2_sq_milli"),
+        F.expr("(1000 * SUM(a * a)) div (4 * SUM(b * b)) < 1000").alias(
+            "beats_naive"
+        ),
+    )

@@ -292,3 +292,44 @@ def test_image_phash_banding_is_recall_complete(spark):
         f"banding missed {brute - banded} / spurious {banded - brute}"
     )
     assert len(brute) > 0, "corpus has no near-dup rasters — test is vacuous"
+
+
+def test_audio_fingerprint_banding_is_recall_complete(spark):
+    """Pigeonhole guarantee of q_audio_fingerprint_dedup's 2x16-bit
+    banding: a pair within Hamming distance 1 differs in at most one
+    band, so at least one band matches — the banded candidate join
+    must find EXACTLY the pairs brute-force all-pairs Hamming finds at
+    the threshold."""
+    from itertools import combinations
+
+    from data_lake_with_spark_and_aws_s3_spark.operators import multimodal as mm
+    from data_lake_with_spark_and_aws_s3_spark.sources.loader import load_table
+
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_audio_fingerprint_dedup"].fn(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    fps = {}
+    for row in docs:
+        buf = row.text.encode()
+        if len(buf) < mm._AFP_MIN_CHARS:
+            continue
+        e = [
+            sum(buf[i * mm._AFP_FRAME : (i + 1) * mm._AFP_FRAME])
+            for i in range(mm._AFP_BITS + 1)
+        ]
+        fp = 0
+        for i in range(mm._AFP_BITS):
+            if e[i + 1] > e[i]:
+                fp |= 1 << i
+        fps[row.doc_id] = fp
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= mm._AFP_HAMMING_MAX
+    }
+    assert banded == brute, (
+        f"banding missed {brute - banded} / spurious {banded - brute}"
+    )
+    assert len(brute) > 0, "corpus has no near-dup fingerprints — vacuous"

@@ -383,6 +383,16 @@ _NLJ_ALLOWED = {
     "q_bloom_fpp_curve",    # constant 3-row bit-size grid x build/probe
     "q_entropy_rate_bigram",  # broadcast 1-row corpus-rate stitch
     "q_cramers_v",          # broadcast 1-row N + (r, c) count stitches
+    # round-8 session-2 additions (each verified to plan exactly the
+    # named broadcast 1-row/constant stitch):
+    "q_tost_equivalence",   # broadcast 1-row control-moments stitch
+                            # (q_welch_ttest's 2-group pattern)
+    "q_doremi_mixture",     # broadcast 1-row CE-floor + totals stitches
+                            # onto the |sources|-row domain frame
+    "q_video_scene_cuts",   # broadcast 1-row corpus-delta threshold
+                            # (q_audio_vad_segments pattern)
+    "q_map_at_10",          # broadcast 5-query judgment batch
+                            # (q_ndcg_at_10 pattern) + 1-row MAP stitch
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
