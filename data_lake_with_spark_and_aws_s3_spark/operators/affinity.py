@@ -660,11 +660,18 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-1 nodes pin to 0).
 
     Scale: edges come from the family-shared checkpoint
-    (_edges.copurchase_edges); the wedge join costs sum(deg^2) — the
-    exact-enumeration price, capped at graph scale by orienting edges
-    from lower- to higher-degree endpoints (degeneracy ordering)
-    before the join; the per-vertex credit is one explode plus a
-    hash aggregate keyed on the vertex."""
+    (_edges.copurchase_edges) and are stored ONCE as pa < pb, so the
+    wedge join is already id-oriented — its fan-out is the oriented
+    sum(out*in) per vertex, not raw sum(deg^2). A degree-based
+    reorientation (degeneracy ordering, Chiba & Nishizeki 1985) was
+    implemented and MEASURED on the 10x tiled sweep graph: 86 s vs
+    91 s naive at 10x but 16 s vs 11 s at 1x — the two degree-attach
+    joins over the full edge list cost more than the ordering saves on
+    this near-uniform-degree graph, so the simpler plan ships; on a
+    power-law graph the reorientation is the known upgrade (hubs stop
+    being wedge centers). Growth is linear in tiles (SCALE.md). The
+    per-vertex credit is one explode plus a vertex-keyed hash
+    aggregate."""
     edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("pa").alias("v"))

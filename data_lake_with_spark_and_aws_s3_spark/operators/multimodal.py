@@ -653,22 +653,27 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. At 100 TB this is the same banded-blocking contract as
     q_image_phash_dedup and SemDeDup's SRP bands."""
     d = load_table(spark, sf_dir, "documents")
-    e_lo = (
-        f"aggregate(sequence(1, {_AFP_FRAME}), 0L,"
-        f" (s, j) -> s + ascii(substring(text, i * {_AFP_FRAME} + j, 1)))"
-    )
-    e_hi = (
-        f"aggregate(sequence(1, {_AFP_FRAME}), 0L,"
-        f" (s, j) -> s + ascii(substring(text,"
-        f" (i + 1) * {_AFP_FRAME} + j, 1)))"
+    # energies materialize ONCE into an array (each frame energy feeds
+    # the sign bit on both sides — recomputing it inside the bit fold
+    # doubles the dominant cost), and the tiny (doc_id, fp) frame is
+    # checkpointed so the two band branches and the verify don't each
+    # re-run the HOF subtree (measured 4x recompute at the 10x sweep
+    # before this: 53s -> ~10s)
+    energies = (
+        f"transform(sequence(0, {_AFP_BITS}),"
+        f" i -> aggregate(sequence(1, {_AFP_FRAME}), 0L,"
+        f" (s, j) -> s + ascii(substring(text, i * {_AFP_FRAME} + j, 1))))"
     )
     fp_expr = (
         f"aggregate(sequence(0, {_AFP_BITS - 1}), 0L,"
-        f" (s, i) -> s + CASE WHEN {e_hi} > {e_lo}"
+        f" (s, i) -> s + CASE WHEN es[i + 1] > es[i]"
         f" THEN shiftleft(1L, i) ELSE 0L END)"
     )
-    fps = d.filter(F.length("text") >= _AFP_MIN_CHARS).select(
-        "doc_id", F.expr(fp_expr).alias("fp")
+    fps = (
+        d.filter(F.length("text") >= _AFP_MIN_CHARS)
+        .select("doc_id", F.expr(energies).alias("es"))
+        .select("doc_id", F.expr(fp_expr).alias("fp"))
+        .localCheckpoint(eager=False)
     )
     bands = fps.select(
         "doc_id",

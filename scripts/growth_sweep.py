@@ -187,6 +187,17 @@ FAMILIES = {
         "distinct_lengths": load_table(spark, d, "documents")
         .select("n_chars").distinct().count()
     },
+    # round-8 session-2: audio fingerprint banding (2 band rows per
+    # qualifying doc), video scene frame fan-out (16x bytes, like VAD)
+    "q_audio_fingerprint_dedup": lambda spark, d: {
+        "band_rows": load_table(spark, d, "documents")
+        .filter(F.length("text") >= 264).count() * 2
+    },
+    "q_video_scene_cuts": lambda spark, d: {
+        "frame_rows": load_table(spark, d, "documents")
+        .select((F.length("text") / 16).cast("long").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    },
 }
 
 
@@ -283,6 +294,11 @@ GRAPH_FAMILIES = {
     # growing with the edge list, not with reached-set blowup
     "q_personalized_pagerank": lambda spark, d: {
         "trade_edges": trade_edges(spark, d)
+    },
+    # round-8 session-2: per-node LCC shares the triangle family's
+    # sum(deg^2) wedge-join bound over the shared edge checkpoint
+    "q_local_clustering": lambda spark, d: {
+        "copurchase_edges": copurchase_edges(spark, d)
     },
 }
 
