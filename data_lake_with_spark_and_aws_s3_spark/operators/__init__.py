@@ -70,5 +70,9 @@ from . import (  # noqa: F401
     windows,
 )
 
+# events.py's streaming CMS twin shares the batch operator's oracle,
+# which registers later in the alphabetical import — bind it now
+events._bind_scms_oracle()
+
 # imported LAST: composes queries registered above
 from . import capstones  # noqa: F401, E402

@@ -1494,3 +1494,99 @@ def q_streaming_quality_gate_exec(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_if(~F.col("alpha_ratio_ok")).alias("n_alpha_ratio_fail"),
         F.count_if(~F.col("top_token_ok")).alias("n_top_token_fail"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_streaming_cms_exec (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_streaming_cms_exec",
+    oracle=None,  # bound below once sketches.py has registered
+    tags=("streaming", "executed", "sketch", "count-min", "llm-pipeline"),
+)
+def q_streaming_cms_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED streaming count-min sketch: the q_cms_heavy_hitters
+    counter table maintained INSIDE a Structured Streaming aggregation
+    — documents stream through readStream, tokens explode map-side,
+    and groupBy(seed, bucket) holds the sketch as KEYED STREAMING
+    STATE, emitted complete-mode after the availableNow drain. The
+    heavy-hitter probe then reads the streamed sketch exactly like the
+    batch operator reads its aggregate. Eleventh executed streaming
+    query, and the one that demonstrates the sketch contract a
+    streaming ingest needs: state is CONSTANT (<= depth x width = 1024
+    keys) no matter how long the stream runs, because the sketch IS
+    the aggregate — nothing per-doc survives the micro-batch.
+
+    Exactness: identical md5 bucket arithmetic to the batch twin
+    (sketches.py constants, one source of truth); counter updates are
+    integer increments, associative and replay-safe, so the drained
+    sketch equals the batch sketch exactly and the oracle IS
+    q_cms_heavy_hitters' oracle.
+
+    Scale/state: the explode is stateless map work; the only state
+    store is the 1024-key counter table; the probe is a broadcast join
+    against it. This is how a 100 TB/day ingest keeps live token
+    frequencies without any reprocessing."""
+    from ..streaming import run_to_memory, stream_documents
+    from .sketches import DEPTH, TOP_N, _SPARK_BUCKET
+
+    d = stream_documents(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(DEPTH)])).alias(
+        "seed"
+    )
+    sketch_stream = (
+        toks.select("tok", seeds)
+        .select("seed", F.expr(_SPARK_BUCKET).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    run_to_memory(
+        sketch_stream, "q_streaming_cms_sink", output_mode="complete"
+    )
+    sketch = spark.table("q_streaming_cms_sink")
+
+    # probe with the exact top-N from a BATCH scan (the ground truth
+    # the sketch estimates), identical to the batch operator
+    d_batch = load_table(spark, sf_dir, "documents")
+    toks_b = d_batch.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact = (
+        toks_b.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(TOP_N)
+    )
+    probes = exact.select("tok", "exact_cnt", seeds).select(
+        "tok", "exact_cnt", "seed", F.expr(_SPARK_BUCKET).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+# late-bind the oracle: sketches.py registers after events.py on some
+# import orders, so resolve at module-import completion instead of at
+# decoration time
+def _bind_scms_oracle() -> None:
+    from ..registry import REGISTRY
+    from dataclasses import replace
+
+    spec = REGISTRY["q_streaming_cms_exec"]
+    if spec.oracle is None:
+        REGISTRY["q_streaming_cms_exec"] = replace(
+            spec, oracle=REGISTRY["q_cms_heavy_hitters"].oracle
+        )

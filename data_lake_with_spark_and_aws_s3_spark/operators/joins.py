@@ -480,3 +480,152 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
         value_cols=["click_value"], forward=True,
     ).select("event_id", "user_id", "ts", "value", "click_value")
+
+
+# ---------------------------------------------------------------------
+# q_asof_join_nearest (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    back AS (
+      SELECT p.event_id, c.ts AS prev_ts, c.click_value AS prev_value
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    nxt_key AS (
+      SELECT p.event_id, MIN(c.ts) AS next_ts
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      GROUP BY p.event_id
+    ),
+    fwd AS (
+      SELECT p.event_id, n.next_ts, c.click_value AS next_value
+      FROM purchases p
+      LEFT JOIN nxt_key n ON n.event_id = p.event_id
+      LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts = n.next_ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE
+             WHEN b.prev_ts IS NULL AND f.next_ts IS NULL THEN NULL
+             WHEN f.next_ts IS NULL THEN b.prev_value
+             WHEN b.prev_ts IS NULL THEN f.next_value
+             WHEN epoch_us(p.ts) - epoch_us(b.prev_ts)
+                  <= epoch_us(f.next_ts) - epoch_us(p.ts)
+               THEN b.prev_value
+             ELSE f.next_value
+           END AS nearest_value,
+           CASE
+             WHEN b.prev_ts IS NULL AND f.next_ts IS NULL THEN NULL
+             WHEN f.next_ts IS NULL THEN 'backward'
+             WHEN b.prev_ts IS NULL THEN 'forward'
+             WHEN epoch_us(p.ts) - epoch_us(b.prev_ts)
+                  <= epoch_us(f.next_ts) - epoch_us(p.ts)
+               THEN 'backward'
+             ELSE 'forward'
+           END AS direction
+    FROM purchases p
+    LEFT JOIN back b USING (event_id)
+    LEFT JOIN fwd f USING (event_id)
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: for every purchase, the user's click closest in
+    time in EITHER direction (ties prefer the earlier/backward click —
+    the at-or-before convention both sides share). Completes the as-of
+    family: backward (q_asof_join), forward (q_asof_join_forward),
+    nearest (this) — the variant sensor-fusion and feature-alignment
+    pipelines ask for when the measurement can legitimately come from
+    either side of the anchor.
+
+    Exactness: both candidates come from the exact union+window
+    backward and forward passes (the click ts rides along as a carried
+    value column); the pick compares exact epoch-microsecond gaps —
+    no float time arithmetic. The oracle derives backward via native
+    ASOF and forward via the min-future route, then applies the same
+    tie rule.
+
+    Scale: two keyed union+window passes over the same (user_id)
+    shuffle partitioning (Catalyst reuses the exchange) and one
+    projection — still no per-group Pandas, no range explosion."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id", "ts", "click_value", F.col("ts").alias("click_ts")
+        )
+    )
+    back = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value", "click_ts"],
+    ).select(
+        "event_id",
+        F.col("click_ts").alias("prev_ts"),
+        F.col("click_value").alias("prev_value"),
+    )
+    fwd = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value", "click_ts"], forward=True,
+    ).select(
+        "event_id",
+        F.col("click_ts").alias("next_ts"),
+        F.col("click_value").alias("next_value"),
+    )
+    pick_back = (
+        "b_prev_ts IS NOT NULL AND (f_next_ts IS NULL"
+        " OR unix_micros(ts) - unix_micros(b_prev_ts)"
+        " <= unix_micros(f_next_ts) - unix_micros(ts))"
+    )
+    return (
+        purchases.join(
+            back.select(
+                F.col("event_id"),
+                F.col("prev_ts").alias("b_prev_ts"),
+                F.col("prev_value").alias("b_prev_value"),
+            ),
+            "event_id",
+            "left",
+        )
+        .join(
+            fwd.select(
+                F.col("event_id"),
+                F.col("next_ts").alias("f_next_ts"),
+                F.col("next_value").alias("f_next_value"),
+            ),
+            "event_id",
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.expr(
+                f"CASE WHEN b_prev_ts IS NULL AND f_next_ts IS NULL"
+                f" THEN NULL WHEN {pick_back} THEN b_prev_value"
+                f" ELSE f_next_value END"
+            ).alias("nearest_value"),
+            F.expr(
+                f"CASE WHEN b_prev_ts IS NULL AND f_next_ts IS NULL"
+                f" THEN NULL WHEN {pick_back} THEN 'backward'"
+                f" ELSE 'forward' END"
+            ).alias("direction"),
+        )
+    )

@@ -544,3 +544,127 @@ def q_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------
+# q_horvitz_thompson (round 8)
+# ---------------------------------------------------------------------
+
+
+def _ht_oracle() -> str:
+    from ..registry import REGISTRY
+
+    sample_sql = REGISTRY["q_systematic_pps_sample"].oracle
+    return f"""
+    WITH sample AS ({sample_sql}),
+    y AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS y
+      FROM documents
+    ),
+    consts AS (
+      SELECT CAST(SUM(w) AS HUGEINT) AS big_w,
+             (SELECT CAST(SUM(n_hits) AS HUGEINT) FROM sample) AS m
+      FROM documents, LATERAL (SELECT CAST(n_chars AS BIGINT) AS w) t
+    ),
+    est AS (
+      SELECT y.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(s.n_hits) AS BIGINT) AS n_draws,
+             CAST(SUM(s.n_hits * ((1000000 * y.y * c.big_w)
+                                  // (c.m * s.w))) // 1000000
+               AS BIGINT) AS est_tokens
+      FROM sample s JOIN y USING (doc_id) CROSS JOIN consts c
+      GROUP BY y.lang
+    ),
+    truth AS (
+      SELECT lang, CAST(SUM(y) AS BIGINT) AS exact_tokens
+      FROM y GROUP BY lang
+    )
+    SELECT t.lang, COALESCE(e.n_sampled, 0) AS n_sampled,
+           COALESCE(e.n_draws, 0) AS n_draws,
+           COALESCE(e.est_tokens, 0) AS est_tokens, t.exact_tokens,
+           CAST((1000000 * abs(COALESCE(e.est_tokens, 0) - t.exact_tokens))
+                // t.exact_tokens AS BIGINT) AS abs_err_ppm
+    FROM truth t LEFT JOIN est e USING (lang)
+    """
+
+
+@query(
+    "q_horvitz_thompson",
+    oracle=_ht_oracle(),
+    tags=("sampling", "estimation", "horvitz-thompson", "pps"),
+)
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hansen-Hurwitz / Horvitz-Thompson estimation from the
+    q_systematic_pps_sample draws: estimate each language's TOTAL
+    token count from the ~100-doc PPS sample by inverse-probability
+    weighting — T_hat = sum over draws of y_i / (m * p_i) with
+    p_i = w_i / W — and report it against the exact full-scan truth
+    with the absolute error in ppm. The estimation half the sampling
+    design exists for: the sample says what the corpus totals are
+    WITHOUT scanning y over the corpus (here the truth is also
+    computed, because the oracle-checked error IS the point). Docs a
+    language contributes to the sample zero times surface with
+    estimate 0 — small-domain failure is the known PPS caveat, shown
+    rather than hidden.
+
+    Exactness: the sample (and therefore the estimator) is the
+    deterministic systematic design; each draw's expansion
+    y_i * W / (m * w_i) is ONE truncating micro division on
+    DECIMAL(38,0)/HUGEINT products, summed exactly then de-scaled.
+
+    Scale: the sample re-derivation is the two-phase cumulative
+    (no single-task stage); y joins touch |sample| rows; truth is one
+    hash aggregate; consts are 1-row broadcasts."""
+    from ..registry import REGISTRY
+
+    sample = REGISTRY["q_systematic_pps_sample"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    y = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+            "long"
+        ).alias("y"),
+    )
+    big_w = d.agg(
+        F.expr("CAST(SUM(CAST(n_chars AS BIGINT)) AS DECIMAL(38,0))").alias(
+            "big_w"
+        )
+    )
+    m = sample.agg(
+        F.expr("CAST(SUM(n_hits) AS DECIMAL(38,0))").alias("m")
+    )
+    est = (
+        sample.join(y.select("doc_id", "y"), "doc_id")
+        .crossJoin(F.broadcast(big_w))
+        .crossJoin(F.broadcast(m))
+        .groupBy(F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_hits").cast("long").alias("n_draws"),
+            F.expr(
+                "CAST(SUM(n_hits * ((1000000 * y * big_w) div (m * w)))"
+                " div 1000000 AS BIGINT)"
+            ).alias("est_tokens"),
+        )
+    )
+    truth = y.groupBy("lang").agg(F.sum("y").alias("exact_tokens"))
+    return (
+        truth.join(est, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("n_draws", F.lit(0)).cast("long").alias("n_draws"),
+            F.coalesce("est_tokens", F.lit(0)).cast("long").alias(
+                "est_tokens"
+            ),
+            "exact_tokens",
+            F.expr(
+                "CAST((1000000 * abs(COALESCE(est_tokens, 0) - exact_tokens))"
+                " div exact_tokens AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+    )

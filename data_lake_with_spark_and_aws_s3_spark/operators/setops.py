@@ -125,3 +125,77 @@ def q_union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("acctbal"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------
+# q_setops_all (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op,
+           CAST((SELECT COUNT(*) FROM (
+             SELECT c_nationkey FROM customer INTERSECT ALL
+             SELECT s_nationkey FROM supplier)) AS BIGINT) AS n_rows,
+           CAST((SELECT COALESCE(SUM(c_nationkey), 0) FROM (
+             SELECT c_nationkey FROM customer INTERSECT ALL
+             SELECT s_nationkey FROM supplier)) AS BIGINT) AS key_sum
+    UNION ALL
+    SELECT 'except_all',
+           CAST((SELECT COUNT(*) FROM (
+             SELECT c_nationkey FROM customer EXCEPT ALL
+             SELECT s_nationkey FROM supplier)) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(c_nationkey), 0) FROM (
+             SELECT c_nationkey FROM customer EXCEPT ALL
+             SELECT s_nationkey FROM supplier)) AS BIGINT)
+    UNION ALL
+    SELECT 'except_all_rev',
+           CAST((SELECT COUNT(*) FROM (
+             SELECT s_nationkey FROM supplier EXCEPT ALL
+             SELECT c_nationkey FROM customer)) AS BIGINT),
+           CAST((SELECT COALESCE(SUM(s_nationkey), 0) FROM (
+             SELECT s_nationkey FROM supplier EXCEPT ALL
+             SELECT c_nationkey FROM customer)) AS BIGINT)
+    """,
+    tags=("setop", "intersect-all", "except-all", "bag-semantics"),
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — INTERSECT ALL (min of the two
+    multiplicities per value) and EXCEPT ALL in both directions
+    (multiplicity subtraction, floored at zero) over (customer
+    nations, supplier nations) — the §2.7 rows q_setops_matrix's
+    DISTINCT variants don't cover: with 25 nation values and thousands
+    of rows the multiset answers differ from the set answers by
+    construction. Reported as labeled (count, key checksum) pairs so
+    the full multiset CONTENT is hashed, not just its size.
+
+    Exactness: both engines implement ANSI bag semantics (Spark
+    intersectAll/exceptAll plan as count-aggregate + Generate replays
+    of min/difference multiplicities); counts and key sums are exact
+    integers.
+
+    Scale: each operator is ONE hash aggregate per side on the value
+    key plus a generate — shuffle volume is |distinct values|, not
+    |rows|; the three labeled reductions stitch 1-row frames."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("nationkey"), F.lit(0))
+            .cast("long")
+            .alias("key_sum"),
+        ).select(F.lit(op).alias("op"), "n_rows", "key_sum")
+
+    return (
+        one("intersect_all", c.intersectAll(s))
+        .unionByName(one("except_all", c.exceptAll(s)))
+        .unionByName(one("except_all_rev", s.exceptAll(c)))
+    )

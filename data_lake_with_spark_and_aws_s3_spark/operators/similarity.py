@@ -2086,3 +2086,129 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("simq_nano").cast("long").alias("simq_nano"),
         F.col("mmr_round").cast("long").alias("mmr_round"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_hard_negative_mining (round 8)
+# ---------------------------------------------------------------------
+
+_HNM_ANCHORS = 30  # anchor batch: vec_id < 30
+_HNM_K = 3  # hard negatives kept per anchor
+
+
+@query(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             {_NORM2_SQL.format(a="embedding")} AS norm2
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM v WHERE vec_id < {_HNM_ANCHORS}
+    ), scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             v.vec_id AS cand_id, v.label AS cand_label,
+             ROUND(CAST({_DOT_SQL.format(a="q.embedding", b="v.embedding")}
+                     AS DOUBLE)
+                   / (sqrt(CAST(q.norm2 AS DOUBLE))
+                      * sqrt(CAST(v.norm2 AS DOUBLE))), 6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.vec_id
+    ), pos AS (
+      SELECT anchor_id, MAX(cosine) AS hardest_pos_cosine
+      FROM scored WHERE cand_label = anchor_label
+      GROUP BY anchor_id
+    ), neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                    ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      FROM scored WHERE cand_label <> anchor_label
+    )
+    SELECT n.anchor_id, n.negative_id, n.cosine AS neg_cosine, n.rank,
+           p.hardest_pos_cosine,
+           n.cosine < p.hardest_pos_cosine AS semi_hard
+    FROM neg n JOIN pos p USING (anchor_id)
+    WHERE n.rank <= {_HNM_K}
+    """,
+    tags=("similarity", "hard-negative", "contrastive", "llm-pipeline"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the FaceNet /
+    dense-retrieval batch-construction step): for each anchor in the
+    query batch, the {_HNM_K} OTHER-label vectors with the highest
+    cosine (the negatives the loss learns most from), each flagged
+    semi-hard when it still scores below the anchor's hardest
+    SAME-label positive — the margin band semi-hard mining keeps,
+    since negatives above the hardest positive are suspect labels as
+    often as hard cases. Completes the embedding training-data family:
+    q_negative_sampling draws RANDOM negatives, this mines the hard
+    ones, q_knn_graph/q_cluster_representative feed the positives.
+
+    Exactness: the q_cosine_topk treatment — integer-quantized dot
+    products, cosine ROUNDED to 6 digits before ranking, neighbor-id
+    tie-break — so ranks, margins, and flags hash identically.
+
+    Scale: anchors broadcast onto one corpus scan (the documented
+    exactness baseline); per-anchor ranking is a keyed window cut at
+    {_HNM_K} (WindowGroupLimit heap); the hardest-positive reduction
+    is one hash aggregate over the same scored frame. At index scale
+    the scored frame is replaced by the ANN shortlist
+    (similarity_fast.py) with identical downstream mechanics."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot_int(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    q = v.filter(F.col("vec_id") < _HNM_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(
+                cosine_expr(
+                    dot_int(F.col("q_emb"), F.col("embedding")),
+                    F.col("q_norm2"),
+                    F.col("norm2"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("cand_label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.max("cosine").alias("hardest_pos_cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), "cand_id"
+    )
+    neg = (
+        scored.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HNM_K)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cosine"),
+            "rank",
+        )
+    )
+    return neg.join(pos, "anchor_id").select(
+        "anchor_id",
+        "negative_id",
+        "neg_cosine",
+        "rank",
+        "hardest_pos_cosine",
+        (F.col("neg_cosine") < F.col("hardest_pos_cosine")).alias(
+            "semi_hard"
+        ),
+    )

@@ -1377,3 +1377,92 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------
+# q_chao1_richness (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_chao1_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+      FROM (
+        SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks
+      )
+    ),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM grams GROUP BY term
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(r) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(COUNT(*)
+                + (SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                   * (SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1))
+                  // (2 * (SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))
+             AS BIGINT) AS chao1_est,
+           CAST(1000000
+                - (1000000 * SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END))
+                  // SUM(r) AS BIGINT) AS coverage_ppm
+    FROM counts
+    """,
+    tags=("text", "chao1", "species-richness", "vocabulary"),
+)
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the trigram vocabulary
+    (Chao 1984, bias-corrected form): how many trigram TYPES does the
+    underlying language have, including the ones this corpus hasn't
+    seen yet — chao1 = V + F1(F1-1)/(2(F2+1)) from the observed type
+    count and the hapax/doubleton counts, plus Good's sample coverage
+    1 - F1/N. The crawl-sizing companion to q_good_turing (unseen
+    MASS) and q_vocab_growth (the empirical Heaps curve): richness
+    says where the curve plateaus, coverage says how far along it the
+    corpus already is.
+
+    Exactness: type and frequency-class counts are exact integers from
+    one aggregate; the estimator and coverage are truncating integer
+    divisions (the +1 in the bias-corrected denominator also removes
+    the F2 = 0 division guard).
+
+    Scale: one gram explode + hash aggregate (|gram types| keys,
+    map-side partials) + one 1-row moment reduction — the same plan
+    spine as q_good_turing, reduced instead of classed."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    starts = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))
+    )
+    counts = (
+        d.select(F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("r").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).alias("f2"),
+    ).select(
+        "n_types",
+        "n_tokens",
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.expr(
+            "CAST(n_types + (f1 * (f1 - 1)) div (2 * (f2 + 1)) AS BIGINT)"
+        ).alias("chao1_est"),
+        F.expr(
+            "CAST(1000000 - (1000000 * f1) div n_tokens AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )

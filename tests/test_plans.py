@@ -393,6 +393,10 @@ _NLJ_ALLOWED = {
                             # (q_audio_vad_segments pattern)
     "q_map_at_10",          # broadcast 5-query judgment batch
                             # (q_ndcg_at_10 pattern) + 1-row MAP stitch
+    "q_hard_negative_mining",  # broadcast 30-anchor batch x corpus scan
+                               # (q_cosine_topk exactness-baseline pattern)
+    "q_horvitz_thompson",   # broadcast 1-row W / m design-constant
+                            # stitches onto the sample frame
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
@@ -460,6 +464,10 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_page_hinkley": "daily revenue series — calendar-bounded frame",
     "q_systematic_pps_sample": (
         "<=16 two-phase prefix-offset rows (_twophase.py)"
+    ),
+    "q_horvitz_thompson": (
+        "<=16 two-phase prefix-offset rows (inherits the "
+        "q_systematic_pps_sample re-derivation)"
     ),
     # --- round-8 additions ---
     "q_rfm_segments": (
