@@ -2212,3 +2212,166 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semi_hard"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# q_jl_distortion (round 8)
+# ---------------------------------------------------------------------
+
+_JL_K = 16  # target dimension
+_JL_SAMPLE = 20  # pair sample: vec_id < 20 -> C(20,2) = 190 pairs
+
+
+def _jl_oracle() -> str:
+    from .llm_pipeline import _hex_val_sql
+
+    sign = (
+        "(("
+        + _hex_val_sql(
+            "md5('jl#' || CAST(d AS VARCHAR) || '#' || CAST(j AS VARCHAR))",
+            4,
+        )
+        + ") % 2 * 2 - 1)"
+    )
+    qx = _QI.format(x="v.embedding[d]")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+    ),
+    cells AS (
+      SELECT v.vec_id, j.j, d.d, {sign} * {qx} AS contrib
+      FROM v
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+      CROSS JOIN (SELECT unnest(range(1, {_JL_K + 1})) AS j) j
+    ),
+    proj AS (
+      SELECT vec_id, j, CAST(SUM(contrib) AS BIGINT) AS pj
+      FROM cells GROUP BY vec_id, j
+    ),
+    d2p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(a.pj - b.pj AS HUGEINT) * (a.pj - b.pj)) AS d2_proj
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    d2o AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(list_reduce(list_transform(range(1, 65), i ->
+               ({_QI.format(x="a.embedding[i]")}
+                - {_QI.format(x="b.embedding[i]")})
+               * ({_QI.format(x="a.embedding[i]")}
+                  - {_QI.format(x="b.embedding[i]")})),
+               (s, x) -> s + x) AS HUGEINT) AS d2_orig
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT o.vec_a, o.vec_b,
+           CAST(o.d2_orig AS BIGINT) AS d2_orig,
+           CAST(p.d2_proj AS BIGINT) AS d2_proj,
+           CAST((1000000 * p.d2_proj) // ({_JL_K} * o.d2_orig) AS BIGINT)
+             AS ratio_ppm
+    FROM d2o o JOIN d2p p USING (vec_a, vec_b)
+    """
+
+
+@query(
+    "q_jl_distortion",
+    oracle=_jl_oracle(),
+    tags=("similarity", "random-projection", "johnson-lindenstrauss",
+          "dimensionality"),
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the embeddings
+    through a DETERMINISTIC +/-1 sign matrix (md5 parity per (input
+    dim, output dim) cell — the Achlioptas 2003 database-friendly
+    construction) down to {_JL_K} dims, and report every sampled
+    pair's squared-distance ratio E-normalized to ppm
+    (1e6 * |Ra - Rb|^2 / (k * |a - b|^2), expectation exactly 1e6).
+    The measured evidence for choosing a projection width before
+    sketching distances at scale — the distance-preservation
+    counterpart of q_ann_recall_curve (recall) and
+    q_mrl_truncation_recall (prefix truncation), and the audit behind
+    the SRP bands SemDeDup/ANN already use.
+
+    Exactness: elements quantize once (the _Q grid); signs are md5
+    hex parity, dialect-shared; projections, squared distances, and
+    the ratio are exact wide-integer arithmetic end to end.
+
+    Scale: the projection of the SAMPLE is |sample| x 64 x {_JL_K}
+    fan-out (constant); at corpus scale the same expression projects
+    every vector map-side in one pass (the SRP band path), and only
+    the k-dim projections shuffle — the audit here is what justifies
+    trusting those 16-number summaries."""
+    from .llm_pipeline import _hex_val_sql
+
+    v = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_SAMPLE
+    )
+    sign = (
+        "(("
+        + _hex_val_sql(
+            "md5(concat('jl#', CAST(d AS STRING), '#', CAST(j AS STRING)))",
+            4,
+        )
+        + ") % 2 * 2 - 1)"
+    )
+    cells = (
+        v.select("vec_id", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT)")
+            .alias("qx"),
+        )
+        .select(
+            "vec_id",
+            "d",
+            "qx",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, _JL_K + 1)])
+            ).alias("j"),
+        )
+        .select("vec_id", "j", F.expr(f"{sign} * qx").alias("contrib"))
+    )
+    proj = cells.groupBy("vec_id", "j").agg(
+        F.sum("contrib").cast("long").alias("pj")
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("vec_a"), "j", F.col("pj").alias("pa")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vec_b"), "j", F.col("pj").alias("pb")
+    )
+    d2p = (
+        pa.join(pb, ["j"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.expr(
+                "SUM(CAST(pa - pb AS DECIMAL(38,0)) * (pa - pb))"
+            ).alias("d2_proj")
+        )
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    diff2 = F.zip_with(
+        F.col("ea"), F.col("eb"), lambda x, y: (qint(x) - qint(y)) * (qint(x) - qint(y))
+    )
+    d2o = (
+        va.join(vb, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.aggregate(diff2, F.lit(0).cast("long"), lambda s, x: s + x)
+            .alias("d2_orig"),
+        )
+    )
+    return d2o.join(d2p, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        "d2_orig",
+        F.col("d2_proj").cast("long").alias("d2_proj"),
+        F.expr(
+            f"CAST((1000000 * CAST(d2_proj AS DECIMAL(38,0)))"
+            f" div ({_JL_K} * CAST(d2_orig AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )

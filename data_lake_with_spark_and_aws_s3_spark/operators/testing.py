@@ -1494,3 +1494,127 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(z).alias("z_milli"),
         (F.expr(z) > 1645).alias("increasing_trend"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_tukey_hsd (round 8)
+# ---------------------------------------------------------------------
+
+# studentized-range critical value q_{0.05}(k=5, df=inf) = 3.858,
+# squared in micro units. The order-priority design has k = 5 groups
+# and thousands of rows per group, so the infinite-df row applies to
+# 3 digits.
+_TUKEY_Q2_MICRO = 14_884_164
+
+
+@query(
+    "q_tukey_hsd",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS MATERIALIZED (
+      SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS sy,
+             SUM(CAST(cents AS HUGEINT) * cents) AS syy
+      FROM base GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM((n * syy - sy * sy) // n) AS HUGEINT) AS ssw
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+             (a.sy * b.n - b.sy * a.n) // (a.n * b.n) AS diff_cents,
+             (CAST({_TUKEY_Q2_MICRO} AS HUGEINT) * t.ssw * (a.n + b.n))
+               // (2000000 * a.n * b.n * (t.nn - t.k)) AS hsd_sq
+      FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot t
+    )
+    SELECT grp_a, grp_b, n_a, n_b,
+           CAST(diff_cents AS BIGINT) AS diff_cents,
+           CAST(hsd_sq AS BIGINT) AS hsd_sq_cents2,
+           diff_cents * diff_cents > hsd_sq AS significant
+    FROM pairs
+    """,
+    tags=("stats", "tukey-hsd", "post-hoc", "multiple-comparison"),
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc test on the q_anova_oneway design
+    (order value by order priority): every pair of group means tested
+    against the honestly-significant-difference threshold
+    q * sqrt(MSW/2 * (1/n_a + 1/n_b)) at the k = 5 studentized-range
+    critical value — the answer to the question the omnibus ANOVA F
+    leaves open ("WHICH priorities differ?") with the familywise error
+    held at 5% across all 10 comparisons (pairs with q_bh_fdr, which
+    controls FDR over independent hypotheses instead).
+
+    Exactness: group moments are exact DECIMAL(38,0)/HUGEINT integers;
+    the within-group SS truncates once per group, the mean difference
+    once per pair (to whole cents), the squared threshold once per
+    pair — the significance compare is then pure integer arithmetic
+    with a fixed q^2 constant, so every column hashes.
+
+    Scale: one group-moment hash aggregate (map-side combinable), a
+    k x k pair grid on the 5-row broadcast-sized group table, 1-row
+    totals stitch — the post-hoc costs nothing beyond the ANOVA
+    scan."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    g = base.groupBy("grp").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(cents) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("SUM(CAST(cents AS DECIMAL(38,0)) * cents)").alias("syy"),
+    )
+    tot = g.agg(
+        F.expr("CAST(SUM(n) AS DECIMAL(38,0))").alias("nn"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("k"),
+        F.expr(
+            "CAST(SUM((n * syy - sy * sy) div n) AS DECIMAL(38,0))"
+        ).alias("ssw"),
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("sy").alias("sya"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("sy").alias("syb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr("(sya * nb - syb * na) div (na * nb)").alias(
+                "diff_cents"
+            ),
+            F.expr(
+                f"(CAST({_TUKEY_Q2_MICRO} AS DECIMAL(38,0)) * ssw"
+                " * (na + nb)) div (2000000 * na * nb * (nn - k))"
+            ).alias("hsd_sq"),
+        )
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.col("diff_cents").cast("long").alias("diff_cents"),
+        F.col("hsd_sq").cast("long").alias("hsd_sq_cents2"),
+        (F.col("diff_cents") * F.col("diff_cents") > F.col("hsd_sq")).alias(
+            "significant"
+        ),
+    )

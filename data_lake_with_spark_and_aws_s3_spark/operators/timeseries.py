@@ -1628,3 +1628,191 @@ def q_theil_u_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beats_naive"
         ),
     )
+
+# ---------------------------------------------------------------------
+# q_hurst_exponent (round 8)
+# ---------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32)  # R/S block sizes over the hourly series
+
+
+def _hurst_oracle() -> str:
+    from .curation import _isqrt_sql
+
+    sizes = ", ".join(str(n) for n in _HURST_SIZES)
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY hr) AS BIGINT) - 1 AS t,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS len
+      FROM hourly
+    ),
+    framed AS (
+      SELECT s.event_type, n.n, s.y,
+             s.t // n.n AS blk, s.t % n.n + 1 AS j
+      FROM seq s
+      CROSS JOIN (SELECT unnest([{sizes}]) AS n) n
+      WHERE s.t // n.n < s.len // n.n
+    ),
+    parts AS (
+      SELECT event_type, n, blk, j, y,
+             CAST(SUM(y) OVER (PARTITION BY event_type, n, blk
+                               ORDER BY j) AS BIGINT) AS p,
+             CAST(SUM(y) OVER (PARTITION BY event_type, n, blk)
+               AS BIGINT) AS s_blk
+      FROM framed
+    ),
+    blocks AS (
+      SELECT event_type, n, blk,
+             CAST(MAX(n * p - j * s_blk) - MIN(n * p - j * s_blk)
+               AS BIGINT) AS rng,
+             CAST(n * SUM(CAST(y AS HUGEINT) * y)
+                  - CAST(MAX(s_blk) AS HUGEINT) * MAX(s_blk)
+               AS BIGINT) AS var_sc
+      FROM parts GROUP BY event_type, n, blk
+    ),
+    rs AS (
+      SELECT event_type, n,
+             CAST(SUM((1000000 * CAST(rng AS HUGEINT))
+                      // {_isqrt_sql("var_sc")}) // COUNT(*) AS BIGINT)
+               AS rs_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM blocks WHERE var_sc > 0
+      GROUP BY event_type, n
+    )
+    SELECT event_type,
+           MAX(CASE WHEN n = 8 THEN n_blocks END)
+             + MAX(CASE WHEN n = 16 THEN n_blocks END)
+             + MAX(CASE WHEN n = 32 THEN n_blocks END) AS n_blocks_total,
+           MAX(CASE WHEN n = 8 THEN rs_micro END) AS rs8_micro,
+           MAX(CASE WHEN n = 16 THEN rs_micro END) AS rs16_micro,
+           MAX(CASE WHEN n = 32 THEN rs_micro END) AS rs32_micro,
+           CAST(ROUND(1000 * (ln(CAST(MAX(CASE WHEN n = 32 THEN rs_micro
+                                       END) AS DOUBLE))
+                              - ln(CAST(MAX(CASE WHEN n = 8 THEN rs_micro
+                                        END) AS DOUBLE)))
+                      / ln(4.0)) AS BIGINT) AS hurst_milli
+    FROM rs GROUP BY event_type
+    """
+
+
+@query(
+    "q_hurst_exponent",
+    oracle=_hurst_oracle(),
+    tags=("timeseries", "hurst", "long-range-dependence", "rs-analysis"),
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951,
+    Mandelbrot's long-range-dependence diagnostic) of each type's
+    HOURLY revenue series: partition the series into complete blocks
+    of {_HURST_SIZES} points, compute each block's range of cumulative
+    deviations over its standard deviation, average per block size,
+    and fit log(R/S) ~ H log(n). H near 0.5 is a memoryless walk,
+    H > 0.5 persistent trends (seasonality/bursts that invalidate iid
+    assumptions downstream), H < 0.5 mean reversion — the
+    long-memory complement of q_autocorrelation's short-lag ACF and
+    q_durbin_watson's lag-1 residual diagnostic.
+
+    Exactness: cumulative deviations clear the block-mean denominator
+    exactly (dev_j = n*P_j - j*S, all integers); the block's n*std is
+    the EXACT integer square root of n*Syy - S^2 (curation.py's
+    corrected floor-sqrt, dialect-shared), so R/S truncates to
+    micro once per block and the per-size mean once per size.
+    Zero-variance blocks are excluded in both engines. The final
+    slope uses ln over exactly-equal integers (the entropy-family
+    treatment); with three log-evenly-spaced sizes the OLS slope
+    collapses to (y3 - y1)/(x3 - x1) exactly, one rounded milli.
+
+    Scale: one hourly hash aggregate; the t-index and block windows
+    are TYPE- and (type, n, blk)-KEYED (partition-parallel, bounded
+    frames); block reduction and the 3-point fit run on |types| x
+    |sizes| rows."""
+    from .curation import _isqrt_sql
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("y"))
+    w_t = Window.partitionBy("event_type").orderBy("hr")
+    w_len = Window.partitionBy("event_type")
+    seq = hourly.select(
+        "event_type",
+        "y",
+        (F.row_number().over(w_t).cast("long") - 1).alias("t"),
+        F.count(F.lit(1)).over(w_len).cast("long").alias("len"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(n).cast("long") for n in _HURST_SIZES])
+    ).alias("n")
+    framed = (
+        seq.select("event_type", "y", "t", "len", sizes)
+        .filter(F.expr("t div n < len div n"))
+        .select(
+            "event_type",
+            "n",
+            "y",
+            F.expr("t div n").alias("blk"),
+            F.expr("t % n + 1").alias("j"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type", "n", "blk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_blk = Window.partitionBy("event_type", "n", "blk")
+    parts = framed.select(
+        "event_type",
+        "n",
+        "blk",
+        "j",
+        "y",
+        F.sum("y").over(w_run).alias("p"),
+        F.sum("y").over(w_blk).alias("s_blk"),
+    )
+    blocks = (
+        parts.groupBy("event_type", "n", "blk")
+        .agg(
+            (
+                F.max(F.col("n") * F.col("p") - F.col("j") * F.col("s_blk"))
+                - F.min(F.col("n") * F.col("p") - F.col("j") * F.col("s_blk"))
+            ).alias("rng"),
+            F.expr(
+                "CAST(FIRST(n) * SUM(CAST(y AS DECIMAL(38,0)) * y)"
+                " - CAST(MAX(s_blk) AS DECIMAL(38,0)) * MAX(s_blk)"
+                " AS BIGINT)"
+            ).alias("var_sc"),
+        )
+    )
+    rs = (
+        blocks.filter(F.col("var_sc") > 0)
+        .groupBy("event_type", "n")
+        .agg(
+            F.expr(
+                "CAST(SUM((1000000 * CAST(rng AS DECIMAL(38,0)))"
+                f" div {_isqrt_sql('var_sc')}) div COUNT(*) AS BIGINT)"
+            ).alias("rs_micro"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
+    pick = "MAX(CASE WHEN n = {k} THEN {c} END)"
+    return rs.groupBy("event_type").agg(
+        F.expr(
+            " + ".join(pick.format(k=k, c="n_blocks") for k in _HURST_SIZES)
+        ).alias("n_blocks_total"),
+        F.expr(pick.format(k=8, c="rs_micro")).alias("rs8_micro"),
+        F.expr(pick.format(k=16, c="rs_micro")).alias("rs16_micro"),
+        F.expr(pick.format(k=32, c="rs_micro")).alias("rs32_micro"),
+        F.expr(
+            "CAST(ROUND(1000 * (ln(CAST(MAX(CASE WHEN n = 32 THEN rs_micro"
+            " END) AS DOUBLE))"
+            " - ln(CAST(MAX(CASE WHEN n = 8 THEN rs_micro END) AS DOUBLE)))"
+            " / ln(4.0)) AS BIGINT)"
+        ).alias("hurst_milli"),
+    )

@@ -53,6 +53,11 @@ REPRESENTATIVES = [
     "q_rfm_segments",
     "q_image_phash_dedup",
     "q_mood_median_test",
+    # round-8 session-2: HT inherits the PPS two-phase re-derivation
+    # (estimates must not move with the range exchange); audio
+    # fingerprint banding is the phash claim on the 2-band layout
+    "q_horvitz_thompson",
+    "q_audio_fingerprint_dedup",
 ]
 
 

@@ -397,6 +397,10 @@ _NLJ_ALLOWED = {
                                # (q_cosine_topk exactness-baseline pattern)
     "q_horvitz_thompson",   # broadcast 1-row W / m design-constant
                             # stitches onto the sample frame
+    "q_tukey_hsd",          # k x k pair grid on the 5-row group-moment
+                            # table + 1-row totals stitch
+    "q_jl_distortion",      # 20-vector sample pair grid (constant,
+                            # broadcast-sized; the audit's whole input)
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
