@@ -124,6 +124,14 @@ EXTENDED_FAMILIES: dict[str, list[str]] = {
         "q_audio_vad_segments",
         "q_ccnet_perplexity_buckets",
     ],
+    # round-8 session 2: the remaining banded pair detectors (audio
+    # fingerprint, simhash chunks) and the video derivative-threshold
+    # segmentation. First benched in r8s2; compare forward from there.
+    "neardup8": [
+        "q_audio_fingerprint_dedup",
+        "q_simhash_dedup",
+        "q_video_scene_cuts",
+    ],
 }
 
 EXTENDED = [n for fam in EXTENDED_FAMILIES.values() for n in fam]

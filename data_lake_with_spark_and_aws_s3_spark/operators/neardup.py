@@ -1292,3 +1292,96 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.filter(F.col("containment_ppm") >= _CONT_THRESH_PPM)
+
+
+# ---------------------------------------------------------------------
+# q_simhash_dedup (round 8)
+# ---------------------------------------------------------------------
+
+_SIMHASH_HAMMING_MAX = 3  # pigeonhole-complete with the 4 16-bit chunks
+
+
+def _simhash_dedup_oracle() -> str:
+    from ..registry import REGISTRY
+
+    sh = REGISTRY["q_simhash"].oracle
+    return f"""
+    WITH sh AS ({sh})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))
+             AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))
+          <= {_SIMHASH_HAMMING_MAX}
+    """
+
+
+@query(
+    "q_simhash_dedup",
+    oracle=_simhash_dedup_oracle(),
+    tags=("neardup", "simhash", "hamming", "dedup", "llm-pipeline"),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (Charikar 2002 / Manku et al.
+    2007's web-dedup deployment): the 64-bit sketches q_simhash
+    computes, blocked by their four 16-bit chunks (a pair within
+    Hamming {_SIMHASH_HAMMING_MAX} differs in at most 3 chunks, so at
+    least one chunk matches — blocking is COMPLETE at the threshold),
+    then verified by exact xor+bit_count. Completes the text near-dup
+    trio as deployable pair detectors: MinHash-LSH (Jaccard),
+    containment (doc-inside-doc), SimHash (cosine-angle) — plus phash
+    (image) and the audio fingerprint on the same banded-blocking
+    contract. The oracle states the truth as the full all-pairs join
+    the banded plan must reproduce.
+
+    Exactness: sketches are the registered q_simhash values (one
+    source of truth — md5-bit sums, engine-checked); Hamming distances
+    are exact integers.
+
+    Scale: the sketch aggregate runs ONCE (checkpointed — the 64
+    conditional sums are the dominant cost and must not replay per
+    self-join branch); chunks block into 65,536 buckets each, so
+    candidates are bucket-bounded; only five longs per doc shuffle."""
+    from ..registry import REGISTRY
+
+    sketch = (
+        REGISTRY["q_simhash"].fn(spark, sf_dir)
+        .select("doc_id", "simhash", "chunk0", "chunk1", "chunk2", "chunk3")
+        .localCheckpoint(eager=False)
+    )
+    bands = sketch.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.col(f"chunk{i}").alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("sh_a ^ sh_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)

@@ -2270,6 +2270,7 @@ def _jl_oracle() -> str:
            CAST((1000000 * p.d2_proj) // ({_JL_K} * o.d2_orig) AS BIGINT)
              AS ratio_ppm
     FROM d2o o JOIN d2p p USING (vec_a, vec_b)
+    WHERE o.d2_orig > 0
     """
 
 
@@ -2365,7 +2366,10 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d2_orig"),
         )
     )
-    return d2o.join(d2p, ["vec_a", "vec_b"]).select(
+    # identical sampled vectors (d2_orig = 0) would divide by zero in
+    # BOTH engines; excluded identically (a zero-distance pair carries
+    # no distortion information anyway)
+    return d2o.filter(F.col("d2_orig") > 0).join(d2p, ["vec_a", "vec_b"]).select(
         "vec_a",
         "vec_b",
         "d2_orig",

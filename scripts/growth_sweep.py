@@ -198,6 +198,11 @@ FAMILIES = {
         .select((F.length("text") / 16).cast("long").alias("n"))
         .agg(F.sum("n")).collect()[0][0]
     },
+    # simhash pair detector: 4 chunk band rows per doc over the
+    # checkpointed sketch
+    "q_simhash_dedup": lambda spark, d: {
+        "band_rows": load_table(spark, d, "documents").count() * 4
+    },
 }
 
 
