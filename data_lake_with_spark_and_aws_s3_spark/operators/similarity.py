@@ -2379,3 +2379,116 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ({_JL_K} * CAST(d2_orig AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_embedding_mmd (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_mmd",
+    oracle=f"""
+    WITH ve AS (
+      SELECT d.source, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    sums AS MATERIALIZED (
+      SELECT source, g.i AS dim,
+             CAST(SUM({_QI.format(x="embedding[g.i]")}) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM ve, generate_series(1, 64) AS g(i)
+      GROUP BY source, g.i
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+             SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS num
+      FROM sums a JOIN sums b ON a.dim = b.dim AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_a, n_b,
+           CAST((1000000 * num)
+                // (CAST(n_a AS HUGEINT) * n_a * n_b * n_b
+                    * {_Q} * {_Q}) AS BIGINT) AS mmd2_micro
+    FROM pairs
+    """,
+    tags=("similarity", "mmd", "distribution-shift", "embedding",
+          "llm-pipeline"),
+)
+def q_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared Maximum Mean Discrepancy between every pair of sources
+    in EMBEDDING space, linear kernel (Gretton et al. 2012): with
+    k(x,y) = <x,y>, MMD^2 collapses to |mu_a - mu_b|^2, the squared
+    distance between the sources' mean embeddings — the
+    distribution-shift detector that sees what q_source_jsd /
+    q_source_tv_distance (token histograms) cannot: two sources with
+    identical vocabularies but different SEMANTICS separate here. The
+    data-mixture / drift readout before mixing a new source into a
+    training corpus.
+
+    Exactness: elements quantize once (the _Q grid); per-source
+    per-dim sums are exact; the mean difference clears denominators as
+    (Sa*nb - Sb*na) over na*nb, squared and summed in DECIMAL(38,0)/
+    HUGEINT, then ONE truncating micro division normalizes by
+    (na*nb)^2 and the quantization grid — every value hashes.
+
+    Scale: one (source, dim) hash aggregate over the exploded
+    embeddings (64 rows per source — map-side combinable); the pair
+    grid joins |sources| x 64-row frames on dim (broadcast-sized).
+    The kernel trick is the point at scale: NO pairwise |a||b| vector
+    comparisons, just mean embeddings — a Gaussian-kernel MMD would
+    need random features (the q_jl_distortion machinery) to keep the
+    same shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ve = e.join(d, e.vec_id == d.doc_id).select("source", "embedding")
+    sums = (
+        ve.select("source", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "source",
+            (F.col("d0") + 1).alias("dim"),
+            F.expr(
+                f"CAST(ROUND(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT)"
+            ).alias("qx"),
+        )
+        .groupBy("source", "dim")
+        .agg(
+            F.expr("CAST(SUM(qx) AS DECIMAL(38,0))").alias("s"),
+            F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        )
+    )
+    a = sums.select(
+        F.col("source").alias("source_a"),
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = sums.select(
+        F.col("source").alias("source_b"),
+        "dim",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), ["dim"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.expr(
+                "SUM((sa * nb - sb * na) * (sa * nb - sb * na))"
+            ).alias("num"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.expr(
+            f"CAST((1000000 * num) div (CAST(n_a AS DECIMAL(38,0)) * n_a"
+            f" * n_b * n_b * {_Q} * {_Q}) AS BIGINT)"
+        ).alias("mmd2_micro"),
+    )
