@@ -1262,3 +1262,204 @@ def q_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ap.crossJoin(F.broadcast(mean)).select(
         "query_id", "n_rel_total", "ap_ppm", "map_ppm"
     )
+
+
+# ---------------------------------------------------------------------
+# q_bm25_parameter_curve (round 8)
+# ---------------------------------------------------------------------
+
+# (label, k1, b): the default, the low-saturation/low-normalization
+# corner (short-doc corpora), and the high-saturation corner. Labels
+# sort deterministically.
+_BM25_COMBOS = (
+    ("a_default_k12_b75", "1.2", "0.75"),
+    ("b_shortfield_k09_b40", "0.9", "0.40"),
+    ("c_highsat_k20_b75", "2.0", "0.75"),
+)
+_BM25_DEFAULT_COMBO = "a_default_k12_b75"
+
+
+def _bm25_curve_oracle() -> str:
+    per_combo = []
+    for label, k1, b in _BM25_COMBOS:
+        per_combo.append(f"""
+    scored_{label} AS (
+      SELECT idf.query_id, tf.doc_id,
+             CAST(ROUND(CAST(idf.idf_mnats AS DOUBLE)
+                        * ((CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+                           / (CAST(tf.tf AS DOUBLE)
+                              + {k1} * ((1.0 - {b})
+                                        + {b} * (CAST(dl.dl AS DOUBLE)
+                                                 / (CAST(stats.sum_dl AS DOUBLE)
+                                                    / CAST(stats.n_docs AS DOUBLE))))))
+                   ) AS BIGINT) AS term_score_mnats
+      FROM idf JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    top_{label} AS (
+      SELECT '{label}' AS combo, query_id, doc_id,
+             CAST(SUM(term_score_mnats) AS BIGINT) AS score_mnats,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY SUM(term_score_mnats) DESC, doc_id)
+               AS BIGINT) AS rnk
+      FROM scored_{label} GROUP BY query_id, doc_id
+      QUALIFY rnk <= {_BM25_K}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM top_{label}" for label, _, _ in _BM25_COMBOS
+    )
+    return f"""
+    WITH {_BM25_CTES},
+    {",".join(per_combo)},
+    allt AS ({union}),
+    ovl AS (
+      SELECT a.combo, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM allt a
+      JOIN allt d ON d.combo = '{_BM25_DEFAULT_COMBO}'
+                 AND d.query_id = a.query_id AND d.doc_id = a.doc_id
+      GROUP BY a.combo, a.query_id
+    )
+    SELECT t.combo, t.query_id, t.rnk, t.doc_id, t.score_mnats,
+           o.n_overlap AS overlap_with_default
+    FROM allt t JOIN ovl o ON o.combo = t.combo
+                          AND o.query_id = t.query_id
+    """
+
+
+@query(
+    "q_bm25_parameter_curve",
+    oracle=_bm25_curve_oracle(),
+    tags=("retrieval", "bm25", "parameter-curve", "ranking"),
+)
+def q_bm25_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) sensitivity curve: the SAME inverted index scored
+    at three parameter corners — the default (1.2, 0.75), the
+    low-saturation/low-length-normalization corner (0.9, 0.40, the
+    short-field setting), and the high-saturation corner (2.0, 0.75)
+    — with each combo's top-{_BM25_K} per query and its overlap
+    against the default ranking. The retrieval member of the measured
+    parameter-dial family (LSH bands, Bloom bits/key, HLL rsd, CMS
+    width): the overlap column IS the tuning readout — how much does
+    the ranking actually move when k1/b move.
+
+    Exactness: the q_bm25_topk treatment per combo — integer micro-nat
+    idf, the saturation factor written with the same double
+    association in both engines, exact integer score sums, fully
+    tie-broken ranks; overlap counts are exact.
+
+    Scale: the index (tf, dl — corpus-proportional) is built ONCE and
+    checkpointed; each combo reuses it map-side (scoring is a
+    projection over the posting join), so three combos cost one index
+    build plus three cheap scoring passes — the whole point of
+    separating index construction from parameter choice."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterm = _bm25_queries_df(spark).select(
+        "query_id", F.explode(F.split("query_text", " ")).alias("term")
+    )
+    idf = (
+        F.broadcast(qterm)
+        .join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            F.expr(
+                "CAST(ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE)"
+                " - CAST(df AS DOUBLE) + 0.5)"
+                " / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)"
+            ).alias("idf_mnats"),
+        )
+    )
+    tops = []
+    for label, k1, b in _BM25_COMBOS:
+        scored = (
+            F.broadcast(idf)
+            .join(tf, "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id",
+                "doc_id",
+                F.expr(
+                    f"CAST(ROUND(CAST(idf_mnats AS DOUBLE)"
+                    f" * ((CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+                    f" / (CAST(tf AS DOUBLE)"
+                    f" + {k1} * ((1.0 - {b})"
+                    f" + {b} * (CAST(dl AS DOUBLE)"
+                    f" / (CAST(sum_dl AS DOUBLE)"
+                    f" / CAST(n_docs AS DOUBLE))))))"
+                    f") AS BIGINT)"
+                ).alias("term_score_mnats"),
+            )
+        )
+        ds = scored.groupBy("query_id", "doc_id").agg(
+            F.sum("term_score_mnats").alias("score_mnats")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_mnats"), "doc_id"
+        )
+        tops.append(
+            ds.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _BM25_K)
+            .select(
+                F.lit(label).alias("combo"),
+                "query_id",
+                "doc_id",
+                "score_mnats",
+                "rnk",
+            )
+        )
+    allt = tops[0]
+    for t in tops[1:]:
+        allt = allt.unionByName(t)
+    allt = allt.localCheckpoint(eager=False)
+    default = allt.filter(F.col("combo") == _BM25_DEFAULT_COMBO).select(
+        F.col("query_id").alias("d_qid"), F.col("doc_id").alias("d_doc")
+    )
+    ovl = (
+        allt.join(
+            F.broadcast(default),
+            (F.col("query_id") == F.col("d_qid"))
+            & (F.col("doc_id") == F.col("d_doc")),
+        )
+        .groupBy("combo", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.col("combo").alias("o_combo"),
+            F.col("query_id").alias("o_qid"),
+            "n_overlap",
+        )
+    )
+    return (
+        allt.join(
+            F.broadcast(ovl),
+            (F.col("combo") == F.col("o_combo"))
+            & (F.col("query_id") == F.col("o_qid")),
+        )
+        .select(
+            "combo",
+            "query_id",
+            "rnk",
+            "doc_id",
+            "score_mnats",
+            F.col("n_overlap").alias("overlap_with_default"),
+        )
+    )

@@ -1618,3 +1618,141 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# q_wilcoxon_signed_rank (round 8)
+# ---------------------------------------------------------------------
+
+# chi-square(1) 95% critical value in micro units (z^2 threshold)
+_WSR_CHI2_MICRO = 3_841_459
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) END)
+               AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(ROUND(value * 100) AS BIGINT) END)
+               AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY CAST(ts AS DATE)
+    ),
+    diffs AS (
+      SELECT p - v AS d, abs(p - v) AS ad
+      FROM daily WHERE p IS NOT NULL AND v IS NOT NULL AND p <> v
+    ),
+    hist AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM diffs GROUP BY ad
+    ),
+    ranked AS (
+      SELECT ad, t, pos,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM hist
+    ),
+    stat AS (
+      SELECT CAST(SUM(t) AS HUGEINT) AS n,
+             -- doubled average rank for the tie group: 2*cum_before+t+1
+             CAST(SUM(pos * (2 * cum_before + t + 1)) AS HUGEINT) AS w2,
+             CAST(SUM(t * t * t - t) AS HUGEINT) AS tie3
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w2 AS BIGINT) AS w_plus_doubled,
+           CAST((6000000 * (2 * w2 - n * (n + 1))
+                         * (2 * w2 - n * (n + 1)))
+                // (4 * (n * (n + 1) * (2 * n + 1) - tie3 // 2))
+             AS BIGINT) AS z2_micro,
+           (6000000 * (2 * w2 - n * (n + 1)) * (2 * w2 - n * (n + 1)))
+             // (4 * (n * (n + 1) * (2 * n + 1) - tie3 // 2))
+             > {_WSR_CHI2_MICRO} AS significant
+    FROM stat
+    """,
+    tags=("stats", "hypothesis-test", "wilcoxon", "paired",
+          "signed-rank"),
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily revenue — purchase vs
+    view cents matched by calendar day: rank the absolute differences
+    (average ranks for ties), sum the ranks of the positive
+    differences, and compare the normal approximation's z^2 (with the
+    standard tie correction) to the chi-square(1) critical value. The
+    paired complement of the independent-samples tests (Welch
+    parametric, Mann-Whitney/Kruskal-Wallis rank-based): day-level
+    pairing removes the shared daily traffic component, which is
+    exactly when the signed-rank test beats both.
+
+    Exactness: pairs, differences, and the |d| histogram are exact
+    integers; the tie group's AVERAGE rank is kept integral by
+    doubling (2 * avg rank = 2 * cum_before + t + 1); W+, the tie term
+    sum(t^3 - t) (always divisible by 2), and z2_micro's single
+    truncating division are wide-integer arithmetic with a fixed
+    critical constant — every column hashes.
+
+    Scale: one daily hash aggregate; the rank cumulative runs over the
+    DISTINCT |d| histogram (value-domain bounded, like
+    q_cliffs_delta's); the statistic is a 1-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                )
+            ).alias("p"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                )
+            ).alias("v"),
+        )
+    )
+    diffs = daily.filter(
+        F.col("p").isNotNull() & F.col("v").isNotNull()
+        & (F.col("p") != F.col("v"))
+    ).select(
+        (F.col("p") - F.col("v")).alias("d"),
+        F.abs(F.col("p") - F.col("v")).alias("ad"),
+    )
+    hist = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("pos"),
+    )
+    w_cum = (
+        Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "ad",
+        "t",
+        "pos",
+        F.coalesce(F.sum("t").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    stat = ranked.agg(
+        F.expr("CAST(SUM(t) AS DECIMAL(38,0))").alias("n"),
+        F.expr(
+            "CAST(SUM(pos * (2 * cum_before + t + 1)) AS DECIMAL(38,0))"
+        ).alias("w2"),
+        F.expr("CAST(SUM(t * t * t - t) AS DECIMAL(38,0))").alias("tie3"),
+    )
+    z2 = (
+        "(6000000 * (2 * w2 - n * (n + 1)) * (2 * w2 - n * (n + 1)))"
+        " div (4 * (n * (n + 1) * (2 * n + 1) - tie3 div 2))"
+    )
+    return stat.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("w2").cast("long").alias("w_plus_doubled"),
+        F.expr(f"CAST({z2} AS BIGINT)").alias("z2_micro"),
+        F.expr(f"{z2} > {_WSR_CHI2_MICRO}").alias("significant"),
+    )

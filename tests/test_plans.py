@@ -401,6 +401,8 @@ _NLJ_ALLOWED = {
                             # table + 1-row totals stitch
     "q_jl_distortion",      # 20-vector sample pair grid (constant,
                             # broadcast-sized; the audit's whole input)
+    "q_bm25_parameter_curve",  # inherits q_bm25_topk's 1-row corpus
+                               # (n_docs, sum_dl) stats stitch x3 combos
 }
 # Row-at-a-time Python is banned except the deliberate UDTF demos
 # (q_udtf_table_argument streams ordered partitions through a stateful
@@ -480,6 +482,10 @@ _KEYLESS_WINDOW_ALLOWED = {
     ),
     "q_mood_median_test": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_cliffs_delta": "distinct-length histogram frame (value-domain)",
+    "q_wilcoxon_signed_rank": (
+        "distinct |d| histogram frame (value-domain, q_cliffs_delta "
+        "pattern; pairs are calendar days)"
+    ),
     # --- dim-sized post-aggregation frames with documented tradeoff ---
     "q15_top_supplier": (
         "supplier-dim post-aggregation frame; docstring documents the "
