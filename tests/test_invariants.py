@@ -333,3 +333,60 @@ def test_audio_fingerprint_banding_is_recall_complete(spark):
         f"banding missed {brute - banded} / spurious {banded - brute}"
     )
     assert len(brute) > 0, "corpus has no near-dup fingerprints — vacuous"
+
+
+def test_round8_session2_structural_invariants(spark):
+    """Oracle-independent semantics of the round-8 session-2 battery:
+    each property must hold for ANY input, so a both-engines-wrong
+    bug cannot hide behind a green parity row."""
+    # MMD^2 is a squared norm: nonnegative on every source pair, and
+    # all C(20, 2) pairs present
+    mmd = REGISTRY["q_embedding_mmd"].fn(spark, SF).toPandas()
+    assert (mmd["mmd2_micro"] >= 0).all()
+    assert len(mmd) == 20 * 19 // 2
+
+    # Tukey: the HSD threshold is a positive squared quantity, and a
+    # pair flagged significant really exceeds it
+    hsd = REGISTRY["q_tukey_hsd"].fn(spark, SF).toPandas()
+    assert (hsd["hsd_sq_cents2"] > 0).all()
+    sig = hsd[hsd["significant"]]
+    assert (sig["diff_cents"] ** 2 > sig["hsd_sq_cents2"]).all()
+
+    # Wilcoxon: doubled rank-sum of the positive side is bounded by
+    # the doubled total rank mass n(n+1)
+    w = REGISTRY["q_wilcoxon_signed_rank"].fn(spark, SF).toPandas().iloc[0]
+    n = int(w["n_pairs"])
+    assert 0 <= int(w["w_plus_doubled"]) <= n * (n + 1)
+
+    # JL: every pair ratio positive; the mean over pairs concentrates
+    # near the exact expectation 1e6 (k = 16 -> per-pair sd ~ 0.35e6;
+    # the mean over 190 pairs sits well inside this band)
+    jl = REGISTRY["q_jl_distortion"].fn(spark, SF).toPandas()
+    assert (jl["d2_proj"] >= 0).all() and (jl["d2_orig"] > 0).all()
+    assert 400_000 < jl["ratio_ppm"].mean() < 1_600_000
+
+    # Durbin-Watson lives in [0, 4] by construction
+    dw = REGISTRY["q_durbin_watson"].fn(spark, SF).toPandas()
+    assert dw["dw_milli"].between(0, 4000).all()
+
+    # Local clustering coefficient is a proportion of realized wedges
+    lcc = REGISTRY["q_local_clustering"].fn(spark, SF).toPandas()
+    assert lcc["lcc_ppm"].between(0, 1_000_000).all()
+
+    # AP@10 and MAP are ppm proportions; MAP is one constant
+    ap = REGISTRY["q_map_at_10"].fn(spark, SF).toPandas()
+    assert ap["ap_ppm"].between(0, 1_000_000).all()
+    assert ap["map_ppm"].nunique() == 1
+
+    # CMS guarantee at every width: estimate never undercounts
+    cms = REGISTRY["q_cms_error_curve"].fn(spark, SF).toPandas()
+    assert (cms["overestimate"] >= 0).all()
+
+    # Horvitz-Thompson: domains that reached the sample carry positive
+    # estimates; total estimated mass lands within 50% of the truth
+    # (the deterministic design at ~100 draws is far tighter, but the
+    # bound must hold for any regeneration of the corpus)
+    ht = REGISTRY["q_horvitz_thompson"].fn(spark, SF).toPandas()
+    est, truth = ht["est_tokens"].sum(), ht["exact_tokens"].sum()
+    assert (ht.loc[ht["n_draws"] > 0, "est_tokens"] > 0).all()
+    assert 0.5 * truth < est < 1.5 * truth
