@@ -577,3 +577,105 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_fail"),
         F.expr(kappa).alias("kappa_milli"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_cronbach_alpha (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cronbach_alpha",
+    oracle="""
+    WITH votes AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       t -> t <> '')) BETWEEN 50 AND 100000
+                  THEN 1 ELSE 0 END AS v1,
+             CASE WHEN len(list_distinct(list_filter(
+                      string_split(text, ' '),
+                      t -> t IN ('the','and','of','to','a','in','is'))))
+                       >= 2
+                  THEN 1 ELSE 0 END AS v2,
+             CASE WHEN 5 * len(list_filter(string_split(text, ' '),
+                                           t -> regexp_matches(t, '[a-z]')))
+                       >= 4 * len(list_filter(string_split(text, ' '),
+                                              t -> t <> ''))
+                  THEN 1 ELSE 0 END AS v3
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v1) AS HUGEINT) AS s1,
+             CAST(SUM(v2) AS HUGEINT) AS s2,
+             CAST(SUM(v3) AS HUGEINT) AS s3,
+             CAST(SUM(v1 + v2 + v3) AS HUGEINT) AS st,
+             CAST(SUM((v1 + v2 + v3) * (v1 + v2 + v3)) AS HUGEINT) AS sst
+      FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3,
+           CAST((3000 * ((n * sst - st * st)
+                         - ((n * s1 - s1 * s1) + (n * s2 - s2 * s2)
+                            + (n * s3 - s3 * s3))))
+                // (2 * (n * sst - st * st)) AS BIGINT) AS alpha_milli
+    FROM agg
+    """,
+    tags=("classify", "cronbach-alpha", "reliability", "rater-agreement"),
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability of the THREE
+    binary quality raters q_fleiss_kappa votes with (word-count gate,
+    stopword gate, alpha-ratio gate): alpha = k/(k-1) * (1 - sum of
+    item variances / variance of the total score). Completes the
+    rater-reliability family — kappa/Fleiss measure AGREEMENT beyond
+    chance per item, Kendall's W measures rank concordance, alpha
+    measures whether the gates form one coherent scale (low alpha =
+    the gates measure different things, which for a quality battery
+    is by design worth KNOWING, not assuming).
+
+    Exactness: with binary items every variance numerator
+    (n*S - S^2, population convention) shares the n^2 denominator, so
+    the denominators cancel and alpha_milli is one truncating integer
+    division of exact wide-integer moments — the whole surface hashes.
+
+    Scale: one map-side projection of the three gate votes (the
+    q_fleiss_kappa expressions — shared semantics), one 1-row moment
+    aggregate; nothing shuffles but six longs per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_words = F.size(toks)
+    v1 = F.when(n_words.between(50, 100000), 1).otherwise(0)
+    stop = F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    v2 = F.when(F.size(stop) >= 2, 1).otherwise(0)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    v3 = F.when(5 * n_alpha >= 4 * n_words, 1).otherwise(0)
+    votes = d.select(v1.alias("v1"), v2.alias("v2"), v3.alias("v3"))
+    agg = votes.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(v1) AS DECIMAL(38,0))").alias("s1"),
+        F.expr("CAST(SUM(v2) AS DECIMAL(38,0))").alias("s2"),
+        F.expr("CAST(SUM(v3) AS DECIMAL(38,0))").alias("s3"),
+        F.expr("CAST(SUM(v1 + v2 + v3) AS DECIMAL(38,0))").alias("st"),
+        F.expr(
+            "CAST(SUM((v1 + v2 + v3) * (v1 + v2 + v3)) AS DECIMAL(38,0))"
+        ).alias("sst"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        F.expr(
+            "CAST((3000 * ((n * sst - st * st)"
+            " - ((n * s1 - s1 * s1) + (n * s2 - s2 * s2)"
+            " + (n * s3 - s3 * s3))))"
+            " div (2 * (n * sst - st * st)) AS BIGINT)"
+        ).alias("alpha_milli"),
+    )

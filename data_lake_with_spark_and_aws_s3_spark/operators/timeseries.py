@@ -1816,3 +1816,157 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ln(4.0)) AS BIGINT)"
         ).alias("hurst_milli"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_pacf (round 8)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_pacf",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE))
+                  AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    mom AS MATERIALIZED (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM daily GROUP BY event_type
+    ),
+    paired AS (
+      SELECT a.event_type, l.lag,
+             CAST(SUM(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS sxy,
+             CAST(SUM(a.y) AS HUGEINT) AS h,
+             CAST(SUM(b.y) AS HUGEINT) AS t
+      FROM daily a
+      JOIN (SELECT CAST(unnest([1, 2]) AS BIGINT) AS lag) l ON TRUE
+      JOIN daily b ON b.event_type = a.event_type AND b.x = a.x + l.lag
+      GROUP BY a.event_type, l.lag
+    ),
+    ck AS (
+      SELECT p.event_type,
+             MAX(m.n) AS n,
+             -- scaled autocovariances: CK_k = n^2*Sxy - n*S*(H+T)
+             --                                + (n-k)*S^2; CK_0 shares
+             -- the scale, so ratios are exact
+             MAX(m.n) * MAX(m.n) * MAX(m.syy)
+               - MAX(m.n) * MAX(m.s) * MAX(m.s) AS ck0,
+             MAX(CASE WHEN p.lag = 1 THEN
+                 m.n * m.n * p.sxy - m.n * m.s * (p.h + p.t)
+                 + (m.n - 1) * m.s * m.s END) AS ck1,
+             MAX(CASE WHEN p.lag = 2 THEN
+                 m.n * m.n * p.sxy - m.n * m.s * (p.h + p.t)
+                 + (m.n - 2) * m.s * m.s END) AS ck2
+      FROM paired p JOIN mom m USING (event_type)
+      GROUP BY p.event_type
+    ),
+    r AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             (1000000 * ck1) // ck0 AS r1,
+             (1000000 * ck2) // ck0 AS r2
+      FROM ck
+    )
+    SELECT event_type, n_days,
+           CAST(r1 AS BIGINT) AS r1_micro,
+           CAST(r2 AS BIGINT) AS r2_micro,
+           CAST(r1 AS BIGINT) AS pacf1_micro,
+           CAST((1000000 * (1000000 * r2 - r1 * r1))
+                // (1000000000000 - r1 * r1) AS BIGINT) AS pacf2_micro
+    FROM r
+    """,
+    tags=("timeseries", "pacf", "box-jenkins", "autocorrelation"),
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily count series at lags 1 and
+    2 via the closed-form Durbin-Levinson step: pacf(1) = r1,
+    pacf(2) = (r2 - r1^2) / (1 - r1^2) — the Box-Jenkins
+    order-selection companion to q_autocorrelation (ACF says a lag
+    correlates; PACF says whether it correlates DIRECTLY or only
+    through shorter lags, which is what picks the AR order).
+
+    Exactness goes one step further than q_autocorrelation (which
+    hashes moments only): the autocovariances are scaled to the
+    COMMON exact integer CK_k = n^2*Sxy_k - n*S*(H_k + T_k)
+    + (n-k)*S^2 (full-series-mean convention, denominators cleared),
+    so r_k itself quantizes to micro as one truncating division of
+    exact integers, and the lag-2 partial is one more — the hashed
+    surface includes the correlations, not just their ingredients.
+
+    Scale: lagged pairing is an EQUI-join on (type, x + lag) with a
+    constant 2-row lag grid; type-level moments broadcast; everything
+    after runs on |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    w_x = Window.partitionBy("event_type").orderBy("day")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "event_type", "y", F.row_number().over(w_x).cast("long").alias("x")
+        )
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0))").alias("s"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    lags = F.explode(F.array(F.lit(1).cast("long"), F.lit(2).cast("long")))
+    a = daily.select("event_type", F.col("y").alias("y0"), "x", lags.alias("lag"))
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("y").alias("y1"),
+        F.col("x").alias("bx"),
+    )
+    paired = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bx") == F.col("x") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.expr("CAST(SUM(CAST(y0 AS DECIMAL(38,0)) * y1) AS DECIMAL(38,0))").alias("sxy"),
+            F.expr("CAST(SUM(y0) AS DECIMAL(38,0))").alias("h"),
+            F.expr("CAST(SUM(y1) AS DECIMAL(38,0))").alias("t"),
+        )
+    )
+    ckk = (
+        "n * n * sxy - n * s * (h + t) + (n - {k}) * s * s"
+    )
+    ck = (
+        paired.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.expr(
+                "MAX(n) * MAX(n) * MAX(syy) - MAX(n) * MAX(s) * MAX(s)"
+            ).alias("ck0"),
+            F.expr(
+                f"MAX(CASE WHEN lag = 1 THEN {ckk.format(k=1)} END)"
+            ).alias("ck1"),
+            F.expr(
+                f"MAX(CASE WHEN lag = 2 THEN {ckk.format(k=2)} END)"
+            ).alias("ck2"),
+        )
+    )
+    r = ck.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("(1000000 * ck1) div ck0").alias("r1"),
+        F.expr("(1000000 * ck2) div ck0").alias("r2"),
+    )
+    return r.select(
+        "event_type",
+        "n_days",
+        F.col("r1").cast("long").alias("r1_micro"),
+        F.col("r2").cast("long").alias("r2_micro"),
+        F.col("r1").cast("long").alias("pacf1_micro"),
+        F.expr(
+            "CAST((1000000 * (1000000 * r2 - r1 * r1))"
+            " div (1000000000000 - r1 * r1) AS BIGINT)"
+        ).alias("pacf2_micro"),
+    )
