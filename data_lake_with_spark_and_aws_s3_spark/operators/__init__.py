@@ -57,6 +57,7 @@ from . import (  # noqa: F401
     sorts,
     stats,
     testing,
+    testing2,
     timeseries,
     tpch_more,
     tpch_rest,
