@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.loader import load_table
 
+# Fixed document-length exposure threshold for the stratified 2x2
+# table (chars, not words — schema-provided, no tokenization needed).
+# A constant, not a corpus quantile, so the stratum tables stay
+# reproducible across scale factors.
+_MH_CHAR_THRESHOLD = 306
+
 # ---------------------------------------------------------------------
 # q_cochran_q (round 8, session 3)
 # ---------------------------------------------------------------------
@@ -281,4 +287,443 @@ def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000 * (xn - xn1)) div (xn - x1) AS BIGINT)").alias(
             "q_high_milli"
         ),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_ljung_box (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS HUGEINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS s,
+                 SUM(y * y) AS syy
+          FROM daily),
+    lags AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS lag),
+    paired AS (
+      SELECT l.lag, SUM(a.y) AS s0, SUM(b.y) AS s1,
+             SUM(a.y * b.y) AS s01
+      FROM daily a JOIN lags l ON TRUE JOIN daily b ON b.x = a.x + l.lag
+      GROUP BY l.lag
+    ),
+    terms AS (
+      SELECT p.lag,
+             (g.n * g.n * p.s01 - g.n * g.s * (p.s0 + p.s1)
+              + (g.n - p.lag) * g.s * g.s) AS ak,
+             (g.n * g.n * g.syy - g.n * g.s * g.s) AS a0,
+             g.n AS n
+      FROM paired p, g
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_days,
+           CAST((1000 * ak) // a0 AS BIGINT) AS rho_milli,
+           CAST((1000000 * n * (n + 2) * ak * ak)
+                // (a0 * a0 * (n - lag)) AS BIGINT) AS lb_term_micro
+    FROM terms ORDER BY lag
+    """,
+    tags=("testing", "ljung-box", "timeseries", "autocorrelation"),
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test over the global daily
+    event-count series at lags 1-5 — the "is there ANY serial
+    structure left" read that follows q_autocorrelation's per-lag
+    moments and precedes fitting anything: Q = n(n+2) sum rho_k^2 /
+    (n-k). Uses the standard GLOBAL-mean autocorrelation convention
+    (q_autocorrelation uses per-lag cross-moments), so the two
+    surfaces are deliberately different statistics. With A_k =
+    sum (n*y_t - S)(n*y_{t+k} - S), the n^2 mean-denominators cancel
+    in rho_k = A_k/A_0, so each per-lag term is one truncating
+    division of exact integers; summing lb_term_micro over the 5
+    emitted rows reproduces Q in micro units. The lagged pairing is
+    an equi-join on the day ordinal (datediff from epoch — no window,
+    no row_number); absent days simply do not pair (documented gap
+    semantics, same as the ACF).
+
+    Scale: daily collapse is calendar-bounded; the 5-lag fan-out is a
+    constant broadcast; one 1-row global frame stitches in via a
+    broadcast nested-loop over 5 rows (allowlisted scalar stitch)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("y"))
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+    g = daily.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(y)").alias("s"),
+        F.expr("SUM(y * y)").alias("syy"),
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "lag long")
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("y").alias("y0"), (F.col("x") + F.col("lag")).alias("xt")
+    )
+    b = daily.select(F.col("y").alias("y1"), F.col("x").alias("xb"))
+    paired = (
+        a.join(b, F.col("xb") == F.col("xt"))
+        .groupBy("lag")
+        .agg(
+            F.expr("SUM(y0)").alias("s0"),
+            F.expr("SUM(y1)").alias("s1"),
+            F.expr("SUM(y0 * y1)").alias("s01"),
+        )
+    )
+    terms = paired.crossJoin(F.broadcast(g)).select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "(n * n * s01 - n * s * (s0 + s1) + (n - lag) * s * s)"
+        ).alias("ak"),
+        F.expr("(n * n * syy - n * s * s)").alias("a0"),
+        F.col("n").alias("nd"),
+    )
+    return terms.select(
+        "lag",
+        "n_days",
+        F.expr("CAST((1000 * ak) div a0 AS BIGINT)").alias("rho_milli"),
+        F.expr(
+            "CAST((1000000 * nd * (nd + 2) * ak * ak)"
+            " div (a0 * a0 * (nd - lag)) AS BIGINT)"
+        ).alias("lb_term_micro"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_jarque_bera (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_jarque_bera",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice / 1000) AS HUGEINT) AS x FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s1,
+             SUM(x * x) AS s2, SUM(x * x * x) AS s3,
+             SUM(x * x * x * x) AS s4
+      FROM base
+    ),
+    c AS (
+      SELECT n,
+             (n * s2 - s1 * s1) // (n * n) AS v2,
+             (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+               // (n * n * n) AS v3,
+             (n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+               // (n * n * n * n) AS v4
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST((1000000 * v3 * v3) // (v2 * v2 * v2) AS BIGINT)
+             AS skew2_micro,
+           CAST((1000000 * v4) // (v2 * v2) AS BIGINT) AS kurt_micro,
+           CAST(n * ((1000000 * v3 * v3) // (v2 * v2 * v2) // 6
+                     + ((1000000 * v4) // (v2 * v2) - 3000000)
+                       * ((1000000 * v4) // (v2 * v2) - 3000000)
+                       // 24000000)
+                // 1000 AS BIGINT) AS jb_milli
+    FROM c
+    """,
+    tags=("testing", "jarque-bera", "normality", "statistics"),
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the order-value distribution —
+    the sanity read before any z-score/sigma-rule monitor (q_grubbs,
+    control charts) is trusted: JB = n(S^2/6 + (K-3)^2/24) from the
+    sample skewness S and kurtosis K. Values are quantized to integer
+    KILOdollars before the moment sums — the 4th-power sum of cents
+    would overflow DECIMAL(38) at sf>=0.1, and a 0.1% value
+    quantization moves a shape statistic of a ~100k$-range
+    distribution by less than the test's own sampling noise (both
+    engines quantize identically, so parity is exact). Central
+    moments are deflated by n^k with ONE truncating division each
+    (v2 = m2 div n^2, ...), then S^2 = v3^2/v2^3 and K = v4/v2^2 are
+    single truncating divisions — the whole surface is integers.
+
+    Scale: one map-side projection, one 1-row moment aggregate; four
+    DECIMAL(38,0) partials per partition cross the wire. Headroom:
+    n^3 * sum(x^4) ~ 1e31 at sf0.1, ~1e37 at sf10 — inside
+    DECIMAL(38); past that re-quantize to 10k$ units."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr(
+            "CAST(CAST(ROUND(o_totalprice / 1000) AS BIGINT)"
+            " AS DECIMAL(38,0))"
+        ).alias("x")
+    )
+    m = base.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(x)").alias("s1"),
+        F.expr("SUM(x * x)").alias("s2"),
+        F.expr("SUM(x * x * x)").alias("s3"),
+        F.expr("SUM(x * x * x * x)").alias("s4"),
+    )
+    c = m.select(
+        "n",
+        F.expr("(n * s2 - s1 * s1) div (n * n)").alias("v2"),
+        F.expr(
+            "(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)"
+            " div (n * n * n)"
+        ).alias("v3"),
+        F.expr(
+            "(n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)"
+            " div (n * n * n * n)"
+        ).alias("v4"),
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST((1000000 * v3 * v3) div (v2 * v2 * v2) AS BIGINT)"
+        ).alias("skew2_micro"),
+        F.expr("CAST((1000000 * v4) div (v2 * v2) AS BIGINT)").alias(
+            "kurt_micro"
+        ),
+        F.expr(
+            "CAST(n * ((1000000 * v3 * v3) div (v2 * v2 * v2) div 6"
+            " + ((1000000 * v4) div (v2 * v2) - 3000000)"
+            " * ((1000000 * v4) div (v2 * v2) - 3000000)"
+            " div 24000000)"
+            " div 1000 AS BIGINT)"
+        ).alias("jb_milli"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_mantel_haenszel (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_mantel_haenszel",
+    oracle=f"""
+    WITH votes AS (
+      SELECT lang,
+             CASE WHEN n_chars > {_MH_CHAR_THRESHOLD} THEN 1 ELSE 0 END
+               AS expo,
+             CASE WHEN len(list_distinct(list_filter(
+                      string_split(text, ' '),
+                      t -> t IN ('the','and','of','to','a','in','is'))))
+                       >= 2
+                  THEN 1 ELSE 0 END AS outc
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(expo * outc) AS HUGEINT) AS a,
+             CAST(SUM(expo * (1 - outc)) AS HUGEINT) AS b,
+             CAST(SUM((1 - expo) * outc) AS HUGEINT) AS c,
+             CAST(SUM((1 - expo) * (1 - outc)) AS HUGEINT) AS d,
+             CAST(COUNT(*) AS HUGEINT) AS nt
+      FROM votes GROUP BY lang
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+             CAST(SUM(nt) AS BIGINT) AS n_docs,
+             CAST(SUM((1000000 * a * d) // nt) AS BIGINT) AS rs_micro,
+             CAST(SUM((1000000 * b * c) // nt) AS BIGINT) AS ss_micro
+      FROM s
+    )
+    SELECT k_strata, n_docs, rs_micro, ss_micro,
+           CAST((1000 * rs_micro) // ss_micro AS BIGINT) AS or_mh_milli
+    FROM t
+    """,
+    tags=("testing", "mantel-haenszel", "stratified", "statistics"),
+)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across language strata — is
+    "long document" associated with "stopword-rich" AFTER controlling
+    for language? The stratified-confounding companion to
+    q_cramers_v (marginal association) and the design a curation
+    pipeline uses before attributing a quality signal to length
+    rather than language mix: OR_MH = sum(a_i d_i / n_i) /
+    sum(b_i c_i / n_i). Each per-stratum term is quantized to micro
+    units with ONE truncating division before the exact integer sum
+    (the per-term-quantization playbook rule for sums of rationals
+    with unlike denominators), then one more division for the ratio.
+
+    Scale: one map-side projection of two binary marks, a |langs|-
+    group aggregate, a 1-row reduction — constant-size shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    votes = d.select(
+        "lang",
+        F.when(F.col("n_chars") > _MH_CHAR_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("expo"),
+        F.when(F.size(stop) >= 2, 1).otherwise(0).alias("outc"),
+    )
+    s = votes.groupBy("lang").agg(
+        F.expr("CAST(SUM(expo * outc) AS DECIMAL(38,0))").alias("a"),
+        F.expr("CAST(SUM(expo * (1 - outc)) AS DECIMAL(38,0))").alias("b"),
+        F.expr("CAST(SUM((1 - expo) * outc) AS DECIMAL(38,0))").alias("c"),
+        F.expr(
+            "CAST(SUM((1 - expo) * (1 - outc)) AS DECIMAL(38,0))"
+        ).alias("d"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("nt"),
+    )
+    t = s.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k_strata"),
+        F.expr("CAST(SUM(nt) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            "CAST(SUM((1000000 * a * d) div nt) AS BIGINT)"
+        ).alias("rs_micro"),
+        F.expr(
+            "CAST(SUM((1000000 * b * c) div nt) AS BIGINT)"
+        ).alias("ss_micro"),
+    )
+    return t.select(
+        "k_strata",
+        "n_docs",
+        "rs_micro",
+        "ss_micro",
+        F.expr(
+            "CAST((1000 * rs_micro) div ss_micro AS BIGINT)"
+        ).alias("or_mh_milli"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_partial_correlation (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_partial_correlation",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS HUGEINT) AS x,
+             CAST(n_chars AS HUGEINT) AS y,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','and','of','to','a','in','is')))
+                  AS HUGEINT) AS z
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(z) AS sz, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(z * z) AS szz, SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+             SUM(y * z) AS syz
+      FROM f
+    ),
+    c AS (
+      SELECT n,
+             n * sxy - sx * sy AS cxy, n * sxz - sx * sz AS cxz,
+             n * syz - sy * sz AS cyz, n * sxx - sx * sx AS cxx,
+             n * syy - sy * sy AS cyy, n * szz - sz * sz AS czz
+      FROM m
+    ),
+    d AS (
+      SELECT n,
+             (cxy * czz - cxz * cyz) // 1000000 AS num,
+             (cxx * czz - cxz * cxz) // 1000000 AS d1,
+             (cyy * czz - cyz * cyz) // 1000000 AS d2,
+             CAST((1000 * cxy * cxy) // (cxx * cyy) AS BIGINT)
+               AS r2_xy_milli
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs, r2_xy_milli,
+           CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT)
+             AS sign_partial,
+           CAST((1000 * num * num) // (d1 * d2) AS BIGINT)
+             AS r2_partial_milli
+    FROM d
+    """,
+    tags=("testing", "partial-correlation", "statistics"),
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r_xy.z of word count (x) and
+    character count (y) CONTROLLING for stopword count (z) — does
+    length-in-words track length-in-chars beyond what stopword volume
+    explains? The confounder-adjusted companion to the marginal
+    moments surface: r_xy.z = (Cxy*Czz - Cxz*Cyz) /
+    sqrt((Cxx*Czz - Cxz^2)(Cyy*Czz - Cyz^2)) with C the exact
+    centered cross-moment numerators (n*Sab - Sa*Sb). The sqrt never
+    executes: the statistic is emitted SQUARED with its sign, a pure
+    rational. The three degree-4 products are deflated by 1e6 with
+    one truncating division each before squaring, keeping every term
+    inside DECIMAL(38) through sf10 at ~1e-12 relative quantization.
+
+    Scale: one map-side projection, one 1-row ten-moment aggregate —
+    the classic single-pass covariance-matrix collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    f = d.select(
+        F.size(toks).cast("decimal(38,0)").alias("x"),
+        F.col("n_chars").cast("decimal(38,0)").alias("y"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("z"),
+    )
+    m = f.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(z)").alias("sz"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(y * y)").alias("syy"),
+        F.expr("SUM(z * z)").alias("szz"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(x * z)").alias("sxz"),
+        F.expr("SUM(y * z)").alias("syz"),
+    )
+    c = m.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("cxy"),
+        F.expr("n * sxz - sx * sz").alias("cxz"),
+        F.expr("n * syz - sy * sz").alias("cyz"),
+        F.expr("n * sxx - sx * sx").alias("cxx"),
+        F.expr("n * syy - sy * sy").alias("cyy"),
+        F.expr("n * szz - sz * sz").alias("czz"),
+    )
+    # `div` on DECIMAL operands yields LONG in Spark — re-widen the
+    # deflated terms to DECIMAL(38,0) before they are squared below.
+    dd = c.select(
+        "n",
+        F.expr(
+            "CAST((cxy * czz - cxz * cyz) div 1000000 AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr(
+            "CAST((cxx * czz - cxz * cxz) div 1000000 AS DECIMAL(38,0))"
+        ).alias("d1"),
+        F.expr(
+            "CAST((cyy * czz - cyz * cyz) div 1000000 AS DECIMAL(38,0))"
+        ).alias("d2"),
+        F.expr(
+            "CAST((1000 * cxy * cxy) div (cxx * cyy) AS BIGINT)"
+        ).alias("r2_xy_milli"),
+    )
+    return dd.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "r2_xy_milli",
+        F.expr(
+            "CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT)"
+        ).alias("sign_partial"),
+        F.expr(
+            "CAST((1000 * num * num) div (d1 * d2) AS BIGINT)"
+        ).alias("r2_partial_milli"),
     )

@@ -269,6 +269,7 @@ _NLJ_ALLOWED = {
     "q_ann_ivf",            # broadcast query batch x tiny codebook
     "q_ann_ivf_kmeans",     # broadcast query batch x tiny codebook
     "q_token_lift",         # broadcast 1-row corpus doc count
+    "q_ljung_box",          # broadcast 1-row global-moment stitch onto the 5-row lag frame
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
