@@ -727,3 +727,322 @@ def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * num * num) div (d1 * d2) AS BIGINT)"
         ).alias("r2_partial_milli"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_page_trend (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_page_trend",
+    oracle="""
+    WITH cells AS (
+      SELECT dayofweek(CAST(ts AS DATE)) AS blk,
+             CAST(hour(ts) // 6 + 1 AS BIGINT) AS j,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT blk, j, y,
+             CAST(2 * rank() OVER (PARTITION BY blk ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY blk, y) - 1 AS BIGINT)
+               AS r2
+      FROM cells
+    ),
+    t AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+             CAST(4 AS BIGINT) AS k,
+             CAST(SUM(j * r2) AS BIGINT) AS l2
+      FROM ranked
+    )
+    SELECT b, k, l2,
+           CAST(b * k * (k+1) * (k+1) // 2 AS BIGINT) AS l2_null,
+           CAST((36000 * (l2 - b*k*(k+1)*(k+1)//2)
+                       * (l2 - b*k*(k+1)*(k+1)//2) * (k-1))
+                // (b * (k*k*k - k) * (k*k*k - k)) AS BIGINT) AS z2_milli
+    FROM t
+    """,
+    tags=("testing", "page-trend", "rank-test", "statistics"),
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative — does event volume
+    rise monotonically across the four six-hour bins of the day,
+    consistently across weekday blocks? The directional counterpart
+    to q_friedman_test (which only asks "any difference"): L =
+    sum_j j * R_j over within-block treatment ranks. Ranks are
+    DOUBLED midranks (2*rank + ties - 1, the q_kruskal_wallis
+    histogram convention) so ties stay integer; z^2 against the
+    exact null moments E[L] = b k(k+1)^2/4 and Var[L] =
+    b(k^3-k)^2/(144(k-1)) is one truncating division (doubled-L
+    algebra folds the 4x into the constant). Block labels never
+    surface, so the engines' different weekday numbering conventions
+    cannot skew the hash — only the partition itself matters.
+
+    Scale: one 28-cell aggregate (7 weekdays x 4 bins — constant at
+    any SF), ranks via windows PARTITIONED by block (4 rows each),
+    one 1-row reduction. The scan is the only data-sized stage."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cells = (
+        e.groupBy(
+            F.dayofweek(F.col("ts").cast("date")).alias("blk"),
+            (F.floor(F.hour("ts") / 6) + 1).cast("long").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w_rank = Window.partitionBy("blk").orderBy("y")
+    w_tie = Window.partitionBy("blk", "y")
+    ranked = cells.select(
+        "j",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+        "blk",
+    )
+    t = ranked.agg(
+        F.countDistinct("blk").cast("long").alias("b"),
+        F.lit(4).cast("long").alias("k"),
+        F.sum(F.col("j") * F.col("r2")).cast("long").alias("l2"),
+    )
+    return t.select(
+        "b",
+        "k",
+        "l2",
+        F.expr("CAST(b * k * (k+1) * (k+1) div 2 AS BIGINT)").alias(
+            "l2_null"
+        ),
+        F.expr(
+            "CAST((36000 * (l2 - b*k*(k+1)*(k+1) div 2)"
+            " * (l2 - b*k*(k+1)*(k+1) div 2) * (k-1))"
+            " div (b * (k*k*k - k) * (k*k*k - k)) AS BIGINT)"
+        ).alias("z2_milli"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_ansari_bradley (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_ansari_bradley",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('view', 'error')
+    ),
+    vg AS (
+      SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ),
+    v AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS tcnt FROM vg GROUP BY x),
+    tot AS (
+      SELECT CAST(SUM(tcnt) AS BIGINT) AS nn,
+             CAST((SUM(tcnt) + 1) // 2 AS BIGINT) AS h
+      FROM v
+    ),
+    r AS (
+      SELECT x, tcnt, CAST(SUM(tcnt) OVER (ORDER BY x) AS BIGINT) AS cum
+      FROM v
+    ),
+    sc AS (
+      SELECT r.x, r.tcnt,
+        CASE WHEN r.cum <= tot.h THEN r.cum * (r.cum + 1)
+             ELSE 2*tot.h*(tot.h+1) + 2*(r.cum-tot.h)*(tot.nn+1)
+                  - r.cum*(r.cum+1) END
+        - CASE WHEN r.cum - r.tcnt <= tot.h
+               THEN (r.cum - r.tcnt) * ((r.cum - r.tcnt) + 1)
+               ELSE 2*tot.h*(tot.h+1)
+                    + 2*((r.cum-r.tcnt)-tot.h)*(tot.nn+1)
+                    - (r.cum-r.tcnt)*((r.cum-r.tcnt)+1) END
+        AS s2diff
+      FROM r, tot
+    )
+    SELECT vg.grp, CAST(SUM(vg.cnt) AS BIGINT) AS n,
+           CAST(SUM((1000000 * vg.cnt * sc.s2diff) // sc.tcnt) AS BIGINT)
+             AS ab2_micro
+    FROM vg JOIN sc USING (x) GROUP BY vg.grp
+    """,
+    tags=("testing", "ansari-bradley", "rank-test", "dispersion"),
+)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test — do 'view' and 'error' events
+    draw their values from distributions with the same SPREAD? The
+    scale-alternative companion to the location tests (Mood/Wilcoxon):
+    score a(r) = min(r, N+1-r) over the pooled ranking, small at the
+    extremes, so a group with fatter tails collects a smaller score
+    sum. Tied observations get the exact AVERAGE score over their
+    position block: with S2(m) = 2 * sum_{i<=m} min(i, N+1-i) (closed
+    form, two integer cases around the midpoint h = (N+1) div 2), a
+    tie block of size c occupying positions p+1..p+c carries doubled
+    score mass S2(p+c) - S2(p), and each group takes its cnt/c share
+    — micro-quantized per block before the exact sum (the
+    per-term-quantization rule). Positions come from the VALUE
+    HISTOGRAM's running count via the two-phase range-partition idiom
+    — no single-task window over data.
+
+    Scale: (value, group) hash aggregate -> value-histogram two-phase
+    prefix sum -> 1-row N stitch -> 2-group reduction."""
+    from ._twophase import global_order_stats
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("view", "error")).select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    vg = base.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    v = vg.groupBy("x").agg(F.sum("cnt").alias("tcnt"))
+    tot = v.agg(
+        F.sum("tcnt").cast("long").alias("nn"),
+        F.expr("CAST((SUM(tcnt) + 1) div 2 AS BIGINT)").alias("h"),
+    )
+    r = global_order_stats(
+        v, [F.asc("x")], running_sums={"cum": F.col("tcnt")}, rn_col=None
+    )
+    s2 = (
+        "CASE WHEN {m} <= h THEN {m} * ({m} + 1)"
+        " ELSE 2*h*(h+1) + 2*({m} - h)*(nn+1) - {m} * ({m} + 1) END"
+    )
+    sc = r.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "tcnt",
+        F.expr(
+            s2.format(m="cum") + " - (" + s2.format(m="(cum - tcnt)") + ")"
+        ).alias("s2diff"),
+    )
+    return (
+        vg.join(sc, "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(
+                F.expr("(1000000 * cnt * s2diff) div tcnt")
+            )
+            .cast("long")
+            .alias("ab2_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# q_quade_test (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_quade_test",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS blk, CAST(hour(ts) // 6 + 1 AS BIGINT) AS j,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT blk, j, y,
+             CAST(2 * rank() OVER (PARTITION BY blk ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY blk, y) - 1 AS BIGINT)
+               AS r2
+      FROM cells
+    ),
+    rng AS (SELECT blk, MAX(y) - MIN(y) AS rg FROM cells GROUP BY blk),
+    q AS (
+      SELECT blk, CAST(2 * rank() OVER (ORDER BY rg)
+                  + COUNT(*) OVER (PARTITION BY rg) - 1 AS BIGINT) AS q2
+      FROM rng
+    ),
+    s AS (
+      SELECT ranked.blk, ranked.j, q.q2 * (ranked.r2 - 5) AS s4
+      FROM ranked JOIN q USING (blk)
+    ),
+    a AS (
+      SELECT CAST(SUM(s4 * s4) AS BIGINT) AS suma,
+             CAST(COUNT(DISTINCT blk) AS BIGINT) AS b
+      FROM s
+    ),
+    tj AS (SELECT j, CAST(SUM(s4) AS BIGINT) AS t4 FROM s GROUP BY j),
+    bb AS (SELECT CAST(SUM(t4 * t4) AS BIGINT) AS sumt FROM tj)
+    SELECT a.b, CAST(4 AS BIGINT) AS k, a.suma, bb.sumt,
+           CAST((1000 * (a.b - 1) * bb.sumt)
+                // (a.b * a.suma - bb.sumt) AS BIGINT) AS t_milli
+    FROM a, bb
+    """,
+    tags=("testing", "quade", "rank-test", "statistics"),
+)
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test — Friedman's randomized-block rank test WEIGHTED by
+    how much each block discriminates: blocks = event types,
+    treatments = four six-hour bins, observation = cell revenue
+    cents. Within-block doubled midranks r2; block weights Q2 =
+    doubled midrank of the block's cell RANGE (a block where the bins
+    barely differ contributes little). S = Q2*(r2 - (k+1)) is 4x the
+    textbook S_ij, and the 16x cancels in T = (b-1)*sum_j T_j^2 /
+    (b*sum S^2 - sum_j T_j^2) — one truncating division of exact
+    integer rank algebra, no quantization anywhere.
+
+    Scale: one 20-cell aggregate (|event types| x 4 bins — constant);
+    the within-block rank windows partition by block; the block-range
+    ranking is ONE keyless window over the |event-type|-row frame
+    (taxonomy-bounded, allowlisted). The scan is the only data-sized
+    stage."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.col("event_type").alias("blk"),
+            (F.floor(F.hour("ts") / 6) + 1).cast("long").alias("j"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w_rank = Window.partitionBy("blk").orderBy("y")
+    w_tie = Window.partitionBy("blk", "y")
+    ranked = cells.select(
+        "blk",
+        "j",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    rng = cells.groupBy("blk").agg((F.max("y") - F.min("y")).alias("rg"))
+    q = rng.select(
+        "blk",
+        (
+            2 * F.rank().over(Window.orderBy("rg"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rg"))
+            - 1
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    s = ranked.join(q, "blk").select(
+        "j", (F.col("q2") * (F.col("r2") - 5)).alias("s4")
+    )
+    a = s.agg(
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("suma"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).select("suma", F.expr("CAST(n_cells div 4 AS BIGINT)").alias("b"))
+    tj = s.groupBy("j").agg(F.sum("s4").cast("long").alias("t4"))
+    bb = tj.agg(F.sum(F.col("t4") * F.col("t4")).cast("long").alias("sumt"))
+    return (
+        a.crossJoin(F.broadcast(bb))
+        .select(
+            "b",
+            F.lit(4).cast("long").alias("k"),
+            "suma",
+            "sumt",
+            F.expr(
+                "CAST((1000 * (b - 1) * sumt)"
+                " div (b * suma - sumt) AS BIGINT)"
+            ).alias("t_milli"),
+        )
+    )

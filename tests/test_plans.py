@@ -270,6 +270,8 @@ _NLJ_ALLOWED = {
     "q_ann_ivf_kmeans",     # broadcast query batch x tiny codebook
     "q_token_lift",         # broadcast 1-row corpus doc count
     "q_ljung_box",          # broadcast 1-row global-moment stitch onto the 5-row lag frame
+    "q_ansari_bradley",     # broadcast 1-row pooled-N/midpoint stitch onto the value histogram
+    "q_quade_test",         # broadcast 1-row treatment-total stitch onto the 1-row A frame
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
@@ -465,6 +467,12 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_vocab_coverage": "top-10000 limit precedes the window — constant frame",
     "q_approx_top_k": "sketch output <= maxItemsTracked=10k rows by construction",
     "q_ab_test_report": "inherits component queries' bounded stitch windows",
+    # --- round-8 session-3 additions ---
+    "q_ansari_bradley": "<=16 two-phase prefix-offset rows (_twophase.py)",
+    "q_quade_test": (
+        "|event-type|-row block-range ranking — taxonomy-bounded (5 rows "
+        "at any SF; appears 2x because the S frame feeds both reductions)"
+    ),
     # --- round-7 additions ---
     "q_kruskal_wallis": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_err_at_k": "windows over the <=10-row post-TakeOrdered prefix",
