@@ -1248,3 +1248,80 @@ def q_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rank).cast("long").alias("streak_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_hhi_concentration (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH sup AS (
+      SELECT l.l_suppkey AS sk,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS HUGEINT) AS cents
+      FROM lineitem l GROUP BY 1
+    ),
+    reg AS (
+      SELECT r.r_name AS region, sup.cents
+      FROM sup
+      JOIN supplier s ON s.s_suppkey = sup.sk
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    t AS (
+      SELECT region, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(cents) AS tot, SUM(cents * cents) AS ss
+      FROM reg GROUP BY region
+    )
+    SELECT region, n_suppliers, CAST(tot AS BIGINT) AS total_cents,
+           CAST((1000000 * ss) // (tot * tot) AS BIGINT) AS hhi_ppm
+    FROM t
+    """,
+    tags=("analytics", "hhi", "concentration", "market-share"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per region —
+    how concentrated is each region's supply revenue? HHI =
+    sum_i (s_i/S)^2 = sum s_i^2 / S^2, emitted in ppm with ONE
+    truncating division of exact cent integers (the inequality-
+    measure companion to q_gini_revenue's two-phase Lorenz sum —
+    HHI needs no ranking at all, just two moments). 10000/n_suppliers
+    ppm is the perfectly-even floor; antitrust reads >2500 ppm-of-
+    10000 scale as concentrated (here ~400-770 on that scale: diffuse).
+
+    Scale: the lineitem collapse pre-aggregates per SUPPLIER before
+    any join (the fact table never carries dim columns through a
+    shuffle); supplier->nation->region dims broadcast; the final
+    frame is |regions| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    sup = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)) AS DECIMAL(38,0))"
+        ).alias("cents")
+    )
+    reg = (
+        sup.join(F.broadcast(s), sup.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), "cents")
+    )
+    t = reg.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr("SUM(cents)").alias("tot"),
+        F.expr("SUM(cents * cents)").alias("ss"),
+    )
+    return t.select(
+        "region",
+        "n_suppliers",
+        F.col("tot").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((1000000 * ss) div (tot * tot) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )

@@ -1046,3 +1046,341 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_logrank_test (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_logrank_test",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t0,
+             CASE WHEN MIN(CAST(json_extract(props, '$.k') AS BIGINT)) < 50
+                  THEN 1 ELSE 0 END AS grp
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS t_ev
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0 GROUP BY e.user_id
+    ),
+    ls AS (SELECT user_id, MAX(ts) AS t_last FROM events GROUP BY user_id),
+    dur AS (
+      SELECT su.grp,
+             CASE WHEN pu.t_ev IS NOT NULL
+                  THEN CAST(date_diff('day', su.t0, pu.t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('day', su.t0, ls.t_last) AS BIGINT)
+             END AS d_days,
+             CASE WHEN pu.t_ev IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+      JOIN ls ON ls.user_id = su.user_id
+    ),
+    h AS (
+      SELECT d_days, grp, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM dur GROUP BY d_days, grp
+    ),
+    dd AS (SELECT d_days FROM h GROUP BY d_days HAVING SUM(d) > 0),
+    grid AS (
+      SELECT d_days, unnest([0, 1]) AS grp, CAST(0 AS BIGINT) AS n_all,
+             CAST(0 AS BIGINT) AS d
+      FROM dd
+    ),
+    merged AS (
+      SELECT d_days, grp, CAST(SUM(n_all) AS BIGINT) AS n_all,
+             CAST(SUM(d) AS BIGINT) AS d
+      FROM (SELECT * FROM h UNION ALL SELECT * FROM grid)
+      GROUP BY d_days, grp
+    ),
+    r AS (
+      SELECT d_days, grp, d,
+             CAST(SUM(n_all) OVER (PARTITION BY grp ORDER BY d_days DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM merged
+    ),
+    byday AS (
+      SELECT d_days,
+             CAST(SUM(d) AS BIGINT) AS dj,
+             CAST(SUM(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT)
+               AS d1j,
+             CAST(SUM(n_risk) AS BIGINT) AS nj,
+             CAST(SUM(CASE WHEN grp = 1 THEN n_risk ELSE 0 END) AS BIGINT)
+               AS n1j
+      FROM r GROUP BY d_days HAVING SUM(d) > 0
+    ),
+    terms AS (
+      SELECT (1000000 * (d1j * nj - dj * n1j)) // nj AS oe_micro,
+             CASE WHEN nj > 1 THEN
+               (1000000 * dj * n1j * (nj - n1j) * (nj - dj))
+               // (nj * nj * (nj - 1)) ELSE 0 END AS v_micro
+      FROM byday
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_death_days,
+             CAST(SUM(oe_micro) AS HUGEINT) AS oe,
+             CAST(SUM(v_micro) AS HUGEINT) AS v
+      FROM terms
+    )
+    SELECT n_death_days, CAST(oe AS BIGINT) AS oe_micro,
+           CAST(v AS BIGINT) AS v_micro,
+           CAST((oe * oe) // (1000 * v) AS BIGINT) AS chi2_milli
+    FROM t
+    """,
+    tags=("testing", "logrank", "survival", "statistics"),
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two signup cohorts' time-to-purchase
+    survival curves — the hypothesis-test companion to
+    q_kaplan_meier's estimator (same durations, same right-censoring
+    at last activity; cohort = whether the user's smallest signup
+    props.k is < 50, a deterministic tie-free rule). At each death
+    day: observed-minus-expected group-1 deaths (d1j - dj*n1j/nj) and
+    the hypergeometric variance, each micro-quantized with ONE
+    truncating division before the exact sums; chi^2 = OE^2/V is one
+    more division. Group-at-risk counts come from per-GROUP suffix
+    sums over the duration histogram DENSIFIED at the death days (a
+    map-side explode of the two-row group domain) — everything is an
+    equi-join or a keyed window.
+
+    Scale: user-keyed aggregates (the only data-sized stages), then a
+    calendar-bounded histogram (<= days x 2 rows); the suffix window
+    partitions by cohort."""
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.when(
+                F.min(
+                    F.get_json_object("props", "$.k").cast("long")
+                )
+                < 50,
+                1,
+            )
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su.select("user_id", "t0"), "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_ev"))
+    )
+    ls = e.groupBy("user_id").agg(F.max("ts").alias("t_last"))
+    dur = (
+        su.join(pu, "user_id", "left")
+        .join(ls, "user_id")
+        .select(
+            "grp",
+            F.when(
+                F.col("t_ev").isNotNull(),
+                F.datediff(F.col("t_ev").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("t_last").cast("date"), F.col("t0").cast("date"))
+            )
+            .cast("long")
+            .alias("d_days"),
+            F.when(F.col("t_ev").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    h = dur.groupBy("d_days", "grp").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("ev").alias("d")
+    )
+    dd = h.groupBy("d_days").agg(F.sum("d").alias("dj_tot")).filter(
+        F.col("dj_tot") > 0
+    )
+    grid = dd.select(
+        "d_days",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("grp"),
+        F.lit(0).cast("long").alias("n_all"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    merged = (
+        h.select("d_days", "grp", "n_all", "d")
+        .unionAll(grid)
+        .groupBy("d_days", "grp")
+        .agg(F.sum("n_all").alias("n_all"), F.sum("d").alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("d_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = merged.select(
+        "d_days", "grp", "d", F.sum("n_all").over(w).cast("long").alias("n_risk")
+    )
+    byday = (
+        r.groupBy("d_days")
+        .agg(
+            F.sum("d").cast("long").alias("dj"),
+            F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("d1j"),
+            F.sum("n_risk").cast("long").alias("nj"),
+            F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0))
+            .cast("long")
+            .alias("n1j"),
+        )
+        .filter(F.col("dj") > 0)
+    )
+    terms = byday.select(
+        F.expr(
+            "(1000000 * (d1j * nj - dj * n1j)) div nj"
+        ).alias("oe_micro"),
+        F.expr(
+            "CASE WHEN nj > 1 THEN"
+            " (1000000 * dj * n1j * (nj - n1j) * (nj - dj))"
+            " div (nj * nj * (nj - 1)) ELSE 0 END"
+        ).alias("v_micro"),
+    )
+    t = terms.agg(
+        F.count(F.lit(1)).alias("n_death_days"),
+        F.sum("oe_micro").cast("decimal(38,0)").alias("oe"),
+        F.sum("v_micro").cast("decimal(38,0)").alias("v"),
+    )
+    return t.select(
+        "n_death_days",
+        F.col("oe").cast("long").alias("oe_micro"),
+        F.col("v").cast("long").alias("v_micro"),
+        F.expr("CAST((oe * oe) div (1000 * v) AS BIGINT)").alias(
+            "chi2_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_granger_causality (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_granger_causality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS HUGEINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    p AS (SELECT day, y FROM daily WHERE event_type = 'purchase'),
+    c AS (SELECT day, y FROM daily WHERE event_type = 'click'),
+    tri AS (
+      SELECT p0.y AS yt, p1.y AS x, c1.y AS z
+      FROM p p0
+      JOIN p p1 ON p1.day = p0.day - INTERVAL 1 DAY
+      JOIN c c1 ON c1.day = p0.day - INTERVAL 1 DAY
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(yt) AS sy, SUM(x) AS sx,
+             SUM(z) AS sz, SUM(yt * yt) AS syy, SUM(x * x) AS sxx,
+             SUM(z * z) AS szz, SUM(x * yt) AS sxy, SUM(z * yt) AS szy,
+             SUM(x * z) AS sxz
+      FROM tri
+    ),
+    cc AS (
+      SELECT n,
+             n * syy - sy * sy AS cyy, n * sxx - sx * sx AS cxx,
+             n * szz - sz * sz AS czz, n * sxy - sx * sy AS cxy,
+             n * szy - sz * sy AS czy, n * sxz - sx * sz AS cxz
+      FROM m
+    ),
+    f AS (
+      SELECT n,
+             cyy * cxx - cxy * cxy AS a,
+             cxx * czz - cxz * cxz AS d,
+             cyy * (cxx * czz - cxz * cxz)
+               - (cxy * cxy * czz - 2 * cxy * czy * cxz
+                  + czy * czy * cxx) AS b,
+             cxx
+      FROM cc
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST((1000 * (n - 3) * (a * d - b * cxx)) // (b * cxx)
+                AS BIGINT) AS f_milli
+    FROM f
+    """,
+    tags=("testing", "granger", "timeseries", "causal"),
+)
+def q_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag-1): do yesterday's CLICK counts improve
+    the prediction of today's PURCHASE counts beyond yesterday's
+    purchases alone? F = ((RSS_r - RSS_f)/1)/(RSS_f/(n-3)) comparing
+    the restricted AR(1) to the full two-regressor OLS. Both RSS
+    values stay RATIONAL: with centered cross-moment numerators C
+    (n*Sab - Sa*Sb), RSS_r = A/(n*Cxx) with A = Cyy*Cxx - Cxy^2, and
+    RSS_f = B/(n*D) with D = Cxx*Czz - Cxz^2 and B the 2-regressor
+    sweep — the n's cancel and f_milli = 1000(n-3)(A*D - B*Cxx) /
+    (B*Cxx) is ONE truncating division of exact integers. Headroom:
+    A*D ~ 2.6e34 at sf0.1 inside DECIMAL(38); at 100 TB deflate the
+    daily counts (div 100) first. The day-lag pairing is an equi-join
+    on day arithmetic — no window.
+
+    Scale: one calendar-bounded daily aggregate, two tiny day-keyed
+    equi-joins, one 1-row ten-moment reduction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("y"))
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select("day", "y")
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("day_c"), F.col("y").alias("z")
+    )
+    p0 = p.select(F.col("day").alias("day0"), F.col("y").alias("yt"))
+    p1 = p.select(F.col("day").alias("day1"), F.col("y").alias("x"))
+    tri = (
+        p0.join(p1, F.expr("day1 = day0 - INTERVAL 1 DAY"))
+        .join(c, F.expr("day_c = day0 - INTERVAL 1 DAY"))
+        .select("yt", "x", "z")
+    )
+    m = tri.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(yt)").alias("sy"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(z)").alias("sz"),
+        F.expr("SUM(yt * yt)").alias("syy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(z * z)").alias("szz"),
+        F.expr("SUM(x * yt)").alias("sxy"),
+        F.expr("SUM(z * yt)").alias("szy"),
+        F.expr("SUM(x * z)").alias("sxz"),
+    )
+    cc = m.select(
+        "n",
+        F.expr("n * syy - sy * sy").alias("cyy"),
+        F.expr("n * sxx - sx * sx").alias("cxx"),
+        F.expr("n * szz - sz * sz").alias("czz"),
+        F.expr("n * sxy - sx * sy").alias("cxy"),
+        F.expr("n * szy - sz * sy").alias("czy"),
+        F.expr("n * sxz - sx * sz").alias("cxz"),
+    )
+    f = cc.select(
+        "n",
+        F.expr("cyy * cxx - cxy * cxy").alias("a"),
+        F.expr("cxx * czz - cxz * cxz").alias("d"),
+        F.expr(
+            "cyy * (cxx * czz - cxz * cxz)"
+            " - (cxy * cxy * czz - 2 * cxy * czy * cxz + czy * czy * cxx)"
+        ).alias("b"),
+        "cxx",
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST((1000 * (n - 3) * (a * d - b * cxx)) div (b * cxx)"
+            " AS BIGINT)"
+        ).alias("f_milli"),
+    )
