@@ -679,3 +679,86 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * (n * sst - st * st)) AS BIGINT)"
         ).alias("alpha_milli"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_icc_reliability (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_icc_reliability",
+    oracle="""
+    WITH votes AS (
+      SELECT
+        (CASE WHEN len(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) BETWEEN 50 AND 100000
+              THEN 1 ELSE 0 END
+       + CASE WHEN len(list_distinct(list_filter(
+                  string_split(text, ' '),
+                  t -> t IN ('the','and','of','to','a','in','is')))) >= 2
+              THEN 1 ELSE 0 END
+       + CASE WHEN 5 * len(list_filter(string_split(text, ' '),
+                                       t -> regexp_matches(t, '[a-z]')))
+                   >= 4 * len(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))
+              THEN 1 ELSE 0 END) AS r
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(r) AS HUGEINT) AS t,
+             CAST(SUM(r * r) AS HUGEINT) AS srr
+      FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_passes,
+           CAST((1000 * (2 * (n*srr - t*t) - (n - 1) * (3*t - srr)))
+                // (2 * (n*srr - t*t) + 2 * (n - 1) * (3*t - srr))
+                AS BIGINT) AS icc_milli
+    FROM m
+    """,
+    tags=("classify", "icc", "reliability", "rater-agreement"),
+)
+def q_icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) of the
+    three binary quality gates — the variance-decomposition read of
+    the same rater battery: what fraction of vote variance is
+    BETWEEN documents (signal) rather than between gates within a
+    document (disagreement)? Completes the reliability shelf —
+    q_fleiss_kappa (chance-corrected agreement), q_cronbach_alpha
+    (scale consistency), q_cochran_q (marginal homogeneity), ICC
+    (variance share). With binary items both mean squares reduce to
+    the row-total moments T and sum R_i^2: multiplying ICC =
+    (MSB - MSW)/(MSB + (k-1)MSW) through by 6n(n-1) clears every
+    denominator, so icc_milli is one truncating division of exact
+    integers — the same (n, T, sum R^2) surface Cronbach hashes,
+    decomposed the ANOVA way.
+
+    Scale: one map-side vote projection, one 1-row moment aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_words = F.size(toks)
+    v1 = F.when(n_words.between(50, 100000), 1).otherwise(0)
+    stop = F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    v2 = F.when(F.size(stop) >= 2, 1).otherwise(0)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    v3 = F.when(5 * n_alpha >= 4 * n_words, 1).otherwise(0)
+    votes = d.select((v1 + v2 + v3).alias("r"))
+    m = votes.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(r) AS DECIMAL(38,0))").alias("t"),
+        F.expr("CAST(SUM(r * r) AS DECIMAL(38,0))").alias("srr"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("t").cast("long").alias("total_passes"),
+        F.expr(
+            "CAST((1000 * (2 * (n*srr - t*t) - (n - 1) * (3*t - srr)))"
+            " div (2 * (n*srr - t*t) + 2 * (n - 1) * (3*t - srr))"
+            " AS BIGINT)"
+        ).alias("icc_milli"),
+    )

@@ -1384,3 +1384,187 @@ def q_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("f_milli"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_cohens_d (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cohens_d",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, CAST(ROUND(value * 100) AS HUGEINT) AS x
+      FROM events WHERE event_type IN ('view', 'error')
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+             SUM(x * x) AS ss
+      FROM base GROUP BY grp
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 'view' THEN n END) AS n1,
+             MAX(CASE WHEN grp = 'view' THEN s END) AS s1,
+             MAX(CASE WHEN grp = 'view' THEN ss END) AS ss1,
+             MAX(CASE WHEN grp = 'error' THEN n END) AS n2,
+             MAX(CASE WHEN grp = 'error' THEN s END) AS s2,
+             MAX(CASE WHEN grp = 'error' THEN ss END) AS ss2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(CASE WHEN s1 * n2 >= s2 * n1 THEN 1 ELSE -1 END AS BIGINT)
+             AS sign_d,
+           CAST((1000000 * (s1*n2 - s2*n1) * (s1*n2 - s2*n1) * (n1+n2-2))
+                // (n1 * n2 * (n2 * (n1*ss1 - s1*s1)
+                               + n1 * (n2*ss2 - s2*s2))) AS BIGINT)
+             AS d2_micro
+    FROM w
+    """,
+    tags=("testing", "cohens-d", "effect-size", "statistics"),
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size for 'view' vs 'error' event values — the
+    HOW-BIG companion to q_welch_ttest's IS-IT-REAL (and the
+    parametric counterpart of q_cliffs_delta): d = (m1 - m2)/s_pooled.
+    Emitted SQUARED with its sign so the sqrt never executes:
+    d^2 = (S1*n2 - S2*n1)^2 (n1+n2-2) / (n1*n2*[n2(n1*SS1 - S1^2) +
+    n1(n2*SS2 - S2^2)]) — the mean difference and pooled variance
+    share the n1*n2 denominator, so d2_micro is ONE truncating
+    division of exact cent moments. |d| = 0.2/0.5/0.8 benchmarks map
+    to d2_micro 40k / 250k / 640k.
+
+    Scale: one filtered scan, one 2-group moment aggregate, one 1-row
+    conditional pivot — six numbers per partition cross the wire."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("view", "error")).select(
+        F.col("event_type").alias("grp"),
+        F.expr(
+            "CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))"
+        ).alias("x"),
+    )
+    g = base.groupBy("grp").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(x)").alias("s"),
+        F.expr("SUM(x * x)").alias("ss"),
+    )
+    w = g.agg(
+        F.expr("MAX(CASE WHEN grp = 'view' THEN n END)").alias("n1"),
+        F.expr("MAX(CASE WHEN grp = 'view' THEN s END)").alias("s1"),
+        F.expr("MAX(CASE WHEN grp = 'view' THEN ss END)").alias("ss1"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN n END)").alias("n2"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN s END)").alias("s2"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN ss END)").alias("ss2"),
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr(
+            "CAST(CASE WHEN s1 * n2 >= s2 * n1 THEN 1 ELSE -1 END"
+            " AS BIGINT)"
+        ).alias("sign_d"),
+        F.expr(
+            "CAST((1000000 * (s1*n2 - s2*n1) * (s1*n2 - s2*n1)"
+            " * (n1+n2-2))"
+            " div (n1 * n2 * (n2 * (n1*ss1 - s1*s1)"
+            " + n1 * (n2*ss2 - s2*s2))) AS BIGINT)"
+        ).alias("d2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_bartlett_test (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_bartlett_test",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, CAST(ROUND(value * 100) AS HUGEINT) AS x
+      FROM events
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+             SUM(x * x) AS ss
+      FROM base GROUP BY grp
+    ),
+    q AS (
+      SELECT grp, n, (n * ss - s * s) // (n * (n - 1)) AS s2q,
+             CAST(ROUND(1000000 * ln(CAST((n * ss - s * s)
+                  // (n * (n - 1)) AS DOUBLE))) AS BIGINT) AS ln_micro
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM((n - 1) * s2q) AS HUGEINT) AS sw,
+             CAST(SUM((n - 1) * ln_micro) AS HUGEINT) AS sum_ln
+      FROM q
+    ),
+    sp AS (SELECT nn, k, sum_ln, sw // (nn - k) AS sp2q FROM tot)
+    SELECT CAST(nn AS BIGINT) AS n_events, CAST(k AS BIGINT) AS k_groups,
+           CAST((nn - k) * CAST(ROUND(1000000 * ln(CAST(sp2q AS DOUBLE)))
+                                AS BIGINT) - sum_ln AS BIGINT) AS b_micro
+    FROM sp
+    """,
+    tags=("testing", "bartlett", "variance", "statistics"),
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of equal variances across the five event types
+    — the PARAMETRIC counterpart of q_levene_test's robust
+    Brown-Forsythe (run both: Bartlett is sharper under normality,
+    Levene survives heavy tails; q_jarque_bera says which regime you
+    are in): B = (N-k) ln(sp^2) - sum (n_i-1) ln(s_i^2), uncorrected
+    form in micro-nats. Each group variance is quantized to an exact
+    INTEGER cents^2 value by one truncating division BEFORE the ln
+    (s2q ~ 2.5e7 is exactly double-representable at any SF — the
+    decimal->double cast-above-2^53 trap never fires), and each ln is
+    a single IEEE op over that exactly-equal operand, ROUNDed once to
+    micro-nats (the q_kaplan_meier step treatment).
+
+    Scale: one 5-group moment aggregate, one 1-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("grp"),
+        F.expr(
+            "CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))"
+        ).alias("x"),
+    )
+    g = base.groupBy("grp").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(x)").alias("s"),
+        F.expr("SUM(x * x)").alias("ss"),
+    )
+    q = g.select(
+        "n",
+        F.expr(
+            "CAST((n * ss - s * s) div (n * (n - 1)) AS DECIMAL(38,0))"
+        ).alias("s2q"),
+        F.expr(
+            "CAST(ROUND(1000000 * ln(CAST((n * ss - s * s)"
+            " div (n * (n - 1)) AS DOUBLE))) AS BIGINT)"
+        ).alias("ln_micro"),
+    )
+    tot = q.agg(
+        F.expr("CAST(SUM(n) AS DECIMAL(38,0))").alias("nn"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("k"),
+        F.expr("CAST(SUM((n - 1) * s2q) AS DECIMAL(38,0))").alias("sw"),
+        F.expr("CAST(SUM((n - 1) * ln_micro) AS DECIMAL(38,0))").alias(
+            "sum_ln"
+        ),
+    )
+    sp = tot.select(
+        "nn",
+        "k",
+        "sum_ln",
+        F.expr("CAST(sw div (nn - k) AS DECIMAL(38,0))").alias("sp2q"),
+    )
+    return sp.select(
+        F.col("nn").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.expr(
+            "CAST((nn - k) * CAST(ROUND(1000000 * ln(CAST(sp2q AS DOUBLE)))"
+            " AS BIGINT) - sum_ln AS BIGINT)"
+        ).alias("b_micro"),
+    )
