@@ -1,8 +1,8 @@
 """Shared co-purchase edge derivation for the graph family.
 
-Six graph queries (q_label_propagation, q_modularity,
+Seven graph queries (q_label_propagation, q_modularity,
 q_copurchase_triangles, q_degree_assortativity, q_adamic_adar,
-q_kcore_peel) analyze the SAME part co-purchase graph: nodes are
+q_kcore_peel, q_truss_support) analyze the SAME part co-purchase graph: nodes are
 parts, an edge joins two parts appearing in one order. Before round 5
 each derived it independently — a lineitem self-join on l_orderkey
 plus a pair aggregate, by far the family's largest constant (the 10x

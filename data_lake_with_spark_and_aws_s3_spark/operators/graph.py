@@ -927,3 +927,75 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+# ---------------------------------------------------------------------
+# q_truss_support (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_truss_support",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (SELECT DISTINCT pa, pb FROM pairs),
+    nbrs AS MATERIALIZED (
+      SELECT pa AS v, pb AS w FROM edges
+      UNION ALL SELECT pb AS v, pa AS w FROM edges
+    ),
+    tri AS (
+      SELECT e.pa, e.pb, CAST(COUNT(*) AS BIGINT) AS support
+      FROM edges e
+      JOIN nbrs na ON na.v = e.pa
+      JOIN nbrs nb ON nb.v = e.pb AND nb.w = na.w
+      GROUP BY e.pa, e.pb
+    ),
+    sup AS (
+      SELECT e.pa, e.pb, COALESCE(t.support, 0) AS support
+      FROM edges e LEFT JOIN tri t ON t.pa = e.pa AND t.pb = e.pb
+    )
+    SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM sup GROUP BY support
+    """,
+    tags=("graph", "truss", "triangles", "cohesion"),
+)
+def q_truss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support histogram of the part co-purchase
+    graph — the k-truss readiness report: an edge with support s
+    survives in the (s+2)-truss candidate set, so the histogram says
+    exactly how much of the graph each truss level would keep (the
+    edge-cohesion complement to q_kcore_peel's vertex peel and
+    q_copurchase_triangles' global count). Support(u,v) =
+    |N(u) inter N(v)| via the standard edge-anchored wedge join:
+    edges join neighbor lists of BOTH endpoints on the shared third
+    vertex — each triangle is counted once per edge, exactly.
+
+    Scale: fan-out is sum over edges of min-endpoint degree (the
+    triangle-enumeration bound, same envelope as q_adamic_adar's
+    common-neighbor join; at 100 TB orient wedges from the
+    lower-degree endpoint and df-cap super-hubs first). Zero-support
+    edges re-enter via a key-wise left join; output is a bounded
+    histogram (max degree rows). Edge derivation is the family-shared
+    checkpoint (_edges.copurchase_edges)."""
+    edges = copurchase_edges(spark, sf_dir)
+    nbrs = edges.select(
+        F.col("pa").alias("v"), F.col("pb").alias("w")
+    ).unionAll(edges.select(F.col("pb").alias("v"), F.col("pa").alias("w")))
+    na = nbrs.select(F.col("v").alias("va"), F.col("w").alias("wa"))
+    nb = nbrs.select(F.col("v").alias("vb"), F.col("w").alias("wb"))
+    tri = (
+        edges.join(na, F.col("va") == F.col("pa"))
+        .join(nb, (F.col("vb") == F.col("pb")) & (F.col("wb") == F.col("wa")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    sup = edges.join(tri, ["pa", "pb"], "left").select(
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+    return sup.groupBy("support").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )

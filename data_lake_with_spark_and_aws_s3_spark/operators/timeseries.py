@@ -1970,3 +1970,152 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (1000000000000 - r1 * r1) AS BIGINT)"
         ).alias("pacf2_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_periodogram (round 8, session 3)
+# ---------------------------------------------------------------------
+
+# Milli-scaled cos/sin tables at the candidate periods: literal integer
+# constants (no libm at query time — the q_sprt_boundary embedded-
+# constant rule), so both engines sum EXACTLY the same integers.
+_PGRAM_TRIG = {3: ([1000, -500, -500], [0, 866, -866]), 7: ([1000, 623, -223, -901, -901, -223, 623], [0, 782, 975, 434, -434, -975, -782])}
+
+
+@query(
+    "q_periodogram",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS period, CAST(n AS BIGINT) AS n_days,
+           CAST((1000 * ((cxx*czz - cxz*cxz) * cyy
+                 - (cyy * (cxx*czz - cxz*cxz)
+                    - (cxy*cxy*czz - 2*cxy*czy*cxz + czy*czy*cxx))))
+                // ((cxx*czz - cxz*cxz) * cyy) AS BIGINT) AS r2_milli
+    FROM (
+      SELECT n, n*syy - sy*sy AS cyy, n*sxx - sx*sx AS cxx,
+             n*szz - sz*sz AS czz, n*sxy - sx*sy AS cxy,
+             n*szy - sz*sy AS czy, n*sxz - sx*sz AS cxz
+      FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS sy, SUM(c) AS sx,
+               SUM(s) AS sz, SUM(y*y) AS syy, SUM(c*c) AS sxx,
+               SUM(s*s) AS szz, SUM(c*y) AS sxy, SUM(s*y) AS szy,
+               SUM(c*s) AS sxz
+        FROM (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS y,
+                 CAST(CASE (t % 3) WHEN 0 THEN 1000 WHEN 1 THEN -500 WHEN 2 THEN -500 END AS HUGEINT) AS c,
+                 CAST(CASE (t % 3) WHEN 0 THEN 0 WHEN 1 THEN 866 WHEN 2 THEN -866 END AS HUGEINT) AS s
+          FROM (SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS t FROM events)
+          GROUP BY t
+        )
+      )
+    ) UNION ALL 
+    SELECT CAST(7 AS BIGINT) AS period, CAST(n AS BIGINT) AS n_days,
+           CAST((1000 * ((cxx*czz - cxz*cxz) * cyy
+                 - (cyy * (cxx*czz - cxz*cxz)
+                    - (cxy*cxy*czz - 2*cxy*czy*cxz + czy*czy*cxx))))
+                // ((cxx*czz - cxz*cxz) * cyy) AS BIGINT) AS r2_milli
+    FROM (
+      SELECT n, n*syy - sy*sy AS cyy, n*sxx - sx*sx AS cxx,
+             n*szz - sz*sz AS czz, n*sxy - sx*sy AS cxy,
+             n*szy - sz*sy AS czy, n*sxz - sx*sz AS cxz
+      FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS sy, SUM(c) AS sx,
+               SUM(s) AS sz, SUM(y*y) AS syy, SUM(c*c) AS sxx,
+               SUM(s*s) AS szz, SUM(c*y) AS sxy, SUM(s*y) AS szy,
+               SUM(c*s) AS sxz
+        FROM (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS y,
+                 CAST(CASE (t % 7) WHEN 0 THEN 1000 WHEN 1 THEN 623 WHEN 2 THEN -223 WHEN 3 THEN -901 WHEN 4 THEN -901 WHEN 5 THEN -223 WHEN 6 THEN 623 END AS HUGEINT) AS c,
+                 CAST(CASE (t % 7) WHEN 0 THEN 0 WHEN 1 THEN 782 WHEN 2 THEN 975 WHEN 3 THEN 434 WHEN 4 THEN -434 WHEN 5 THEN -975 WHEN 6 THEN -782 END AS HUGEINT) AS s
+          FROM (SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS t FROM events)
+          GROUP BY t
+        )
+      )
+    )
+    """,
+    tags=("timeseries", "periodogram", "seasonality", "harmonic"),
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic-regression periodogram of the daily event-count
+    series at candidate periods 3 and 7: the fraction of variance a
+    single (cos, sin) pair at that frequency explains — R^2 of the
+    two-regressor OLS, the Goertzel/single-bin-DFT read that answers
+    "is there a weekly cycle" BEFORE q_seasonal_decompose commits to
+    one. The trig design columns are milli-scaled INTEGER literals
+    keyed by day-ordinal mod p (~0.1% design quantization, identical
+    on both engines), and R^2 = (D*Cyy - B)/(D*Cyy) reuses the exact
+    two-regressor determinant sweep from q_granger_causality — one
+    truncating division per period, no libm, no float accumulation.
+    Period 2 is excluded: its sine column is identically zero and the
+    design matrix goes singular (use the cosine-only contrast in
+    q_autocorrelation's lag-2 moments instead).
+
+    Scale: one calendar-bounded daily aggregate per period (constant
+    2-branch union), each followed by a 1-row ten-moment reduction."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    )
+    outs = []
+    for p, (ctab, stab) in sorted(_PGRAM_TRIG.items()):
+        c_case = "CASE (t % {p}) {c} END".format(
+            p=p,
+            c=" ".join(
+                "WHEN {r} THEN {v}".format(r=r, v=v)
+                for r, v in enumerate(ctab)
+            ),
+        )
+        s_case = "CASE (t % {p}) {c} END".format(
+            p=p,
+            c=" ".join(
+                "WHEN {r} THEN {v}".format(r=r, v=v)
+                for r, v in enumerate(stab)
+            ),
+        )
+        daily = days.groupBy("t").agg(
+            F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("y")
+        ).select(
+            "y",
+            F.expr(f"CAST({c_case} AS DECIMAL(38,0))").alias("c"),
+            F.expr(f"CAST({s_case} AS DECIMAL(38,0))").alias("s"),
+        )
+        m = daily.agg(
+            F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+            F.expr("SUM(y)").alias("sy"),
+            F.expr("SUM(c)").alias("sx"),
+            F.expr("SUM(s)").alias("sz"),
+            F.expr("SUM(y*y)").alias("syy"),
+            F.expr("SUM(c*c)").alias("sxx"),
+            F.expr("SUM(s*s)").alias("szz"),
+            F.expr("SUM(c*y)").alias("sxy"),
+            F.expr("SUM(s*y)").alias("szy"),
+            F.expr("SUM(c*s)").alias("sxz"),
+        )
+        cc = m.select(
+            "n",
+            F.expr("n*syy - sy*sy").alias("cyy"),
+            F.expr("n*sxx - sx*sx").alias("cxx"),
+            F.expr("n*szz - sz*sz").alias("czz"),
+            F.expr("n*sxy - sx*sy").alias("cxy"),
+            F.expr("n*szy - sz*sy").alias("czy"),
+            F.expr("n*sxz - sx*sz").alias("cxz"),
+        )
+        outs.append(
+            cc.select(
+                F.lit(p).cast("long").alias("period"),
+                F.col("n").cast("long").alias("n_days"),
+                F.expr(
+                    "CAST((1000 * ((cxx*czz - cxz*cxz) * cyy"
+                    " - (cyy * (cxx*czz - cxz*cxz)"
+                    " - (cxy*cxy*czz - 2*cxy*czy*cxz + czy*czy*cxx))))"
+                    " div ((cxx*czz - cxz*cxz) * cyy) AS BIGINT)"
+                ).alias("r2_milli"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
