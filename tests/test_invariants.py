@@ -390,3 +390,120 @@ def test_round8_session2_structural_invariants(spark):
     est, truth = ht["est_tokens"].sum(), ht["exact_tokens"].sum()
     assert (ht.loc[ht["n_draws"] > 0, "est_tokens"] > 0).all()
     assert 0.5 * truth < est < 1.5 * truth
+
+
+def test_round8_session3_structural_invariants(spark):
+    """Oracle-independent semantics of the round-8 session-3 battery:
+    each property holds for ANY input, so a both-engines-wrong bug
+    cannot hide behind a green parity row."""
+    # Cochran's Q is a nonnegative quadratic form; column totals are
+    # bounded by the document count
+    cq = REGISTRY["q_cochran_q"].fn(spark, SF).toPandas().iloc[0]
+    assert cq["q_milli"] >= 0
+    n = int(cq["n_docs"])
+    assert all(0 <= int(cq[c]) <= n for c in ("c1", "c2", "c3"))
+
+    # Grubbs: 0 <= G^2 <= (n-1)^2/n (the max-normed-residual bound)
+    g = REGISTRY["q_grubbs_test"].fn(spark, SF).toPandas().iloc[0]
+    nd = int(g["n_days"])
+    assert 0 <= int(g["g2_micro"]) <= 1_000_000 * (nd - 1) ** 2 // nd
+
+    # Dixon: both gap ratios are proportions of the full range
+    dx = REGISTRY["q_dixon_q"].fn(spark, SF).toPandas().iloc[0]
+    assert dx["x1"] <= dx["x2"] <= dx["xn"] and dx["xn1"] <= dx["xn"]
+    assert 0 <= dx["q_low_milli"] <= 1000
+    assert 0 <= dx["q_high_milli"] <= 1000
+
+    # Ljung-Box: all 5 lags present, |rho| <= 1, each Q term >= 0
+    lb = REGISTRY["q_ljung_box"].fn(spark, SF).toPandas()
+    assert sorted(lb["lag"]) == [1, 2, 3, 4, 5]
+    assert lb["rho_milli"].between(-1000, 1000).all()
+    assert (lb["lb_term_micro"] >= 0).all()
+
+    # Jarque-Bera: squared skewness and JB nonnegative, kurtosis of a
+    # nondegenerate sample positive
+    jb = REGISTRY["q_jarque_bera"].fn(spark, SF).toPandas().iloc[0]
+    assert jb["skew2_micro"] >= 0 and jb["jb_milli"] >= 0
+    assert jb["kurt_micro"] > 0
+
+    # Mantel-Haenszel: both micro sums nonnegative; OR positive when
+    # both are nonzero
+    mh = REGISTRY["q_mantel_haenszel"].fn(spark, SF).toPandas().iloc[0]
+    assert mh["rs_micro"] >= 0 and mh["ss_micro"] >= 0
+    assert mh["k_strata"] >= 2
+    if mh["ss_micro"] > 0:
+        assert mh["or_mh_milli"] >= 0
+
+    # Partial correlation: both r^2 are milli-proportions, sign in
+    # {-1, +1}
+    pc = REGISTRY["q_partial_correlation"].fn(spark, SF).toPandas().iloc[0]
+    assert 0 <= pc["r2_xy_milli"] <= 1000
+    assert 0 <= pc["r2_partial_milli"] <= 1000
+    assert pc["sign_partial"] in (-1, 1)
+
+    # Page's L: doubled L within the doubled rank-algebra extremes
+    # (every block contributes between sum j*r2 of the reversed and
+    # forward perfect orderings); z^2 nonnegative
+    pg = REGISTRY["q_page_trend"].fn(spark, SF).toPandas().iloc[0]
+    b, k = int(pg["b"]), int(pg["k"])
+    lo = 2 * b * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    hi = 2 * b * sum(j * j for j in range(1, k + 1))
+    assert lo <= int(pg["l2"]) <= hi
+    assert pg["z2_milli"] >= 0
+
+    # Ansari-Bradley: each group's doubled score mass positive and
+    # below the total doubled mass N(N+1) (loose upper bound)
+    ab = REGISTRY["q_ansari_bradley"].fn(spark, SF).toPandas()
+    ntot = int(ab["n"].sum())
+    assert (ab["ab2_micro"] > 0).all()
+    assert (ab["ab2_micro"] <= 1_000_000 * ntot * (ntot + 1)).all()
+
+    # Quade: T >= 0 and sum_j T_j^2 <= b * sum S^2 (Cauchy-Schwarz)
+    qd = REGISTRY["q_quade_test"].fn(spark, SF).toPandas().iloc[0]
+    assert qd["t_milli"] >= 0
+    assert int(qd["sumt"]) <= int(qd["b"]) * int(qd["suma"])
+
+    # Log-rank: hypergeometric variance and chi^2 nonnegative
+    lr = REGISTRY["q_logrank_test"].fn(spark, SF).toPandas().iloc[0]
+    assert lr["v_micro"] >= 0 and lr["chi2_milli"] >= 0
+    assert lr["n_death_days"] > 0
+
+    # Granger: nested-model F is exactly nonnegative (A*D - B*Cxx is
+    # n^2 * det_r * det_f * (RSS_r - RSS_f) >= 0 in exact arithmetic)
+    gr = REGISTRY["q_granger_causality"].fn(spark, SF).toPandas().iloc[0]
+    assert gr["f_milli"] >= 0 and gr["n_days"] > 3
+
+    # Cohen's d: squared effect nonnegative, sign in {-1, +1}
+    cd = REGISTRY["q_cohens_d"].fn(spark, SF).toPandas().iloc[0]
+    assert cd["d2_micro"] >= 0 and cd["sign_d"] in (-1, 1)
+
+    # Bartlett: B >= 0 up to the micro-nat rounding slack (Jensen on
+    # the concave ln; each of the k+1 rounded terms carries <= 0.5
+    # micro-nat, scaled by the (n_i - 1) weights ~ N)
+    bt = REGISTRY["q_bartlett_test"].fn(spark, SF).toPandas().iloc[0]
+    assert int(bt["b_micro"]) >= -int(bt["n_events"])
+
+    # ICC(1) with k=3 raters lives in [-1/2, 1]
+    icc = REGISTRY["q_icc_reliability"].fn(spark, SF).toPandas().iloc[0]
+    assert -500 <= icc["icc_milli"] <= 1000
+
+    # HHI: between the even-split floor 1e6/n and 1e6
+    hhi = REGISTRY["q_hhi_concentration"].fn(spark, SF).toPandas()
+    assert (hhi["hhi_ppm"] <= 1_000_000).all()
+    assert (hhi["hhi_ppm"] >= 1_000_000 // hhi["n_suppliers"] - 1).all()
+
+    # Periodogram: R^2 is a milli-proportion at both periods
+    pgram = REGISTRY["q_periodogram"].fn(spark, SF).toPandas()
+    assert sorted(pgram["period"]) == [3, 7]
+    assert pgram["r2_milli"].between(0, 1000).all()
+
+    # Truss support vs the independently-computed triangle census:
+    # sum(support * n_edges) counts each triangle once per edge = 3x,
+    # and the histogram's edge total matches the census edge count
+    ts = REGISTRY["q_truss_support"].fn(spark, SF).toPandas()
+    tri = REGISTRY["q_copurchase_triangles"].fn(spark, SF).toPandas().iloc[0]
+    assert (ts["support"] >= 0).all()
+    assert int(ts["n_edges"].sum()) == int(tri["n_edges"])
+    assert int((ts["support"] * ts["n_edges"]).sum()) == 3 * int(
+        tri["n_triangles"]
+    )
