@@ -125,6 +125,14 @@ FAMILIES = {
     "q_bitmap_overlap": lambda spark, d: {
         "bitmap_words": bitmap_words(spark, d),
     },
+    # round-8 session-3: the AB dispersion ranks ride the value
+    # HISTOGRAM (distinct cents), not rows — currency is histogram size
+    "q_ansari_bradley": lambda spark, d: {
+        "distinct_values": load_table(spark, d, "events")
+        .filter(F.col("event_type").isin("view", "error"))
+        .select(F.round(F.col("value") * 100).cast("long").alias("x"))
+        .distinct().count(),
+    },
     "q_kmv_sketch": lambda spark, d: {
         "distinct_users": load_table(spark, d, "events")
         .select("user_id").distinct().count(),
@@ -292,6 +300,12 @@ GRAPH_FAMILIES = {
         "copurchase_edges": copurchase_edges(spark, d)
     },
     "q_kcore_peel": lambda spark, d: {
+        "copurchase_edges": copurchase_edges(spark, d)
+    },
+    # round-8 session-3: per-edge triangle support — the wedge join
+    # shares q_adamic_adar's sum(deg^2) envelope over the shared edge
+    # checkpoint; currency is the edge count
+    "q_truss_support": lambda spark, d: {
         "copurchase_edges": copurchase_edges(spark, d)
     },
     # round 7: seed-teleport PPR — same per-iteration dataflow as
