@@ -629,3 +629,84 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_null_safe_join (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE CAST(c_acctbal AS BIGINT) // 1000 END AS k
+      FROM customer
+    ),
+    b AS (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice > 300000 THEN NULL
+                  ELSE CAST(o_totalprice AS BIGINT) // 20000 END AS k
+      FROM orders
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS BIGINT)
+        AS eq_matches,
+      CAST((SELECT COUNT(*) FROM a JOIN b
+            ON a.k IS NOT DISTINCT FROM b.k) AS BIGINT)
+        AS nullsafe_matches,
+      CAST((SELECT COUNT(*) FROM a WHERE k IS NULL) AS BIGINT)
+        AS null_left,
+      CAST((SELECT COUNT(*) FROM b WHERE k IS NULL) AS BIGINT)
+        AS null_right
+    """,
+    tags=("joins", "null-safe", "equi-join", "semantics"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) vs the
+    standard equality join on a NULLABLE derived key — the §2.3
+    semantics row: `=` silently drops every NULL-keyed row on both
+    sides, `<=>` treats NULL as a joinable value. The report emits
+    both match counts plus the per-side NULL populations, and the
+    identity nullsafe = eq + null_left * null_right is the built-in
+    cross-check (NULL becomes ONE join bucket).
+
+    Scale: both joins stay hash-partitionable (EqualNullSafe is a
+    valid equi-join key in Spark — no nested loop), but that single
+    NULL bucket is a textbook skew cell: at 100 TB, null_left *
+    null_right rows hit one reducer. The emitted null populations ARE
+    the audit for that — route NULLs through q_salted_join_agg's
+    salting or pre-filter them when the product is large."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.select(
+        F.expr(
+            "CASE WHEN c_acctbal < 0 THEN NULL"
+            " ELSE CAST(c_acctbal AS BIGINT) div 1000 END"
+        ).alias("ka")
+    )
+    b = o.select(
+        F.expr(
+            "CASE WHEN o_totalprice > 300000 THEN NULL"
+            " ELSE CAST(o_totalprice AS BIGINT) div 20000 END"
+        ).alias("kb")
+    )
+    eq = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).alias("eq_matches")
+    )
+    ns = a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count(F.lit(1)).alias("nullsafe_matches")
+    )
+    nl = a.filter(F.col("ka").isNull()).agg(
+        F.count(F.lit(1)).alias("null_left")
+    )
+    nr = b.filter(F.col("kb").isNull()).agg(
+        F.count(F.lit(1)).alias("null_right")
+    )
+    return (
+        eq.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+    )

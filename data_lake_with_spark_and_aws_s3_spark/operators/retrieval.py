@@ -1463,3 +1463,127 @@ def q_bm25_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_overlap").alias("overlap_with_default"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_rouge_reference (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_rouge_reference",
+    oracle="""
+    WITH ref AS (
+      SELECT lang, arg_max(doc_id, n_chars * 1000000000 + doc_id)
+               AS ref_id
+      FROM documents GROUP BY lang
+    ),
+    tf AS (
+      SELECT doc_id, lang, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(tok)
+      GROUP BY 1, 2, 3
+    ),
+    rtf AS (
+      SELECT ref.lang, tf.tok, tf.tf AS rtf
+      FROM tf JOIN ref ON tf.doc_id = ref.ref_id
+    ),
+    ov AS (
+      SELECT tf.doc_id, tf.lang,
+             CAST(SUM(LEAST(tf.tf, rtf.rtf)) AS BIGINT) AS overlap
+      FROM tf JOIN rtf ON rtf.lang = tf.lang AND rtf.tok = tf.tok
+      GROUP BY 1, 2
+    ),
+    lens AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+    ),
+    rlen AS (
+      SELECT lang, CAST(SUM(rtf) AS BIGINT) AS rlen FROM rtf GROUP BY lang
+    ),
+    sc AS (
+      SELECT ov.lang, ov.doc_id,
+             (1000000 * ov.overlap) // lens.len AS p_ppm,
+             (1000000 * ov.overlap) // rlen.rlen AS r_ppm,
+             (2000000 * ov.overlap) // (lens.len + rlen.rlen) AS f1_ppm
+      FROM ov JOIN lens USING (doc_id) JOIN rlen USING (lang)
+      JOIN ref ON ref.lang = ov.lang AND ov.doc_id <> ref.ref_id
+    )
+    SELECT lang, doc_id, p_ppm, r_ppm, f1_ppm
+    FROM sc
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY f1_ppm DESC, doc_id) <= 3
+    """,
+    tags=("retrieval", "rouge", "overlap", "evaluation"),
+)
+def q_rouge_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 overlap profile against a per-language REFERENCE
+    document (the longest doc, deterministic (n_chars, doc_id)
+    argmax): unigram-multiset precision, recall, and F1 for every
+    other doc in the language, top-3 per language by F1. The
+    summarization-eval member of the overlap family — clipped
+    COUNT overlap sum min(tf, tf_ref), which Jaccard
+    (q_minhash_lsh's verify) and containment (q_minhash_containment)
+    both discard by going set-valued. All three scores are single
+    truncating ppm divisions of exact counts.
+
+    Scale: term frequencies are one (doc, token) aggregate; the
+    reference side is |langs| x vocab rows and BROADCASTS into the
+    overlap join, so the corpus-sized side shuffles once by (lang,
+    token) — never doc x doc. Per-language top-3 is a lang-keyed
+    rank window over the scored frame."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.groupBy("lang").agg(
+        F.expr(
+            "max_by(doc_id, n_chars * 1000000000 + doc_id)"
+        ).alias("ref_id")
+    ).select(F.col("lang").alias("ref_lang"), "ref_id")
+    tf = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rtf = (
+        tf.join(F.broadcast(ref), F.col("doc_id") == F.col("ref_id"))
+        .select(
+            F.col("ref_lang").alias("rlang"),
+            F.col("tok").alias("rtok"),
+            F.col("tf").alias("rtf"),
+        )
+    )
+    ov = (
+        tf.join(
+            F.broadcast(rtf),
+            (F.col("rlang") == F.col("lang"))
+            & (F.col("rtok") == F.col("tok")),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.least(F.col("tf"), F.col("rtf"))).alias("overlap"))
+    )
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    rlen = rtf.groupBy("rlang").agg(F.sum("rtf").alias("rlen"))
+    sc = (
+        ov.join(lens, "doc_id")
+        .join(F.broadcast(rlen), F.col("rlang") == F.col("lang"))
+        .join(F.broadcast(ref), F.col("ref_lang") == F.col("lang"))
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select(
+            "lang",
+            "doc_id",
+            F.expr("(1000000 * overlap) div len").alias("p_ppm"),
+            F.expr("(1000000 * overlap) div rlen").alias("r_ppm"),
+            F.expr("(2000000 * overlap) div (len + rlen)").alias("f1_ppm"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f1_ppm"), "doc_id")
+    return (
+        sc.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
