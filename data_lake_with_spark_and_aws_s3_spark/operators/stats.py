@@ -2730,3 +2730,113 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND (1000000 * g_hi * g_hi) div v > {_TOST_Z2_MICRO}"
         ).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_theil_decomposition (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_theil_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    seg AS (
+      SELECT c.c_mktsegment AS g, cust.x
+      FROM cust JOIN customer c ON c.c_custkey = cust.ck
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn, SUM(x) AS xx FROM seg),
+    gt AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng, SUM(x) AS xg
+      FROM seg GROUP BY g
+    ),
+    terms AS (
+      SELECT seg.g, seg.x,
+             CAST(ROUND(1000000 * ln(CAST(gt.ng * seg.x AS DOUBLE)
+                                     / CAST(gt.xg AS DOUBLE)))
+                  AS BIGINT) AS ln_within
+      FROM seg JOIN gt USING (g)
+    ),
+    tw AS (
+      SELECT g, CAST(SUM(x * ln_within) AS HUGEINT) AS num
+      FROM terms GROUP BY g
+    )
+    SELECT gt.g AS segment, CAST(gt.ng AS BIGINT) AS n_customers,
+           CAST(gt.xg AS BIGINT) AS cents,
+           CAST(tw.num // gt.xg AS BIGINT) AS t_within_micro,
+           CAST(ROUND(1000000 * ln(CAST(tot.nn * gt.xg AS DOUBLE)
+                                   / CAST(gt.ng * tot.xx AS DOUBLE)))
+                AS BIGINT) AS ln_between_micro,
+           CAST((1000000 * gt.xg) // tot.xx AS BIGINT) AS share_ppm
+    FROM gt, tot JOIN tw ON tw.g = gt.g
+    """,
+    tags=("stats", "theil", "inequality", "decomposition"),
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-customer revenue, DECOMPOSED by
+    market segment — the additively-decomposable index q_gini_revenue
+    cannot give you: T = sum_g s_g * T_g(within) + sum_g s_g *
+    ln(share_g / popshare_g)(between), so the report says how much
+    revenue inequality lives INSIDE segments vs BETWEEN them. Each
+    customer contributes one ln of the exact integer ratio
+    n_g*x_i/X_g, ROUNDed once to micro-nats before the exact x-
+    weighted sum (the q_kaplan_meier step treatment); the per-segment
+    between term and revenue share are one ln / one division each.
+    All ln arguments stay exactly double-representable through sf10
+    (N*x ~ 1.5e12 at sf0.1 << 2^53).
+
+    Scale: a customer-keyed aggregate, a broadcast customer-dim join,
+    a |segments|-group reduction, a 1-row total stitch — the ln runs
+    map-side per customer row, never collected."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0))"
+        ).alias("x")
+    )
+    seg = cust.join(
+        F.broadcast(c), F.col("ck") == F.col("c_custkey")
+    ).select(F.col("c_mktsegment").alias("g"), "x")
+    tot = seg.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("nn"),
+        F.expr("SUM(x)").alias("xx"),
+    )
+    gt = seg.groupBy("g").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("ng"),
+        F.expr("SUM(x)").alias("xg"),
+    )
+    terms = seg.join(F.broadcast(gt), "g").select(
+        "g",
+        "x",
+        F.expr(
+            "CAST(ROUND(1000000 * ln(CAST(ng * x AS DOUBLE)"
+            " / CAST(xg AS DOUBLE))) AS BIGINT)"
+        ).alias("ln_within"),
+    )
+    tw = terms.groupBy("g").agg(
+        F.expr("CAST(SUM(x * ln_within) AS DECIMAL(38,0))").alias("num")
+    )
+    return (
+        gt.join(tw, "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("segment"),
+            F.col("ng").cast("long").alias("n_customers"),
+            F.col("xg").cast("long").alias("cents"),
+            F.expr("CAST(num div xg AS BIGINT)").alias("t_within_micro"),
+            F.expr(
+                "CAST(ROUND(1000000 * ln(CAST(nn * xg AS DOUBLE)"
+                " / CAST(ng * xx AS DOUBLE))) AS BIGINT)"
+            ).alias("ln_between_micro"),
+            F.expr("CAST((1000000 * xg) div xx AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -1568,3 +1568,173 @@ def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) - sum_ln AS BIGINT)"
         ).alias("b_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_transfer_entropy (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+def _te_sql(src: str, dst: str) -> str:
+    """One direction of binary transfer entropy src -> dst as a SQL
+    fragment over the `bin` CTE (see q_transfer_entropy)."""
+    return f"""
+    SELECT '{src}->{dst}' AS direction,
+           CAST(SUM(n3) AS BIGINT) AS n_trans,
+           CAST(SUM(n3 * lnq) // SUM(n3) AS BIGINT) AS te_micro
+    FROM (
+      SELECT cells.n3,
+             CAST(ROUND(1000000 * ln(CAST(cells.n3 * cb.nb AS DOUBLE)
+                  / CAST(cbc.nbc * cab.nab AS DOUBLE))) AS BIGINT) AS lnq
+      FROM (
+        SELECT a, bb, cc, CAST(COUNT(*) AS BIGINT) AS n3
+        FROM (
+          SELECT p0.b AS a, p1.b AS bb, c1.b AS cc
+          FROM (SELECT day, b FROM bin WHERE event_type = '{dst}') p0
+          JOIN (SELECT day, b FROM bin WHERE event_type = '{dst}') p1
+            ON p1.day = p0.day - INTERVAL 1 DAY
+          JOIN (SELECT day, b FROM bin WHERE event_type = '{src}') c1
+            ON c1.day = p0.day - INTERVAL 1 DAY
+        ) GROUP BY 1, 2, 3
+      ) cells
+      JOIN (SELECT bb, CAST(SUM(n3) AS BIGINT) AS nb FROM (
+              SELECT a, bb, cc, CAST(COUNT(*) AS BIGINT) AS n3
+              FROM (
+                SELECT p0.b AS a, p1.b AS bb, c1.b AS cc
+                FROM (SELECT day, b FROM bin WHERE event_type = '{dst}') p0
+                JOIN (SELECT day, b FROM bin WHERE event_type = '{dst}') p1
+                  ON p1.day = p0.day - INTERVAL 1 DAY
+                JOIN (SELECT day, b FROM bin WHERE event_type = '{src}') c1
+                  ON c1.day = p0.day - INTERVAL 1 DAY
+              ) GROUP BY 1, 2, 3
+            ) GROUP BY bb) cb USING (bb)
+      JOIN (SELECT a, bb, CAST(SUM(n3) AS BIGINT) AS nab FROM (
+              SELECT a, bb, cc, CAST(COUNT(*) AS BIGINT) AS n3
+              FROM (
+                SELECT p0.b AS a, p1.b AS bb, c1.b AS cc
+                FROM (SELECT day, b FROM bin WHERE event_type = '{dst}') p0
+                JOIN (SELECT day, b FROM bin WHERE event_type = '{dst}') p1
+                  ON p1.day = p0.day - INTERVAL 1 DAY
+                JOIN (SELECT day, b FROM bin WHERE event_type = '{src}') c1
+                  ON c1.day = p0.day - INTERVAL 1 DAY
+              ) GROUP BY 1, 2, 3
+            ) GROUP BY a, bb) cab
+        ON cab.a = cells.a AND cab.bb = cells.bb
+      JOIN (SELECT bb, cc, CAST(SUM(n3) AS BIGINT) AS nbc FROM (
+              SELECT a, bb, cc, CAST(COUNT(*) AS BIGINT) AS n3
+              FROM (
+                SELECT p0.b AS a, p1.b AS bb, c1.b AS cc
+                FROM (SELECT day, b FROM bin WHERE event_type = '{dst}') p0
+                JOIN (SELECT day, b FROM bin WHERE event_type = '{dst}') p1
+                  ON p1.day = p0.day - INTERVAL 1 DAY
+                JOIN (SELECT day, b FROM bin WHERE event_type = '{src}') c1
+                  ON c1.day = p0.day - INTERVAL 1 DAY
+              ) GROUP BY 1, 2, 3
+            ) GROUP BY bb, cc) cbc
+        ON cbc.bb = cells.bb AND cbc.cc = cells.cc
+    )
+    """
+
+
+@query(
+    "q_transfer_entropy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ),
+    bin AS (
+      SELECT d.day, d.event_type,
+             CASE WHEN m.n * d.y >= m.s THEN 1 ELSE 0 END AS b
+      FROM daily d JOIN m ON m.event_type = d.event_type
+    )
+    {_te_sql('click', 'purchase')}
+    UNION ALL
+    {_te_sql('purchase', 'click')}
+    """,
+    tags=("testing", "transfer-entropy", "information", "causal"),
+)
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary transfer entropy in BOTH directions between the daily
+    click and purchase series — the information-theoretic companion
+    to q_granger_causality's linear F: TE(X->Y) =
+    sum p(y, y', x') ln[ p(y|y',x') / p(y|y') ], which sees nonlinear
+    dependence the lag regression cannot, and the direction asymmetry
+    TE(c->p) vs TE(p->c) is the causality read. Each series is
+    binarized above/below its own mean by exact cross-multiplication
+    (n*y >= S — no division); the 8 joint cells are exact counts, and
+    each cell's ln((c_abc*c_b)/(c_bc*c_ab)) is ONE IEEE ln of a ratio
+    of exact small products, ROUNDed to micro-nats before the exact
+    count-weighted sum.
+
+    Scale: calendar-bounded daily aggregate, day-keyed lag equi-joins,
+    an 8-row cell table per direction — nothing data-proportional
+    after the scan."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    bins = daily.join(m, "event_type").select(
+        "day",
+        "event_type",
+        F.when(F.col("n") * F.col("y") >= F.col("s"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    outs = []
+    for src, dst in (("click", "purchase"), ("purchase", "click")):
+        p0 = bins.filter(F.col("event_type") == dst).select(
+            F.col("day").alias("day0"), F.col("b").alias("a")
+        )
+        p1 = bins.filter(F.col("event_type") == dst).select(
+            F.col("day").alias("day1"), F.col("b").alias("bb")
+        )
+        c1 = bins.filter(F.col("event_type") == src).select(
+            F.col("day").alias("dayc"), F.col("b").alias("cc")
+        )
+        cells = (
+            p0.join(p1, F.expr("day1 = day0 - INTERVAL 1 DAY"))
+            .join(c1, F.expr("dayc = day0 - INTERVAL 1 DAY"))
+            .groupBy("a", "bb", "cc")
+            .agg(F.count(F.lit(1)).alias("n3"))
+        )
+        cb = cells.groupBy("bb").agg(F.sum("n3").alias("nb"))
+        cab = cells.groupBy("a", "bb").agg(F.sum("n3").alias("nab"))
+        cbc = cells.groupBy("bb", "cc").agg(F.sum("n3").alias("nbc"))
+        t = (
+            cells.join(F.broadcast(cb), "bb")
+            .join(F.broadcast(cab), ["a", "bb"])
+            .join(F.broadcast(cbc), ["bb", "cc"])
+            .select(
+                "n3",
+                F.expr(
+                    "CAST(ROUND(1000000 * ln(CAST(n3 * nb AS DOUBLE)"
+                    " / CAST(nbc * nab AS DOUBLE))) AS BIGINT)"
+                ).alias("lnq"),
+            )
+        )
+        outs.append(
+            t.agg(
+                F.sum("n3").cast("long").alias("n_trans"),
+                F.expr(
+                    "CAST(SUM(n3 * lnq) div SUM(n3) AS BIGINT)"
+                ).alias("te_micro"),
+            ).select(
+                F.lit(f"{src}->{dst}").alias("direction"),
+                "n_trans",
+                "te_micro",
+            )
+        )
+    return outs[0].unionAll(outs[1])

@@ -273,6 +273,7 @@ _NLJ_ALLOWED = {
     "q_ansari_bradley",     # broadcast 1-row pooled-N/midpoint stitch onto the value histogram
     "q_quade_test",         # broadcast 1-row treatment-total stitch onto the 1-row A frame
     "q_null_safe_join",     # four 1-row count frames stitched; both data joins hash-join
+    "q_theil_decomposition",  # broadcast 1-row grand-total stitch onto the |segments| frame
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
