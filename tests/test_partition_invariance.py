@@ -58,6 +58,13 @@ REPRESENTATIVES = [
     # fingerprint banding is the phash claim on the 2-band layout
     "q_horvitz_thompson",
     "q_audio_fingerprint_dedup",
+    # round-8 session-3: AB's doubled-score positions ride the
+    # two-phase histogram prefix (the sampled-boundary claim again);
+    # Dixon's extremes come from TakeOrdered limit-2 heaps whose
+    # partial heaps move with partitioning but whose merged values
+    # must not
+    "q_ansari_bradley",
+    "q_dixon_q",
 ]
 
 
