@@ -2840,3 +2840,128 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# q_cooks_distance (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cooks_distance",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                  AS HUGEINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY o_orderdate
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM daily
+    ),
+    c AS (
+      SELECT n, sx, sy, n*sxx - sx*sx AS cxx, n*sxy - sx*sy AS cxy,
+             n*syy - sy*sy AS cyy
+      FROM m
+    ),
+    q AS (
+      SELECT n, sx, sy, cxx, cxy,
+             (cyy * cxx - cxy * cxy) // (n * cxx * 1000000) AS sseq
+      FROM c
+    ),
+    d AS (
+      SELECT daily.x, daily.y,
+             (q.n*q.cxx*daily.y - q.n*q.cxy*daily.x
+              - (q.cxx*q.sy - q.cxy*q.sx)) // (q.n*q.cxx) AS eq,
+             (1000000 * (q.cxx + (q.n*daily.x - q.sx)
+                                 * (q.n*daily.x - q.sx)))
+               // (q.n*q.cxx) AS hq,
+             q.n, q.sseq
+      FROM daily, q
+    )
+    SELECT CAST(x AS BIGINT) AS day_ord, CAST(y AS BIGINT) AS cents,
+           CAST((1000 * eq*eq * hq * (n-2))
+                // (2 * sseq * (1000000 - hq) * (1000000 - hq))
+                AS BIGINT) AS d_milli
+    FROM d ORDER BY d_milli DESC, day_ord LIMIT 3
+    """,
+    tags=("stats", "cooks-distance", "regression", "influence"),
+)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance over the daily-revenue-on-time OLS fit: the
+    three most INFLUENTIAL days — large residual AND leveraged
+    position — that would move the trend line most if deleted (the
+    influence companion to q_mad_outliers' pure-residual flags; the
+    4/n rule of thumb is d_milli > ~1.7 at this day count). The
+    algebra stays rational end-to-end: residuals deflated once to
+    integer cents (eq = e-hat div n*Cxx), leverage once to ppm units
+    (hq = 1e6*H div n*Cxx with H = Cxx + (n*x - Sx)^2 — ppm keeps
+    the assembled numerator ~1e32, clear of the DECIMAL(38) edge), SSE once to
+    cents^2 — then D = eq^2*h*(n-2)/(2*s^2*(1-h)^2) is ONE truncating
+    division of exact integers.
+
+    Scale: calendar-bounded daily collapse, one 1-row moment frame
+    broadcast back over the daily rows (map-side per-day scoring),
+    TakeOrdered top-3."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+            " AS DECIMAL(38,0))"
+        ).alias("y")
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        "y",
+    )
+    m = daily.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(y * y)").alias("syy"),
+    )
+    q = m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("n*sxx - sx*sx").alias("cxx"),
+        F.expr("n*sxy - sx*sy").alias("cxy"),
+        F.expr(
+            "CAST(((n*syy - sy*sy) * (n*sxx - sx*sx)"
+            " - (n*sxy - sx*sy) * (n*sxy - sx*sy))"
+            " div (n * (n*sxx - sx*sx) * 1000000) AS DECIMAL(38,0))"
+        ).alias("sseq"),
+    )
+    d = daily.crossJoin(F.broadcast(q)).select(
+        "x",
+        "y",
+        F.expr(
+            "CAST((n*cxx*y - n*cxy*x - (cxx*sy - cxy*sx))"
+            " div (n*cxx) AS DECIMAL(38,0))"
+        ).alias("eq"),
+        F.expr(
+            "CAST((1000000 * (cxx + (n*x - sx) * (n*x - sx)))"
+            " div (n*cxx) AS DECIMAL(38,0))"
+        ).alias("hq"),
+        "n",
+        "sseq",
+    )
+    return (
+        d.select(
+            F.col("x").cast("long").alias("day_ord"),
+            F.col("y").cast("long").alias("cents"),
+            F.expr(
+                "CAST((1000 * eq*eq * hq * (n-2))"
+                " div (2 * sseq * (1000000 - hq)"
+                " * (1000000 - hq)) AS BIGINT)"
+            ).alias("d_milli"),
+        )
+        .orderBy(F.desc("d_milli"), "day_ord")
+        .limit(3)
+    )

@@ -634,9 +634,9 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
       SELECT n,
-             (cxy * czz - cxz * cyz) // 1000000 AS num,
-             (cxx * czz - cxz * cxz) // 1000000 AS d1,
-             (cyy * czz - cyz * cyz) // 1000000 AS d2,
+             (cxy * czz - cxz * cyz) // 1000000000000 AS num,
+             (cxx * czz - cxz * cxz) // 1000000000000 AS d1,
+             (cyy * czz - cyz * cyz) // 1000000000000 AS d2,
              CAST((1000 * cxy * cxy) // (cxx * cyy) AS BIGINT)
                AS r2_xy_milli
       FROM c
@@ -659,9 +659,12 @@ def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt((Cxx*Czz - Cxz^2)(Cyy*Czz - Cyz^2)) with C the exact
     centered cross-moment numerators (n*Sab - Sa*Sb). The sqrt never
     executes: the statistic is emitted SQUARED with its sign, a pure
-    rational. The three degree-4 products are deflated by 1e6 with
-    one truncating division each before squaring, keeping every term
-    inside DECIMAL(38) through sf10 at ~1e-12 relative quantization.
+    rational. The degree-4 products deflate by 1e12 through the pure-
+    DECIMAL truncation idiom (x - x % K)/K — NOT Spark's `div`, which
+    casts its result to LONG and silently wraps past 2^63 at sf0.1 —
+    keeping every term inside DECIMAL(38) through ~sf0.3 (larger SFs
+    re-deflate the inputs first; the statistic is a ratio, so the
+    constant cancels).
 
     Scale: one map-side projection, one 1-row ten-moment aggregate —
     the classic single-pass covariance-matrix collapse."""
@@ -700,19 +703,22 @@ def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * syy - sy * sy").alias("cyy"),
         F.expr("n * szz - sz * sz").alias("czz"),
     )
-    # `div` on DECIMAL operands yields LONG in Spark — re-widen the
-    # deflated terms to DECIMAL(38,0) before they are squared below.
+    # Spark's `div` casts its result to LONG (silent wrap past 2^63 at
+    # sf >= 0.1), so the degree-4 products deflate through the pure-
+    # DECIMAL truncation idiom (x - x % K)/K — remainder carries the
+    # dividend's sign in BOTH engines, so this is trunc-toward-zero,
+    # exactly DuckDB's `//`, with no long anywhere.
+    def _trunc(expr: str) -> str:
+        k = "1000000000000"
+        return (
+            f"CAST((({expr}) - (({expr}) % {k})) / {k} AS DECIMAL(38,0))"
+        )
+
     dd = c.select(
         "n",
-        F.expr(
-            "CAST((cxy * czz - cxz * cyz) div 1000000 AS DECIMAL(38,0))"
-        ).alias("num"),
-        F.expr(
-            "CAST((cxx * czz - cxz * cxz) div 1000000 AS DECIMAL(38,0))"
-        ).alias("d1"),
-        F.expr(
-            "CAST((cyy * czz - cyz * cyz) div 1000000 AS DECIMAL(38,0))"
-        ).alias("d2"),
+        F.expr(_trunc("cxy * czz - cxz * cyz")).alias("num"),
+        F.expr(_trunc("cxx * czz - cxz * cxz")).alias("d1"),
+        F.expr(_trunc("cyy * czz - cyz * cyz")).alias("d2"),
         F.expr(
             "CAST((1000 * cxy * cxy) div (cxx * cyy) AS BIGINT)"
         ).alias("r2_xy_milli"),
@@ -1738,3 +1744,152 @@ def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+# ---------------------------------------------------------------------
+# q_brunner_munzel (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_brunner_munzel",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('view', 'error')
+    ),
+    vg AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2
+    ),
+    hist AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS tcnt FROM vg GROUP BY v),
+    pooled AS (
+      SELECT v, CAST(2 * SUM(tcnt) OVER (ORDER BY v) - tcnt + 1 AS BIGINT)
+               AS r2
+      FROM hist
+    ),
+    within AS (
+      SELECT grp, v, cnt,
+             CAST(2 * SUM(cnt) OVER (PARTITION BY grp ORDER BY v)
+                  - cnt + 1 AS BIGINT) AS r2g
+      FROM vg
+    ),
+    cells AS (
+      SELECT w.grp, w.cnt, p.r2 - w.r2g AS p2, p.r2
+      FROM within w JOIN pooled p USING (v)
+    ),
+    g AS (
+      SELECT grp, CAST(SUM(cnt) AS HUGEINT) AS n,
+             CAST(SUM(cnt * r2) AS HUGEINT) AS sr,
+             CAST(SUM(cnt * p2) AS HUGEINT) AS sp,
+             CAST(SUM(cnt * p2 * p2) AS HUGEINT) AS spp
+      FROM cells GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 'view' THEN n END) AS n1,
+        MAX(CASE WHEN grp = 'view' THEN sr END) AS sra,
+        MAX(CASE WHEN grp = 'view' THEN sp END) AS sp1,
+        MAX(CASE WHEN grp = 'view' THEN spp END) AS spp1,
+        MAX(CASE WHEN grp = 'error' THEN n END) AS n2,
+        MAX(CASE WHEN grp = 'error' THEN sr END) AS srb,
+        MAX(CASE WHEN grp = 'error' THEN sp END) AS sp2,
+        MAX(CASE WHEN grp = 'error' THEN spp END) AS spp2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST((1000000 * srb) // n2 - (1000000 * sra) // n1 AS BIGINT)
+             AS delta_d_micro,
+           CAST((1000 * n1*n1*n2*n2
+                 * (((1000000*srb) // n2 - (1000000*sra) // n1))
+                 * (((1000000*srb) // n2 - (1000000*sra) // n1)))
+                // (1000000000000 * (n1+n2) * (n1+n2)
+                    * (n1 * ((n1*spp1 - sp1*sp1) // (n1*(n1-1)))
+                     + n2 * ((n2*spp2 - sp2*sp2) // (n2*(n2-1)))))
+                AS BIGINT) AS t2_milli,
+           CAST((1000000 * (srb - n2*(n2+1))) // (2*n1*n2) AS BIGINT)
+             AS phat_ppm
+    FROM w
+    """,
+    tags=("testing", "brunner-munzel", "rank-test", "statistics"),
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test for 'view' vs 'error'
+    values — the rank test that stays valid when the two groups have
+    DIFFERENT shapes/variances (the nonparametric Behrens-Fisher
+    problem; q_auc_mann_whitney's U assumes equal shapes under H0,
+    q_ansari_bradley tests exactly the spread difference BM tolerates).
+    Built on PLACEMENTS p = pooled rank - within-group rank, all
+    doubled midranks from the value histogram (the q_kruskal_wallis
+    convention, the doubling cancels in the ratio): the relative
+    effect p-hat = P(error > view) + P(=)/2 in ppm, and W^2 =
+    n1^2 n2^2 (Rbar2-Rbar1)^2 / (N^2 (n1 S1^2 + n2 S2^2)) with the
+    placement sample variances quantized once each — cross-checked
+    against the two-proportion z on this data (W ~ 0.31 both ways).
+    Pooled ranks ride the two-phase range-partition prefix; within-
+    group ranks are grp-keyed windows.
+
+    Scale: (value, group) aggregate -> value-histogram two-phase
+    cumulative -> 2-group moment reduction -> 1-row pivot."""
+    from ._twophase import global_order_stats
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type").isin("view", "error")).select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    vg = base.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = vg.groupBy("v").agg(F.sum("cnt").alias("tcnt"))
+    pooled = global_order_stats(
+        hist, [F.asc("v")], running_sums={"cum": F.col("tcnt")}, rn_col=None
+    ).select("v", (2 * F.col("cum") - F.col("tcnt") + 1).alias("r2"))
+    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = vg.select(
+        "grp",
+        "v",
+        "cnt",
+        (2 * F.sum("cnt").over(wg) - F.col("cnt") + 1).alias("r2g"),
+    )
+    cells = within.join(pooled, "v").select(
+        "grp", "cnt", (F.col("r2") - F.col("r2g")).alias("p2"), "r2"
+    )
+    g = cells.groupBy("grp").agg(
+        F.expr("CAST(SUM(cnt) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(cnt * r2) AS DECIMAL(38,0))").alias("sr"),
+        F.expr("CAST(SUM(cnt * p2) AS DECIMAL(38,0))").alias("sp"),
+        F.expr("CAST(SUM(cnt * p2 * p2) AS DECIMAL(38,0))").alias("spp"),
+    )
+    w = g.agg(
+        F.expr("MAX(CASE WHEN grp = 'view' THEN n END)").alias("n1"),
+        F.expr("MAX(CASE WHEN grp = 'view' THEN sr END)").alias("sra"),
+        F.expr("MAX(CASE WHEN grp = 'view' THEN sp END)").alias("sp1"),
+        F.expr("MAX(CASE WHEN grp = 'view' THEN spp END)").alias("spp1"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN n END)").alias("n2"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN sr END)").alias("srb"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN sp END)").alias("sp2"),
+        F.expr("MAX(CASE WHEN grp = 'error' THEN spp END)").alias("spp2"),
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr(
+            "CAST((1000000 * srb) div n2 - (1000000 * sra) div n1"
+            " AS BIGINT)"
+        ).alias("delta_d_micro"),
+        F.expr(
+            "CAST((1000 * n1*n1*n2*n2"
+            " * (((1000000*srb) div n2 - (1000000*sra) div n1))"
+            " * (((1000000*srb) div n2 - (1000000*sra) div n1)))"
+            " div (1000000000000 * (n1+n2) * (n1+n2)"
+            " * (n1 * CAST((n1*spp1 - sp1*sp1) div (n1*(n1-1))"
+            "       AS DECIMAL(38,0))"
+            "  + n2 * CAST((n2*spp2 - sp2*sp2) div (n2*(n2-1))"
+            "       AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("t2_milli"),
+        F.expr(
+            "CAST((1000000 * (srb - n2*(n2+1))) div (2*n1*n2) AS BIGINT)"
+        ).alias("phat_ppm"),
+    )

@@ -1466,3 +1466,95 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 - (1000000 * f1) div n_tokens AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_weighted_jaccard (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_jaccard",
+    oracle="""
+    WITH tf AS (
+      SELECT source, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(tok)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS t FROM tf GROUP BY source
+    ),
+    mins AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS smin
+      FROM tf a JOIN tf b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa, sb,
+           CAST((1000000 * smin) // (ta.t + tb.t - smin) AS BIGINT)
+             AS jw_ppm
+    FROM mins JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb
+    ORDER BY jw_ppm DESC, sa, sb LIMIT 20
+    """,
+    tags=("text", "weighted-jaccard", "similarity", "profiles"),
+)
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard similarity between source term
+    PROFILES, top-20 pairs: J_w = sum min(tf_a, tf_b) / sum
+    max(tf_a, tf_b) — the count-sensitive profile distance next to
+    q_source_tv_distance (L1 on probabilities) and q_source_jsd
+    (information divergence): two sources with the same vocabulary at
+    very different token volumes score LOW here and identically on
+    normalized divergences. The union-side sum never materializes:
+    sum max = T_a + T_b - sum min, so only shared-token rows join.
+
+    Scale: the profile table is |sources| x vocab; the pair join is
+    token-keyed with fan-out sum_tok df(tok)^2 (df = sources carrying
+    the token, <= |sources| — bounded by the source taxonomy, not the
+    corpus); totals broadcast; top-20 is TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("tf").alias("t"))
+    a = tf.select(
+        F.col("source").alias("sa"), F.col("tok").alias("ta_tok"),
+        F.col("tf").alias("tfa"),
+    )
+    b = tf.select(
+        F.col("source").alias("sb"), F.col("tok").alias("tb_tok"),
+        F.col("tf").alias("tfb"),
+    )
+    mins = (
+        a.join(
+            b,
+            (F.col("tb_tok") == F.col("ta_tok"))
+            & (F.col("sa") < F.col("sb")),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.least(F.col("tfa"), F.col("tfb"))).alias("smin"))
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("t").alias("t_a"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("t").alias("t_b"))
+    return (
+        mins.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.expr(
+                "CAST((1000000 * smin) div (t_a + t_b - smin) AS BIGINT)"
+            ).alias("jw_ppm"),
+        )
+        .orderBy(F.desc("jw_ppm"), "sa", "sb")
+        .limit(20)
+    )

@@ -274,6 +274,7 @@ _NLJ_ALLOWED = {
     "q_quade_test",         # broadcast 1-row treatment-total stitch onto the 1-row A frame
     "q_null_safe_join",     # four 1-row count frames stitched; both data joins hash-join
     "q_theil_decomposition",  # broadcast 1-row grand-total stitch onto the |segments| frame
+    "q_cooks_distance",       # broadcast 1-row OLS-moment frame scored map-side per day
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
@@ -471,6 +472,7 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_ab_test_report": "inherits component queries' bounded stitch windows",
     # --- round-8 session-3 additions ---
     "q_ansari_bradley": "<=16 two-phase prefix-offset rows (_twophase.py)",
+    "q_brunner_munzel": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_quade_test": (
         "|event-type|-row block-range ranking — taxonomy-bounded (5 rows "
         "at any SF; appears 2x because the S frame feeds both reductions)"
