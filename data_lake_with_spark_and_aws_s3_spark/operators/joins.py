@@ -642,13 +642,13 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT c_custkey,
              CASE WHEN c_acctbal < 0 THEN NULL
-                  ELSE CAST(c_acctbal AS BIGINT) // 1000 END AS k
+                  ELSE CAST(FLOOR(c_acctbal / 1000) AS BIGINT) END AS k
       FROM customer
     ),
     b AS (
       SELECT o_custkey,
              CASE WHEN o_totalprice > 300000 THEN NULL
-                  ELSE CAST(o_totalprice AS BIGINT) // 20000 END AS k
+                  ELSE CAST(FLOOR(o_totalprice / 20000) AS BIGINT) END AS k
       FROM orders
     )
     SELECT
@@ -682,15 +682,19 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     a = c.select(
+        # FLOOR on the raw double, not CAST-to-BIGINT-then-divide:
+        # DuckDB ROUNDS double->BIGINT casts while Spark truncates, a
+        # divergence the sf0.1 parity sweep caught (boundary values
+        # land in different buckets)
         F.expr(
             "CASE WHEN c_acctbal < 0 THEN NULL"
-            " ELSE CAST(c_acctbal AS BIGINT) div 1000 END"
+            " ELSE CAST(FLOOR(c_acctbal / 1000) AS BIGINT) END"
         ).alias("ka")
     )
     b = o.select(
         F.expr(
             "CASE WHEN o_totalprice > 300000 THEN NULL"
-            " ELSE CAST(o_totalprice AS BIGINT) div 20000 END"
+            " ELSE CAST(FLOOR(o_totalprice / 20000) AS BIGINT) END"
         ).alias("kb")
     )
     eq = a.join(b, F.col("ka") == F.col("kb")).agg(

@@ -1576,8 +1576,11 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.expr("CAST(SUM(n) AS DECIMAL(38,0))").alias("nn"),
         F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("k"),
+        # each group's div result is ~2.4e18 at sf0.1 — summing them
+        # as LONG overflows 2^63, so re-widen per group BEFORE the sum
         F.expr(
-            "CAST(SUM((n * syy - sy * sy) div n) AS DECIMAL(38,0))"
+            "CAST(SUM(CAST((n * syy - sy * sy) div n AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0))"
         ).alias("ssw"),
     )
     a = g.select(
