@@ -507,3 +507,58 @@ def test_round8_session3_structural_invariants(spark):
     assert int((ts["support"] * ts["n_edges"]).sum()) == 3 * int(
         tri["n_triangles"]
     )
+
+
+def test_round8_session3_late_additions_invariants(spark):
+    """Oracle-independent semantics of the late session-3 ops."""
+    # ROUGE: P/R/F1 are ppm proportions and F1 is between min(P,R)
+    # and max(P,R) (harmonic-mean bound), 3 rows per language
+    rg = REGISTRY["q_rouge_reference"].fn(spark, SF).toPandas()
+    for c in ("p_ppm", "r_ppm", "f1_ppm"):
+        assert rg[c].between(0, 1_000_000).all()
+    assert (
+        rg["f1_ppm"] <= rg[["p_ppm", "r_ppm"]].max(axis=1) + 1
+    ).all()
+    assert rg.groupby("lang").size().le(3).all()
+
+    # Null-safe join: the exact bucket identity — nullsafe matches are
+    # the equality matches plus the NULL-bucket cross product
+    ns = REGISTRY["q_null_safe_join"].fn(spark, SF).toPandas().iloc[0]
+    assert int(ns["nullsafe_matches"]) == int(ns["eq_matches"]) + int(
+        ns["null_left"]
+    ) * int(ns["null_right"])
+
+    # Theil: shares sum to ~1e6 ppm; within terms nonnegative; the
+    # share-weighted between terms sum to ~0 only when segments are
+    # even — weaker invariant: each |ln share ratio| bounded by
+    # ln(max share ratio) ~ ln(n) in micro-nats
+    th = REGISTRY["q_theil_decomposition"].fn(spark, SF).toPandas()
+    assert abs(int(th["share_ppm"].sum()) - 1_000_000) <= len(th)
+    assert (th["t_within_micro"] >= 0).all()
+
+    # Transfer entropy: micro-nat KL-type sums are nonnegative up to
+    # per-cell rounding slack (8 cells x 0.5 micro-nat each)
+    te = REGISTRY["q_transfer_entropy"].fn(spark, SF).toPandas()
+    assert set(te["direction"]) == {"click->purchase", "purchase->click"}
+    assert (te["te_micro"] >= -8).all()
+
+    # Cook's distance: nonnegative, descending
+    cd = REGISTRY["q_cooks_distance"].fn(spark, SF).toPandas()
+    assert (cd["d_milli"] >= 0).all()
+    assert list(cd["d_milli"]) == sorted(cd["d_milli"], reverse=True)
+
+    # Brunner-Munzel: the relative effect is a ppm probability and W^2
+    # nonnegative
+    bm = REGISTRY["q_brunner_munzel"].fn(spark, SF).toPandas().iloc[0]
+    assert 0 <= bm["phat_ppm"] <= 1_000_000
+    assert bm["t2_milli"] >= 0
+
+    # Weighted Jaccard: ppm proportion, descending top-20
+    wj = REGISTRY["q_weighted_jaccard"].fn(spark, SF).toPandas()
+    assert wj["jw_ppm"].between(0, 1_000_000).all()
+    assert list(wj["jw_ppm"]) == sorted(wj["jw_ppm"], reverse=True)
+
+    # HSD significance contract still holds after the DECIMAL re-widen
+    hsd = REGISTRY["q_tukey_hsd"].fn(spark, SF).toPandas()
+    sig = hsd[hsd["significant"]]
+    assert (sig["diff_cents"] ** 2 > sig["hsd_sq_cents2"]).all()
