@@ -495,3 +495,139 @@ def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trend_sign"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_holm_bonferroni (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_holm_bonferroni",
+    oracle="""
+    WITH lab AS (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+             CAST(SUM(x_i) AS BIGINT) AS xx,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM lab
+    ),
+    z AS (
+      SELECT l.n_name, l.n_i, t.m,
+             CAST((1000000
+                   * (CAST(l.x_i AS HUGEINT) * t.nn
+                      - CAST(t.xx AS HUGEINT) * l.n_i)
+                   * (CAST(l.x_i AS HUGEINT) * t.nn
+                      - CAST(t.xx AS HUGEINT) * l.n_i))
+                  // (CAST(l.n_i AS HUGEINT) * t.xx * (t.nn - t.xx))
+                  AS BIGINT) AS z2_micro
+      FROM lab l CROSS JOIN tot t
+    ),
+    r AS (
+      SELECT *,
+             CAST(1000000000000 // (1000000 + z2_micro) AS BIGINT)
+               AS p_ppm,
+             ROW_NUMBER() OVER (
+               ORDER BY 1000000000000 // (1000000 + z2_micro), n_name
+             ) AS rnk
+      FROM z
+    ),
+    k AS (
+      SELECT *,
+             MIN(CASE WHEN p_ppm * (m - rnk + 1) > 50000
+                      THEN rnk ELSE m + 1 END) OVER () AS kmin
+      FROM r
+    )
+    SELECT n_name, p_ppm, CAST(rnk AS BIGINT) AS rnk,
+           rnk < kmin AS rejected_holm
+    FROM k
+    """,
+    tags=("stats", "multiple-testing", "holm", "fwer"),
+)
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down correction over the SAME per-nation urgency
+    hypothesis family q_bh_fdr screens — the FWER-controlling
+    counterpart (run both: BH bounds the FALSE-DISCOVERY RATE and
+    rejects more; Holm bounds ANY false positive and is the one a
+    launch-gate decision wants): reject ranks below the first i where
+    p_(i) > alpha/(m-i+1). Same surrogate integer p_ppm as BH (one
+    truncating division of the exact z^2), so the two reports are
+    directly comparable row by row; the step-down cutoff is a single
+    MIN window over the m-row family.
+
+    Scale: the family is |nations| rows — every window here is over a
+    dimension-bounded frame (allowlisted, the q_bh_fdr entry's
+    justification)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    lab = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("x_i"),
+        )
+    )
+    tot = lab.agg(
+        F.sum("n_i").alias("nn"),
+        F.sum("x_i").alias("xx"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    z = lab.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "m",
+        F.expr(
+            "CAST((1000000"
+            " * (CAST(x_i AS DECIMAL(38,0)) * nn"
+            "    - CAST(xx AS DECIMAL(38,0)) * n_i)"
+            " * (CAST(x_i AS DECIMAL(38,0)) * nn"
+            "    - CAST(xx AS DECIMAL(38,0)) * n_i))"
+            " div (CAST(n_i AS DECIMAL(38,0)) * xx * (nn - xx))"
+            " AS BIGINT)"
+        ).alias("z2_micro"),
+    )
+    r = z.select(
+        "n_name",
+        "m",
+        F.expr(
+            "CAST(1000000000000 div (1000000 + z2_micro) AS BIGINT)"
+        ).alias("p_ppm"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p_ppm", "n_name"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    k = r.select(
+        "*",
+        F.min(
+            F.when(
+                F.col("p_ppm") * (F.col("m") - F.col("rnk") + 1) > 50000,
+                F.col("rnk"),
+            ).otherwise(F.col("m") + 1)
+        )
+        .over(Window.partitionBy())
+        .alias("kmin"),
+    )
+    return k.select(
+        "n_name",
+        "p_ppm",
+        "rnk",
+        (F.col("rnk") < F.col("kmin")).alias("rejected_holm"),
+    )
