@@ -2965,3 +2965,217 @@ def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d_milli"), "day_ord")
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------------
+# q_cramer_von_mises (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cramer_von_mises",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END AS in_b
+      FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+    ),
+    tot AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(in_b) AS BIGINT) AS n_b
+      FROM pts
+    ),
+    grid AS (
+      SELECT x, CAST(SUM(in_a) AS BIGINT) AS da,
+             CAST(SUM(in_b) AS BIGINT) AS db,
+             CAST(SUM(SUM(in_a)) OVER (ORDER BY x) AS BIGINT) AS c_a,
+             CAST(SUM(SUM(in_b)) OVER (ORDER BY x) AS BIGINT) AS c_b
+      FROM pts GROUP BY x
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(da + db AS HUGEINT)
+               * (c_a * tot.n_b - c_b * tot.n_a)
+               * (c_a * tot.n_b - c_b * tot.n_a)) AS HUGEINT) AS num,
+             MAX(tot.n_a) AS n_a, MAX(tot.n_b) AS n_b
+      FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((1000000 * num)
+                // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)
+                    * (n_a + n_b)) AS BIGINT) AS t_micro
+    FROM s
+    """,
+    tags=("stats", "cramer-von-mises", "drift", "statistics"),
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic on the same 1997-vs-1998
+    order-price split as q_ks_test — the L2 drift test that weighs
+    the WHOLE CDF gap, where KS sees only the worst point (a
+    distribution that drifts a little everywhere moves CvM long
+    before KS): T = n_a n_b / N^2 * sum over pooled observations of
+    (F_a - F_b)^2. The same cross-multiplication trick keeps it
+    integral — each pooled point contributes (c_a*n_b - c_b*n_a)^2
+    weighted by its tie count, and t_micro is ONE truncating division
+    (observed 0.177 vs the exact null mean 1/6 — a built-in sanity
+    anchor). Cumulative counts ride the two-phase range-partition
+    prefix, as in KS.
+
+    Scale: per-value aggregate -> two-phase cumulative -> 1-row
+    weighted reduction; num <= N*(n_a*n_b)^2*1e6 ~ 1.5e32 at sf0.1,
+    inside DECIMAL(38)."""
+    from ._twophase import global_order_stats
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1997, 1998)
+    )
+    pts = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("x"),
+        F.when(F.year("o_orderdate") == 1997, 1).otherwise(0).alias("in_a"),
+        F.when(F.year("o_orderdate") == 1998, 1).otherwise(0).alias("in_b"),
+    )
+    per_x = pts.groupBy("x").agg(
+        F.sum("in_a").alias("da"), F.sum("in_b").alias("db")
+    )
+    grid = global_order_stats(
+        per_x,
+        [F.asc("x")],
+        running_sums={"c_a": F.col("da"), "c_b": F.col("db")},
+        rn_col=None,
+    )
+    tot = per_x.agg(
+        F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
+    )
+    s = grid.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(SUM(CAST(da + db AS DECIMAL(38,0))"
+            " * (c_a * n_b - c_b * n_a)"
+            " * (c_a * n_b - c_b * n_a)) AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr("CAST(MAX(n_a) AS DECIMAL(38,0))").alias("na"),
+        F.expr("CAST(MAX(n_b) AS DECIMAL(38,0))").alias("nb"),
+    )
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(
+            "CAST((1000000 * num)"
+            " div (na * nb * (na + nb) * (na + nb)) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_gumbel_maxima (round 8, session 3)
+# ---------------------------------------------------------------------
+
+# Integer nano literals (no libm at query time): Euler-Mascheroni
+# gamma, 1/pi^2, and the Gumbel 99% quantile -ln(-ln 0.99).
+_GAMMA_NANO = 577_215_665
+_INV_PI2_NANO = 101_321_184
+_GQ99_NANO = 4_600_149_227
+
+
+@query(
+    "q_gumbel_maxima",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('month', o_orderdate) AS mth, o_orderdate AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT mth, CAST(MAX(cents) AS HUGEINT) AS mx FROM daily GROUP BY mth
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(mx) AS s,
+             SUM(mx * mx) AS ss
+      FROM blocks
+    ),
+    fit AS (
+      SELECT CAST(n AS BIGINT) AS n_blocks,
+             CAST(s // n AS BIGINT) AS mean_cents,
+             CAST((6 * ((n * ss - s * s) // (n * (n - 1)))
+                   * {_INV_PI2_NANO}) // 1000000000 AS BIGINT) AS beta2
+      FROM m
+    ),
+    f2 AS (
+      SELECT n_blocks, mean_cents, beta2,
+             CAST(FLOOR(SQRT(CAST(beta2 AS DOUBLE))) AS BIGINT)
+               AS beta_cents
+      FROM fit
+    )
+    SELECT n_blocks, mean_cents, beta_cents,
+           CAST(mean_cents - ({_GAMMA_NANO} * beta_cents) // 1000000000
+                AS BIGINT) AS mu_cents,
+           CAST(mean_cents - ({_GAMMA_NANO} * beta_cents) // 1000000000
+                + ({_GQ99_NANO} * beta_cents) // 1000000000
+                AS BIGINT) AS ret100_cents
+    FROM f2
+    """,
+    tags=("stats", "gumbel", "extreme-value", "block-maxima"),
+)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of MONTHLY block maxima of daily
+    revenue (method of moments: beta = sigma*sqrt(6)/pi, mu = mean -
+    gamma*beta) and the 1-in-100-month return level mu + beta *
+    (-ln(-ln 0.99)) — the capacity-planning question ("how big a
+    revenue day should the pipeline survive?") that q_hill_tail_index
+    answers for tail EXPONENT and this answers for tail LEVEL.
+    Constants (gamma, 1/pi^2, the 99% Gumbel quantile) are integer
+    nano literals; sigma^2 quantizes once to cents^2, and beta is the
+    exact integer sqrt (FLOOR of the correctly-rounded IEEE sqrt of
+    an exactly-representable <2^53 integer — the q_hurst_exponent
+    treatment), so every emitted column hashes.
+
+    Scale: calendar-bounded daily then monthly collapses (~80 blocks
+    at any SF), one 1-row moment fit."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+        "o_orderdate",
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    blocks = daily.groupBy("mth").agg(
+        F.max("cents").cast("decimal(38,0)").alias("mx")
+    )
+    m = blocks.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(mx)").alias("s"),
+        F.expr("SUM(mx * mx)").alias("ss"),
+    )
+    fit = m.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_cents"),
+        F.expr(
+            f"CAST((6 * CAST((n * ss - s * s) div (n * (n - 1))"
+            f" AS DECIMAL(38,0)) * {_INV_PI2_NANO}) div 1000000000"
+            " AS BIGINT)"
+        ).alias("beta2"),
+    )
+    f2 = fit.select(
+        "n_blocks",
+        "mean_cents",
+        "beta2",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(beta2 AS DOUBLE))) AS BIGINT)"
+        ).alias("beta_cents"),
+    )
+    return f2.select(
+        "n_blocks",
+        "mean_cents",
+        "beta_cents",
+        F.expr(
+            f"CAST(mean_cents - ({_GAMMA_NANO} * beta_cents)"
+            " div 1000000000 AS BIGINT)"
+        ).alias("mu_cents"),
+        F.expr(
+            f"CAST(mean_cents - ({_GAMMA_NANO} * beta_cents)"
+            f" div 1000000000 + ({_GQ99_NANO} * beta_cents)"
+            " div 1000000000 AS BIGINT)"
+        ).alias("ret100_cents"),
+    )

@@ -276,6 +276,7 @@ _NLJ_ALLOWED = {
     "q_theil_decomposition",  # broadcast 1-row grand-total stitch onto the |segments| frame
     "q_cooks_distance",       # broadcast 1-row OLS-moment frame scored map-side per day
     "q_holm_bonferroni",      # broadcast 1-row family-total stitch onto the |nations| frame
+    "q_cramer_von_mises",     # broadcast 1-row group-size stitch onto the CDF grid
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
@@ -475,6 +476,7 @@ _KEYLESS_WINDOW_ALLOWED = {
     "q_ansari_bradley": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_brunner_munzel": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_holm_bonferroni": "|nations|-row hypothesis family (the q_bh_fdr justification)",
+    "q_cramer_von_mises": "<=16 two-phase prefix-offset rows (_twophase.py)",
     "q_quade_test": (
         "|event-type|-row block-range ranking — taxonomy-bounded (5 rows "
         "at any SF; appears 2x because the S frame feeds both reductions)"
