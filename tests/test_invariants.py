@@ -562,3 +562,19 @@ def test_round8_session3_late_additions_invariants(spark):
     hsd = REGISTRY["q_tukey_hsd"].fn(spark, SF).toPandas()
     sig = hsd[hsd["significant"]]
     assert (sig["diff_cents"] ** 2 > sig["hsd_sq_cents2"]).all()
+
+
+def test_round8_session3_final_additions_invariants(spark):
+    """Oracle-independent semantics of the final session-3 pair."""
+    # CvM: nonnegative, and bounded by its algebraic max (T <= N/ ...
+    # loose bound: T < N since each (F_a-F_b)^2 <= 1)
+    cv = REGISTRY["q_cramer_von_mises"].fn(spark, SF).toPandas().iloc[0]
+    n = int(cv["n_a"]) + int(cv["n_b"])
+    assert 0 <= int(cv["t_micro"]) <= 1_000_000 * n
+
+    # Gumbel: location below the block-max mean by exactly gamma*beta,
+    # and the 99% return level above the mean (q99 > gamma)
+    gm = REGISTRY["q_gumbel_maxima"].fn(spark, SF).toPandas().iloc[0]
+    assert gm["beta_cents"] >= 0
+    assert gm["mu_cents"] <= gm["mean_cents"]
+    assert gm["ret100_cents"] >= gm["mean_cents"]
