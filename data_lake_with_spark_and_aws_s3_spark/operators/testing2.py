@@ -1893,3 +1893,183 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * (srb - n2*(n2+1))) div (2*n1*n2) AS BIGINT)"
         ).alias("phat_ppm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_cmh_chi2 (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_cmh_chi2",
+    oracle=f"""
+    WITH votes AS (
+      SELECT lang,
+             CASE WHEN n_chars > {_MH_CHAR_THRESHOLD} THEN 1 ELSE 0 END
+               AS expo,
+             CASE WHEN len(list_distinct(list_filter(
+                      string_split(text, ' '),
+                      t -> t IN ('the','and','of','to','a','in','is'))))
+                       >= 2
+                  THEN 1 ELSE 0 END AS outc
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(expo * outc) AS HUGEINT) AS a,
+             CAST(SUM(expo) AS HUGEINT) AS r1,
+             CAST(SUM(outc) AS HUGEINT) AS c1,
+             CAST(COUNT(*) AS HUGEINT) AS nt
+      FROM votes GROUP BY lang
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+             CAST(SUM((1000000 * (a * nt - r1 * c1)) // nt) AS BIGINT)
+               AS dev_micro,
+             CAST(SUM(CASE WHEN nt > 1 THEN
+                   (1000000 * r1 * c1 * (nt - r1) * (nt - c1))
+                   // (nt * nt * (nt - 1))
+                   ELSE 0 END) AS BIGINT) AS var_micro
+      FROM s
+    )
+    SELECT k_strata, dev_micro, var_micro,
+           CAST((dev_micro * dev_micro) // (1000 * var_micro) AS BIGINT)
+             AS chi2_milli
+    FROM t
+    """,
+    tags=("testing", "cmh", "stratified", "statistics"),
+)
+def q_cmh_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel chi-squared over the SAME language
+    strata as q_mantel_haenszel — the SIGNIFICANCE companion to its
+    effect size (OR ~ 9.7 says HOW STRONG the length/stopword
+    association is after controlling for language; this says it is
+    not chance: chi^2 = (sum(a_i - E_i))^2 / sum(V_i) with the
+    hypergeometric E and V). Per-stratum deviation and variance are
+    each micro-quantized with ONE truncating division before the
+    exact sums (the per-term-quantization rule), then one final
+    division — integers end to end.
+
+    Scale: one map-side two-mark projection, a |langs|-group
+    aggregate, a 1-row reduction."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: t.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    votes = d.select(
+        "lang",
+        F.when(F.col("n_chars") > _MH_CHAR_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("expo"),
+        F.when(F.size(stop) >= 2, 1).otherwise(0).alias("outc"),
+    )
+    s = votes.groupBy("lang").agg(
+        F.expr("CAST(SUM(expo * outc) AS DECIMAL(38,0))").alias("a"),
+        F.expr("CAST(SUM(expo) AS DECIMAL(38,0))").alias("r1"),
+        F.expr("CAST(SUM(outc) AS DECIMAL(38,0))").alias("c1"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("nt"),
+    )
+    t = s.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k_strata"),
+        F.expr(
+            "CAST(SUM((1000000 * (a * nt - r1 * c1)) div nt) AS BIGINT)"
+        ).alias("dev_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN nt > 1 THEN"
+            " (1000000 * r1 * c1 * (nt - r1) * (nt - c1))"
+            " div (nt * nt * (nt - 1))"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("var_micro"),
+    )
+    return t.select(
+        "k_strata",
+        "dev_micro",
+        "var_micro",
+        F.expr(
+            "CAST((CAST(dev_micro AS DECIMAL(38,0)) * dev_micro)"
+            " div (1000 * CAST(var_micro AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+# ---------------------------------------------------------------------
+# q_sign_test (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_sign_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) FILTER (p <> v) AS BIGINT) AS n_eff,
+             CAST(COUNT(*) FILTER (p > v) AS BIGINT) AS s_plus
+      FROM daily
+    )
+    SELECT n_eff, s_plus,
+           CAST((1000 * (2 * s_plus - n_eff) * (2 * s_plus - n_eff))
+                // n_eff AS BIGINT) AS z2_milli
+    FROM t
+    """,
+    tags=("testing", "sign-test", "paired", "statistics"),
+)
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on daily purchase-vs-view revenue — the
+    COARSEST paired-location test (only the sign of each day's
+    difference counts), completing the paired ladder: sign test
+    (signs only, no distribution assumptions at all) ->
+    q_wilcoxon_signed_rank (signs + rank magnitudes) ->
+    q_welch_ttest's paired analog (full values, normal theory). Ties
+    drop per convention; z^2 = (2S - n)^2 / n against the binomial
+    null is a single truncating division of exact counts.
+
+    Scale: one calendar-bounded daily conditional aggregate, one
+    1-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("p"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    t = daily.agg(
+        F.count(F.when(F.col("p") != F.col("v"), 1)).alias("n_eff"),
+        F.count(F.when(F.col("p") > F.col("v"), 1)).alias("s_plus"),
+    )
+    return t.select(
+        "n_eff",
+        "s_plus",
+        F.expr(
+            "CAST((1000 * (2 * s_plus - n_eff) * (2 * s_plus - n_eff))"
+            " div n_eff AS BIGINT)"
+        ).alias("z2_milli"),
+    )
