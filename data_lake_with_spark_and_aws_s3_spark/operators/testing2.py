@@ -2073,3 +2073,86 @@ def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_eff AS BIGINT)"
         ).alias("z2_milli"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_turning_points (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_turning_points",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tri AS (
+      SELECT a.y AS y0, b.y AS y1, c.y AS y2
+      FROM daily a
+      JOIN daily b ON b.x = a.x + 1
+      JOIN daily c ON c.x = a.x + 2
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN (y1 > y0 AND y1 > y2)
+                             OR (y1 < y0 AND y1 < y2)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM tri
+    )
+    SELECT n, tp, CAST(2 * n - 4 AS BIGINT) AS e3,
+           CAST((90000 * (3 * tp - (2 * n - 4))
+                       * (3 * tp - (2 * n - 4)))
+                // (9 * (16 * n - 29)) AS BIGINT) AS z2_milli
+    FROM t
+    """,
+    tags=("testing", "turning-points", "randomness", "timeseries"),
+)
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on the daily event-count series
+    — counts local peaks and troughs against the exact i.i.d. null
+    E[T] = 2(n-2)/3, Var[T] = (16n-29)/90: too FEW turning points
+    means trend/persistence, too MANY means alternation. Complements
+    q_runs_test (level crossings) and q_ljung_box (linear
+    correlation) with a shape-free serial-dependence read. The thirds
+    clear exactly by tripling (e3 = 3*E[T]), so z^2 is one truncating
+    division of exact integers; the triple pairing is two day-ordinal
+    equi-joins — no window.
+
+    Scale: calendar-bounded daily aggregate, two tiny equi-joins, a
+    1-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(F.col("x").alias("x0"), F.col("y").alias("y0"))
+    b = daily.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    c = daily.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    tri = a.join(b, F.col("x1") == F.col("x0") + 1).join(
+        c, F.col("x2") == F.col("x0") + 2
+    )
+    t = tri.agg(
+        (F.count(F.lit(1)) + 2).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                ((F.col("y1") > F.col("y0")) & (F.col("y1") > F.col("y2")))
+                | ((F.col("y1") < F.col("y0")) & (F.col("y1") < F.col("y2"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    return t.select(
+        "n",
+        "tp",
+        F.expr("CAST(2 * n - 4 AS BIGINT)").alias("e3"),
+        F.expr(
+            "CAST((90000 * (3 * tp - (2 * n - 4))"
+            " * (3 * tp - (2 * n - 4)))"
+            " div (9 * (16 * n - 29)) AS BIGINT)"
+        ).alias("z2_milli"),
+    )

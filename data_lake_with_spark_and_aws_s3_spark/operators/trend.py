@@ -631,3 +631,112 @@ def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         (F.col("rnk") < F.col("kmin")).alias("rejected_holm"),
     )
+
+
+# ---------------------------------------------------------------------
+# q_fisher_method (round 8, session 3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q_fisher_method",
+    oracle="""
+    WITH lab AS (
+      SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+             CAST(SUM(x_i) AS BIGINT) AS xx,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM lab
+    ),
+    z AS (
+      SELECT l.n_name, t.m,
+             CAST((1000000
+                   * (CAST(l.x_i AS HUGEINT) * t.nn
+                      - CAST(t.xx AS HUGEINT) * l.n_i)
+                   * (CAST(l.x_i AS HUGEINT) * t.nn
+                      - CAST(t.xx AS HUGEINT) * l.n_i))
+                  // (CAST(l.n_i AS HUGEINT) * t.xx * (t.nn - t.xx))
+                  AS BIGINT) AS z2_micro
+      FROM lab l CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT n_name, m,
+             CAST(1000000000000 // (1000000 + z2_micro) AS BIGINT)
+               AS p_ppm
+      FROM z
+    ),
+    f AS (
+      SELECT CAST(MAX(m) AS BIGINT) AS m,
+             CAST(SUM(CAST(ROUND(-2000000
+                  * ln(CAST(p_ppm AS DOUBLE) / 1000000)) AS BIGINT))
+                  AS BIGINT) AS chi2_micro
+      FROM p
+    )
+    SELECT m, chi2_micro, CAST(2 * m AS BIGINT) AS df FROM f
+    """,
+    tags=("stats", "multiple-testing", "fisher-method", "meta-analysis"),
+)
+def q_fisher_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's combined-probability test over the SAME per-nation
+    urgency family q_bh_fdr and q_holm_bonferroni screen — the
+    meta-analytic third leg of the multiple-testing shelf: BH asks
+    WHICH hypotheses to reject at bounded FDR, Holm at bounded FWER,
+    Fisher asks whether the family is null OVERALL even when no
+    single member crosses a line: chi^2_2m = -2 sum ln p_i. Same
+    surrogate integer p_ppm; each ln is one IEEE op over the exact
+    integer ratio p_ppm/1e6, ROUNDed once to micro-nats before the
+    exact sum (the q_kaplan_meier step treatment).
+
+    Scale: the family is |nations| rows; one broadcast-stitched
+    map-side score and a 1-row reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    lab = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("x_i"),
+        )
+    )
+    tot = lab.agg(
+        F.sum("n_i").alias("nn"),
+        F.sum("x_i").alias("xx"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    p = lab.crossJoin(F.broadcast(tot)).select(
+        "m",
+        F.expr(
+            "CAST(1000000000000 div (1000000"
+            " + CAST((1000000"
+            " * (CAST(x_i AS DECIMAL(38,0)) * nn"
+            "    - CAST(xx AS DECIMAL(38,0)) * n_i)"
+            " * (CAST(x_i AS DECIMAL(38,0)) * nn"
+            "    - CAST(xx AS DECIMAL(38,0)) * n_i))"
+            " div (CAST(n_i AS DECIMAL(38,0)) * xx * (nn - xx))"
+            " AS BIGINT)) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    f = p.agg(
+        F.expr("CAST(MAX(m) AS BIGINT)").alias("m"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(-2000000"
+            " * ln(CAST(p_ppm AS DOUBLE) / 1000000)) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+    return f.select(
+        "m", "chi2_micro", F.expr("CAST(2 * m AS BIGINT)").alias("df")
+    )

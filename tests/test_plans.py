@@ -277,6 +277,7 @@ _NLJ_ALLOWED = {
     "q_cooks_distance",       # broadcast 1-row OLS-moment frame scored map-side per day
     "q_holm_bonferroni",      # broadcast 1-row family-total stitch onto the |nations| frame
     "q_cramer_von_mises",     # broadcast 1-row group-size stitch onto the CDF grid
+    "q_fisher_method",        # broadcast 1-row family-total stitch onto the |nations| frame
     "q_copurchase_triangles",  # broadcast 1-row node/edge/triangle totals stitch
     "q_negative_sampling",  # broadcast anchor subsample x corpus (label != is the op)
     "q_cascade_delete",     # 1-row audit aggregates stitched (before/after/purged)
