@@ -27,10 +27,14 @@ write_bucketed): pay the basket self-join once, persist partitioned by
 pa, and every downstream algorithm joins shuffle-free. In-session,
 localCheckpoint is the same amortization without a named table.
 
-Cache lifecycle: keyed by (applicationId, sf_dir) so a new
-SparkSession never sees a stale frame; FIFO-capped — sweeps touch at
-most three scale dirs at once, and dropped entries are plain RDDs the
-JVM garbage-collects.
+Round 8 (optimization): the per-(application, sf_dir) memo that used
+to live here is GONE. It handed the second and later invocations of
+any consumer — including the bench's warm-up -> timed runs — the
+first run's checkpointed edges instead of re-deriving them, i.e.
+cross-run result caching, which the bench methodology forbids. Each
+call now derives the pair table fresh; the eager localCheckpoint
+remains because every consumer's iterative loop references the edges
+many times WITHIN its own run.
 """
 
 from __future__ import annotations
@@ -40,26 +44,19 @@ from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
 
-_CACHE: dict[tuple[str, str], DataFrame] = {}
-_CACHE_MAX = 4
-
 
 def copurchase_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb, w) with pa < pb and w = number of orders containing
     both parts — the canonical weighted co-purchase pair table,
-    derived once per (application, sf_dir) and localCheckpoint'ed.
+    derived fresh per call and localCheckpoint'ed for within-run reuse.
 
     Scale: the self-join is keyed on l_orderkey (per-order baskets
     only — the quadratic term is bounded by basket size, so |pairs| is
     linear in |orders|); the pair aggregate is one shuffle. |pairs| <<
     |lineitem|^2 and the checkpoint holds three longs per pair."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _CACHE.get(key)
-    if hit is not None:
-        return hit
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    pw = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -71,10 +68,6 @@ def copurchase_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint(eager=True)
     )
-    while len(_CACHE) >= _CACHE_MAX:
-        _CACHE.pop(next(iter(_CACHE)))
-    _CACHE[key] = pw
-    return pw
 
 
 def copurchase_edges(

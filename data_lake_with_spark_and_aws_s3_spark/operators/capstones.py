@@ -330,10 +330,13 @@ def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     was built and benchmarked — and LOST: 9.0 s -> 10.3 s warm at
     sf0.1. The three components share only a ~5k-row parquet scan;
     the capstone's wall is the cluster stage's CC job launches, not
-    the scan. The real shared intermediate is the LSH CLUSTER frame
-    itself — amortized in operators/graph.py (_lsh_cluster_frame,
-    the _edges.py keyed-cache pattern), which this capstone rides
-    through q_cluster_representative."""
+    the scan. The dominant intermediate is the LSH CLUSTER frame
+    (through q_cluster_representative); since round 8 it is computed
+    fresh per invocation — the per-(application, sf_dir) memo it used
+    to ride was cross-run result caching, which the bench methodology
+    forbids — so this capstone's wall includes the clustering it
+    actually performs. A production pipeline would persist the labels
+    as a table; see _lsh_cluster_frame's docstring."""
     from ..registry import REGISTRY
     from ..sources.loader import load_table
 

@@ -22,8 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.textops import ngram_join
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from ._sqlutil import _hex_val_sql
 
 # ---------------------------------------------------------------------
@@ -395,25 +396,13 @@ def duplicate_span_scrub(d: DataFrame) -> DataFrame:
     """Core of q_duplicate_span_scrub over any (doc_id, text) frame —
     split out so invariant tests can plant adversarial corpora
     (verbatim copies, overlapping spans) without touching testdata."""
-    t = d.select("doc_id", _tok_array().alias("toks"))
-    n = F.size("toks")
+    # r8: scan fan-out + zip-form grams (identical gram strings and
+    # positions; posexplode supplies pos = array index + 1)
+    t = fan_out(d).select("doc_id", _tok_array().alias("toks"))
     grams = t.select(
         "doc_id",
-        F.explode(
-            F.when(
-                n >= _SPAN_N,
-                F.transform(
-                    F.sequence(F.lit(1), n - (_SPAN_N - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice(F.col("toks"), i, _SPAN_N)).alias(
-                            "gram"
-                        ),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
-        ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        F.posexplode(ngram_join(F.col("toks"), _SPAN_N)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "gram")
 
     first = grams.groupBy("gram").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
@@ -531,26 +520,18 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram, only scanned. Distinct-counts aggregate per benchmark.
     A doc in several residue classes tags with the first (CASE order) —
     same rule in both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     bench = None
     for m, name in _BENCHMARKS:
         cond = F.col("doc_id") % m == 0
         bench = F.when(cond, F.lit(name)) if bench is None else bench.when(cond, F.lit(name))
     tagged = d.select("doc_id", _tok_array().alias("toks"), bench.alias("benchmark"))
 
-    n = F.size("toks")
+    # r8: zip-form grams (identical values)
     grams = tagged.select(
         "doc_id",
         "benchmark",
-        F.explode(
-            F.when(
-                n >= _CONTAM_N,
-                F.transform(
-                    F.sequence(F.lit(1), n - (_CONTAM_N - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _CONTAM_N)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(ngram_join(F.col("toks"), _CONTAM_N)).alias("gram"),
     )
     eval_grams = (
         grams.filter(F.col("benchmark").isNotNull())
@@ -709,15 +690,11 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions with the min-bucket table keyed by gram — the 3-row
     fraction grid is the only non-equi side and it is broadcast-sized.
     Never rescans the corpus per curve point."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    starts = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
-    )
-    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    # r8: scan fan-out + zip-form grams (identical values)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    grams = F.array_distinct(ngram_join(F.col("tk"), 3))
+    sh = tk.select("doc_id", F.explode(grams).alias("gram"))
     ev = sh.filter(F.col("doc_id") % 7 == 0).select("gram").distinct()
     bucket = (
         "(("
@@ -821,16 +798,15 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (parallel across docs, frame w rows); one per-doc aggregate.
     The cross-doc pair index this feeds is a fingerprint-keyed join —
     posting-bounded, like q_minhash_containment's verify stage."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    idx = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
-        lambda i: i <= F.size(toks) - (_WIN_K - 1),
+    # r8: scan fan-out + zip-form grams (loader.fan_out /
+    # textops.ngram_join — identical gram strings and positions,
+    # parallel and per-row-cheaper construction).
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("tk")
     )
-    grams_arr = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _WIN_K)))
-    )
-    grams = d.select(
+    grams_arr = F.transform(ngram_join(F.col("tk"), _WIN_K), lambda g: F.md5(g))
+    grams = tk.select(
         "doc_id", F.posexplode(grams_arr).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h")
     w_min = (

@@ -38,8 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.textops import ngram_join
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .text import _SW_SQL, _STOPWORDS, tokens
 
 # --- Gopher quality-rule battery -------------------------------------
@@ -648,18 +649,12 @@ def q_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered(1) — all keyed shuffles over a set that only shrinks;
     localCheckpoint pins each round's covered set so round plans stay
     O(1) deep. k is a constant of the operator."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    starts = F.when(
-        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = F.array_distinct(
-        F.transform(
-            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4))
-        )
-    )
+    # r8: scan fan-out + zip-form shingles (identical values)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    shingles = F.array_distinct(ngram_join(F.col("tk"), 4))
     ds = (
-        d.filter(F.size(toks) >= 4)
+        tk.filter(F.size("tk") >= 4)
         .select("doc_id", F.explode(shingles).alias("sh"))
         .localCheckpoint()  # root of every greedy round
     )

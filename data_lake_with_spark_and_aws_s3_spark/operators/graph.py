@@ -427,30 +427,22 @@ def _lsh_cluster_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
 
 
-_LSH_CLUSTER_CACHE: dict = {}
-_LSH_CLUSTER_CACHE_MAX = 4
-
-
 def _lsh_cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) — the shared cluster midframe for every
-    DOWNSTREAM consumer of the labels (q_cluster_representative,
-    q_cluster_aware_split, and through them q_pretrain_corpus), keyed
-    per (application, sf_dir) like operators/_edges.py: a 100 TB
-    pipeline computes near-dup clusters ONCE and every consumer reads
-    the labels, so re-running the MinHash + band join + star CC per
-    consumer is pure waste (round-5 measurement: the CC job launches,
-    not the documents scan, dominate q_pretrain_corpus' wall). The
-    frame is |docs| x 2 longs, checkpointed lazily; q_dedup_clusters
-    itself stays UNCACHED so its benched wall measures real work."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _LSH_CLUSTER_CACHE.get(key)
-    if hit is not None:
-        return hit
-    frame = _lsh_cluster_compute(spark, sf_dir).localCheckpoint(eager=False)
-    while len(_LSH_CLUSTER_CACHE) >= _LSH_CLUSTER_CACHE_MAX:
-        _LSH_CLUSTER_CACHE.pop(next(iter(_LSH_CLUSTER_CACHE)))
-    _LSH_CLUSTER_CACHE[key] = frame
-    return frame
+    """(doc_id, cluster_id) — the cluster label midframe consumed by
+    q_cluster_representative, q_cluster_aware_split, and through them
+    q_pretrain_corpus. Computed FRESH on every call (round 8): until
+    this round the frame was memoized per (application, sf_dir), which
+    meant the second and later invocations of any consumer — including
+    the bench's warm-up -> timed runs — read the FIRST run's labels
+    instead of computing them, i.e. cross-run result caching, which
+    the bench methodology forbids. The architectural point stands and
+    lives in the docstrings (a 100 TB pipeline clusters once and
+    persists the labels as a TABLE all consumers read); inside this
+    engine every invocation now pays for its own clustering. The lazy
+    localCheckpoint below is within-plan reuse only: consumers that
+    reference the labels several times in one query read the
+    checkpointed RDD instead of replaying the CC."""
+    return _lsh_cluster_compute(spark, sf_dir).localCheckpoint(eager=False)
 
 
 _BFS_ROUNDS = 3

@@ -21,8 +21,9 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from ..functions.textops import ngram_join
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .text import _STOPWORDS, _SW_SQL
 
 # Shared: md5-hex -> integer in [0, 65536) from the first 4 hex digits,
@@ -66,17 +67,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle set BROADCASTS — the training corpus is scanned
     once, map-side joined, and only matching (doc, shingle) rows enter
     the one aggregate shuffle. O(corpus) with no candidate explosion."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # start indices 0 .. len-4; guard the short-doc case explicitly
-    # (Spark's sequence(0, negative) would count DOWNWARD, not empty)
-    starts = F.when(
-        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
-    )
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    # r8: scan fan-out + zip-form shingles (identical values)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    shingles = F.array_distinct(ngram_join(F.col("tk"), 4))
+    sh = tk.select("doc_id", F.explode(shingles).alias("shingle"))
     ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     return (
         sh.filter(F.col("doc_id") % 97 != 0)

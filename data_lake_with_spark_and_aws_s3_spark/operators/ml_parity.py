@@ -36,8 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.textops import ngram_join
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .neardup import _ml_exact_pairs, _ml_oracle
 
 # Modest width on purpose: the hashed surface and the bucket-exact
@@ -143,15 +144,12 @@ def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles first."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    starts = F.when(
-        F.size(toks) >= 4, F.sequence(F.lit(0), F.size(toks) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
-    )
-    sets = d.select("doc_id", shingles.alias("toks")).filter(F.size("toks") > 0)
+    # r8: scan fan-out + zip-form shingles (identical values)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    sets = tk.select(
+        "doc_id", F.array_distinct(ngram_join(F.col("tk"), 4)).alias("toks")
+    ).filter(F.size("toks") > 0)
     tf = HashingTF(
         inputCol="toks", outputCol="vec", numFeatures=_MH_DIM, binary=True
     )

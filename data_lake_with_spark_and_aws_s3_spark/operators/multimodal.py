@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ._pin import pin
+from ..sources.loader import fan_out, load_table
 
 
 @query(
@@ -398,7 +399,9 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash chunk join."""
     import numpy as np
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # r8: fan_out spreads the single-row-group scan across cores so
+    # the Python hashing runs N-way instead of in ONE task
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
@@ -429,8 +432,17 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "h0", "h1", "h2", "h3"]
             )
 
-    hashes = d.mapInPandas(
-        ahash, "doc_id long, h0 long, h1 long, h2 long, h3 long"
+    # pin(): the 5-long-per-doc hash frame feeds the band explode AND
+    # both verify sides — unpinned, Catalyst inlined the mapInPandas
+    # subtree at every reference (8 Python eval nodes in the before-
+    # plan, plans/r08/q_image_phash_dedup_before.txt), re-running the
+    # Python hashing pass per reference. Invocation-fresh (see
+    # operators/_pin.py), lineage kept.
+    hashes = pin(
+        d.mapInPandas(
+            ahash, "doc_id long, h0 long, h1 long, h2 long, h3 long"
+        ),
+        ("q_image_phash_dedup", "hashes", sf_dir),
     )
     bands = hashes.select(
         "doc_id",
@@ -541,7 +553,9 @@ def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen — no Python); the threshold is a 1-row broadcast; island
     windows are DOC-KEYED (partition-parallel); shuffle volume is
     active frames only."""
-    d = load_table(spark, sf_dir, "documents")
+    # r8: fan_out — the per-frame HOF energy folds are the dominant
+    # per-row cost and the local scan is one task without it
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     frames = d.select(
         "doc_id",
         F.posexplode(
@@ -652,7 +666,7 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (65,536 buckets per band), and verify touches candidates
     only. At 100 TB this is the same banded-blocking contract as
     q_image_phash_dedup and SemDeDup's SRP bands."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))  # r8 fan-out
     # energies materialize ONCE into an array (each frame energy feeds
     # the sign bit on both sides — recomputing it inside the bit fold
     # doubles the dominant cost), and the tiny (doc_id, fp) frame is
@@ -787,7 +801,7 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOC-KEYED windows (partition-parallel); scenes aggregate with a
     doc-keyed hash aggregate. First frames (delta NULL) are never
     cuts, so docs contribute scene 1 from frame 0."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))  # r8 fan-out
     frames = d.select(
         "doc_id",
         F.posexplode(

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 
 # (query_id, query text) — terms chosen from the corpus vocabulary with
 # a spread of document frequencies ('dup' is rare -> high idf; 'join'

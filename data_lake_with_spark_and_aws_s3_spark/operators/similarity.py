@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 
 
 # Cross-engine-exact vector math: quantize each float to an integer

@@ -19,8 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.textops import ngram_join
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -313,16 +314,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside codegen. Docs with < 4 tokens fingerprint as NULL (both
     engines: min over an empty list)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # sequence() would descend for size < 4 — filter keeps it empty instead
-    idx = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0))),
-        lambda i: i <= F.size(toks) - 4,
-    )
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)))
-    return d.select(
+    # r8: zip-form shingles (textops.ngram_join — identical values);
+    # still per-row, no shuffle
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    return tk.select(
         "doc_id",
-        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+        F.array_min(
+            F.transform(ngram_join(F.col("tk"), 4), lambda g: F.md5(g))
+        ).alias("fingerprint"),
     )
 
 
@@ -1115,16 +1114,13 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one gram explode + aggregate (|gram types| keys, map-side
     partials), one |classes|-row self-join on r+1, windows over
     |classes| rows."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    starts = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))
+    # r8: scan fan-out + zip-form grams (identical values)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tk")
     )
     counts = (
-        d.select(F.explode(grams).alias("term"))
+        tk.select(F.explode(ngram_join(F.col("tk"), 3)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("r"))
     )
@@ -1436,16 +1432,13 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one gram explode + hash aggregate (|gram types| keys,
     map-side partials) + one 1-row moment reduction — the same plan
     spine as q_good_turing, reduced instead of classed."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    starts = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))
+    # r8: scan fan-out + zip-form grams (identical values)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tk")
     )
     counts = (
-        d.select(F.explode(grams).alias("term"))
+        tk.select(F.explode(ngram_join(F.col("tk"), 3)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("r"))
     )

@@ -11,8 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec, money_sum
+from ..functions.textops import ngram_join
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 
 RATE = "decimal(8,6)"
 
@@ -213,17 +214,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is a scan + one digest-keyed shuffle."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    idx = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0))),
-        lambda i: i <= F.size(toks) - 4,
-    )
+    # r8: scan fan-out + zip-form shingles (loader.fan_out /
+    # textops.ngram_join — identical gram strings, parallel and
+    # per-row-cheaper construction; md5 maps over the gram array).
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", "lang", F.split("text", " ").alias("tk"))
     fingerprint = F.array_min(
-        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 4))))
+        F.transform(ngram_join(F.col("tk"), 4), lambda g: F.md5(g))
     )
-    n_tokens = F.size(F.filter(toks, lambda x: x != "")).cast("long")
-    fp = d.select(
+    n_tokens = F.size(F.filter(F.col("tk"), lambda x: x != "")).cast("long")
+    fp = tk.select(
         "doc_id", "lang", fingerprint.alias("fingerprint"), n_tokens.alias("n_tokens")
     )
     is_canon = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fingerprint"))
