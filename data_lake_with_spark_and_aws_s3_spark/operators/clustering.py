@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 
 K = 8
 DIM = 64
@@ -137,6 +137,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     final assignment with per-vector squared distance. Every float is
     bit-identical to the SQL oracle's CTE chain — an oracle-checked
     ITERATIVE algorithm, not a rows-only one."""
+    # r8 note: fan_out was tried here and REJECTED by measurement
+    # (3.51 s -> 3.79 s): the wall is the per-iteration collect jobs,
+    # not the distance folds, so the extra exchange only added cost.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )

@@ -844,7 +844,14 @@ def _unigram_doc_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under the corpus-trained add-one
     unigram LM, in exact integer micro-nats — the shared midframe of
     q_doc_perplexity_filter and q_ccnet_perplexity_buckets (r8).
-    Returns (doc_id, n_toks, nll_sum_micro, ce_micro)."""
+    Returns (doc_id, n_toks, nll_sum_micro, ce_micro).
+
+    Round 8 note (measured REJECTION): a pinned (doc, term) count
+    table replacing tok's two consumers was built and measured —
+    0.9 s -> 2.4 s at sf0.1, and scan fan-out alone 0.9 s -> 1.1 s
+    (see _bm25_doc_scores' docstring: pins serialize the DAG, and
+    fan-out multiplies partial-aggregate key copies). Original shape
+    kept."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")

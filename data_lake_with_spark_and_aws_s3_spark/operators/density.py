@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .graph import connected_components_star
 
 _EPS = 200       # cell width in 1e-4 embedding units (0.02)
@@ -136,6 +136,10 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure over the same dense-cell edges —
     both bounded by |occupied cells|, not |points| (module docstring
     has the why)."""
+    # r8 note: fan_out tried and REJECTED by measurement (5.8 s ->
+    # 6.3 s): pts' projection is two cheap exprs and the very next op
+    # is the cells aggregate's own exchange, so the fan-out shuffle
+    # bought no parallelism that the aggregate didn't already provide.
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",

@@ -90,8 +90,13 @@ def connected_components(
             ),
             F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias("changed"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = new_labels.filter("changed").limit(1).count()
+        # r8: lazy checkpoint + full-coverage aggregate = ONE job per
+        # round (materializes the checkpoint AND answers "changed?");
+        # the former eager checkpoint + limit(1).count() pair was two.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.agg(
+            F.coalesce(F.max(F.col("changed").cast("int")), F.lit(0))
+        ).collect()[0][0]
         labels = new_labels.select("v", "label")
         if changed == 0:
             return vertices.join(labels, vertices.id == labels.v, "left").select(
@@ -153,8 +158,16 @@ def connected_components_star(
     every component is a star rooted at its minimum; detected by an
     order-independent fingerprint (count + XOR of row hashes — the
     edge set is distinct, so xor fingerprints the set; xor, unlike
-    sum, cannot overflow under ANSI mode)."""
-    e = _dedup_edges(edges.select("src", "dst")).localCheckpoint(eager=True)
+    sum, cannot overflow under ANSI mode).
+
+    Round 8 (optimization): each round's checkpoint is LAZY and the
+    fingerprint aggregate is the action that materializes it — one
+    job (and one pass over the edge set) per round instead of two.
+    The aggregate touches every partition, so the checkpoint is fully
+    populated before the next round reads it; eager=True did the same
+    materialization as a separate job and then read the blocks again
+    for the fingerprint."""
+    e = _dedup_edges(edges.select("src", "dst")).localCheckpoint(eager=False)
 
     def fingerprint(df: DataFrame):
         row = df.agg(
@@ -165,7 +178,7 @@ def connected_components_star(
 
     fp = fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_fp = fingerprint(e)
         if new_fp == fp:
             # stars: every non-root points at its component min

@@ -288,8 +288,18 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = he.select("hub").distinct().select(
         F.col("hub").alias("node"), F.lit(_HITS_ONE).cast("long").alias("score")
     )
+    # r8 note (measured REJECTIONS): the 726-operator plan here (each
+    # half-iteration's raw table referenced twice, subtrees doubling
+    # per level — plans/r08/q_hits_hubs_authorities_before.txt) looks
+    # like a bug but is the FASTEST form measured: runtime exchange
+    # reuse dedupes the repeated aggregates, and the duplicated
+    # subtrees schedule as parallel stages. Per-half-iteration lazy
+    # localCheckpoints (3.4 s -> 5.7 s: serializes rounds into
+    # sequential RDD materializations) and pin()s (3.4 s -> 4.2 s:
+    # cache materialization cost) both lost at 2 iterations. At a
+    # depth where planning time dominates, checkpoint per round.
     auth = None
-    for _ in range(_HITS_ITERS):
+    for it in range(_HITS_ITERS):
         araw = (
             he.join(hub, he.hub == hub.node)
             .groupBy(F.col("auth").alias("n2"))

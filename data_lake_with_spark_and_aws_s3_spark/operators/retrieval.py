@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.loader import fan_out, load_table
+from ..sources.loader import load_table
 
 # (query_id, query text) — terms chosen from the corpus vocabulary with
 # a spread of document frequencies ('dup' is rare -> high idf; 'join'
@@ -166,7 +166,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
     """(doc_scores, dl): per-(query, doc) exact integer micro-nat BM25
-    scores plus the doc-length table — the Spark face of _BM25_CTES."""
+    scores plus the doc-length table — the Spark face of _BM25_CTES.
+
+    Round 8 note (measured REJECTION): deriving dl and df from a
+    pinned (doc, term) count table — one tokenize pass instead of
+    three — was built and benchmarked, and LOST at bench scale
+    (q_bm25_topk 2.1 s -> 3.8 s): the three aggregates run as
+    PARALLEL stages that the 32-core session absorbs for free, while
+    the pin serializes the DAG behind a full materialization of the
+    tf table. At 100 TB the trade inverts (three corpus tokenize
+    passes dwarf one tf materialization) — there you persist tf as a
+    TABLE; in this engine the parallel-stages form is the faster
+    honest shape. Scan fan-out was ALSO rejected here (2.1 s ->
+    3.4 s): with 32 map partitions each partial aggregate emits its
+    own copy of every overlapping term key, multiplying the shuffle
+    rows by the partition count — token explode + hash aggregate is
+    shuffle-bound, not per-row-compute-bound, so the fan-out helps
+    the shingle/HOF pipelines and hurts this one."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
@@ -373,6 +389,11 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cost as the count build); V is a 1-row broadcast scalar. On a
     real cluster the trained model table is exactly what you'd persist
     and re-broadcast for incremental scoring of new batches."""
+    # r8 note (measured REJECTIONS): a pinned (doc, w1, w2) count
+    # table replacing the three bg consumers measured 1.3 s -> 2.9 s,
+    # and scan fan-out alone 1.3 s -> 2.1 s (partial-agg key overlap
+    # x32 map partitions) — see _bm25_doc_scores' docstring. Original
+    # shape kept.
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

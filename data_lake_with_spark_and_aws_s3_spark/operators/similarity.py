@@ -103,9 +103,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast queries and keeps a local top-k
     (TakeOrdered semantics via the window after repartition by query).
     """
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", dot_int(F.col("embedding"), F.col("embedding")).alias("norm2")
-    )
+    )  # r8 fan-out: HOF dot products on a one-task scan otherwise
     q = v.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -656,7 +656,7 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(struct(d2, code)) — map-side combinable, deterministic
     (lexicographic = the (d2, code) tie-break) — not a sort-based
     row_number window over all n x m x k rows."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))  # r8 fan-out
     sub = e.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
@@ -1214,7 +1214,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, keep representatives."""
     from .graph import connected_components_star
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # r8: fan_out — the posexplode+quantize signature stage and the
+    # verify-side dot products are per-row heavy on a one-task scan
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     # 32-plane signature: low 16 bits = the same 4x4 primary bands as
     # always; high 16 bits refine ONLY buckets larger than
     # _SEMDEDUP_SPLIT — depth-2 since round 6: own band's nibble

@@ -67,12 +67,23 @@ def test_theta_join_avoids_nested_loop(spark):
 
 def test_curation_single_fingerprint_scan(spark):
     """Canonical-doc selection must not recompute the md5-shingle scan:
-    one documents scan, one fingerprint-keyed exchange."""
-    from data_lake_with_spark_and_aws_s3_spark.plans import count_scans
+    one documents scan, one fingerprint-keyed exchange — plus, since
+    round 8, at most one ROUND-ROBIN exchange from the adaptive scan
+    fan-out (loader.fan_out; a no-op on multi-split inputs). The
+    key-partitioned exchange count is the contract: more than one
+    would mean the fingerprint stage recomputes."""
+    from data_lake_with_spark_and_aws_s3_spark.plans import (
+        count_scans,
+        formatted_plan,
+    )
 
     df = REGISTRY["q_curation_pipeline"].fn(spark, SF)
     assert count_scans(df) == 1, "fingerprint stage scanned documents twice"
-    assert count_exchanges(df) == 1
+    plan = formatted_plan(df)
+    keyed = plan.count("hashpartitioning(")
+    rr = plan.count("RoundRobinPartitioning(")
+    assert keyed <= 1, "fingerprint stage shuffles more than once"
+    assert count_exchanges(df) == keyed + rr and rr <= 1
 
 
 def test_decontaminate_broadcasts_eval_side(spark):
