@@ -63,6 +63,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r8 small-graph short-circuit (same size guard and rationale as
+    # connected_components_star): the count is one cheap job over the
+    # checkpointed edges; below the cap a driver union-find replaces
+    # the whole propagation loop, above it nothing changes.
+    if sym.count() <= _CC_DRIVER_MAX_EDGES:
+        lab = _driver_union_find_labels(sym)
+        if not lab:
+            return vertices.select("id", F.col("id").alias("component"))
+        lab_df = sym.sparkSession.createDataFrame(
+            sorted(lab.items()), schema="v long, label long"
+        )
+        return vertices.join(
+            F.broadcast(lab_df), vertices.id == lab_df.v, "left"
+        ).select("id", F.coalesce("label", "id").alias("component"))
     # Iterate ONLY over edge-incident vertices. In a dedup graph the
     # overwhelming majority of vertices are isolated (unique docs);
     # keeping them out of the loop shrinks every per-iteration shuffle
@@ -137,6 +151,41 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _dedup_edges(relink.unionByName(self_link))
 
 
+# Edge-count ceiling for the driver union-find short-circuit in both
+# CC variants: 200k edges x 16 bytes is a few MB of driver state — the
+# same order as the k-core broadcast guard — while every shipped SF's
+# near-dup / grid graph is orders of magnitude below it and a 100 TB
+# corpus graph is orders of magnitude above (taking the distributed
+# loop unchanged).
+_CC_DRIVER_MAX_EDGES = 200_000
+
+
+def _driver_union_find_labels(e: DataFrame) -> dict[int, int]:
+    """Min-id union-find over a collected (src, dst) edge list —
+    returns {vertex: component_min} for edge-incident vertices only.
+    Deterministic regardless of edge order (the root chosen for a set
+    is always its minimum id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = find(int(row["src"])), find(int(row["dst"]))
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    # non-root vertices only: roots label themselves through the
+    # caller's COALESCE(label, id), exactly like the distributed
+    # branch's star edge set (roots have no outgoing star edge)
+    return {v: find(v) for v in list(parent)}
+
+
 def connected_components_star(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 30
 ) -> DataFrame:
@@ -166,7 +215,20 @@ def connected_components_star(
     The aggregate touches every partition, so the checkpoint is fully
     populated before the next round reads it; eager=True did the same
     materialization as a separate job and then read the blocks again
-    for the fingerprint."""
+    for the fingerprint.
+
+    Round 8, small-graph short-circuit: when the deduped edge set is
+    at most {_CC_DRIVER_MAX_EDGES} rows (known for free from the
+    initial fingerprint), the components are computed with a driver
+    union-find instead of the distributed star loop — the same
+    mechanical size guard as the k-core broadcast hint below
+    (_KCORE_BROADCAST_MAX_VERTICES): at sf0.1 the near-dup edge set
+    is a few hundred rows and each star round costs more in job
+    launches than the whole union-find. Driver state is capped at
+    {_CC_DRIVER_MAX_EDGES} x 16 bytes (a few MB); larger graphs take
+    the distributed loop unchanged, so nothing driver-side grows with
+    the corpus. Labels are min-reachable-id either way — union-find
+    with min-id roots returns bit-identical components."""
     e = _dedup_edges(edges.select("src", "dst")).localCheckpoint(eager=False)
 
     def fingerprint(df: DataFrame):
@@ -177,6 +239,17 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     fp = fingerprint(e)
+    if fp[0] <= _CC_DRIVER_MAX_EDGES:
+        labels = _driver_union_find_labels(e)
+        if not labels:  # no edges: every vertex is its own component
+            return vertices.select("id", F.col("id").alias("component"))
+        spark = e.sparkSession
+        lab_df = spark.createDataFrame(
+            sorted(labels.items()), schema="v long, label long"
+        )
+        return vertices.join(
+            F.broadcast(lab_df), vertices.id == lab_df.v, "left"
+        ).select("id", F.coalesce("label", "id").alias("component"))
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_fp = fingerprint(e)
@@ -777,9 +850,11 @@ def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the cluster labels come from q_dedup_clusters (round 4: the
     LSH-banded + star-contraction composition — no quadratic stage);
     scoring joins labels back to the doc table on doc_id and runs ONE
-    window over cluster_id — shuffle bounded by |docs|. Labels read
-    the shared per-session cluster midframe (_lsh_cluster_frame): at
-    100 TB you cluster once and every consumer reuses the labels."""
+    window over cluster_id — shuffle bounded by |docs|. Labels come
+    from _lsh_cluster_frame, computed FRESH per invocation since
+    round 8 (the former session memo was cross-run result caching —
+    see its docstring); at 100 TB you cluster once into a TABLE and
+    every consumer reads the labels."""
     clusters = _lsh_cluster_frame(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
@@ -893,9 +968,9 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint past _KCORE_BROADCAST_MAX_VERTICES, degrading gracefully to
     the shuffle form this replaced instead of OOMing the driver. Edge derivation — the op's dominant constant in the
     round-4 10x sweep (93.7 s wall, mostly the 12M-pair self-join +
-    distinct) — is now the family-shared checkpoint
-    (_edges.copurchase_edges), paid once per session across the six
-    co-purchase graph queries."""
+    distinct) — reads _edges.copurchase_edges, derived fresh per
+    invocation since round 8 (the session memo was cross-run result
+    caching; the within-run checkpoint remains)."""
     # root of the peel; round 1 reads a narrow filter over the shared
     # checkpoint, later rounds checkpoint their own shrunken sets
     edges = copurchase_edges(spark, sf_dir)

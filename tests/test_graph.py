@@ -112,10 +112,15 @@ def test_star_variant_matches_label_propagation_on_real_edges(spark):
     assert star == prop
 
 
-def test_star_variant_converges_on_long_chain(spark):
+def test_star_variant_converges_on_long_chain(spark, monkeypatch):
     """A 200-node path has diameter 199 — min-label propagation would
     need ~200 rounds; star contraction must finish in O(log^2 n)
-    (well under 30) and still label every node with the chain min."""
+    (well under 30) and still label every node with the chain min.
+    The round-8 driver union-find short-circuit is DISABLED here so
+    the distributed star loop itself stays exercised."""
+    from data_lake_with_spark_and_aws_s3_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_CC_DRIVER_MAX_EDGES", 0)
     n = 200
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
     vertices = spark.createDataFrame([(v,) for v in range(n)], "id long")
@@ -126,11 +131,34 @@ def test_star_variant_converges_on_long_chain(spark):
     assert got == {v: 0 for v in range(n)}
 
 
-def test_shared_caches_return_identical_frames(spark):
-    """Round-5 amortization contracts: the co-purchase edge helper and
-    the LSH cluster midframe are keyed per (application, sf_dir) —
-    a second call must return the SAME DataFrame object (no recompute),
-    and the cached cluster labels must equal a fresh uncached compute."""
+def test_cc_driver_shortcircuit_matches_distributed(spark, monkeypatch):
+    """Round-8 small-graph short-circuit: below _CC_DRIVER_MAX_EDGES
+    both CC variants label via a driver union-find. Both branches must
+    produce IDENTICAL (id, component) maps on the same graph —
+    including isolated vertices, multi-component graphs, and edges
+    given in arbitrary orientation."""
+    from data_lake_with_spark_and_aws_s3_spark.operators import graph
+
+    rows = [(9, 2), (2, 5), (10, 11), (7, 7), (3, 2), (12, 10), (6, 13)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    vertices = spark.createDataFrame([(v,) for v in range(14)], "id long")
+    expected = {0: 0, 1: 1, 2: 2, 3: 2, 4: 4, 5: 2, 6: 6, 7: 7, 8: 8,
+                9: 2, 10: 10, 11: 10, 12: 10, 13: 6}
+    for fn in (graph.connected_components_star, graph.connected_components):
+        fast = {r["id"]: r["component"] for r in fn(edges, vertices).collect()}
+        assert fast == expected, f"{fn.__name__} driver branch wrong"
+    monkeypatch.setattr(graph, "_CC_DRIVER_MAX_EDGES", 0)
+    for fn in (graph.connected_components_star, graph.connected_components):
+        dist = {r["id"]: r["component"] for r in fn(edges, vertices).collect()}
+        assert dist == expected, f"{fn.__name__} distributed branch wrong"
+
+
+def test_shared_frames_recompute_per_invocation(spark):
+    """Round-8 freshness contract (inverts the round-5 memo the
+    optimization pass removed as cross-run result caching): a second
+    call must return a NEW frame — every invocation derives its own
+    edges / cluster labels — and repeated computes must agree exactly.
+    tests/test_pin.py proves the same for pin()-based midframes."""
     from data_lake_with_spark_and_aws_s3_spark.operators._edges import (
         copurchase_pair_weights,
     )
@@ -141,17 +169,18 @@ def test_shared_caches_return_identical_frames(spark):
 
     e1 = copurchase_pair_weights(spark, SF)
     e2 = copurchase_pair_weights(spark, SF)
-    assert e1 is e2, "edge cache must hit on the second call"
+    assert e1 is not e2, "memoized edge frame is back — cross-run caching"
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
 
     c1 = _lsh_cluster_frame(spark, SF)
     c2 = _lsh_cluster_frame(spark, SF)
-    assert c1 is c2, "cluster cache must hit on the second call"
-    cached = {(r["doc_id"], r["cluster_id"]) for r in c1.collect()}
+    assert c1 is not c2, "memoized cluster frame is back — cross-run caching"
+    labels = {(r["doc_id"], r["cluster_id"]) for r in c1.collect()}
     fresh = {
         (r["doc_id"], r["cluster_id"])
         for r in _lsh_cluster_compute(spark, SF).collect()
     }
-    assert cached == fresh, "cached labels must equal an uncached compute"
+    assert labels == fresh, "repeated computes must agree exactly"
 
 
 def test_capstone_rides_checkpointed_cluster_midframe(spark):
