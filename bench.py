@@ -84,6 +84,16 @@ EXTENDED_FAMILIES: dict[str, list[str]] = {
         "q_repetition_signals",
         "q_repeated_ngram_profile",
         "q_duplicate_span_scrub",
+    ],
+    # round 9 (measurement-bug fix, declared in OPTIMIZATION_r09.md):
+    # the heavy capstone gets its OWN child JVM. As the last query of
+    # the shared corpus-family JVM it was bimodal (same code measured
+    # 8-10 s in most runs and 47.9 s in one — accumulated JVM/GC state,
+    # OPTIMIZATION_r08.md "Variance note"); isolating it makes its
+    # number a property of the code again. Queries BEFORE it in the old
+    # corpus family keep their exact context (it ran last), and the
+    # name/protocol are unchanged, so round-over-round comparison holds.
+    "capstone": [
         # round 4: the end-to-end recipe (rules -> LSH keep-best ->
         # decontamination) — the wall a user's actual pipeline pays
         "q_pretrain_corpus",

@@ -55,7 +55,16 @@ def copurchase_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in |orders|); the pair aggregate is one shuffle. |pairs| <<
     |lineitem|^2 and the checkpoint holds three longs per pair."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Round 9 (guide §3.1, "pick the join strategy deliberately"): the
+    # basket self-join is SHUFFLE_HASH, not the default sort-merge —
+    # both sides are the same narrow (orderkey, partkey) projection, so
+    # the SMJ's two per-partition sorts were pure overhead (measured at
+    # sf0.1: the derivation fell 2.97 s -> 1.29 s isolated-warm, and
+    # q_label_propagation 4.59 -> 3.0 s). Scale posture: the build side
+    # of each partition is one shuffle-partition of (long, long) rows —
+    # AQE sizes those to the advisory target on a real cluster, so the
+    # hash table stays partition-sized at 100 TB.
+    a, b = li.alias("a"), li.hint("SHUFFLE_HASH").alias("b")
     return (
         a.join(
             b,

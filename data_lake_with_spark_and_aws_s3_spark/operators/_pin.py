@@ -34,6 +34,37 @@ from pyspark.storagelevel import StorageLevel
 _PINNED: dict[tuple, DataFrame] = {}
 _PINNED_MAX = 64
 
+# Reentrancy depth of registered-query invocations (registry.query's
+# wrapper). Capstones call component queries through REGISTRY mid-build;
+# only the OUTERMOST entry may clear pins, or a capstone would defeat
+# its own components' midframes.
+_DEPTH = 0
+
+
+def clear_application_pins(spark) -> None:
+    """Unpersist every pin belonging to ``spark``'s application.
+
+    Round 9 (closes the round-8 residual cross-QUERY cache channel):
+    pin() kept each call site fresh across ITS OWN re-invocations, but
+    blocks stayed registered in the CacheManager between different
+    queries sharing one JVM — a later query whose plan contained a
+    canonically-identical subplan (e.g. the 4-gram shingle frame
+    across the neardup family) silently read the earlier query's
+    pinned blocks. registry.query's wrapper calls this at every
+    top-level query entry, so no query can ever start with another
+    query's (or its own previous run's) blocks alive."""
+    try:
+        appid = spark.sparkContext.applicationId
+    except Exception:
+        return  # context stopped — nothing cached there anymore
+    for k in [k for k in _PINNED if k[0] == appid]:
+        prev = _PINNED.pop(k, None)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
+
 
 def pin(df: DataFrame, key: tuple, level: StorageLevel | None = None) -> DataFrame:
     """persist() ``df`` for reuse by multiple consumers inside THIS
@@ -53,7 +84,12 @@ def pin(df: DataFrame, key: tuple, level: StorageLevel | None = None) -> DataFra
         except Exception:
             pass  # session gone or already unpersisted — freshness holds
     while len(_PINNED) >= _PINNED_MAX:
-        old = _PINNED.pop(next(iter(_PINNED)))  # FIFO: evict the oldest
+        # Evict the oldest entry of THIS application first (other
+        # applications' in-flight pins are never collateral damage —
+        # ADVICE r8); fall back to the globally oldest only when every
+        # entry belongs to some other (likely stopped) session.
+        same_app = next((k for k in _PINNED if k[0] == full_key[0]), None)
+        old = _PINNED.pop(same_app if same_app is not None else next(iter(_PINNED)))
         try:
             old.unpersist(blocking=False)
         except Exception:

@@ -61,19 +61,19 @@ def connected_components(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # r8 small-graph short-circuit (same size guard and rationale as
-    # connected_components_star): the count is one cheap job over the
-    # checkpointed edges; below the cap a driver union-find replaces
-    # the whole propagation loop, above it nothing changes.
+    # connected_components_star). r9: the checkpoint is LAZY and this
+    # count is the action that materializes it — one job does both
+    # (the former eager checkpoint + count pair was two jobs); below
+    # the cap a driver union-find replaces the whole propagation loop,
+    # above it nothing changes.
     if sym.count() <= _CC_DRIVER_MAX_EDGES:
         lab = _driver_union_find_labels(sym)
         if not lab:
             return vertices.select("id", F.col("id").alias("component"))
-        lab_df = sym.sparkSession.createDataFrame(
-            sorted(lab.items()), schema="v long, label long"
-        )
+        lab_df = _union_find_label_frame(sym, lab)
         return vertices.join(
             F.broadcast(lab_df), vertices.id == lab_df.v, "left"
         ).select("id", F.coalesce("label", "id").alias("component"))
@@ -160,14 +160,16 @@ def _small_star(e: DataFrame) -> DataFrame:
 _CC_DRIVER_MAX_EDGES = 200_000
 
 
-def _driver_union_find_labels(e: DataFrame) -> dict[int, int]:
+def _driver_union_find_labels(e: DataFrame) -> dict:
     """Min-id union-find over a collected (src, dst) edge list —
     returns {vertex: component_min} for edge-incident vertices only.
     Deterministic regardless of edge order (the root chosen for a set
-    is always its minimum id)."""
-    parent: dict[int, int] = {}
+    is always its minimum id). Type-agnostic: vertex ids are used as-is
+    (ints, strings, ... — anything hashable and orderable), matching
+    the distributed loop's MIN semantics for the same column type."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -176,7 +178,7 @@ def _driver_union_find_labels(e: DataFrame) -> dict[int, int]:
         return r
 
     for row in e.collect():
-        a, b = find(int(row["src"])), find(int(row["dst"]))
+        a, b = find(row["src"]), find(row["dst"])
         if a != b:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
@@ -184,6 +186,19 @@ def _driver_union_find_labels(e: DataFrame) -> dict[int, int]:
     # caller's COALESCE(label, id), exactly like the distributed
     # branch's star edge set (roots have no outgoing star edge)
     return {v: find(v) for v in list(parent)}
+
+
+def _union_find_label_frame(e: DataFrame, labels: dict) -> DataFrame:
+    """Build the (v, label) broadcast frame from a union-find result,
+    with both columns typed as the edges' own src dtype — string-id
+    graphs (e.g. entity-resolution part names) round-trip unchanged."""
+    from pyspark.sql.types import StructField, StructType
+
+    vt = e.schema["src"].dataType
+    schema = StructType(
+        [StructField("v", vt, False), StructField("label", vt, False)]
+    )
+    return e.sparkSession.createDataFrame(sorted(labels.items()), schema=schema)
 
 
 def connected_components_star(
@@ -243,10 +258,7 @@ def connected_components_star(
         labels = _driver_union_find_labels(e)
         if not labels:  # no edges: every vertex is its own component
             return vertices.select("id", F.col("id").alias("component"))
-        spark = e.sparkSession
-        lab_df = spark.createDataFrame(
-            sorted(labels.items()), schema="v long, label long"
-        )
+        lab_df = _union_find_label_frame(e, labels)
         return vertices.join(
             F.broadcast(lab_df), vertices.id == lab_df.v, "left"
         ).select("id", F.coalesce("label", "id").alias("component"))

@@ -299,7 +299,7 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache materialization cost) both lost at 2 iterations. At a
     # depth where planning time dominates, checkpoint per round.
     auth = None
-    for it in range(_HITS_ITERS):
+    for _ in range(_HITS_ITERS):
         araw = (
             he.join(hub, he.hub == hub.node)
             .groupBy(F.col("auth").alias("n2"))

@@ -103,13 +103,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast queries and keeps a local top-k
     (TakeOrdered semantics via the window after repartition by query).
     """
-    v = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    # r9 (VERDICT r8 #2): r8 fanned out the shared base frame, which
+    # BOTH consumers (broadcast query side + corpus side) executed
+    # separately — two RoundRobinPartitioning exchanges shuffling the
+    # heavy embedding arrays twice, driver-measured 0.61x. Now the
+    # query side reads the raw scan (vec_id < 10 pushes into the
+    # parquet scan — 10 rows, no shuffle) and ONLY the corpus side is
+    # fanned out, once, ahead of the |q| x |n| dot-product stage.
+    base = load_table(spark, sf_dir, "embeddings")
+    v = fan_out(base).select(
         "vec_id", "embedding", dot_int(F.col("embedding"), F.col("embedding")).alias("norm2")
-    )  # r8 fan-out: HOF dot products on a one-task scan otherwise
-    q = v.filter(F.col("vec_id") < 10).select(
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("norm2").alias("q_norm2"),
+        dot_int(F.col("embedding"), F.col("embedding")).alias("q_norm2"),
     )
     scored = (
         F.broadcast(q)
@@ -656,20 +664,32 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(struct(d2, code)) — map-side combinable, deterministic
     (lexicographic = the (d2, code) tie-break) — not a sort-based
     row_number window over all n x m x k rows."""
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))  # r8 fan-out
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
-        "embedding",
-    ).select(
-        "vec_id",
-        "m",
-        *[
-            qint(F.element_at("embedding", F.col("m") * _PQ_D + i + 1)).alias(f"a{i}")
-            for i in range(_PQ_D)
-        ],
-    )
-    cw = sub.filter(F.col("vec_id") < _PQ_K).select(
+    # r9 (VERDICT r8 #2): r8 fanned out the shared base frame, which
+    # all three consumers (codebook, LUT, full-corpus encode) executed
+    # separately — three RoundRobinPartitioning exchanges shuffling the
+    # embedding arrays, driver-measured 0.69x. The codebook and LUT
+    # sides now read the raw scan (their vec_id < {16, NQ} filters push
+    # into the parquet scan) and ONLY the O(n) encode side fans out,
+    # once, ahead of the n x k candidate-distance stage.
+    base = load_table(spark, sf_dir, "embeddings")
+
+    def subvectors(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+            "embedding",
+        ).select(
+            "vec_id",
+            "m",
+            *[
+                qint(F.element_at("embedding", F.col("m") * _PQ_D + i + 1)).alias(f"a{i}")
+                for i in range(_PQ_D)
+            ],
+        )
+
+    sub = subvectors(fan_out(base))
+    sub_small = subvectors(base)
+    cw = sub_small.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("code"),
         F.col("m").alias("cm"),
         *[F.col(f"a{i}").alias(f"b{i}") for i in range(_PQ_D)],
@@ -686,7 +706,7 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", F.col("s.code").alias("code"))
     )
     lut = (
-        sub.filter(F.col("vec_id") < _PQ_NQ)
+        sub_small.filter(F.col("vec_id") < _PQ_NQ)
         .join(F.broadcast(cw), F.col("m") == F.col("cm"))
         .select(F.col("vec_id").alias("query_id"), "m", "code", d2)
     )

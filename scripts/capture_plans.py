@@ -1,13 +1,14 @@
-"""Capture .explain("formatted") output for bench queries into plans/r08/.
+"""Capture .explain("formatted") output for bench queries into
+plans/$SPARK_GRAFT_PLANS_DIR (default r09).
 
 Usage:
     python scripts/capture_plans.py before [name ...]
     python scripts/capture_plans.py after  [name ...]
 
 With no names, captures every query in bench.py's HEADLINE + EXTENDED
-set. Output: plans/r08/<name>_<tag>.txt (committed for the judge —
+set. Output: plans/<dir>/<name>_<tag>.txt (committed for the judge —
 they cannot run Spark, so these files are the evidence for plan-shape
-claims in OPTIMIZATION_r08.md).
+claims in the round's OPTIMIZATION log).
 
 explain("formatted") on an un-executed DataFrame shows the initial AQE
 plan (isFinalPlan=false); that is the right artifact here because it
@@ -36,7 +37,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or (HEADLINE + EXTENDED)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO_ROOT, "plans", "r08")
+    out_dir = os.path.join(
+        REPO_ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r09")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"capture-plans-{tag}")
     for name in names:

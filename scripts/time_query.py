@@ -23,21 +23,21 @@ from data_lake_with_spark_and_aws_s3_spark.session import get_spark  # noqa: E40
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    warmups, timed = 1, 3
-    names = []
-    i = 0
-    while i < len(args):
-        if args[i] == "-w":
-            warmups = int(args[i + 1]); i += 2
-        elif args[i] == "-n":
-            timed = int(args[i + 1]); i += 2
-        else:
-            names.append(args[i]); i += 1
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-w", dest="warmups", type=int, default=1)
+    ap.add_argument("-n", dest="timed", type=int, default=3)
+    ap.add_argument("names", nargs="+")
+    ns = ap.parse_args()
+    warmups, timed = ns.warmups, ns.timed
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="time-query")
     out = {}
-    for name in names:
+    for name in ns.names:
+        if name not in REGISTRY:
+            print(f"skip (not registered): {name}", file=sys.stderr)
+            continue
         fn = REGISTRY[name].fn
         spark.sparkContext.setJobDescription(f"warmup {name}")
         for _ in range(warmups):

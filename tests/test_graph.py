@@ -153,6 +153,30 @@ def test_cc_driver_shortcircuit_matches_distributed(spark, monkeypatch):
         assert dist == expected, f"{fn.__name__} distributed branch wrong"
 
 
+def test_cc_driver_shortcircuit_string_ids(spark, monkeypatch):
+    """Round-9 regression test for the round-8 q_golden_record crash:
+    the driver union-find short-circuit must handle STRING vertex ids
+    (entity-resolution graphs use part names) and agree exactly with
+    the distributed branch, preserving the string dtype."""
+    from data_lake_with_spark_and_aws_s3_spark.operators import graph
+
+    rows = [("bolt", "new bolt"), ("new bolt", "newer bolt"), ("cam", "camshaft")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    names = ["bolt", "new bolt", "newer bolt", "cam", "camshaft", "gear"]
+    vertices = spark.createDataFrame([(v,) for v in names], "id string")
+    expected = {"bolt": "bolt", "new bolt": "bolt", "newer bolt": "bolt",
+                "cam": "cam", "camshaft": "cam", "gear": "gear"}
+    for fn in (graph.connected_components_star, graph.connected_components):
+        out = fn(edges, vertices)
+        assert dict(out.dtypes) == {"id": "string", "component": "string"}
+        fast = {r["id"]: r["component"] for r in out.collect()}
+        assert fast == expected, f"{fn.__name__} driver branch wrong on string ids"
+    monkeypatch.setattr(graph, "_CC_DRIVER_MAX_EDGES", 0)
+    for fn in (graph.connected_components_star, graph.connected_components):
+        dist = {r["id"]: r["component"] for r in fn(edges, vertices).collect()}
+        assert dist == expected, f"{fn.__name__} distributed branch wrong on string ids"
+
+
 def test_shared_frames_recompute_per_invocation(spark):
     """Round-8 freshness contract (inverts the round-5 memo the
     optimization pass removed as cross-run result caching): a second

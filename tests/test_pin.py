@@ -106,3 +106,58 @@ def test_pinned_queries_reinvoke_fresh(spark, name):
         f"{name}: re-invocation kept the previous run's pinned frame"
     )
     assert sorted(map(tuple, r1)) == sorted(map(tuple, df2.collect()))
+
+
+def test_cross_query_pins_cleared_on_next_query_entry(spark):
+    """Round-9 contract: a query invocation must not be able to read
+    ANOTHER query's pinned blocks. pin() keeps blocks registered in the
+    CacheManager after a query's collect (lineage-kept persist), and
+    CacheManager matches by canonicalized plan — so the guarantee is
+    enforced at query ENTRY: registry.query's wrapper unpersists every
+    pin of the application before the new query builds. Behaviorally:
+    after running pinned query A, merely BUILDING query B leaves no A
+    pins alive."""
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+
+    REGISTRY["q_minhash_containment"].fn(spark, SF_DIR).collect()
+    assert any(
+        "q_minhash_containment" in str(k) for k in _pin._PINNED
+    ), "expected containment to leave pins registered after its run"
+    df_b = REGISTRY["q_minhash_lsh"].fn(spark, SF_DIR)
+    assert not any(
+        "q_minhash_containment" in str(k) for k in _pin._PINNED
+    ), "query B's entry left query A's pinned blocks alive (cross-query cache channel)"
+    df_b.collect()
+
+
+def test_capstone_nested_queries_keep_component_pins(spark):
+    """The depth guard: a capstone calling component queries through
+    REGISTRY mid-build must NOT clear its own earlier components' pins
+    (only the outermost entry clears)."""
+    from data_lake_with_spark_and_aws_s3_spark import REGISTRY
+    from data_lake_with_spark_and_aws_s3_spark.operators._pin import pin
+
+    calls = {"n": 0}
+    orig_depth = _pin._DEPTH
+
+    def capstone(spark_, sf_dir_):
+        calls["n"] += 1
+        assert _pin._DEPTH == orig_depth + 1
+        # a midframe this capstone pins for its own consumers...
+        seeded = pin(
+            spark_.range(7).select(F.col("id").alias("seed")), ("test_nested", "seed")
+        )
+        seeded.count()
+        # ...must survive a nested registered-query call mid-build
+        REGISTRY["q_chi_square"].fn(spark_, sf_dir_)
+        assert any("test_nested" in str(k) for k in _pin._PINNED), (
+            "nested query entry cleared the outer query's pins"
+        )
+        return spark_.range(1)
+
+    from data_lake_with_spark_and_aws_s3_spark.registry import _fresh_entry
+
+    wrapped = _fresh_entry(capstone)
+    wrapped(spark, SF_DIR)
+    assert calls["n"] == 1
+    assert _pin._DEPTH == orig_depth
